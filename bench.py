@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_pipeline2_spark import registry
+from data_pipeline2_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "topk_per_group",
+    "chunk_fixed",
+    "chunk_sentence",
+    "knn_batch",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "text_stats",
+    "events_tumbling",
+    "events_session",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("data_pipeline2_spark-bench")
+    spark.sparkContext.setLogLevel("WARN")
+    qmap = registry.queries()
+
+    # warm the JVM + parquet footers once with a trivial action
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # full execution; driver-side result stays tiny
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Text expression helpers shared by chunking / dedup / text-analysis.
+
+All pure Catalyst expressions (JVM-side). Tokenization is defined once
+here so every operator (and its DuckDB oracle) agrees on word
+boundaries: split on runs of whitespace after trim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# the reference's sentence regex (docling_service.py:103), sans capture
+# group: one or more non-terminators followed by one or more terminators.
+SENTENCE_REGEX = r"[^.!?]+[.!?]+"
+
+
+def tokens(text: Column) -> Column:
+    """array<string> of whitespace-delimited tokens; [] for blank text."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def sentences(text: Column) -> Column:
+    """array<string> of sentences per the reference regex; [] if none."""
+    return F.regexp_extract_all(text, F.lit(SENTENCE_REGEX), 0)
+
+
+def normalized(text: Column) -> Column:
+    """Whitespace-collapsed, lowercased content — dedup/fingerprint key."""
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def content_hash(text: Column) -> Column:
+    """sha256 hex of normalized content (exact-dedup key).
+
+    The reference uses sha256 for its deterministic search-cache keys
+    (search_cache.py:18-33); same primitive here.
+    """
+    return F.sha2(normalized(text), 256)
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """array<string> of word n-gram shingles ('w1 w2 w3')."""
+    toks = tokens(text)
+    cnt = F.size(toks)
+    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), cnt - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Aggregation surface — hash aggregates with oracle-exact arithmetic.
+
+The reference's aggregation layer is Prometheus counters/histograms
+(utils/metrics.py:8-29; embedding_service.py:14-23); the engine exposes
+the full groupBy/agg surface those imply, plus the TPC-H-ish bench aggs.
+
+Float-sum determinism: a double sum is order-dependent, and Spark and
+DuckDB fold partitions differently. `exact_sum` casts each value to a
+fixed-scale decimal first — decimal addition is exact and associative,
+so both engines produce the identical value regardless of partitioning
+— then casts the total back to double for a hash-stable output schema.
+This costs one extra cast per row, negligible vs the shuffle it rides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_sum(col: Column, scale: int = 2, precision: int = 25) -> Column:
+    """Order-independent sum of a double column via decimal accumulation."""
+    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def exact_avg(col: Column, scale: int = 2, precision: int = 25) -> Column:
+    """avg = exact decimal sum (double) / count — single well-defined
+    double division, identical across engines."""
+    return exact_sum(col, scale, precision) / F.count(col)
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (agg_core flagship).
+
+    Map-side partial aggregation + single shuffle on the 6-value group
+    key; AQE coalesces post-shuffle partitions. Scales linearly: no row
+    explosion, group cardinality is O(1).
+    """
+    li = lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,4)"
+    )
+    # charge is exact at 6 decimal digits (2dp price x 2dp disc x 2dp tax);
+    # the cast scale must cover the full exact width or half-way rounding
+    # of the double differs between engines.
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(25,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            exact_avg(F.col("l_quantity")).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice")).alias("avg_price"),
+            exact_avg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def group_count(df: DataFrame, cols: list[str], count_alias: str = "cnt") -> DataFrame:
+    """Counter-style aggregate — the analog of the reference's
+    chunks_created_total{strategy,status} counters (utils/metrics.py:8-12)."""
+    return df.groupBy(*cols).agg(F.count(F.lit(1)).alias(count_alias))
+
+
+def length_histogram(
+    df: DataFrame, text_col: str, group_cols: list[str], bucket_width: int = 50,
+) -> DataFrame:
+    """Histogram of content lengths — the analog of
+    chunk_size_chars buckets (utils/metrics.py:14-18)."""
+    bucket = (F.floor(F.length(F.col(text_col)) / F.lit(bucket_width))).cast("long")
+    return (
+        df.withColumn("bucket", bucket)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def distribution_stats(
+    df: DataFrame, value_col: str, group_cols: list[str], value_scale: int = 2,
+) -> DataFrame:
+    """count/avg/min/max/median — the analog of the reference's
+    processing-time histograms (utils/metrics.py:20-29).
+
+    Median uses exact `percentile` (not percentile_approx) so the oracle
+    can match; at 100 TB swap to percentile_approx — same API shape,
+    documented relaxation.
+    """
+    v = F.col(value_col)
+    return df.groupBy(*group_cols).agg(
+        F.count(v).alias("cnt"),
+        exact_avg(v, value_scale).alias("avg_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.round(F.percentile(v, F.lit(0.5)), 4).alias("median_v"),
+    )
+
+
+def rollup_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Hierarchical rollup (GROUPING SETS family)."""
+    return df.rollup(*cols).agg(F.count(F.lit(1)).alias("cnt"))

@@ -1,0 +1,363 @@
+"""Chunking operators — the reference's core transform family.
+
+Reference strategies (doc_pipeline/services/docling_service.py):
+- fixed slices (document_processor.py:134-144: 100-char slices,
+  ids `f"{doc_id}-{i}"`),
+- sentence packing (docling_service.py:99-171: regex split, greedy pack
+  into <= chunk_size, oversized sentences split word-by-word),
+- markdown heading sections (docling_service.py:57-97),
+- hybrid tokenizer chunking (docling_service.py:212-236),
+- whole-doc fallback when a strategy yields nothing
+  (docling_service.py:273-292),
+- per-chunk metadata chunk_number/total_chunks/strategy
+  (docling_service.py:222-236),
+- config validation (docling_service.py:42-51).
+
+Spark-first realization: chunking is an `explode` pipeline — generate
+chunk indices per document, explode, slice with `substring` — all
+JVM-side expressions, embarrassingly parallel, no shuffle except the
+window for metadata enrichment (partitioned by doc_id, which is also
+the natural data layout at 100 TB: chunks co-partitioned with their
+documents).
+
+Greedy packing is inherently sequential per document; the oracled
+default (`chunk_sentence`) uses a running-sum bucket approximation
+(identical semantics expressible in ANSI SQL); the exact scan ships as
+`chunk_sentence_exact` via applyInPandas (rows-only check). The size
+bound invariant (content <= chunk_size + max_unit_len) holds for both.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline2_spark.functions.text import SENTENCE_REGEX, sentences, tokens
+
+DEFAULT_CHUNK_SIZE = 500  # docling_service.py:27
+DEFAULT_CHUNK_OVERLAP = 50  # docling_service.py:28
+FIXED_SLICE = 100  # document_processor.py:136
+
+
+def validate_chunk_config(chunk_size: int, chunk_overlap: int = 0, strategy: str = "fixed"):
+    """Reference config validation (docling_service.py:42-51)."""
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    if chunk_overlap < 0:
+        raise ValueError(f"chunk_overlap must be non-negative, got {chunk_overlap}")
+    if chunk_overlap >= chunk_size:
+        raise ValueError(
+            f"chunk_overlap ({chunk_overlap}) must be < chunk_size ({chunk_size})"
+        )
+    if strategy not in {"fixed", "sentence", "markdown", "hybrid"}:
+        raise ValueError(f"unknown chunking strategy: {strategy}")
+
+
+def chunk_fixed(
+    documents: DataFrame,
+    chunk_size: int = FIXED_SLICE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-width character slices; empty docs yield one empty chunk
+    (the whole-doc fallback, docling_service.py:277-292).
+
+    → (doc_id, pos, chunk_id, content)
+    """
+    validate_chunk_config(chunk_size)
+    n = F.greatest(F.ceil(F.length(F.col(text_col)) / F.lit(chunk_size)), F.lit(1))
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.sequence(F.lit(0), (n - 1).cast("int"))).alias("pos", "_i"),
+            F.col(text_col),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.concat_ws("-", F.col("doc_id"), F.col("pos")).alias("chunk_id"),
+            F.substring(
+                F.col(text_col), F.col("pos") * chunk_size + 1, chunk_size
+            ).alias("content"),
+        )
+    )
+
+
+def chunk_overlap_slices(
+    documents: DataFrame,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_CHUNK_OVERLAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding character windows with overlap (stride = size - overlap).
+
+    Reference: chunk_overlap config consumed by the HybridChunker
+    (docling_service.py:216-217); realized here as deterministic
+    character windows.
+    """
+    validate_chunk_config(chunk_size, overlap)
+    stride = chunk_size - overlap
+    n = F.greatest(
+        F.ceil((F.length(F.col(text_col)) - F.lit(overlap)) / F.lit(stride)),
+        F.lit(1),
+    )
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.sequence(F.lit(0), (n - 1).cast("int"))).alias("pos", "_i"),
+            F.col(text_col),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.concat_ws("-", F.col("doc_id"), F.col("pos")).alias("chunk_id"),
+            F.substring(
+                F.col(text_col), F.col("pos") * stride + 1, chunk_size
+            ).alias("content"),
+        )
+    )
+
+
+def chunk_sentence(
+    documents: DataFrame,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-pack chunking, running-sum bucket variant (oracled).
+
+    Units are regex sentences (docling_service.py:103); a document with
+    no sentence terminators degrades to word units — the word-split path
+    the reference applies to oversized sentences (docling_service.py:124-147).
+    Packing: cumulative joined-length running sum, bucket =
+    floor((cum-1)/chunk_size); units in one bucket join with ' '.
+
+    → (doc_id, pos, chunk_id, content, n_units)
+    """
+    validate_chunk_config(chunk_size)
+    sent = sentences(F.col(text_col))
+    units = F.when(F.size(sent) > 0, F.transform(sent, F.trim)).otherwise(
+        tokens(F.col(text_col))
+    )
+    exploded = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(units).alias("upos", "unit"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("upos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.length("unit") + 1).over(w)
+    bucketed = exploded.withColumn(
+        "pos", F.floor((cum - 1) / F.lit(chunk_size)).cast("int")
+    )
+    return (
+        bucketed.groupBy("doc_id", "pos")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("upos", "unit"))),
+                    lambda s: s["unit"],
+                ),
+                " ",
+            ).alias("content"),
+            F.count(F.lit(1)).cast("int").alias("n_units"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws("-", F.col("doc_id"), F.col("pos")).alias("chunk_id"),
+            "content",
+            "n_units",
+        )
+    )
+
+
+def chunk_markdown(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Markdown heading-section chunking.
+
+    Reference (docling_service.py:57-97): split on '#'-prefixed heading
+    lines, carry the current heading as chunk metadata. Section id =
+    running count of heading lines (gaps-and-islands); content preserves
+    line order; text before the first heading is section 0 with NULL
+    heading.
+
+    → (doc_id, pos, chunk_id, heading, content)
+    """
+    lines = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("lpos", "line"),
+    )
+    is_heading = F.col("line").startswith("#")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("lpos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sectioned = lines.withColumn(
+        "pos", F.sum(is_heading.cast("int")).over(w).cast("int")
+    )
+    return (
+        sectioned.groupBy("doc_id", "pos")
+        .agg(
+            F.max(F.when(is_heading, F.col("line"))).alias("heading"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("lpos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("content"),
+        )
+        .filter(F.length(F.trim(F.col("content"))) > 0)
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws("-", F.col("doc_id"), F.col("pos")).alias("chunk_id"),
+            "heading",
+            "content",
+        )
+    )
+
+
+def chunk_fallback(documents: DataFrame, chunks: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whole-document single chunk for documents a strategy left chunkless.
+
+    Reference (docling_service.py:273-292): on failure/empty result, one
+    chunk = entire content, flagged is_fallback. Spark: anti-join the
+    corpus against produced chunks, union the leftovers back.
+    """
+    chunked_ids = chunks.select(F.col("doc_id")).distinct()
+    missing = documents.join(chunked_ids,
+                             documents[id_col] == chunked_ids["doc_id"],
+                             "left_anti")
+    fallback = missing.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(0).alias("pos"),
+        F.concat_ws("-", F.col(id_col), F.lit(0)).alias("chunk_id"),
+        F.col(text_col).alias("content"),
+        F.lit(True).alias("is_fallback"),
+    )
+    return (
+        chunks.select("doc_id", "pos", "chunk_id", "content")
+        .withColumn("is_fallback", F.lit(False))
+        .unionByName(fallback)
+    )
+
+
+def chunk_metadata_enrich(chunks: DataFrame, strategy: str) -> DataFrame:
+    """Per-chunk metadata: 1-based chunk_number, total_chunks, strategy.
+
+    Reference (docling_service.py:222-236, 241-254, 259-271). Windows
+    partition by doc_id — co-partitioned with the chunk layout, so at
+    scale this is a local sort, not an extra shuffle.
+    """
+    w_order = Window.partitionBy("doc_id").orderBy("pos")
+    w_all = Window.partitionBy("doc_id")
+    return chunks.withColumn(
+        "chunk_number", F.row_number().over(w_order).cast("int")
+    ).withColumn(
+        "total_chunks", F.count(F.lit(1)).over(w_all).cast("int")
+    ).withColumn("strategy", F.lit(strategy))
+
+
+# ---- exact greedy packing (applyInPandas; rows-only oracle) ----
+
+_EXACT_SCHEMA = (
+    "doc_id long, pos int, chunk_id string, content string, n_units int"
+)
+
+
+def _greedy_pack(units: Iterable[str], chunk_size: int) -> list[tuple[int, str, int]]:
+    """The reference's exact greedy accumulation loop
+    (docling_service.py:150-160): pack units until adding the next would
+    exceed chunk_size; oversized single units become their own chunk."""
+    out: list[tuple[int, str, int]] = []
+    cur: list[str] = []
+    cur_len = 0
+    pos = 0
+    for u in units:
+        ulen = len(u) + (1 if cur else 0)
+        if cur and cur_len + ulen > chunk_size:
+            out.append((pos, " ".join(cur), len(cur)))
+            pos += 1
+            cur, cur_len = [u], len(u)
+        else:
+            cur.append(u)
+            cur_len += ulen
+    if cur:
+        out.append((pos, " ".join(cur), len(cur)))
+    return out
+
+
+def chunk_sentence_exact(
+    documents: DataFrame,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact sequential greedy packing via applyInPandas per document.
+
+    Arrow-batched, partitioned by doc_id: each group is one document, so
+    parallelism = number of documents — fine at any scale (documents are
+    small relative to partitions). This is the UDAF/UDTF-shaped seam the
+    reference exposes as pluggable chunking strategies
+    (docling_service.py:208-271).
+    """
+    import re
+
+    validate_chunk_config(chunk_size)
+    sent_re = re.compile(SENTENCE_REGEX)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            text = r["__text"] or ""
+            units = [s.strip() for s in sent_re.findall(text)]
+            if not units:
+                units = [w for w in text.split() if w]
+            if not units:
+                units = [""]
+            for pos, content, n_units in _greedy_pack(units, chunk_size):
+                rows.append(
+                    (r["doc_id"], pos, f"{r['doc_id']}-{pos}", content, n_units)
+                )
+        return pd.DataFrame(
+            rows, columns=["doc_id", "pos", "chunk_id", "content", "n_units"]
+        )
+
+    prepared = documents.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("__text")
+    )
+    return prepared.groupBy("doc_id").applyInPandas(pack, _EXACT_SCHEMA)
+
+
+def chunk_hybrid(
+    documents: DataFrame,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    chunk_overlap: int = DEFAULT_CHUNK_OVERLAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hybrid strategy seam.
+
+    The reference delegates to docling's tokenizer-aware HybridChunker
+    (docling_service.py:212-236, tokenizer BAAI/bge-small-en-v1.5) — a
+    non-deterministic external dependency. The engine's default maps
+    "hybrid" onto the exact sentence packer (deterministic, same seam);
+    a real tokenizer plugs into the same applyInPandas signature.
+    """
+    validate_chunk_config(chunk_size, chunk_overlap)
+    return chunk_sentence_exact(documents, chunk_size, id_col, text_col)

@@ -1,0 +1,248 @@
+"""Deduplication operators — exact and near-dup at 100 TB scale.
+
+Not in the reference (its idempotency is deterministic ES _id overwrite,
+vector_storage.py:65); mandated by the mission north star. These are the
+operators a training-data pipeline runs over the whole corpus, so every
+design choice is shuffle-minimal:
+
+- exact dedup: one hash-groupBy on a 64-hex key — the cheapest possible
+  full-corpus shuffle (key is tiny and uniform, no skew);
+- MinHash LSH: per-doc signatures are map-side (explode + min-agg
+  partitioned by doc), candidate generation is an equi-join on band
+  buckets (shuffles signatures, ~100 bytes/doc — NOT documents), and
+  only candidate pairs (tiny) are verified exactly;
+- hash functions are md5/sha2 of explicit strings — engine-portable and
+  deterministic, so the DuckDB oracle reproduces signatures exactly
+  (string min over hex digests; no engine-specific murmur).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline2_spark.functions.text import content_hash, word_ngrams
+
+N_PERM = 16
+BAND_SIZE = 4  # 4 bands x 4 rows: candidates need 1 identical band
+
+
+def dedup_exact(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by normalized-content sha256.
+
+    → (content_sha, keep_id, dup_count): keeper = min doc id. Filtering
+    the corpus = semi-join on (content_sha, keep_id) or dropDuplicates.
+    """
+    return (
+        documents.select(
+            content_hash(F.col(text_col)).alias("content_sha"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("content_sha")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def dedup_exact_drop(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus with exact duplicates removed (keeper = min doc_id)."""
+    keep = dedup_exact(documents, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return documents.join(keep, id_col, "left_semi")
+
+
+def doc_shingles(
+    documents: DataFrame, shingle_n: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Distinct word n-gram shingles per document → (doc_id, shingle)."""
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(F.lower(F.col(text_col)), shingle_n)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_perm: int = N_PERM
+) -> DataFrame:
+    """MinHash signature rows → (doc_id, perm, mh).
+
+    Permutation p's hash of a shingle is md5(p || '|' || shingle); the
+    signature entry is the lexicographic min hex digest — string order
+    equals unsigned-integer order on equal-length hex, and is identical
+    in every engine.
+    """
+    return (
+        shingles.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm"),
+            "shingle",
+        )
+        .groupBy("doc_id", "perm")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws("|", F.col("perm").cast("string"), F.col("shingle")))
+            ).alias("mh")
+        )
+    )
+
+
+def lsh_band_keys(signatures: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+    """Fold signature rows into per-band bucket keys → (doc_id, band, band_key)."""
+    banded = signatures.withColumn(
+        "band", (F.col("perm") / F.lit(band_size)).cast("int")
+    )
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "mh"))),
+                    lambda s: s["mh"],
+                ),
+                ",",
+            )
+        ).alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
+    """Distinct doc pairs sharing >= 1 band bucket → (doc_a, doc_b), a < b.
+
+    Equi-join on (band, band_key): the shuffle moves ~32-byte keys, and
+    matching buckets are tiny — the whole point of LSH at scale.
+    """
+    a = band_keys.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_key"
+    )
+    b = band_keys.select(
+        F.col("doc_id").alias("doc_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    candidates: DataFrame, shingles: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs.
+
+    → (doc_a, doc_b, jaccard) for pairs >= threshold, jaccard rounded
+    for hash stability. Joins stay proportional to candidate count.
+    """
+    counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_near_minhash(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    n_perm: int = N_PERM,
+    band_size: int = BAND_SIZE,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bucket join →
+    exact Jaccard verify. → (doc_a, doc_b, jaccard)."""
+    sh = doc_shingles(documents, shingle_n, id_col, text_col)
+    sigs = minhash_signatures(sh, n_perm)
+    cands = lsh_candidate_pairs(lsh_band_keys(sigs, band_size))
+    return jaccard_pairs(cands, sh, threshold)
+
+
+def simhash64(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document from token md5s → (doc_id, simhash).
+
+    Bit b of the fingerprint is the sign of sum over tokens of (+1 if
+    bit b of md5(token) set else -1). conv(hex,16,10) keeps it
+    JVM-side; near-dup = hamming distance on the result.
+    """
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    with_bits = toks.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{b}")
+            for b in range(60)
+        ],
+    )
+    sums = with_bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(60)]
+    )
+    fingerprint = None
+    for b in range(60):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(1 << b).cast("long")
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+def dedup_near_embedding(
+    embeddings: DataFrame, threshold: float = 0.9,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above threshold.
+
+    Exact all-pairs here (fine to ~10^5); at scale route through
+    similarity.knn_batch_lsh buckets first — same verification tail.
+    """
+    from data_pipeline2_spark.functions.vectors import cosine_similarity
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,135 @@
+"""Join surface.
+
+The reference's join-shaped logic is key-value lookup composition
+(Redis-tier coalesce, document_storage.py:116-140) and the anti-join
+"compute only missing" cache pattern (embedding_service.py:148-170).
+The engine exposes those plus the full relational join surface the
+bench tables need.
+
+Scale stance:
+- dimension tables (region/nation/supplier, a batch of query vectors)
+  are broadcast — `F.broadcast` pins it, AQE converts dynamically too;
+- fact-fact joins shuffle on the join key; AQE skew-join splits hot
+  keys; for repeated pipelines, bucket both sides on the key to delete
+  the shuffle entirely;
+- semi/anti joins express EXISTS / NOT EXISTS without materializing the
+  right side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def join_lookup(
+    facts: DataFrame, dim: DataFrame, on, how: str = "inner", broadcast_dim: bool = True
+) -> DataFrame:
+    """Fact⋈dim equi-join with the dim broadcast (hash join, no shuffle
+    of the fact side)."""
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return facts.join(right, on=on, how=how)
+
+
+def join_anti_incremental(
+    pending: DataFrame, done: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Rows in `pending` with no match in `done` — the incremental
+    "compute only what's missing" pattern.
+
+    Reference: embedding cache-aside — probe `embedding:{provider}:{chunk_id}`,
+    compute only on miss (embedding_service.py:148-170, embedding_cache.py:16-34).
+    At 100 TB this left_anti against the materialized result table is
+    what turns a full recompute into an incremental batch.
+    """
+    return pending.join(done, on=keys, how="left_anti")
+
+
+def join_semi(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    return left.join(right, on=keys, how="left_semi")
+
+
+def revenue_by_nation(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str,
+    date_lo: str,
+    date_hi: str,
+) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier-volume join chain.
+
+    customer⋈orders⋈lineitem⋈supplier⋈nation⋈region with the
+    supplier-nation = customer-nation co-location condition. Dims
+    (region, nation, supplier at bench SF) broadcast; the orders⋈lineitem
+    join shuffles on orderkey — at 100 TB both sides bucketed on
+    orderkey makes it shuffle-free.
+    """
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,4)"
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    )
+    n_r = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return (
+        customer.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n_r), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str,
+    order_date_cut: str,
+    ship_date_cut: str,
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped: unshipped-order revenue top-k."""
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,4)"
+    )
+    return (
+        customer.filter(F.col("c_mktsegment") == segment)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit(order_date_cut).cast("timestamp"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit(ship_date_cut).cast("timestamp"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(k)
+    )
+
+
+def range_join_events(
+    events: DataFrame, windows: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Non-equi (interval containment) join: event ts ∈ [w_start, w_end).
+
+    Broadcast the window table (small); Spark plans BroadcastNestedLoop —
+    at scale, bin both sides to an hour key first to make it an equi-join
+    plus residual predicate.
+    """
+    return events.join(
+        F.broadcast(windows),
+        (F.col(ts_col) >= F.col("w_start")) & (F.col(ts_col) < F.col("w_end")),
+    )

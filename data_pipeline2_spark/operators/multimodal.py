@@ -1,0 +1,139 @@
+"""Multimodal columns — binary payloads with typed metadata.
+
+North-star scope: image/audio/video as opaque `binary` columns. The
+container has no image/audio libraries, so actual codec work is STUBBED
+(clearly marked) behind the same seams a real implementation would use;
+the Spark-side plumbing — schema, partitioning, mapInPandas batch
+shapes, metadata extraction — is real and tested.
+
+Design for 100 TB of media:
+- payloads live in parquet binary columns (or object-store paths for
+  >~64 MB items, same schema with `payload` null + `uri` set);
+- decode/feature-extract runs via `mapInPandas` — Arrow-batched bytes
+  into Python, one batch per ~maxRecordsPerBatch rows, never per-row;
+- partition by (modality, bucket(asset_id)) so codec-heavy stages
+  parallelize evenly and metadata-only queries prune payload bytes via
+  column pruning (binary column untouched unless selected).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = (
+    "asset_id long, modality string, n_bytes long, sha string, "
+    "width int, height int, duration_ms int"
+)
+
+
+def documents_as_assets(documents: DataFrame) -> DataFrame:
+    """Derive a deterministic assets table from the documents corpus
+    (text bytes stand in for media payloads — the container has no
+    codecs; schema matches schemas.ASSETS)."""
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode / probe binary payloads via mapInPandas.
+
+    STUB: real decoding needs PIL/ffmpeg — unavailable here. With
+    `fake=True` a deterministic fake derives dimensions from payload
+    bytes (so the distributed plumbing and schema are fully exercised);
+    with `fake=False` it raises NotImplementedError exactly where a real
+    decoder plugs in.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                # Real implementation: PIL.Image.open / ffprobe per payload.
+                raise NotImplementedError(
+                    "media decoding requires codec libraries not present "
+                    "in this environment; run with fake=True for the "
+                    "deterministic stand-in"
+                )
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"] or b"")
+                sha = hashlib.sha256(payload).hexdigest()
+                n = len(payload)
+                # deterministic fake "probe": dims derived from content
+                w = 16 + (n % 1024)
+                h = 16 + (int(sha[:4], 16) % 1024)
+                dur = 1000 + (int(sha[4:8], 16) % 60_000)
+                rows.append(
+                    (
+                        r["asset_id"],
+                        r["modality"],
+                        n,
+                        sha,
+                        w if r["modality"] == "image" else None,
+                        h if r["modality"] == "image" else None,
+                        dur if r["modality"] in ("audio", "video") else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "modality",
+                    "n_bytes",
+                    "sha",
+                    "width",
+                    "height",
+                    "duration_ms",
+                ],
+            )
+
+    return assets.select("asset_id", "modality", "payload").mapInPandas(
+        decode, DECODE_SCHEMA
+    )
+
+
+def asset_meta(assets: DataFrame) -> DataFrame:
+    """Pure-SQL metadata extraction over binary payloads (no decode):
+    byte length + sha256 + modality rollup key. Column-pruning-friendly."""
+    return assets.select(
+        "asset_id",
+        "modality",
+        F.length(F.col("payload")).cast("long").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha"),
+    )
+
+
+def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Explode a per-asset frame-sampling plan (video → frame rows).
+
+    Pure plumbing: generates (asset_id, frame_no, ts_ms) rows from the
+    (fake-)probed duration; a real sampler maps frames via mapInPandas.
+    """
+    probed = decode_assets(assets, fake=True).filter(
+        F.col("modality") == "video"
+    )
+    n_frames = F.greatest((F.col("duration_ms") / every_ms).cast("int"), F.lit(1))
+    return probed.select(
+        "asset_id",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no", "_i"),
+    ).select(
+        "asset_id",
+        "frame_no",
+        (F.col("frame_no") * every_ms).cast("long").alias("ts_ms"),
+    )

@@ -1,0 +1,106 @@
+"""Projection / filter / lookup / sort / top-k operators.
+
+These re-express the reference's query-shaped service methods as
+declarative DataFrame transforms (filters reach the parquet scan via
+Catalyst pushdown — the analog of ES applying a `term` filter inside
+the same bool query as scoring, vector_storage.py:78-91).
+
+Scale notes: point lookups on a 100 TB lake should hit a partitioned /
+Z-ordered layout so pruning, not a full scan, serves them; the operator
+shape (single equality filter) is what enables that pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline2_spark.functions.text import tokens
+
+
+def filter_term(df: DataFrame, column: str, value) -> DataFrame:
+    """Exact-equality keyword filter.
+
+    Reference: ES `term` filter on embedding_provider inside the kNN
+    bool query (doc_pipeline/services/vector_storage.py:78-83).
+    """
+    return df.filter(F.col(column) == F.lit(value))
+
+
+def point_lookup(df: DataFrame, key_column: str, key) -> DataFrame:
+    """Primary-key point lookup.
+
+    Reference: two-tier Redis→ES get_document / get_job
+    (document_storage.py:116-140, job_storage.py:77-99). The cache tier
+    collapses into one pushed-down equality filter; cross-run caching is
+    the materialized-table pattern in operators/cache.py.
+    """
+    return df.filter(F.col(key_column) == F.lit(key))
+
+
+def project_status(df: DataFrame, key_column: str, status_column: str) -> DataFrame:
+    """Key+status projection — reference GET /{id}/status
+    (api/routes/documents.py:59-71)."""
+    return df.select(key_column, status_column)
+
+
+def fulltext_match(df: DataFrame, text_column: str, term: str) -> DataFrame:
+    """Analyzed full-text term match.
+
+    Reference: ES `match` query (test_full_pipeline.py:130-139; README
+    "Semantic & metadata search" contract README.md:35-38). Re-derived
+    deterministically: tokenize on whitespace, lowercase, exact token
+    membership.
+    """
+    return df.filter(
+        F.array_contains(F.transform(tokens(F.col(text_column)), F.lower), term.lower())
+    )
+
+
+def metadata_filter(df: DataFrame, json_column: str, json_path: str, predicate) -> DataFrame:
+    """Filter on a field inside a JSON metadata column.
+
+    Reference: metadata search surface (README.md:127; filters threaded
+    through the search-cache key, search_cache.py:22,39,54). `predicate`
+    maps the extracted string column to a boolean Column.
+    """
+    extracted = F.get_json_object(F.col(json_column), json_path)
+    return df.filter(predicate(extracted))
+
+
+def sort_limit(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """Global top-k: orderBy().limit() → TakeOrderedAndProject (no full
+    sort at scale). Reference: ES `size: k` (vector_storage.py:96-100)."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def topk_per_group(
+    df: DataFrame, partition_cols: list[str], order_cols: list[Column], k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-group top-k via ranking window; one shuffle on the group key."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def latest_state(
+    df: DataFrame, key_cols: list[str], version_cols: list[Column]
+) -> DataFrame:
+    """Latest-wins state from an append-only log.
+
+    Reference analog: ES upsert-by-_id semantics (document_storage.py:86-114)
+    and status transitions (document_processor.py:117-132) — modeled as
+    append + latest-wins instead of update-in-place, which is the only
+    sane pattern on an immutable 100 TB lake.
+    `version_cols` order: newest first (e.g. [desc(updated_at), desc(id)]).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*version_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

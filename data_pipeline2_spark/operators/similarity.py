@@ -1,0 +1,167 @@
+"""Vector similarity search — kNN, batched kNN, ANN scale path.
+
+Reference: ES script_score cosine kNN with term pre-filter and size=k
+(doc_pipeline/services/vector_storage.py:69-100; k default 10,
+api/routes/documents.py:121). The engine computes, rather than indexes:
+filter → score (pure Catalyst expression) → TakeOrderedAndProject.
+
+Scale path (100 TB): brute force is O(N·d) per query — right answer up
+to ~10^8 vectors per query batch when fully codegen'd; beyond that,
+`knn_batch_lsh` prunes candidates with random-hyperplane buckets
+(driver-seeded, deterministic) before exact re-scoring, trading recall
+for a ~bands× reduction in scored pairs. The API stays stable; only the
+physical strategy swaps (the engine-side analog of swapping the ES HNSW
+index for brute force).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline2_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    query_vector_lit,
+)
+
+SCORE_ROUND = 6  # rounding makes double cosine hash-stable across engines
+
+
+def knn_cosine(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    filter_col: str | None = None,
+    filter_value=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors of one query vector, optional term
+    pre-filter (pushed below scoring, like the ES bool filter+script_score).
+
+    → (vec_id, score) ordered by score desc, id asc.
+    """
+    df = embeddings
+    if filter_col is not None:
+        df = df.filter(F.col(filter_col) == F.lit(filter_value))
+    score = F.round(
+        cosine_similarity(F.col(vec_col), query_vector_lit(query_vec)), SCORE_ROUND
+    )
+    return (
+        df.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """k nearest corpus vectors for EACH query vector.
+
+    Broadcast the query set (small side) → crossJoin scores every
+    (corpus, query) pair map-side with zero shuffle of the corpus; the
+    only shuffle is the per-qid top-k window. This is the bulk
+    similarity-search primitive of the north-star scope.
+
+    → (qid, rank, vec_id, score)
+    """
+    scored = embeddings.crossJoin(F.broadcast(queries)).select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col(qvec_col)), SCORE_ROUND
+        ).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "score")
+    )
+
+
+def search_cache_key(
+    provider: Column, filters: Column, k: Column, query_repr: Column
+) -> Column:
+    """Deterministic search-cache key = sha256 of the '|'-joined request.
+
+    Reference: services/search_cache.py:18-33 (sha256 over embedding
+    prefix | provider | filters | k).
+    """
+    return F.sha2(
+        F.concat_ws("|", query_repr, provider, filters, k.cast("string")), 256
+    )
+
+
+# ---- ANN scale path: random-hyperplane LSH bucketing ----
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
+    """Deterministic pseudo-random hyperplanes (pure python LCG — no
+    numpy dependency in the plan; values land in [-1, 1))."""
+    state = seed & 0x7FFFFFFF
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            v.append(state / float(1 << 30) - 1.0)
+        planes.append(v)
+    return planes
+
+
+def signature_col(vec_col: Column, planes) -> Column:
+    """Sign-bit signature string for one vector under the hyperplanes."""
+    bits = [
+        F.when(dot(vec_col, query_vector_lit(p)) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def knn_batch_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Approximate batched kNN: equi-join on the hyperplane signature,
+    then exact cosine re-score inside each bucket.
+
+    Replaces knn_batch's crossJoin with a hash join on the signature —
+    the scored-pair count drops by ~2^n_planes. Recall < 1.0 by design;
+    raise recall with multiple tables (union over seeds). This is the
+    IVF/LSH scale path mandated by the north star.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    e = embeddings.withColumn("__sig", signature_col(F.col(vec_col), planes))
+    q = queries.withColumn("__sig", signature_col(F.col(qvec_col), planes))
+    scored = e.join(F.broadcast(q), "__sig").select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col(qvec_col)), SCORE_ROUND
+        ).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "score")
+    )

@@ -1,0 +1,141 @@
+"""Text-analysis operators for training-data pipelines.
+
+North-star scope: language ID (n-gram/stopword heuristic), quality
+scoring (length/punct/stopword ratios), token counting, document
+fingerprinting. All pure Catalyst expressions — per-document map-side
+work with a single small aggregation where stated, so they scale
+linearly with the corpus and never shuffle document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline2_spark.functions.text import content_hash, token_count, tokens
+
+# tiny deterministic stopword inventories for the heuristic language ID
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "en", "que"],
+}
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    """Count of tokens (with multiplicity) found in `words`."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_id(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic language ID by stopword hits → (doc_id, lang_pred, hits).
+
+    Winner = language with the most stopword hits; ties and zero hits
+    resolve to 'und' (undetermined) / lexicographically first winner, so
+    the result is order-independent and oracle-checkable.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    hit_cols = [
+        _hits(toks, ws).alias(f"hits_{lang}") for lang, ws in sorted(STOPWORDS.items())
+    ]
+    df = documents.select(F.col(id_col).alias("doc_id"), *hit_cols)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    pred = F.lit("und")
+    for l in reversed(langs):  # earlier langs win ties (reversed fold)
+        pred = F.when(
+            (best > 0) & (F.col(f"hits_{l}") == best), F.lit(l)
+        ).otherwise(pred)
+    return df.select(
+        "doc_id", pred.alias("lang_pred"), best.cast("int").alias("hits")
+    )
+
+
+def quality_score(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality features + a composite score → one row per doc.
+
+    Features follow the standard pretraining-data filters: length,
+    alphabetic ratio, digit ratio, mean token length, token count.
+    Score = deterministic weighted sum, rounded for hash stability.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    n_tok = token_count(t)
+    alpha_ratio = F.round(n_alpha / F.greatest(n, F.lit(1)), 6)
+    digit_ratio = F.round(n_digit / F.greatest(n, F.lit(1)), 6)
+    mean_tok_len = F.round(
+        (n - (n_tok - 1)) / F.greatest(n_tok, F.lit(1)), 6
+    )
+    score = F.round(
+        alpha_ratio * 0.6
+        + (1 - digit_ratio) * 0.2
+        + F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.2,
+        6,
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        score.alias("quality"),
+    )
+
+
+def text_stats(
+    documents: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus stats per group → (lang, docs, total_chars, total_tokens,
+    avg_chars). Single small-cardinality aggregation."""
+    return (
+        documents.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.length(F.col(text_col))).alias("total_chars"),
+            F.sum(token_count(F.col(text_col)).cast("long")).alias("total_tokens"),
+            (
+                F.sum(F.length(F.col(text_col))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_chars"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def fingerprint(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stable content fingerprint → (doc_id, content_sha).
+
+    sha256 over whitespace-normalized lowercased content — the dedup /
+    provenance key (same primitive as the reference's deterministic
+    cache keys, search_cache.py:18-33).
+    """
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        content_hash(F.col(text_col)).alias("content_sha"),
+    )
+
+
+def token_histogram(
+    documents: DataFrame, text_col: str = "text", bucket: int = 20
+) -> DataFrame:
+    """Token-count histogram → (bucket_lo, docs)."""
+    n_tok = token_count(F.col(text_col))
+    lo = (F.floor(n_tok / F.lit(bucket)) * bucket).cast("long")
+    return (
+        documents.select(lo.alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("bucket_lo")
+    )

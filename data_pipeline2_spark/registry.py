@@ -1,0 +1,1073 @@
+"""Query registry: every operator exposed to the driver contract.
+
+Each entry pairs a Spark callable `(spark, sf_dir) -> DataFrame` with
+(where SQL-expressible) an equivalent DuckDB oracle SQL string over the
+pre-registered views region/nation/customer/supplier/part/orders/
+lineitem/events/documents/embeddings. Column names are aliased
+identically on both sides; float outputs are either exact (decimal-sum
+trick) or rounded identically so the driver's order-insensitive value
+hash matches.
+
+Names follow SURVEY.md §2's operator inventory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline2_spark.functions.text import tokens
+from data_pipeline2_spark.operators import (
+    aggregates,
+    chunking,
+    dedup,
+    embedding,
+    joins,
+    lifecycle,
+    multimodal,
+    relational,
+    similarity,
+    textanalysis,
+)
+from data_pipeline2_spark.operators.cache import ttl_filter
+from data_pipeline2_spark.sources.parquet import load_table
+from data_pipeline2_spark.streaming import events as ev
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → rows-only check
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- helpers
+
+# cosine-similarity SQL fragment (duckdb): explicit double-cast fold so
+# both engines do the identical per-element arithmetic; rounded at use.
+def _cos_sql(a: str, b: str) -> str:
+    def s(v, w):
+        return (
+            f"list_aggregate(list_transform(generate_series(1, len({v})), "
+            f"i -> {v}[i]::DOUBLE * {w}[i]::DOUBLE), 'sum')"
+        )
+
+    return f"({s(a, b)} / (sqrt({s(a, a)}) * sqrt({s(b, b)})))"
+
+
+_QUERIES: list[QuerySpec] = []
+
+
+def _register(name: str, sql: str | None):
+    def deco(fn):
+        _QUERIES.append(QuerySpec(name, fn, sql))
+        return fn
+
+    return deco
+
+
+# ================================================================ scans /
+# filters / lookups (SURVEY §2.1-2.2)
+
+
+@_register(
+    "filter_term",
+    "SELECT vec_id, label FROM embeddings WHERE label = 2",
+)
+def q_filter_term(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return relational.filter_term(emb, "label", 2).select("vec_id", "label")
+
+
+@_register(
+    "point_lookup_doc",
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+)
+def q_point_lookup_doc(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return relational.point_lookup(docs, "doc_id", 42).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@_register(
+    "point_lookup_job",
+    "SELECT event_id, event_type, user_id FROM events WHERE event_id = 123",
+)
+def q_point_lookup_job(spark, sf_dir):
+    # events rows play the job table (FIXTURES.md §3)
+    evt = _t(spark, sf_dir, "events")
+    return relational.point_lookup(evt, "event_id", 123).select(
+        "event_id", "event_type", "user_id"
+    )
+
+
+@_register(
+    "project_status",
+    "SELECT doc_id, lang AS status FROM documents WHERE doc_id < 25",
+)
+def q_project_status(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    return relational.project_status(docs, "doc_id", "lang").withColumnRenamed(
+        "lang", "status"
+    )
+
+
+@_register(
+    "fulltext_match",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE list_contains(list_transform(
+        CASE WHEN len(trim(text)) = 0 THEN []
+             ELSE regexp_split_to_array(trim(text), '\\s+') END,
+        t -> lower(t)), 'spark')
+    """,
+)
+def q_fulltext_match(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return relational.fulltext_match(docs, "text", "spark").select("doc_id", "lang")
+
+
+@_register(
+    "metadata_filter",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) > 90
+    """,
+)
+def q_metadata_filter(spark, sf_dir):
+    evt = _t(spark, sf_dir, "events")
+    filtered = relational.metadata_filter(
+        evt, "props", "$.k", lambda c: c.cast("int") > 90
+    )
+    return filtered.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+# ============================================================ aggregates
+# (SURVEY §2.5) + sorts/topk (§2.6) + joins (§2.7) + set ops/windows (§2.8)
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(25,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_q1(spark, sf_dir):
+    return aggregates.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_q3(spark, sf_dir):
+    return joins.shipping_priority(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        segment="BUILDING",
+        order_date_cut="1998-03-15",
+        ship_date_cut="1998-03-15",
+        k=10,
+    )
+
+
+@_register(
+    "q5_revenue_by_nation",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = (SELECT min(r_name) FROM region)
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_q5(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    region_name = region.agg(F.min("r_name")).collect()[0][0]
+    return joins.revenue_by_nation(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        region,
+        region_name=region_name,
+        date_lo="1996-01-01",
+        date_hi="1998-01-01",
+    )
+
+
+@_register(
+    "sort_limit",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10
+    """,
+)
+def q_sort_limit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.sort_limit(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        [F.desc("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        10,
+    )
+
+
+@_register(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders)
+    WHERE rank <= 3
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return relational.topk_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.col("o_orderkey")],
+        3,
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+
+
+@_register(
+    "set_ops",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = orders.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    negative = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return building.intersect(big).exceptAll(negative).distinct()
+
+
+@_register(
+    "window_funcs",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev,
+           CAST(row_number() OVER w AS INT) AS order_seq
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_funcs(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("delta_prev"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@_register(
+    "rollup_counts",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregates.rollup_counts(li, ["l_returnflag", "l_linestatus"])
+
+
+@_register(
+    "agg_distribution",
+    """
+    SELECT event_type, count(value) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) / count(value) AS avg_v,
+           min(value) AS min_v, max(value) AS max_v,
+           round(quantile_cont(value, 0.5), 4) AS median_v
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_distribution(spark, sf_dir):
+    evt = _t(spark, sf_dir, "events")
+    return aggregates.distribution_stats(evt, "value", ["event_type"])
+
+
+@_register(
+    "join_lookup",
+    """
+    SELECT c_custkey, c_name, n_name, r_name FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE c_custkey < 100
+    """,
+)
+def q_join_lookup(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    step = joins.join_lookup(
+        cust, nation, cust["c_nationkey"] == nation["n_nationkey"]
+    )
+    out = joins.join_lookup(step, region, step["n_regionkey"] == region["r_regionkey"])
+    return out.select("c_custkey", "c_name", "n_name", "r_name")
+
+
+# ========================================================= chunking (§2.3)
+
+
+@_register(
+    "chunk_fixed",
+    """
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           doc_id::VARCHAR || '-' || i::VARCHAR AS chunk_id,
+           substring(text, CAST(i*100+1 AS INT), 100) AS content
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(0,
+                    greatest(CAST(ceil(length(text)/100.0) AS BIGINT), 1) - 1)) AS i
+          FROM documents)
+    """,
+)
+def q_chunk_fixed(spark, sf_dir):
+    return chunking.chunk_fixed(_t(spark, sf_dir, "documents"), 100)
+
+
+@_register(
+    "chunk_overlap",
+    """
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           doc_id::VARCHAR || '-' || i::VARCHAR AS chunk_id,
+           substring(text, CAST(i*450+1 AS INT), 500) AS content
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(0,
+                    greatest(CAST(ceil((length(text) - 50)/450.0) AS BIGINT), 1) - 1)) AS i
+          FROM documents)
+    """,
+)
+def q_chunk_overlap(spark, sf_dir):
+    return chunking.chunk_overlap_slices(_t(spark, sf_dir, "documents"), 500, 50)
+
+
+@_register(
+    "chunk_sentence",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[^.!?]+[.!?]+') AS sents,
+             CASE WHEN len(trim(text)) = 0 THEN []
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents
+    ), units AS (
+      SELECT doc_id, unnest(us) AS unit, generate_subscripts(us, 1) AS upos
+      FROM (SELECT doc_id,
+                   CASE WHEN len(sents) > 0
+                        THEN list_transform(sents, s -> trim(s))
+                        ELSE toks END AS us
+            FROM base)
+    ), bucketed AS (
+      SELECT doc_id, unit, upos,
+             CAST(floor((sum(length(unit) + 1) OVER (PARTITION BY doc_id
+                    ORDER BY upos ROWS UNBOUNDED PRECEDING) - 1) / 500.0) AS INT) AS pos
+      FROM units
+    )
+    SELECT doc_id, pos,
+           doc_id::VARCHAR || '-' || pos::VARCHAR AS chunk_id,
+           string_agg(unit, ' ' ORDER BY upos) AS content,
+           CAST(count(*) AS INT) AS n_units
+    FROM bucketed GROUP BY doc_id, pos
+    """,
+)
+def q_chunk_sentence(spark, sf_dir):
+    return chunking.chunk_sentence(_t(spark, sf_dir, "documents"), 500)
+
+
+@_register(
+    "chunk_markdown",
+    """
+    WITH lines AS (
+      SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS lpos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)
+    ), sec AS (
+      SELECT doc_id, line, lpos, starts_with(line, '#') AS is_h,
+             CAST(sum(CASE WHEN starts_with(line, '#') THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY lpos
+                        ROWS UNBOUNDED PRECEDING) AS INT) AS pos
+      FROM lines
+    )
+    SELECT doc_id, pos,
+           doc_id::VARCHAR || '-' || pos::VARCHAR AS chunk_id,
+           max(CASE WHEN is_h THEN line END) AS heading,
+           string_agg(line, chr(10) ORDER BY lpos) AS content
+    FROM sec GROUP BY doc_id, pos
+    HAVING length(trim(string_agg(line, chr(10) ORDER BY lpos))) > 0
+    """,
+)
+def q_chunk_markdown(spark, sf_dir):
+    return chunking.chunk_markdown(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "chunk_metadata_enrich",
+    """
+    WITH chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             doc_id::VARCHAR || '-' || i::VARCHAR AS chunk_id,
+             substring(text, CAST(i*100+1 AS INT), 100) AS content
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(0,
+                      greatest(CAST(ceil(length(text)/100.0) AS BIGINT), 1) - 1)) AS i
+            FROM documents)
+    )
+    SELECT doc_id, pos, chunk_id, content,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS INT) AS chunk_number,
+           CAST(count(*) OVER (PARTITION BY doc_id) AS INT) AS total_chunks,
+           'fixed' AS strategy
+    FROM chunks
+    """,
+)
+def q_chunk_metadata_enrich(spark, sf_dir):
+    fixed = chunking.chunk_fixed(_t(spark, sf_dir, "documents"), 100)
+    return chunking.chunk_metadata_enrich(fixed, "fixed")
+
+
+@_register(
+    "chunk_fallback",
+    """
+    WITH chunked AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             doc_id::VARCHAR || '-' || i::VARCHAR AS chunk_id,
+             substring(text, CAST(i*100+1 AS INT), 100) AS content,
+             FALSE AS is_fallback
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(0,
+                      greatest(CAST(ceil(length(text)/100.0) AS BIGINT), 1) - 1)) AS i
+            FROM documents WHERE doc_id % 5 <> 0)
+    )
+    SELECT * FROM chunked
+    UNION ALL
+    SELECT doc_id, 0 AS pos, doc_id::VARCHAR || '-0' AS chunk_id,
+           text AS content, TRUE AS is_fallback
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def q_chunk_fallback(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    # chunk only part of the corpus; fallback must cover the rest
+    subset = docs.filter(F.col("doc_id") % 5 != 0)
+    chunks = chunking.chunk_fixed(subset, 100)
+    return chunking.chunk_fallback(docs, chunks)
+
+
+@_register(
+    "base64_roundtrip",
+    """
+    SELECT doc_id, to_base64(encode(text)) AS b64,
+           (decode(from_base64(to_base64(encode(text)))) = text) AS ok
+    FROM documents
+    """,
+)
+def q_base64_roundtrip(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    # Spark's base64 is MIME-chunked (CRLF every 76 chars); canonical
+    # unchunked form matches every other engine (incl. the oracle).
+    b64 = F.translate(F.base64(F.encode(F.col("text"), "utf-8")), "\r\n", "")
+    return docs.select(
+        "doc_id",
+        b64.alias("b64"),
+        (F.decode(F.unbase64(b64), "utf-8") == F.col("text")).alias("ok"),
+    )
+
+
+@_register(
+    "chunk_count_by_strategy",
+    """
+    SELECT 'fixed' AS strategy,
+           CAST(sum(greatest(CAST(ceil(length(text)/100.0) AS BIGINT), 1)) AS BIGINT) AS chunks
+    FROM documents
+    UNION ALL
+    SELECT 'sentence' AS strategy, CAST(count(*) AS BIGINT) AS chunks FROM (
+      WITH base AS (
+        SELECT doc_id,
+               regexp_extract_all(text, '[^.!?]+[.!?]+') AS sents,
+               CASE WHEN len(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+        FROM documents
+      ), units AS (
+        SELECT doc_id, unnest(us) AS unit, generate_subscripts(us, 1) AS upos
+        FROM (SELECT doc_id, CASE WHEN len(sents) > 0
+                                  THEN list_transform(sents, s -> trim(s))
+                                  ELSE toks END AS us FROM base)
+      )
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id,
+               CAST(floor((sum(length(unit) + 1) OVER (PARTITION BY doc_id
+                    ORDER BY upos ROWS UNBOUNDED PRECEDING) - 1) / 500.0) AS INT) AS pos
+        FROM units)
+    )
+    """,
+)
+def q_chunk_count_by_strategy(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    fixed = chunking.chunk_fixed(docs, 100).select(
+        F.lit("fixed").alias("strategy"), "chunk_id"
+    )
+    sent = chunking.chunk_sentence(docs, 500).select(
+        F.lit("sentence").alias("strategy"), "chunk_id"
+    )
+    return aggregates.group_count(
+        fixed.unionByName(sent), ["strategy"], "chunks"
+    )
+
+
+@_register(
+    "chunk_size_histogram",
+    """
+    SELECT CAST(floor(length(substring(text, CAST(i*100+1 AS INT), 100)) / 20.0) AS BIGINT) AS bucket,
+           count(*) AS cnt
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(0,
+                    greatest(CAST(ceil(length(text)/100.0) AS BIGINT), 1) - 1)) AS i
+          FROM documents)
+    GROUP BY 1
+    """,
+)
+def q_chunk_size_histogram(spark, sf_dir):
+    fixed = chunking.chunk_fixed(_t(spark, sf_dir, "documents"), 100)
+    return aggregates.length_histogram(fixed, "content", [], bucket_width=20)
+
+
+# ============================================== embeddings + similarity
+# (§2.4, §2.6) and LLM-pipeline dedup/text ops (§2.10)
+
+
+@_register(
+    "embedding_cache_lookup",
+    """
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0)
+    """,
+)
+def q_embedding_cache_lookup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cached = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    pending = joins.join_anti_incremental(emb, cached, ["vec_id"])
+    return pending.select("vec_id", "label")
+
+
+@_register(
+    "search_cache_key",
+    """
+    SELECT vec_id,
+           sha256(concat_ws('|', vec_id::VARCHAR, 'hash64', 'label=1', '10')) AS cache_key
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def q_search_cache_key(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    key = similarity.search_cache_key(
+        F.lit("hash64"), F.lit("label=1"), F.lit(10), F.col("vec_id").cast("string")
+    )
+    return emb.select("vec_id", key.alias("cache_key"))
+
+
+def _knn_query_vec(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+
+
+@_register(
+    "knn_cosine",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, e.vec_id LIMIT 10
+    """,
+)
+def q_knn_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_cosine(emb, _knn_query_vec(spark, sf_dir), k=10)
+
+
+@_register(
+    "knn_cosine_filtered",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score
+    FROM embeddings e, q WHERE e.label = 1
+    ORDER BY score DESC, e.vec_id LIMIT 10
+    """,
+)
+def q_knn_cosine_filtered(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_cosine(
+        emb, _knn_query_vec(spark, sf_dir), k=10, filter_col="label", filter_value=1
+    )
+
+
+@_register(
+    "knn_batch",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    s AS (
+      SELECT q.qid, e.vec_id, round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score
+      FROM embeddings e CROSS JOIN q
+    ), r AS (
+      SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+      FROM s)
+    SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM r WHERE rank <= 3
+    """,
+)
+def q_knn_batch(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.knn_batch(emb, queries, k=3)
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_sha,
+           min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    return dedup.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+_MINHASH_SQL = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      FROM documents WHERE len(trim(text)) > 0
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+            FROM toks WHERE len(ws) >= 3)
+    ), mh AS (
+      SELECT doc_id, p, min(md5(p::VARCHAR || '|' || shingle)) AS mh
+      FROM (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS p FROM sh)
+      GROUP BY doc_id, p
+    ), bands AS (
+      SELECT doc_id, CAST(floor(p/4.0) AS INT) AS band,
+             md5(string_agg(mh, ',' ORDER BY p)) AS band_key
+      FROM mh GROUP BY doc_id, CAST(floor(p/4.0) AS INT)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), counts AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+    FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a
+                 JOIN counts cb ON cb.doc_id = i.doc_b
+    WHERE round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.5
+"""
+
+
+@_register("dedup_near_minhash", _MINHASH_SQL)
+def q_dedup_near_minhash(spark, sf_dir):
+    return dedup.dedup_near_minhash(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_near_embedding",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.5
+    """,
+)
+def q_dedup_near_embedding(spark, sf_dir):
+    return dedup.dedup_near_embedding(_t(spark, sf_dir, "embeddings"), threshold=0.5)
+
+
+# ------------------------------------------------ text analysis (§2.10)
+
+
+@_register(
+    "text_stats",
+    """
+    SELECT lang, count(*) AS docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    return textanalysis.text_stats(_t(spark, sf_dir, "documents"))
+
+
+_LANGS = sorted(textanalysis.STOPWORDS)
+
+
+def _lang_sql():
+    toks = (
+        "list_transform(CASE WHEN len(trim(text)) = 0 THEN [] "
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END, t -> lower(t))"
+    )
+    hits = {
+        l: (
+            f"len(list_filter({toks}, t -> t in ("
+            + ", ".join(f"'{w}'" for w in textanalysis.STOPWORDS[l])
+            + ")))"
+        )
+        for l in _LANGS
+    }
+    best = "greatest(" + ", ".join(f"h_{l}" for l in _LANGS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN best > 0 AND h_{l} = best THEN '{l}'" for l in _LANGS
+    ) + " ELSE 'und' END"
+    inner = ", ".join(f"{sql} AS h_{l}" for l, sql in hits.items())
+    return f"""
+    SELECT doc_id, {case} AS lang_pred, CAST(best AS INT) AS hits
+    FROM (SELECT doc_id, {inner}, {best} AS best
+          FROM documents)
+    """
+
+
+@_register("lang_id", _lang_sql())
+def q_lang_id(spark, sf_dir):
+    return textanalysis.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "quality_score",
+    """
+    WITH f AS (
+      SELECT doc_id, length(text) AS n,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars, CAST(n_tok AS BIGINT) AS n_tokens,
+           round(n_alpha / greatest(n, 1), 6) AS alpha_ratio,
+           round(n_digit / greatest(n, 1), 6) AS digit_ratio,
+           round((n - (n_tok - 1)) / greatest(n_tok, 1), 6) AS mean_tok_len,
+           round(round(n_alpha / greatest(n, 1), 6) * 0.6
+                 + (1 - round(n_digit / greatest(n, 1), 6)) * 0.2
+                 + least(n_tok / 100.0, 1.0) * 0.2, 6) AS quality
+    FROM f
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    return textanalysis.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_sha
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    return textanalysis.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "token_histogram",
+    """
+    SELECT CAST(floor(CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END / 20.0)
+                * 20 AS BIGINT) AS bucket_lo,
+           count(*) AS docs
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_token_histogram(spark, sf_dir):
+    return textanalysis.token_histogram(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS asset_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    assets = multimodal.documents_as_assets(_t(spark, sf_dir, "documents"))
+    return multimodal.asset_meta(assets)
+
+
+# ===================================================== lifecycle + events
+# (§2.9) — batch expressions of the streaming surface
+
+
+@_register(
+    "events_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS w_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+           event_type, count(*) AS events,
+           CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_events_tumbling(spark, sf_dir):
+    return ev.tumbling_counts(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "events_sliding",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS w_start,
+           event_type, count(*) AS events
+    FROM (SELECT ts, event_type, unnest(generate_series(0, 3)) AS k FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def q_events_sliding(spark, sf_dir):
+    return ev.sliding_counts(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "events_session",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL '30 minutes' AS s_end,
+           count(*) AS events,
+           CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_events_session(spark, sf_dir):
+    return ev.session_counts(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "status_lifecycle",
+    """
+    SELECT user_id, event_id, event_type, ts FROM (
+      SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q_status_lifecycle(spark, sf_dir):
+    evt = _t(spark, sf_dir, "events")
+    latest = relational.latest_state(
+        evt, ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    )
+    return latest.select("user_id", "event_id", "event_type", "ts")
+
+
+@_register(
+    "cache_ttl_filter",
+    """
+    SELECT event_id, ts FROM events
+    WHERE ts + INTERVAL 3600 SECOND > TIMESTAMP '2024-01-30 12:00:00'
+    """,
+)
+def q_cache_ttl_filter(spark, sf_dir):
+    evt = _t(spark, sf_dir, "events")
+    return ttl_filter(evt, "ts", 3600, "2024-01-30 12:00:00").select(
+        "event_id", "ts"
+    )
+
+
+@_register(
+    "job_stats",
+    """
+    SELECT event_type AS job_type,
+           CASE WHEN value >= 10 THEN 'completed' ELSE 'pending' END AS status,
+           count(*) AS jobs,
+           round(CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) / count(*), 6) AS avg_progress,
+           CAST(sum(user_id) AS BIGINT) AS processed_items
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_job_stats(spark, sf_dir):
+    evt = _t(spark, sf_dir, "events")
+    jobs = evt.select(
+        F.col("event_type").alias("job_type"),
+        F.when(F.col("value") >= 10, "completed").otherwise("pending").alias("status"),
+        F.col("value").alias("progress"),
+        F.col("user_id").alias("processed_items"),
+    )
+    return jobs.groupBy("job_type", "status").agg(
+        F.count(F.lit(1)).alias("jobs"),
+        F.round(
+            F.sum(F.col("progress").cast("decimal(25,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_progress"),
+        F.sum("processed_items").alias("processed_items"),
+    )
+
+
+# ================================================= rows-only entries
+# (non-SQL-expressible: pandas-UDF seams, LSH approx, streaming-native)
+
+
+@_register("embed_provider", None)
+def q_embed_provider(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").limit(50)
+    chunks = chunking.chunk_fixed(docs, 100)
+    out = embedding.embed_chunks(chunks, text_col="content", id_col="chunk_id")
+    return out.select(
+        "chunk_id",
+        "provider",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("sq_norm"),
+    )
+
+
+@_register("embed_incremental", None)
+def q_embed_incremental(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").limit(60)
+    chunks = chunking.chunk_fixed(docs, 200)
+    cached = embedding.embed_chunks(
+        chunks.filter(F.col("doc_id") % 2 == 0), "content", "chunk_id"
+    )
+    out = embedding.embed_incremental(chunks, cached)
+    return out.select("chunk_id", "provider", F.size("embedding").alias("dim"))
+
+
+@_register("chunk_sentence_exact", None)
+def q_chunk_sentence_exact(spark, sf_dir):
+    return chunking.chunk_sentence_exact(_t(spark, sf_dir, "documents"), 500)
+
+
+@_register("chunk_hybrid", None)
+def q_chunk_hybrid(spark, sf_dir):
+    return chunking.chunk_hybrid(_t(spark, sf_dir, "documents"), 500, 50)
+
+
+@_register("knn_batch_lsh", None)
+def q_knn_batch_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.knn_batch_lsh(emb, queries, k=3, dim=64, n_planes=6)
+
+
+@_register("simhash", None)
+def q_simhash(spark, sf_dir):
+    return dedup.simhash64(_t(spark, sf_dir, "documents").limit(100))
+
+
+@_register("multimodal_decode", None)
+def q_multimodal_decode(spark, sf_dir):
+    assets = multimodal.documents_as_assets(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_assets(assets, fake=True)
+
+
+@_register("frame_sample_plan", None)
+def q_frame_sample_plan(spark, sf_dir):
+    assets = multimodal.documents_as_assets(
+        _t(spark, sf_dir, "documents").limit(60)
+    )
+    return multimodal.frame_sample_plan(assets, every_ms=5000)
+
+
+# ---------------------------------------------------------------- export
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: q.fn for q in _QUERIES}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {q.name: q.sql for q in _QUERIES if q.sql is not None}

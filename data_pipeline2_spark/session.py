@@ -1,0 +1,85 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults encode the scale stance: AQE on (runtime re-plan, skew-join
+handling, partition coalescing), Arrow on (vectorized Python exchange),
+UTC session timezone (deterministic timestamp semantics for the oracle).
+
+On a real cluster the same factory applies; only master/shuffle sizing
+change. `spark.sql.shuffle.partitions` should be ~2-3x total cores at
+100 TB scale (AQE coalesces down); locally 32 matches local[32].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_DEFAULTS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime adaptivity: re-plan post-shuffle (partition coalescing,
+    # skew-join splitting, dynamic broadcast conversion).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every Python<->JVM exchange (pandas_udf, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Broadcast threshold: dims (region/nation/supplier at bench SF)
+    # must broadcast, never shuffle.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Parquet: vectorized reader + predicate/column pushdown are on by
+    # default; keep explicit so configs survive version bumps.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # Target split size at scan (128 MB default is right for 100 TB:
+    # ~800k splits over 1000 executors).
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    # Deterministic string collation / legacy-free behavior.
+    "spark.sql.legacy.timeParserPolicy": "CORRECTED",
+    # The testdata writes TIMESTAMP(NANOS) parquet, which Spark's reader
+    # rejects; read nanos as long and convert in the loader
+    # (sources/parquet.py — values are µs-aligned so truncation is exact).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "data_pipeline2_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied.
+
+    `master` defaults to local[$SPARK_GRAFT_CPUS] when unset and no
+    active session exists (tests/bench); on a cluster, spark-submit
+    supplies the master and this becomes a no-op passthrough.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    conf = dict(ENGINE_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
+
+
+def apply_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an existing session.
+
+    Used when the driver hands us a session we didn't build (the
+    `__spark_entry__.entry` contract). Only runtime-mutable confs are
+    set; statics (already-started JVM) are skipped silently.
+    """
+    for k, v in ENGINE_DEFAULTS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark

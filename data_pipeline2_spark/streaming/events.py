@@ -1,0 +1,142 @@
+"""Streaming surface — windowed aggregations + the processing queue.
+
+The reference's "streaming" is an asyncio FIFO with one background
+consumer and poison-pill shutdown (document_processor.py:14,29,76-94).
+Structured Streaming is the engine analog: an unbounded source, a
+declarative transformation, checkpointed exactly-once sinks, graceful
+`query.stop()`.
+
+Every windowed aggregation here is written once and runs in BOTH modes:
+batch (for the DuckDB oracle) and streaming (readStream + availableNow
+trigger for batch-parity tests). Late data: `withWatermark` + append —
+the principled version of the reference's silent skip-and-continue
+(embedding_service.py:206-212).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline2_spark.operators.aggregates import exact_sum
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per-window, per-type counts and value sums.
+
+    → (w_start, w_end, event_type, events, total_value), deterministic
+    via exact decimal sums.
+    """
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            exact_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Sliding windows (each event lands in width/slide windows)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "events",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based).
+
+    → (user_id, s_start, s_end, events, total_value). session_window's
+    end = last event + gap, matching the gaps-and-islands SQL analog
+    (max(ts) + gap) the oracle uses.
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            exact_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "events",
+            "total_value",
+        )
+    )
+
+
+def read_events_stream(spark, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned —
+    streaming sources never infer)."""
+    from data_pipeline2_spark.schemas import EVENTS
+
+    return (
+        spark.readStream.schema(EVENTS)
+        .format("parquet")
+        .load(f"{sf_dir}")
+    )
+
+
+def windowed_stream(
+    events_stream: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling aggregation (append mode): rows later than
+    the watermark are dropped — the documented analog of the reference's
+    skip-and-continue for stragglers."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "events")
+    )
+
+
+def queue_process(
+    events_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """The processing-queue analog: consume the stream in arrival order,
+    emit per-item status rows, exactly-once via checkpointing.
+
+    foreachBatch writes a status log (append-only; current state =
+    latest-wins window, operators/lifecycle.py). availableNow trigger
+    drains everything then stops — the batch-parity mode the tests use;
+    a live deployment omits the trigger. Graceful shutdown =
+    `query.stop()`, replacing the reference's (None, None) poison pill
+    (document_processor.py:35,82-84).
+    """
+
+    def handle_batch(batch_df: DataFrame, batch_id: int):
+        (
+            batch_df.withColumn("status", F.lit("completed"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .select("event_id", "ts", "event_type", "status", "batch_id")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
