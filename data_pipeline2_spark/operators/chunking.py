@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_pipeline2_spark.functions.text import SENTENCE_REGEX, sentences, tokens
+from data_pipeline2_spark.plans.partitioning import ensure_parallelism
 
 DEFAULT_CHUNK_SIZE = 500  # docling_service.py:27
 DEFAULT_CHUNK_OVERLAP = 50  # docling_service.py:28
@@ -70,6 +71,7 @@ def chunk_fixed(
     → (doc_id, pos, chunk_id, content)
     """
     validate_chunk_config(chunk_size)
+    documents = ensure_parallelism(documents, id_col)
     n = F.greatest(F.ceil(F.length(F.col(text_col)) / F.lit(chunk_size)), F.lit(1))
     return (
         documents.select(
@@ -102,6 +104,7 @@ def chunk_overlap_slices(
     character windows.
     """
     validate_chunk_config(chunk_size, overlap)
+    documents = ensure_parallelism(documents, id_col)
     stride = chunk_size - overlap
     n = F.greatest(
         F.ceil((F.length(F.col(text_col)) - F.lit(overlap)) / F.lit(stride)),
@@ -141,6 +144,7 @@ def chunk_sentence(
     → (doc_id, pos, chunk_id, content, n_units)
     """
     validate_chunk_config(chunk_size)
+    documents = ensure_parallelism(documents, id_col)
     sent = sentences(F.col(text_col))
     units = F.when(F.size(sent) > 0, F.transform(sent, F.trim)).otherwise(
         tokens(F.col(text_col))
@@ -195,6 +199,7 @@ def chunk_markdown(
 
     → (doc_id, pos, chunk_id, heading, content)
     """
+    documents = ensure_parallelism(documents, id_col)
     lines = documents.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("lpos", "line"),
@@ -338,7 +343,7 @@ def chunk_sentence_exact(
             rows, columns=["doc_id", "pos", "chunk_id", "content", "n_units"]
         )
 
-    prepared = documents.select(
+    prepared = ensure_parallelism(documents, id_col).select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("__text")
     )
     return prepared.groupBy("doc_id").applyInPandas(pack, _EXACT_SCHEMA)

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline2_spark.functions.text import content_hash, word_ngrams
+from data_pipeline2_spark.plans.partitioning import ensure_parallelism
 
 N_PERM = 16
 BAND_SIZE = 4  # 4 bands x 4 rows: candidates need 1 identical band
@@ -63,6 +64,7 @@ def doc_shingles(
     id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
     """Distinct word n-gram shingles per document → (doc_id, shingle)."""
+    documents = ensure_parallelism(documents, id_col)
     return (
         documents.select(
             F.col(id_col).alias("doc_id"),
@@ -172,6 +174,49 @@ def jaccard_pairs(
     )
 
 
+def minhash_signature_cols(shingles: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """Wide-format MinHash: one row per doc, columns mh_0..mh_{n-1}.
+
+    Same signature values as `minhash_signatures` (min hex digest per
+    permutation), but computed as n_perm min-aggregates in a SINGLE
+    groupBy over the shingle rows — no n_perm× row explosion, and the
+    map-side partial aggregation shrinks the shuffle to one ~n_perm x
+    32-byte row per document. This is the scale path: shuffle volume is
+    O(docs), not O(docs x shingles x perms).
+    """
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws("|", F.lit(str(p)), F.col("shingle")))
+        ).alias(f"mh_{p}")
+        for p in range(n_perm)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_band_keys_wide(
+    wide: DataFrame, n_perm: int = N_PERM, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """Band bucket keys from wide signatures → (doc_id, band, band_key).
+
+    band_key = md5 of the band's signature values joined in perm order —
+    byte-identical to lsh_band_keys on the long format.
+    """
+    n_bands = n_perm // band_size
+    band_cols = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide.select(
+        "doc_id", F.posexplode(band_cols).alias("band", "band_key")
+    )
+
+
 def dedup_near_minhash(
     documents: DataFrame,
     shingle_n: int = 3,
@@ -181,11 +226,17 @@ def dedup_near_minhash(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle → minhash → LSH bucket join →
-    exact Jaccard verify. → (doc_a, doc_b, jaccard)."""
-    sh = doc_shingles(documents, shingle_n, id_col, text_col)
-    sigs = minhash_signatures(sh, n_perm)
-    cands = lsh_candidate_pairs(lsh_band_keys(sigs, band_size))
+    """Full near-dup pipeline: shingle → minhash (wide) → LSH bucket
+    join → exact Jaccard verify. → (doc_a, doc_b, jaccard).
+
+    The shingle set feeds three consumers (signatures + both sides of
+    the Jaccard verify join); persist it so the tokenize/ngram/distinct
+    work runs once. At scale this is a materialized intermediate you'd
+    write to the lake anyway (shingles are reused across dedup runs).
+    """
+    sh = doc_shingles(documents, shingle_n, id_col, text_col).persist()
+    sigs = minhash_signature_cols(sh, n_perm)
+    cands = lsh_candidate_pairs(lsh_band_keys_wide(sigs, n_perm, band_size))
     return jaccard_pairs(cands, sh, threshold)
 
 
