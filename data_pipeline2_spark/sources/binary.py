@@ -41,8 +41,10 @@ _MAGIC_MIME = [
 ]
 
 
-def mime_detect_col(content=F.col("content"), path=F.col("path")):
+def mime_detect_col(content=None, path=None):
     """Deterministic MIME sniff: magic bytes first, then extension."""
+    content = content if content is not None else F.col("content")
+    path = path if path is not None else F.col("path")
     prefix = F.upper(F.hex(F.expr("substring(content, 1, 4)")))
     expr = F.lit(None).cast("string")
     # extension fallback (built innermost)

@@ -1,0 +1,140 @@
+"""Chunking invariants, mirroring the reference's test_chunking.py
+(size bound :98-110, metadata :150-160, fallback :124-135, config
+validation :163-171) over a markdown fixture like its :7-20."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline2_spark.operators import chunking
+
+FIXTURE = """# Title
+
+Intro sentence one. Intro sentence two is a bit longer!
+
+## Section A
+
+Alpha line content. Beta line content? Gamma.
+
+## Section B
+
+Delta epsilon zeta eta theta. Final words.
+"""
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, FIXTURE),
+        (2, "no headings here just words " * 10),
+        (3, "One short sentence."),
+        (4, "word " * 300),  # long, no terminators → word-split path
+        (5, ""),  # empty → fallback single chunk
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fixed_covers_text_exactly(spark, docs):
+    chunks = chunking.chunk_fixed(docs, 100).toPandas()
+    by_doc = chunks.groupby("doc_id")["content"].apply("".join)
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, joined in by_doc.items():
+        assert joined == src[doc_id]
+    assert (chunks["content"].str.len() <= 100).all()
+
+
+def test_fixed_empty_doc_single_chunk(spark, docs):
+    chunks = chunking.chunk_fixed(docs, 100)
+    empty = chunks.filter(F.col("doc_id") == 5).collect()
+    assert len(empty) == 1 and empty[0]["content"] == ""
+
+
+def test_overlap_slices_bound_and_stride(spark, docs):
+    out = chunking.chunk_overlap_slices(docs, 50, 10).toPandas()
+    assert (out["content"].str.len() <= 50).all()
+    one = out[out.doc_id == 4].sort_values("pos")["content"].tolist()
+    # consecutive slices share exactly `overlap` characters
+    for a, b in zip(one, one[1:]):
+        assert a[40:] == b[:10]
+
+
+def test_sentence_exact_size_bound(spark, docs):
+    # reference invariant: len(chunk) <= chunk_size (+ max unit slack)
+    out = chunking.chunk_sentence_exact(docs, 120).toPandas()
+    units = out["content"].str.split()
+    max_word = max((max(map(len, u)) for u in units if u), default=0)
+    assert (out["content"].str.len() <= 120 + max_word).all()
+
+
+def test_sentence_exact_greedy_is_maximal(spark, docs):
+    # greedy: adding the first unit of chunk k+1 to chunk k must overflow
+    out = (
+        chunking.chunk_sentence_exact(docs, 120)
+        .orderBy("doc_id", "pos")
+        .toPandas()
+    )
+    for doc_id, grp in out.groupby("doc_id"):
+        contents = grp.sort_values("pos")["content"].tolist()
+        for cur, nxt in zip(contents, contents[1:]):
+            first_next_unit = nxt.split(" ")[0]
+            assert len(cur) + 1 + len(first_next_unit) > 120
+
+
+def test_sentence_bucket_reconstructs_text(spark, docs):
+    out = chunking.chunk_sentence(docs.filter(F.col("doc_id") == 4), 100).toPandas()
+    joined = " ".join(out.sort_values("pos")["content"])
+    assert joined == ("word " * 300).strip()
+
+
+def test_markdown_headings_preserved(spark, docs):
+    out = chunking.chunk_markdown(docs.filter(F.col("doc_id") == 1)).toPandas()
+    heads = set(out["heading"].dropna())
+    assert heads == {"# Title", "## Section A", "## Section B"}
+    # each section contains its body text
+    sec_a = out[out.heading == "## Section A"]["content"].iloc[0]
+    assert "Alpha line content" in sec_a
+
+
+def test_markdown_no_heading_doc_single_section(spark, docs):
+    out = chunking.chunk_markdown(docs.filter(F.col("doc_id") == 2)).toPandas()
+    assert len(out) == 1 and out["heading"].isna().all()
+
+
+def test_fallback_single_flagged_chunk(spark, docs):
+    chunks = chunking.chunk_fixed(docs.filter(F.col("doc_id") != 3), 100)
+    out = chunking.chunk_fallback(docs, chunks).toPandas()
+    fb = out[out.is_fallback]
+    assert set(fb.doc_id) == {3}
+    assert len(fb) == 1
+    assert fb.iloc[0]["content"] == "One short sentence."
+
+
+def test_metadata_invariants(spark, docs):
+    out = chunking.chunk_metadata_enrich(
+        chunking.chunk_fixed(docs, 50), "fixed"
+    ).toPandas()
+    assert (out.chunk_number <= out.total_chunks).all()
+    assert (out.chunk_number >= 1).all()
+    assert (out.strategy == "fixed").all()
+    per_doc = out.groupby("doc_id").agg(n=("chunk_number", "max"), t=("total_chunks", "first"))
+    assert (per_doc.n == per_doc.t).all()
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        chunking.validate_chunk_config(0)
+    with pytest.raises(ValueError):
+        chunking.validate_chunk_config(100, -1)
+    with pytest.raises(ValueError):
+        chunking.validate_chunk_config(100, 100)
+    with pytest.raises(ValueError):
+        chunking.validate_chunk_config(100, 10, "bogus")
+
+
+def test_hybrid_matches_exact_sentence(spark, docs):
+    a = chunking.chunk_hybrid(docs, 120, 10).orderBy("doc_id", "pos").collect()
+    b = chunking.chunk_sentence_exact(docs, 120).orderBy("doc_id", "pos").collect()
+    assert [(r.doc_id, r.pos, r.content) for r in a] == [
+        (r.doc_id, r.pos, r.content) for r in b
+    ]

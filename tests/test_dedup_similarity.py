@@ -1,0 +1,95 @@
+"""Dedup + similarity behavior on synthetic near/exact duplicates
+(the testdata corpus has none at small SF, so these tests construct
+them) and kNN sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline2_spark.operators import dedup, similarity
+from data_pipeline2_spark.operators.embedding import hash_embed_one
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill in the afternoon sun light"
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("afternoon", "morning")),  # near dup of 1
+        (4, "completely different content about spark query engines and "
+            "columnar execution with vectorized readers at scale"),
+        (5, "  " + BASE + "  "),  # whitespace-variant → exact after normalize
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_groups(spark, dup_docs):
+    out = dedup.dedup_exact(dup_docs).toPandas()
+    groups = {r.keep_id: r.dup_count for r in out.itertuples()}
+    assert groups[1] == 3  # docs 1, 2, 5 normalize identically
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_dedup_exact_drop_keeps_min(spark, dup_docs):
+    out = dedup.dedup_exact_drop(dup_docs).toPandas()
+    assert set(out.doc_id) == {1, 3, 4}
+
+
+def test_minhash_finds_near_dups(spark, dup_docs):
+    pairs = dedup.dedup_near_minhash(dup_docs, threshold=0.3).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (1, 2) in found  # exact dups always collide
+    assert (1, 3) in found  # one-word change → high jaccard
+    assert all(4 not in p for p in found)  # unrelated doc never pairs
+    j = dict(zip(zip(pairs.doc_a, pairs.doc_b), pairs.jaccard))
+    assert j[(1, 2)] == 1.0
+
+
+def test_simhash_identical_and_near(spark, dup_docs):
+    out = {r.doc_id: r.simhash for r in dedup.simhash64(dup_docs).collect()}
+    assert out[1] == out[2]
+    ham_near = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_knn_self_is_nearest(spark):
+    rows = [(i, hash_embed_one(f"doc {i}", 16), i % 2) for i in range(20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.knn_cosine(emb, hash_embed_one("doc 7", 16), k=3).collect()
+    assert out[0]["vec_id"] == 7
+    assert out[0]["score"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_knn_filter_applied_before_topk(spark):
+    rows = [(i, hash_embed_one(f"doc {i}", 16), i % 2) for i in range(20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.knn_cosine(
+        emb, hash_embed_one("doc 7", 16), k=5, filter_col="label", filter_value=0
+    ).toPandas()
+    assert 7 not in set(out.vec_id)  # label 1 filtered out
+    assert len(out) == 5
+
+
+def test_knn_batch_lsh_recall_on_self(spark):
+    rows = [(i, hash_embed_one(f"doc {i}", 32), 0) for i in range(50)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.knn_batch_lsh(emb, queries, k=1, dim=32, n_planes=4).toPandas()
+    # self always lands in its own bucket → rank-1 hit is the query itself
+    top1 = dict(zip(out[out["rank"] == 1].qid, out[out["rank"] == 1].vec_id))
+    assert top1 == {i: i for i in range(5)}
