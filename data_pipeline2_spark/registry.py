@@ -375,6 +375,317 @@ def q_join_lookup(spark, sf_dir):
     return out.select("c_custkey", "c_name", "n_name", "r_name")
 
 
+@_register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_q4(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    window_orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    slow = window_orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        slow.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_q10(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,4)"
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 *
+        CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))
+                 ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+        / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE),
+        6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+)
+def q_q14(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,4)"
+    )
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(25,4)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo_rev).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@_register(
+    "join_outer_zero_orders",
+    """
+    SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    HAVING count(o_orderkey) = 0
+    """,
+)
+def q_join_outer(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") == 0)
+    )
+
+
+@_register(
+    "cube_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@_register(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+    FROM orders WHERE o_custkey < 500
+    """,
+)
+def q_window_running_sum(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@_register(
+    "scalar_functions",
+    """
+    SELECT event_id,
+           upper(event_type) AS etype_upper,
+           substring(event_type, 1, 3) AS etype_prefix,
+           length(props) AS props_len,
+           CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS m,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           date_trunc('day', ts) AS day_start,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_s,
+           round(abs(value - 10.0), 2) AS dist10,
+           round(sqrt(abs(value)), 6) AS sqrt_v,
+           CAST(floor(value) AS BIGINT) AS value_floor,
+           CAST(event_id % 7 AS BIGINT) AS id_mod,
+           concat_ws(':', event_type, user_id::VARCHAR) AS type_user
+    FROM events WHERE event_id < 500
+    """,
+)
+def q_scalar_functions(spark, sf_dir):
+    evt = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return evt.select(
+        "event_id",
+        F.upper("event_type").alias("etype_upper"),
+        F.substring("event_type", 1, 3).alias("etype_prefix"),
+        F.length("props").cast("int").alias("props_len"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofweek("ts").alias("dow"),  # 1=Sunday (duckdb dayofweek+1)
+        F.date_trunc("day", F.col("ts")).alias("day_start"),
+        F.unix_timestamp("ts").alias("unix_s"),
+        F.round(F.abs(F.col("value") - 10.0), 2).alias("dist10"),
+        F.round(F.sqrt(F.abs("value")), 6).alias("sqrt_v"),
+        F.floor("value").cast("long").alias("value_floor"),
+        (F.col("event_id") % 7).alias("id_mod"),
+        F.concat_ws(":", "event_type", F.col("user_id").cast("string")).alias(
+            "type_user"
+        ),
+    )
+
+
+@_register(
+    "array_functions",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(embedding[1]::DOUBLE, 6) AS first_val,
+           round(list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'sum'), 6) AS vec_sum,
+           round(list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max'), 6) AS vec_absmax,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def q_array_functions(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(dbl, 1), 6).alias("first_val"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("vec_sum"),
+        F.round(
+            F.array_max(F.transform(dbl, lambda x: F.abs(x))), 6
+        ).alias("vec_absmax"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias(
+            "n_positive"
+        ),
+    )
+
+
+@_register(
+    "ingest_documents",
+    """
+    SELECT doc_id,
+           'doc_' || doc_id::VARCHAR || '.md' AS filename,
+           to_base64(encode(text)) AS content_b64,
+           'pending' AS status,
+           CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS submit_seq
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_ingest_documents(spark, sf_dir):
+    # the submit path: assign id/filename, base64 the payload, mark
+    # pending, preserve arrival order (document_processor.py:47-74)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    w = Window.orderBy("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".md")).alias(
+            "filename"
+        ),
+        F.translate(
+            F.base64(F.encode(F.col("text"), "utf-8")), "\r\n", ""
+        ).alias("content_b64"),
+        F.lit("pending").alias("status"),
+        F.row_number().over(w).alias("submit_seq"),
+    )
+
+
+@_register(
+    "mime_detect",
+    """
+    SELECT doc_id, filename,
+           CASE lower(string_split(filename, '.')[-1])
+                WHEN 'pdf' THEN 'application/pdf'
+                WHEN 'md' THEN 'text/markdown'
+                WHEN 'txt' THEN 'text/plain'
+                WHEN 'png' THEN 'image/png'
+                ELSE 'application/octet-stream' END AS content_type
+    FROM (SELECT doc_id,
+                 'doc_' || doc_id::VARCHAR ||
+                 CASE doc_id % 4 WHEN 0 THEN '.pdf' WHEN 1 THEN '.md'
+                                 WHEN 2 THEN '.txt' ELSE '.png' END AS filename
+          FROM documents)
+    """,
+)
+def q_mime_detect(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    filename = F.concat(
+        F.lit("doc_"),
+        F.col("doc_id").cast("string"),
+        F.element_at(
+            F.array(F.lit(".pdf"), F.lit(".md"), F.lit(".txt"), F.lit(".png")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ),
+    )
+    ext = F.lower(F.element_at(F.split(filename, r"\."), -1))
+    mime = (
+        F.when(ext == "pdf", "application/pdf")
+        .when(ext == "md", "text/markdown")
+        .when(ext == "txt", "text/plain")
+        .when(ext == "png", "image/png")
+        .otherwise("application/octet-stream")
+    )
+    return docs.select(
+        "doc_id", filename.alias("filename"), mime.alias("content_type")
+    )
+
+
 # ========================================================= chunking (§2.3)
 
 
