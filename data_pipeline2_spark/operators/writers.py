@@ -1,0 +1,80 @@
+"""Write-path operators — the engine's sinks.
+
+Reference sinks are ES index upserts keyed by deterministic _id
+(documents: document_storage.py:66-114; embeddings composite id
+`{chunk_id}_{provider}`: vector_storage.py:61-67; jobs:
+job_storage.py:55-75) plus Redis SETEX caches. On an immutable lake:
+
+- upsert        → append to a log + latest-wins compaction on rewrite
+  (never update in place);
+- idempotent PK → dropDuplicates on the key before write;
+- TTL cache     → expires_at column (operators/cache.py);
+- partitioned layout → `partitionBy` on the natural pruning column
+  (job_type / event date), which at 100 TB is what makes readers prune.
+
+Each writer returns the re-read DataFrame so pipelines (and the oracle
+harness) can verify the roundtrip — a write is only done when a reader
+sees exactly the intended rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline2_spark.operators.relational import latest_state
+
+
+def write_parquet_roundtrip(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def upsert_documents(
+    base: DataFrame,
+    updates: DataFrame,
+    path: str,
+    key: str = "doc_id",
+    version_col: str = "updated_at",
+) -> DataFrame:
+    """ES-style upsert-by-id: append updates, keep latest per key,
+    rewrite. (document_storage.py:86-114 as a batch rewrite.)"""
+    log = base.unionByName(updates)
+    current = latest_state(log, [key], [F.desc(version_col)])
+    return write_parquet_roundtrip(current, path)
+
+
+def write_embeddings_idempotent(
+    embeddings: DataFrame,
+    path: str,
+    keys: tuple[str, ...] = ("chunk_id", "provider"),
+) -> DataFrame:
+    """Composite-PK idempotent write: duplicate submissions collapse to
+    one row per key (the `_id = chunk_id_provider` overwrite,
+    vector_storage.py:61-67)."""
+    return write_parquet_roundtrip(
+        embeddings.dropDuplicates(list(keys)), path
+    )
+
+
+def write_jobs_partitioned(jobs: DataFrame, path: str) -> DataFrame:
+    """Jobs sink partitioned by job_type → readers prune by type."""
+    return write_parquet_roundtrip(jobs, path, partition_by=["job_type"])
+
+
+def scratch_dir(name: str, sf_dir: str) -> str:
+    """Deterministic per-(operator, dataset) scratch path for
+    write-roundtrip queries; overwrite mode keeps repeated runs
+    idempotent."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join("/tmp", "dp2s_write", tag, name)

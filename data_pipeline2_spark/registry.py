@@ -1300,8 +1300,282 @@ def q_job_stats(spark, sf_dir):
     )
 
 
+# ============================================== write-path roundtrips
+# (§2.1): the query WRITES via the engine sink, re-reads, and returns
+# rows the oracle recomputes from the source tables — so a mismatch
+# anywhere in the write/read path fails the hash check.
+
+
+@_register(
+    "scan_parquet_tables",
+    """
+    SELECT 'customer' AS tbl, count(*) AS rows_n FROM customer UNION ALL
+    SELECT 'orders', count(*) FROM orders UNION ALL
+    SELECT 'lineitem', count(*) FROM lineitem UNION ALL
+    SELECT 'events', count(*) FROM events UNION ALL
+    SELECT 'documents', count(*) FROM documents UNION ALL
+    SELECT 'embeddings', count(*) FROM embeddings
+    """,
+)
+def q_scan_parquet_tables(spark, sf_dir):
+    parts = []
+    for tbl in ["customer", "orders", "lineitem", "events", "documents", "embeddings"]:
+        parts.append(
+            _t(spark, sf_dir, tbl).agg(
+                F.lit(tbl).alias("tbl"), F.count(F.lit(1)).alias("rows_n")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_register(
+    "write_documents",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang,
+           CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END AS version
+    FROM documents
+    """,
+)
+def q_write_documents(spark, sf_dir):
+    from data_pipeline2_spark.operators import writers
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lit(1).alias("version")
+    )
+    updates = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("lang", F.lit("xx"))
+        .withColumn("version", F.lit(2))
+    )
+    out = writers.upsert_documents(
+        docs, updates, writers.scratch_dir("write_documents", sf_dir),
+        key="doc_id", version_col="version",
+    )
+    return out.select("doc_id", "lang", "version")
+
+
+@_register(
+    "write_embeddings",
+    "SELECT vec_id, label FROM embeddings",
+)
+def q_write_embeddings(spark, sf_dir):
+    from data_pipeline2_spark.operators import writers
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("chunk_id"),
+        F.lit("hash64").alias("provider"),
+        "label",
+    )
+    # duplicate submission stream → composite-PK write must collapse it
+    out = writers.write_embeddings_idempotent(
+        emb.unionByName(emb),
+        writers.scratch_dir("write_embeddings", sf_dir),
+    )
+    return out.select(F.col("chunk_id").alias("vec_id"), "label")
+
+
+@_register(
+    "write_jobs",
+    """
+    SELECT event_type AS job_type,
+           CASE WHEN value >= 10 THEN 'completed' ELSE 'pending' END AS status,
+           count(*) AS jobs
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_write_jobs(spark, sf_dir):
+    from data_pipeline2_spark.operators import writers
+
+    jobs = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("job_id"),
+        F.col("event_type").alias("job_type"),
+        F.when(F.col("value") >= 10, "completed")
+        .otherwise("pending")
+        .alias("status"),
+    )
+    out = writers.write_jobs_partitioned(
+        jobs, writers.scratch_dir("write_jobs", sf_dir)
+    )
+    return out.groupBy("job_type", "status").agg(F.count(F.lit(1)).alias("jobs"))
+
+
+@_register(
+    "cache_write_ttl",
+    """
+    SELECT event_id, ts AS created_at, ts + INTERVAL 3600 SECOND AS expires_at
+    FROM events WHERE event_id < 200
+    """,
+)
+def q_cache_write_ttl(spark, sf_dir):
+    from data_pipeline2_spark.operators import writers
+    from data_pipeline2_spark.operators.cache import with_expiry
+
+    rows = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .select("event_id", F.col("ts").alias("created_at"))
+    )
+    cached = with_expiry(rows, "created_at", 3600)
+    out = writers.write_parquet_roundtrip(
+        cached, writers.scratch_dir("cache_write_ttl", sf_dir)
+    )
+    return out.select("event_id", "created_at", "expires_at")
+
+
+@_register(
+    "search_cache_rw",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    hits AS (
+      SELECT e.vec_id, round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score
+      FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT 10
+    ), cached AS (
+      SELECT vec_id, score,
+             sha256(concat_ws('|', 'q0', 'hash64', '', '10')) AS cache_key,
+             TIMESTAMP '2024-01-01 00:00:00' + (vec_id * INTERVAL 1 MINUTE) AS created_at
+      FROM hits)
+    SELECT vec_id, score, cache_key FROM cached
+    WHERE created_at + INTERVAL 3600 SECOND > TIMESTAMP '2024-01-01 00:30:00'
+    """,
+)
+def q_search_cache_rw(spark, sf_dir):
+    # store kNN results under a deterministic cache key with TTL, then
+    # read back only the still-fresh entries (search_cache.py:35-71)
+    from data_pipeline2_spark.operators.cache import ttl_filter
+
+    emb = _t(spark, sf_dir, "embeddings")
+    hits = similarity.knn_cosine(emb, _knn_query_vec(spark, sf_dir), k=10)
+    cached = hits.select(
+        "vec_id",
+        "score",
+        similarity.search_cache_key(
+            F.lit("hash64"), F.lit(""), F.lit(10), F.lit("q0")
+        ).alias("cache_key"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(mins=F.col("vec_id").cast("int"))
+        ).alias("created_at"),
+    )
+    fresh = ttl_filter(cached, "created_at", 3600, "2024-01-01 00:30:00")
+    return fresh.select("vec_id", "score", "cache_key")
+
+
+@_register(
+    "join_chunk_embedding",
+    """
+    SELECT c.chunk_id, e.vec_id, e.label, len(e.embedding) AS dim
+    FROM (SELECT doc_id, doc_id::VARCHAR || '-0' AS chunk_id FROM documents) c
+    JOIN embeddings e ON c.doc_id = e.vec_id
+    """,
+)
+def q_join_chunk_embedding(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunking.chunk_fixed(docs, 100_000).select("doc_id", "chunk_id")
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        chunks.join(emb, chunks["doc_id"] == emb["vec_id"])
+        .select(
+            "chunk_id", "vec_id", "label", F.size("embedding").cast("long").alias("dim")
+        )
+    )
+
+
+@_register(
+    "processing_time_stats",
+    """
+    SELECT event_type AS operation, count(*) AS cnt,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           max(value) AS max_v
+    FROM events GROUP BY event_type
+    """,
+)
+def q_processing_time_stats(spark, sf_dir):
+    evt = _t(spark, sf_dir, "events")
+    return evt.groupBy(F.col("event_type").alias("operation")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.max("value").alias("max_v"),
+    )
+
+
+@_register(
+    "embed_metrics",
+    """
+    SELECT 'hash64' AS provider,
+           CASE WHEN vec_id % 3 = 0 THEN 'cache_hit' ELSE 'success' END AS status,
+           count(*) AS requests
+    FROM embeddings GROUP BY 1, 2
+    """,
+)
+def q_embed_metrics(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    log = emb.select(
+        F.lit("hash64").alias("provider"),
+        F.when(F.col("vec_id") % 3 == 0, "cache_hit")
+        .otherwise("success")
+        .alias("status"),
+    )
+    return embedding.embed_metrics(log)
+
+
 # ================================================= rows-only entries
 # (non-SQL-expressible: pandas-UDF seams, LSH approx, streaming-native)
+
+
+@_register("embed_batch", None)
+def q_embed_batch(spark, sf_dir):
+    # Arrow batching made visible: mapInPandas over the chunk stream,
+    # emitting one row per Arrow batch with its size — the engine analog
+    # of the reference's batch_size=32 fan-out (embedding_service.py:197-204)
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunking.chunk_fixed(docs, 100).select("content")
+
+    def batch_sizes(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"batch_rows": [len(pdf)]})
+
+    sizes = chunks.mapInPandas(batch_sizes, "batch_rows long")
+    return sizes.groupBy().agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("batch_rows").alias("total_rows"),
+        F.max("batch_rows").alias("max_batch"),
+    )
+
+
+@_register("embed_retry", None)
+def q_embed_retry(spark, sf_dir):
+    # retry-inside-the-UDF seam (embedding_service.py:45-50): a provider
+    # that deterministically fails its first N attempts per item; the
+    # wrapper retries up to 3x — every item with N < 3 must succeed.
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    # no type annotations: postponed-evaluation strings ('pd.Series')
+    # defeat pyspark's signature inference under __future__ annotations
+    @F.pandas_udf(IntegerType(), F.PandasUDFType.SCALAR)
+    def attempts_needed(texts):
+        import hashlib
+
+        def run(t):
+            fail_n = int(hashlib.sha256(t.encode()).hexdigest(), 16) % 3
+            for attempt in range(1, 4):
+                if attempt > fail_n:  # provider succeeds after fail_n failures
+                    return attempt
+            return -1
+
+        return texts.map(run)
+
+    docs = _t(spark, sf_dir, "documents").limit(100)
+    out = docs.select("doc_id", attempts_needed(F.col("text")).alias("attempts"))
+    return out.groupBy("attempts").agg(F.count(F.lit(1)).alias("docs"))
 
 
 @_register("embed_provider", None)
