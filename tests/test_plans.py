@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: the 100 TB design properties.
+
+Correctness tests prove WHAT is computed; these prove HOW — filters
+reach the parquet scan, dims broadcast, top-k avoids full sorts,
+windows reuse partitioning. A regression here is a scale bug even when
+results stay right.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline2_spark import registry
+
+SF = "/root/testdata/sf0.001"
+QUERIES = registry.queries()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_filter_pushed_to_scan(spark):
+    plan = plan_of(QUERIES["point_lookup_doc"](spark, SF))
+    assert "PushedFilters" in plan
+    assert "EqualTo(doc_id,42)" in plan.replace(" ", "").replace("`", "") or (
+        "EqualTo(doc_id,42)" in plan
+    )
+
+
+def test_scan_prunes_columns(spark):
+    # 2-column projection must not read the text column
+    df = QUERIES["project_status"](spark, SF)
+    plan = plan_of(df)
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" not in scan_line
+    assert "doc_id" in scan_line and "lang" in scan_line
+
+
+def test_q5_all_dims_broadcast(spark):
+    plan = plan_of(QUERIES["q5_revenue_by_nation"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_sort_limit_is_take_ordered(spark):
+    plan = plan_of(QUERIES["sort_limit"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_has_partial_aggregation(spark):
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, SF))
+    assert "partial" in plan.lower()  # map-side combine before shuffle
+
+
+def test_chunk_enrich_single_shuffle(spark):
+    # chunk_fixed repartitions by doc_id; the metadata windows must
+    # reuse that partitioning: exactly one round-robin/hash exchange
+    plan = plan_of(QUERIES["chunk_metadata_enrich"](spark, SF))
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= 2, f"expected <=2 exchanges, plan has {n_exchange}:\n{plan}"
+
+
+def test_anti_join_stays_anti(spark):
+    plan = plan_of(QUERIES["embedding_cache_lookup"](spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_knn_batch_broadcasts_queries(spark):
+    plan = plan_of(QUERIES["knn_batch"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # corpus side must NOT shuffle before scoring: the only exchange is
+    # the broadcast + the final per-qid window
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_semi_join_for_exists(spark):
+    plan = plan_of(QUERIES["q4_order_priority"](spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_events_scan_not_repeated_per_window(spark):
+    # sliding windows explode in-plan (no self-union of scans)
+    plan = plan_of(QUERIES["events_sliding"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
