@@ -1,0 +1,104 @@
+"""CLI veneer — the engine analog of the reference's upload/status/search
+CLI (doc_pipeline/cli/main.py:1-53).
+
+Commands map 1:1 onto engine operators:
+  ingest  <dir>            — binaryFile ingestion + MIME detect (upload path)
+  status  <doc_id>         — point lookup + status projection
+  search  <doc_id> [-k N]  — cosine kNN using the doc's hash embedding
+  chunk   <strategy>       — run a chunker over the documents table
+  stats                    — corpus text stats
+
+All read from --data (default $SPARK_GRAFT_SF_DIR or sf0.01 testdata).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="data_pipeline2_spark")
+    p.add_argument(
+        "--data",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="table directory (documents/embeddings/... parquet)",
+    )
+    p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("ingest", help="ingest a directory of raw files")
+    sp.add_argument("dir")
+
+    sp = sub.add_parser("status", help="document status lookup")
+    sp.add_argument("doc_id", type=int)
+
+    sp = sub.add_parser("search", help="kNN similar vectors for a doc")
+    sp.add_argument("vec_id", type=int)
+    sp.add_argument("-k", type=int, default=10)
+
+    sp = sub.add_parser("chunk", help="chunk the documents table")
+    sp.add_argument(
+        "strategy", choices=["fixed", "sentence", "markdown", "hybrid"]
+    )
+    sp.add_argument("--size", type=int, default=500)
+
+    sub.add_parser("stats", help="corpus text stats")
+
+    args = p.parse_args(argv)
+
+    from data_pipeline2_spark.session import get_spark
+
+    spark = get_spark("dp2s-cli", master=f"local[{args.cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "ingest":
+        from data_pipeline2_spark.sources.binary import ingest_binary_dir
+
+        ingest_binary_dir(spark, args.dir).select(
+            "doc_id", "filename", "content_type", "status"
+        ).show(50, truncate=False)
+    elif args.cmd == "status":
+        from data_pipeline2_spark.operators.relational import point_lookup
+        from data_pipeline2_spark.sources.parquet import load_table
+
+        docs = load_table(spark, args.data, "documents")
+        point_lookup(docs, "doc_id", args.doc_id).select(
+            "doc_id", "lang", "source", "n_chars"
+        ).show(truncate=False)
+    elif args.cmd == "search":
+        from data_pipeline2_spark.operators.similarity import knn_cosine
+        from data_pipeline2_spark.sources.parquet import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, args.data, "embeddings")
+        row = emb.filter(F.col("vec_id") == args.vec_id).select("embedding").collect()
+        if not row:
+            print(f"vec_id {args.vec_id} not found", file=sys.stderr)
+            return 1
+        knn_cosine(emb, row[0][0], k=args.k).show(truncate=False)
+    elif args.cmd == "chunk":
+        from data_pipeline2_spark.operators import chunking
+        from data_pipeline2_spark.sources.parquet import load_table
+
+        docs = load_table(spark, args.data, "documents")
+        fn = {
+            "fixed": lambda d: chunking.chunk_fixed(d, min(args.size, 2000)),
+            "sentence": lambda d: chunking.chunk_sentence(d, args.size),
+            "markdown": lambda d: chunking.chunk_markdown(d),
+            "hybrid": lambda d: chunking.chunk_hybrid(d, args.size),
+        }[args.strategy]
+        out = chunking.chunk_metadata_enrich(fn(docs), args.strategy)
+        out.orderBy("doc_id", "pos").show(20)
+        print(f"total chunks: {out.count()}")
+    elif args.cmd == "stats":
+        from data_pipeline2_spark.operators.textanalysis import text_stats
+        from data_pipeline2_spark.sources.parquet import load_table
+
+        text_stats(load_table(spark, args.data, "documents")).show(truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
