@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) for the chunking/dedup kernels.
+
+Strategy: drive the PURE python kernels (greedy packer, hash embedder)
+with hypothesis directly, and spot-check the Spark operators on sampled
+corpora — random text through the full DataFrame path each example
+would cost minutes of JVM roundtrips, so properties sample batches.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_pipeline2_spark.functions.text import SENTENCE_REGEX
+from data_pipeline2_spark.operators.chunking import _greedy_pack
+from data_pipeline2_spark.operators.embedding import hash_embed_one
+
+words = st.lists(
+    st.text(alphabet="abcdefghij", min_size=1, max_size=12), min_size=0, max_size=60
+)
+
+
+@given(words, st.integers(min_value=5, max_value=200))
+@settings(max_examples=200, deadline=None)
+def test_greedy_pack_properties(units, chunk_size):
+    out = _greedy_pack(units, chunk_size)
+    # completeness: every unit appears exactly once, in order
+    flat = [w for _, content, _ in out for w in content.split(" ") if w != ""]
+    assert flat == [u for u in units if u != ""] or units == flat or flat == units
+    # positions are contiguous from 0
+    assert [p for p, _, _ in out] == list(range(len(out)))
+    max_word = max((len(u) for u in units), default=0)
+    for _, content, n_units in out:
+        # size bound: within chunk_size except a single oversized unit
+        assert len(content) <= chunk_size or n_units == 1
+        assert len(content) <= max(chunk_size, max_word)
+    # greedy maximality: chunk i cannot absorb the first unit of chunk i+1
+    for (p1, c1, _), (p2, c2, _) in zip(out, out[1:]):
+        first_next = c2.split(" ")[0]
+        assert len(c1) + 1 + len(first_next) > chunk_size
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_sentence_regex_lossless_within_matches(text):
+    # every extracted sentence is a substring, in order, non-overlapping
+    matches = re.findall(SENTENCE_REGEX, text)
+    cursor = 0
+    for m in matches:
+        idx = text.index(m, cursor)
+        assert idx >= cursor
+        cursor = idx + len(m)
+
+
+@given(st.text(max_size=200), st.integers(min_value=4, max_value=128))
+@settings(max_examples=100, deadline=None)
+def test_hash_embedder_contract(text, dim):
+    v = hash_embed_one(text, dim)
+    assert len(v) == dim
+    norm = sum(x * x for x in v) ** 0.5
+    assert abs(norm - 1.0) < 1e-6
+    assert v == hash_embed_one(text, dim)  # deterministic
+
+
+@given(st.integers(min_value=1, max_value=50), st.integers(min_value=1, max_value=400))
+@settings(max_examples=100, deadline=None)
+def test_fixed_chunk_count_formula(chunk_size, text_len):
+    import math
+
+    n = max(1, math.ceil(text_len / chunk_size))
+    # the formula used by chunk_fixed/oracle: every char covered once
+    starts = [i * chunk_size for i in range(n)]
+    assert starts[0] == 0
+    assert starts[-1] < text_len
+    assert starts[-1] + chunk_size >= text_len

@@ -1,0 +1,83 @@
+"""applyInPandasWithState operators: streaming dedup + running totals,
+verified across multiple micro-batches (maxFilesPerTrigger=1 forces
+batch boundaries so state must actually carry over)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline2_spark.streaming import stateful
+
+
+@pytest.fixture()
+def multi_batch_src(spark):
+    d = tempfile.mkdtemp(prefix="dp2s_state_")
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    batches = [
+        [(1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+         (2, "2024-01-01 00:01:00", 2, "view", 2.0, "{}")],
+        [(3, "2024-01-01 00:02:00", 1, "click", 3.0, "{}"),
+         (4, "2024-01-01 00:03:00", 1, "purchase", 4.0, "{}")],
+        [(5, "2024-01-01 00:04:00", 2, "click", 5.0, "{}")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.parquet(os.path.join(d, f"b{i}"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _stream(spark, src):
+    from data_pipeline2_spark.schemas import EVENTS
+
+    return (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+
+
+def test_streaming_dedup_first_seen(spark, multi_batch_src):
+    out = stateful.streaming_dedup_first_seen(_stream(spark, multi_batch_src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sdedup").collect()
+    got = {r.key for r in rows}
+    assert got == {"click", "view", "purchase"}
+    assert len(rows) == 3  # exactly one emission per key across batches
+
+
+def test_streaming_running_totals(spark, multi_batch_src):
+    out = stateful.streaming_running_totals(_stream(spark, multi_batch_src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stotals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from stotals").collect()
+    # the FINAL emission per user must reflect the full accumulated state
+    final = {}
+    for r in rows:
+        final[r.user_id] = max(
+            final.get(r.user_id, (0, 0.0)), (r.events, r.total_value)
+        )
+    assert final[1] == (3, 8.0)
+    assert final[2] == (2, 7.0)
