@@ -129,6 +129,75 @@ def signature_col(vec_col: Column, planes) -> Column:
     return F.concat(*bits)
 
 
+def knn_batch_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF-style approximate batched kNN: KMeans-partition the corpus,
+    probe only the n_probe nearest centroids per query, exact re-score
+    inside probed cells.
+
+    The inverted-file structure is the corpus clustered (and, in a real
+    lake, physically partitioned) by centroid id — a query touches
+    n_probe/n_clusters of the data. Centroids are trained once
+    (deterministic seed) and broadcast; recall grows with n_probe.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = embeddings.select(
+        array_to_vector(F.transform(vec_col, lambda x: x.cast("double"))).alias(
+            "features"
+        )
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(train)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        """array of the n centroid ids nearest to vec (by cosine)."""
+        scored = F.array(
+            *[
+                F.struct(
+                    (-cosine_similarity(vec, query_vector_lit(c))).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.slice(
+            F.transform(F.array_sort(scored), lambda s: s["cell"]), 1, n
+        )
+
+    e = embeddings.withColumn(
+        "__cell", F.element_at(nearest_cells(F.col(vec_col), 1), 1)
+    )
+    q = queries.withColumn(
+        "__cell", F.explode(nearest_cells(F.col(qvec_col), n_probe))
+    )
+    scored = e.join(F.broadcast(q), "__cell").select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col(qvec_col)), SCORE_ROUND
+        ).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.dropDuplicates([qid_col, id_col])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "score")
+    )
+
+
 def knn_batch_lsh(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -484,6 +484,67 @@ def q_q14(spark, sf_dir):
 
 
 @_register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(25,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_register(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    HAVING sum(CAST(l_quantity AS DECIMAL(25,2))) > 200
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def q_q18(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.sum(F.col("l_quantity").cast("decimal(25,2)"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(qty.cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@_register(
     "join_outer_zero_orders",
     """
     SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders
