@@ -1680,6 +1680,15 @@ def q_chunk_hybrid(spark, sf_dir):
     return chunking.chunk_hybrid(_t(spark, sf_dir, "documents"), 500, 50)
 
 
+@_register("knn_batch_ivf", None)
+def q_knn_batch_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.knn_batch_ivf(emb, queries, k=3, n_clusters=8, n_probe=2)
+
+
 @_register("knn_batch_lsh", None)
 def q_knn_batch_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")

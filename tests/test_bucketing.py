@@ -1,0 +1,62 @@
+"""Bucketed co-located joins: the shuffle-deletion scale pattern.
+
+At 100 TB the orders⋈lineitem shuffle dominates q3/q5/q18-class
+queries; bucketing both fact tables by the join key at write time makes
+the join a zero-exchange local merge. This test proves the engine's
+write+read path achieves exactly that (no Exchange above either scan).
+"""
+
+from __future__ import annotations
+
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline2_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark):
+    # warehouse dir is a static conf — use the session default
+    # (./spark-warehouse, gitignored) and clean the tables up after
+    yield
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_no_shuffle(spark, warehouse):
+    orders = load_table(spark, SF, "orders")
+    lineitem = load_table(spark, SF, "lineitem")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("orders_b")
+    )
+    (
+        lineitem.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("lineitem_b")
+    )
+    joined = (
+        spark.table("orders_b")
+        .join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    join_section = plan.split("HashAggregate")[-1]
+    assert "Exchange hashpartitioning" not in join_section, plan
+    # and the result matches the unbucketed join
+    base = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(joined.collect()) == sorted(base.collect())
