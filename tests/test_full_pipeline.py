@@ -1,0 +1,109 @@
+"""End-to-end pipeline parity with the reference's E2E scripts
+(test_pipeline.py / test_full_pipeline.py): upload → process (chunk) →
+embed (cached) → store → semantic search → verify stored vectors —
+all as one batch flow over engine operators, plus the incremental
+second run (only new documents do work).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline2_spark.operators import chunking, embedding, similarity
+from data_pipeline2_spark.operators.writers import write_embeddings_idempotent
+from data_pipeline2_spark.sources.binary import ingest_binary_dir
+
+DOC_BODIES = {
+    "intro.md": b"# Intro\n\nSpark engines process data. They scale horizontally.",
+    "guide.txt": b"A guide to chunking. Sentences pack greedily. Overlap helps recall.",
+    "raw.bin": b"\x00\x01binary-ish payload without sentences",
+}
+
+
+@pytest.fixture()
+def pipeline_dirs():
+    up = tempfile.mkdtemp(prefix="dp2s_e2e_up_")
+    store = tempfile.mkdtemp(prefix="dp2s_e2e_store_")
+    for name, body in DOC_BODIES.items():
+        with open(os.path.join(up, name), "wb") as f:
+            f.write(body)
+    yield up, store
+    shutil.rmtree(up, ignore_errors=True)
+    shutil.rmtree(store, ignore_errors=True)
+
+
+def _process(spark, upload_dir):
+    """upload → decode → chunk → enrich: the queue consumer's work
+    (document_processor.py:96-132) as one declarative plan."""
+    docs = ingest_binary_dir(spark, upload_dir).select(
+        "doc_id",
+        "filename",
+        "content_type",
+        F.decode("content", "utf-8").alias("text"),
+    )
+    chunks = chunking.chunk_metadata_enrich(
+        chunking.chunk_sentence_exact(docs, 48, id_col="doc_id", text_col="text"),
+        "sentence",
+    )
+    return docs, chunks
+
+
+def test_full_pipeline_roundtrip(spark, pipeline_dirs):
+    upload_dir, store = pipeline_dirs
+    docs, chunks = _process(spark, upload_dir)
+
+    # invariant set from the reference's E2E: every doc chunked,
+    # metadata complete, statuses terminal
+    pdf = chunks.toPandas()
+    assert set(pdf.doc_id) == {r.doc_id for r in docs.select("doc_id").collect()}
+    assert (pdf.chunk_number <= pdf.total_chunks).all()
+    assert (pdf.strategy == "sentence").all()
+
+    # embed + store (idempotent composite PK)
+    emb = embedding.embed_chunks(chunks, text_col="content", id_col="chunk_id")
+    stored = write_embeddings_idempotent(
+        emb, os.path.join(store, "embeddings")
+    )
+    assert stored.count() == emb.count()
+    assert stored.select(F.size("embedding")).distinct().collect()[0][0] == 64
+
+    # semantic search: embed a query string, kNN over stored vectors,
+    # verify the hit's chunk really contains the query topic
+    qvec = embedding.hash_embed_one(
+        stored.join(chunks, "chunk_id")
+        .filter(F.col("content").contains("chunking"))
+        .select("content")
+        .collect()[0][0]
+    )
+    hits = similarity.knn_cosine(
+        stored, qvec, k=3, id_col="chunk_id", vec_col="embedding"
+    ).toPandas()
+    top = chunks.filter(F.col("chunk_id") == hits.iloc[0]["chunk_id"]).collect()[0]
+    assert "chunking" in top["content"]
+    assert hits.iloc[0]["score"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_incremental_second_run(spark, pipeline_dirs):
+    upload_dir, store = pipeline_dirs
+    _, chunks = _process(spark, upload_dir)
+    first = embedding.embed_chunks(chunks, "content", "chunk_id")
+    cache_path = os.path.join(store, "emb_cache")
+    write_embeddings_idempotent(first, cache_path)
+
+    # second run: one new upload; only ITS chunks must be computed
+    with open(os.path.join(upload_dir, "new.md"), "wb") as f:
+        f.write(b"Fresh document. Never embedded before.")
+    _, chunks2 = _process(spark, upload_dir)
+    cached = spark.read.parquet(cache_path)
+    out = embedding.embed_incremental(chunks2, cached, "content", "chunk_id")
+    assert out.count() == chunks2.count()
+    pending = chunks2.join(
+        cached.select("chunk_id"), "chunk_id", "left_anti"
+    )
+    new_docs = {r.doc_id for r in pending.select("doc_id").distinct().collect()}
+    assert len(new_docs) == 1  # only the fresh upload missed the cache
