@@ -22,14 +22,18 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q18_large_orders",
     "topk_per_group",
     "chunk_fixed",
     "chunk_sentence",
     "knn_batch",
     "dedup_exact",
     "dedup_near_minhash",
+    "quality_score",
     "text_stats",
     "events_tumbling",
+    "events_sliding",
     "events_session",
 ]
 
