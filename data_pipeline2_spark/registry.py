@@ -1230,6 +1230,67 @@ def q_token_histogram(spark, sf_dir):
 
 
 @_register(
+    "count_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS distinct_users,
+           count(*) AS events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_count_distinct_users(spark, sf_dir):
+    evt = _t(spark, sf_dir, "events")
+    return (
+        evt.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("distinct_users"),
+            F.count(F.lit(1)).alias("events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register("approx_count_distinct", None)
+def q_approx_count_distinct(spark, sf_dir):
+    # HLL++ sketch — approximate by design, so rows-only (the exact
+    # variant count_distinct_users carries the oracle); at 100 TB this
+    # is the one you actually run: no exact-distinct shuffle explosion.
+    evt = _t(spark, sf_dir, "events")
+    return evt.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@_register(
+    "token_count_bpe",
+    """
+    SELECT doc_id,
+           CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_token_count_bpe(spark, sf_dir):
+    # whitespace tokens + a BPE-ish subword proxy (greedy ≤4-char
+    # alphabetic pieces, digit runs, single punctuation) — the
+    # token-budget estimator for training-data pipelines
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    from data_pipeline2_spark.functions.text import token_count
+
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z]{1,4}|[0-9]+|[^a-z0-9\s]"), 0
+        )
+    )
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@_register(
     "multimodal_meta",
     """
     SELECT doc_id AS asset_id,
