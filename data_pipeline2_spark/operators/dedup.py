@@ -293,23 +293,43 @@ def simhash64(
 def dedup_near_embedding(
     embeddings: DataFrame, threshold: float = 0.9,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above threshold.
 
-    Exact all-pairs here (fine to ~10^5); at scale route through
-    similarity.knn_batch_lsh buckets first — same verification tail.
+    Exact all-pairs (optionally within `group_col` partitions — the
+    provider-partitioned scope, mirroring the reference's composite
+    (chunk, provider) key space). Cost control for the quadratic scan:
+    vectors are L2-normalized ONCE per row map-side, so each pair costs
+    a single dot-product fold instead of dot + two norms (3x). At scale
+    route candidates through similarity.knn_batch_lsh buckets first —
+    same verification tail, subquadratic pair count.
     """
-    from data_pipeline2_spark.functions.vectors import cosine_similarity
+    from data_pipeline2_spark.functions.vectors import dot, l2_norm
 
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    normed = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
+    )
+    base_cols = [F.col(id_col), normed.alias("__nv")]
+    if group_col:
+        base_cols.append(F.col(group_col))
+    base = embeddings.select(*base_cols)
+    join_keys = [group_col] if group_col else []
+    a = base.select(
+        *( [F.col(group_col)] if group_col else [] ),
+        F.col(id_col).alias("id_a"), F.col("__nv").alias("na"),
+    )
+    b = base.select(
+        *( [F.col(group_col)] if group_col else [] ),
+        F.col(id_col).alias("id_b"), F.col("__nv").alias("nb"),
+    )
+    joined = a.join(b, join_keys) if join_keys else a.crossJoin(b)
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        joined.filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cos"),
+            F.round(dot(F.col("na"), F.col("nb")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

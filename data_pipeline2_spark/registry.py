@@ -1116,15 +1116,26 @@ def q_dedup_near_minhash(spark, sf_dir):
 
 @_register(
     "dedup_near_embedding",
-    f"""
+    """
+    WITH n AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                x -> x::DOUBLE / sqrt(list_aggregate(list_transform(embedding,
+                     y -> y::DOUBLE * y::DOUBLE), 'sum'))) AS nv
+      FROM embeddings
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.5
+           round(list_aggregate(list_transform(generate_series(1, len(a.nv)),
+                 i -> a.nv[i] * b.nv[i]), 'sum'), 6) AS cos
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_aggregate(list_transform(generate_series(1, len(a.nv)),
+              i -> a.nv[i] * b.nv[i]), 'sum'), 6) >= 0.5
     """,
 )
 def q_dedup_near_embedding(spark, sf_dir):
-    return dedup.dedup_near_embedding(_t(spark, sf_dir, "embeddings"), threshold=0.5)
+    return dedup.dedup_near_embedding(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5, group_col="label"
+    )
 
 
 # ------------------------------------------------ text analysis (§2.10)
