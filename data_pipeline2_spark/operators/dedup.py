@@ -62,8 +62,11 @@ def dedup_exact_drop(
 def doc_shingles(
     documents: DataFrame, shingle_n: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document → (doc_id, shingle).
+    """Word n-gram shingles per document → (doc_id, shingle), distinct
+    by default (pass distinct=False for duplicate-invariant consumers
+    like min-aggregation, skipping the dedup shuffle).
 
     Built as posexplode(tokens) + lead() windows rather than the
     word_ngrams higher-order function: HOFs are interpreted (no codegen)
@@ -86,10 +89,11 @@ def doc_shingles(
     shingled = toks.select("doc_id", *lead_cols).filter(
         F.col(f"w{shingle_n - 1}").isNotNull()
     )
-    return shingled.select(
+    out = shingled.select(
         "doc_id",
         F.concat_ws(" ", *[f"w{i}" for i in range(shingle_n)]).alias("shingle"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -245,15 +249,29 @@ def dedup_near_minhash(
     """Full near-dup pipeline: shingle → minhash (wide) → LSH bucket
     join → exact Jaccard verify. → (doc_a, doc_b, jaccard).
 
-    The shingle set feeds three consumers (signatures + both sides of
-    the Jaccard verify join); persist it so the tokenize/ngram/distinct
-    work runs once. At scale this is a materialized intermediate you'd
-    write to the lake anyway (shingles are reused across dedup runs).
+    Two scale tricks:
+    - signatures consume NON-distinct shingles (min-aggregation is
+      duplicate-invariant), skipping a full-corpus distinct shuffle;
+    - the Jaccard verify re-derives distinct shingles only for the
+      candidate documents (semi-join first) — candidates are orders of
+      magnitude smaller than the corpus, so the quadratic-ish tail
+      touches almost nothing.
     """
-    sh = doc_shingles(documents, shingle_n, id_col, text_col).persist()
-    sigs = minhash_signature_cols(sh, n_perm)
-    cands = lsh_candidate_pairs(lsh_band_keys_wide(sigs, n_perm, band_size))
-    return jaccard_pairs(cands, sh, threshold)
+    sh_all = doc_shingles(documents, shingle_n, id_col, text_col, distinct=False)
+    sigs = minhash_signature_cols(sh_all, n_perm)
+    # cands feeds three consumers; persisting it is O(candidate pairs) —
+    # unlike caching the full shingle set, this stays tiny at any corpus size
+    cands = lsh_candidate_pairs(
+        lsh_band_keys_wide(sigs, n_perm, band_size)
+    ).persist()
+    cand_ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = documents.join(cand_ids, id_col, "left_semi")
+    sh_cand = doc_shingles(cand_docs, shingle_n, id_col, text_col).persist()
+    return jaccard_pairs(cands, sh_cand, threshold)
 
 
 def simhash64(
