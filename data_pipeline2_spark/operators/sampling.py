@@ -1,0 +1,82 @@
+"""Deterministic sampling / splitting / shuffling for training data.
+
+At 100 TB, `rand()`-based sampling is a reproducibility bug: retries,
+speculative tasks, and re-runs see different rows. These operators key
+every decision on a content/id hash (md5 hex — engine-portable, so the
+DuckDB oracle replays them exactly):
+
+- `sample_fraction`: keep rows whose hash prefix falls under the rate;
+- `train_test_split`: stable train/val/test assignment per key;
+- `deterministic_shuffle`: a reproducible global permutation (hash
+  order) — the "shuffle the corpus once per epoch" primitive;
+- `stratified_sample`: per-group hash sampling (equal rate per group,
+  no rand()).
+
+All map-side; the only shuffle is deterministic_shuffle's sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _hash_key(key: Column, salt: str = "") -> Column:
+    """md5 hex of the (salted) key — uniform in [0x00.., 0xff..]."""
+    return F.md5(F.concat_ws("|", F.lit(salt), key.cast("string")))
+
+
+def sample_fraction(
+    df: DataFrame, key_col: str, rate_pct: int, salt: str = ""
+) -> DataFrame:
+    """Keep ~rate_pct% of rows, decided by hash prefix < threshold.
+
+    rate_pct is in whole percent; threshold = the 2-hex-char prefix
+    boundary (256 slots → granularity 1/256 ≈ 0.4%).
+    """
+    threshold = format(int(round(256 * rate_pct / 100.0)), "02x")
+    return df.filter(
+        F.substring(_hash_key(F.col(key_col), salt), 1, 2) < F.lit(threshold)
+    )
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Stable 3-way split: same key → same split, forever."""
+    prefix = F.substring(_hash_key(F.col(key_col), salt), 1, 2)
+    t1 = format(int(round(256 * train_pct / 100.0)), "02x")
+    t2 = format(int(round(256 * (train_pct + val_pct) / 100.0)), "02x")
+    return df.withColumn(
+        split_col,
+        F.when(prefix < t1, "train").when(prefix < t2, "val").otherwise("test"),
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, salt: str = "epoch0", seq_col: str = "seq"
+) -> DataFrame:
+    """Reproducible global permutation: order by hash(salt|key); change
+    the salt to get a different (still deterministic) epoch order.
+
+    The sort is a range shuffle; at scale you'd sortWithinPartitions
+    after a hash repartition for a partition-local shuffle instead.
+    """
+    h = _hash_key(F.col(key_col), salt)
+    w = Window.orderBy(h, F.col(key_col))
+    return df.withColumn(seq_col, F.row_number().over(w))
+
+
+def stratified_sample(
+    df: DataFrame, group_col: str, key_col: str, rate_pct: int, salt: str = ""
+) -> DataFrame:
+    """~rate_pct% of every group, hash-decided (no rand, no groupBy)."""
+    threshold = format(int(round(256 * rate_pct / 100.0)), "02x")
+    key = F.concat_ws("|", F.col(group_col), F.col(key_col).cast("string"))
+    return df.filter(F.substring(_hash_key(key, salt), 1, 2) < F.lit(threshold))

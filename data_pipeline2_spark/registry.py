@@ -1241,6 +1241,79 @@ def q_token_histogram(spark, sf_dir):
 
 
 @_register(
+    "sample_deterministic",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE substring(md5(concat_ws('|', 's1', doc_id::VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def q_sample_deterministic(spark, sf_dir):
+    from data_pipeline2_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.sample_fraction(docs, "doc_id", 10, salt="s1").select(
+        "doc_id", "lang"
+    )
+
+
+@_register(
+    "train_test_split",
+    """
+    SELECT split, count(*) AS docs FROM (
+      SELECT CASE WHEN p < 'cd' THEN 'train'
+                  WHEN p < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT substring(md5(concat_ws('|', 'v1', doc_id::VARCHAR)), 1, 2) AS p
+            FROM documents)
+    ) GROUP BY split ORDER BY split
+    """,
+)
+def q_train_test_split(spark, sf_dir):
+    from data_pipeline2_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.train_test_split(docs, "doc_id", 80, 10, salt="v1")
+    return (
+        out.groupBy("split").agg(F.count(F.lit(1)).alias("docs")).orderBy("split")
+    )
+
+
+@_register(
+    "dataset_shuffle",
+    """
+    SELECT doc_id, CAST(row_number() OVER (
+             ORDER BY md5(concat_ws('|', 'epoch1', doc_id::VARCHAR)), doc_id
+           ) AS INT) AS seq
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_dataset_shuffle(spark, sf_dir):
+    from data_pipeline2_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return sampling.deterministic_shuffle(docs, "doc_id", salt="epoch1").select(
+        "doc_id", "seq"
+    )
+
+
+@_register(
+    "stratified_sample",
+    """
+    SELECT lang, count(*) AS sampled FROM documents
+    WHERE substring(md5(concat_ws('|', 's2',
+            concat_ws('|', lang, doc_id::VARCHAR))), 1, 2) < '33'
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    from data_pipeline2_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(docs, "lang", "doc_id", 20, salt="s2")
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("sampled")).orderBy("lang")
+
+
+@_register(
     "count_distinct_users",
     """
     SELECT event_type,
