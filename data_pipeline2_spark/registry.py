@@ -611,7 +611,7 @@ def q_window_running_sum(spark, sf_dir):
     SELECT event_id,
            upper(event_type) AS etype_upper,
            substring(event_type, 1, 3) AS etype_prefix,
-           length(props) AS props_len,
+           CAST(length(props) AS INT) AS props_len,
            CAST(year(ts) AS INT) AS y,
            CAST(month(ts) AS INT) AS m,
            CAST(dayofweek(ts) + 1 AS INT) AS dow,

@@ -36,6 +36,13 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with its pinned schema."""
+    # timestamp semantics must not depend on who built the session (the
+    # driver hands queries a vanilla one): pin UTC at the single entry
+    # point every query reads through. Runtime-settable, idempotent.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     schema = TABLE_SCHEMAS.get(name)
     nanos_cols = _NANOS_TS_COLS.get(name, [])
     if schema is not None and nanos_cols:

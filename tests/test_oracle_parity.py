@@ -45,6 +45,13 @@ def _compare(name: str, left: pd.DataFrame, right: pd.DataFrame):
     assert list(sorted(left.columns)) == list(sorted(right.columns)), (
         f"{name}: column mismatch {sorted(left.columns)} vs {sorted(right.columns)}"
     )
+    # exact physical dtype parity (pre-normalization): int32 vs int64
+    # differences would show up in the driver's schema record
+    for c in left.columns:
+        lk, rk = str(left[c].dtype), str(right[c].dtype)
+        if "datetime" in lk and "datetime" in rk:
+            continue  # ns-vs-us resolution is a pandas artifact
+        assert lk == rk, f"{name}: dtype mismatch on {c}: {lk} vs {rk}"
     assert len(left) == len(right), f"{name}: rowcount {len(left)} vs {len(right)}"
     ln, rn = _normalize(left), _normalize(right)
     for c in ln.columns:
