@@ -20,14 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_pipeline2_spark.functions.text import tokens
 from data_pipeline2_spark.operators import (
     aggregates,
     chunking,
     dedup,
     embedding,
     joins,
-    lifecycle,
     multimodal,
     relational,
     similarity,
