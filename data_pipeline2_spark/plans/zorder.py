@@ -1,0 +1,80 @@
+"""Z-order-style multi-dimensional clustering for parquet layouts.
+
+Spark has no OPTIMIZE ZORDER; the same effect — row-groups whose
+min/max ranges are tight on SEVERAL columns at once, so scans prune on
+any of them — comes from sorting the write by a bit-interleaved key.
+
+`zorder_key` interleaves the top `bits` bits of each column's rank
+(quantile bucket), giving the classic Z-curve: rows close on the curve
+are close in every dimension. Writing `df.repartitionByRange(key)
+.sortWithinPartitions(key)` then yields parquet files whose per-column
+statistics are selective for predicates on ANY of the interleaved
+columns — at 100 TB this is the difference between touching 1% and
+100% of files for a 2-column selective filter.
+
+Pure expressions; deterministic; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Rank col into [0, 2^bits) via min/max scaling (computed by the
+    caller, typically from a cheap agg or known domain)."""
+    n = (1 << bits) - 1
+    scaled = (col.cast("double") - lo) / F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+    return F.least(
+        F.greatest((scaled * n).cast("long"), F.lit(0)), F.lit(n)
+    )
+
+
+def zorder_key(buckets: list[Column], bits: int = 12) -> Column:
+    """Interleave the bits of the given bucket columns into one long."""
+    key = F.lit(0).cast("long")
+    n_cols = len(buckets)
+    for b in range(bits):
+        for i, col in enumerate(buckets):
+            src_bit = F.shiftright(col, b).bitwiseAND(F.lit(1))
+            dst = b * n_cols + i
+            key = key + (src_bit * F.lit(1 << dst).cast("long"))
+    return key
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    bits: int = 12,
+    n_files: int = 16,
+) -> DataFrame:
+    """Sort by the Z-curve and write; returns the re-read DataFrame.
+
+    Column domains are taken from a single cheap min/max agg (at scale:
+    use known domains or a sampled agg).
+    """
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+    ).collect()[0]
+    buckets = [
+        _bucket(
+            F.col(c),
+            F.lit(float(stats[f"__lo_{c}"])),
+            F.lit(float(stats[f"__hi_{c}"])),
+            bits,
+        )
+        for c in cols
+    ]
+    key = zorder_key(buckets, bits)
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return df.sparkSession.read.parquet(path)
