@@ -1239,6 +1239,108 @@ def q_token_histogram(spark, sf_dir):
 
 
 @_register(
+    "edit_distance",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS INT) AS dist
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id < 50
+    """,
+)
+def q_edit_distance(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("id_a"), F.substring("text", 1, 40).alias("ta")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.substring("text", 1, 40).alias("tb")
+    )
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select("id_a", "id_b", F.levenshtein("ta", "tb").alias("dist"))
+    )
+
+
+@_register(
+    "pivot_counts",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'view') AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_pivot_counts(spark, sf_dir):
+    evt = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        evt.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .orderBy("user_bucket")
+    )
+
+
+@_register(
+    "agg_corr",
+    """
+    SELECT event_type,
+           round(corr(value, user_id), 6) AS corr_vu,
+           round(covar_samp(value, user_id), 4) AS covar_vu,
+           round(stddev_samp(value), 6) AS sd_v
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_corr(spark, sf_dir):
+    evt = _t(spark, sf_dir, "events")
+    return (
+        evt.groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", "user_id"), 6).alias("corr_vu"),
+            F.round(F.covar_samp("value", "user_id"), 4).alias("covar_vu"),
+            F.round(F.stddev_samp("value"), 6).alias("sd_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS events_last_hour
+    FROM events WHERE user_id < 20
+    """,
+)
+def q_window_range_frame(spark, sf_dir):
+    evt = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts") + (F.col("ts").cast("double") % 1))
+        .rangeBetween(-3600, 0)
+    )
+    # duckdb epoch(ts) has fractional seconds; order by the same value
+    epoch_exact = F.col("ts").cast("double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_exact)
+        .rangeBetween(-3600, 0)
+    )
+    return evt.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("events_last_hour"),
+    )
+
+
+@_register(
     "sample_deterministic",
     """
     SELECT doc_id, lang FROM documents
