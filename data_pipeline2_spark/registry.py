@@ -1321,12 +1321,7 @@ def q_agg_corr(spark, sf_dir):
 )
 def q_window_range_frame(spark, sf_dir):
     evt = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts") + (F.col("ts").cast("double") % 1))
-        .rangeBetween(-3600, 0)
-    )
-    # duckdb epoch(ts) has fractional seconds; order by the same value
+    # duckdb's epoch(ts) keeps fractional seconds; cast-to-double matches it
     epoch_exact = F.col("ts").cast("double")
     w = (
         Window.partitionBy("user_id")
