@@ -1,0 +1,33 @@
+"""CLI veneer smoke tests (reference cli/main.py analog). get_spark
+reuses the active test session, so these run in-process."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from data_pipeline2_spark import cli
+
+
+def test_cli_status_and_search(spark, capsys):
+    assert cli.main(["--data", "/root/testdata/sf0.001", "status", "7"]) == 0
+    out = capsys.readouterr().out
+    assert "doc_id" in out and "7" in out
+    assert cli.main(["--data", "/root/testdata/sf0.001", "search", "0", "-k", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "1.0" in out  # self-similarity
+
+
+def test_cli_search_missing_vec(spark, capsys):
+    assert cli.main(["--data", "/root/testdata/sf0.001", "search", "999999"]) == 1
+
+
+def test_cli_ingest_and_chunk(spark, capsys):
+    d = tempfile.mkdtemp(prefix="dp2s_cli_")
+    with open(os.path.join(d, "x.md"), "wb") as f:
+        f.write(b"# t\nbody")
+    assert cli.main(["ingest", d]) == 0
+    out = capsys.readouterr().out
+    assert "text/markdown" in out
+    assert cli.main(["--data", "/root/testdata/sf0.001", "chunk", "fixed", "--size", "100"]) == 0
+    assert "total chunks" in capsys.readouterr().out
