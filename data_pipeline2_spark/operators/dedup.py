@@ -99,26 +99,19 @@ def doc_shingles(
 def minhash_signatures(
     shingles: DataFrame, n_perm: int = N_PERM
 ) -> DataFrame:
-    """MinHash signature rows → (doc_id, perm, mh).
+    """Long-format MinHash signature rows → (doc_id, perm, mh).
 
-    Permutation p's hash of a shingle is md5(p || '|' || shingle); the
-    signature entry is the lexicographic min hex digest — string order
-    equals unsigned-integer order on equal-length hex, and is identical
-    in every engine.
+    Same hash family and values as `minhash_signature_cols` (which is
+    the scale path); this unpivoted view exists for signature
+    inspection / storage as a tall table.
     """
-    return (
-        shingles.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm"),
-            "shingle",
-        )
-        .groupBy("doc_id", "perm")
-        .agg(
-            F.min(
-                F.md5(F.concat_ws("|", F.col("perm").cast("string"), F.col("shingle")))
-            ).alias("mh")
-        )
-    )
+    wide = minhash_signature_cols(shingles, n_perm)
+    pairs = []
+    for p in range(n_perm):
+        pairs.append(F.struct(F.lit(p).alias("perm"), F.col(f"mh_{p}").alias("mh")))
+    return wide.select(
+        "doc_id", F.explode(F.array(*pairs)).alias("pm")
+    ).select("doc_id", F.col("pm.perm").alias("perm"), F.col("pm.mh").alias("mh"))
 
 
 def lsh_band_keys(signatures: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
@@ -197,20 +190,32 @@ def jaccard_pairs(
 def minhash_signature_cols(shingles: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     """Wide-format MinHash: one row per doc, columns mh_0..mh_{n-1}.
 
-    Same signature values as `minhash_signatures` (min hex digest per
-    permutation), but computed as n_perm min-aggregates in a SINGLE
-    groupBy over the shingle rows — no n_perm× row explosion, and the
-    map-side partial aggregation shrinks the shuffle to one ~n_perm x
-    32-byte row per document. This is the scale path: shuffle volume is
-    O(docs), not O(docs x shingles x perms).
+    Two scale properties:
+    - n_perm min-aggregates in a SINGLE groupBy over the shingle rows —
+      no n_perm x row explosion; map-side partial aggregation shrinks
+      the shuffle to one ~n_perm x 8-byte row per document;
+    - permutation hashes are DISJOINT 8-hex (32-bit) slices of
+      ceil(n_perm/4) md5 digests, not n_perm independent md5 calls —
+      md5's output bits are uniform and independent, so the slices form
+      a valid minhash family at a quarter of the hashing cost (hashing
+      dominates the map side of corpus-scale minhash).
+
+    Fixed-width lowercase-hex string min == unsigned-integer min, and
+    is identical in every engine (the DuckDB oracle replays it).
     """
+    n_digests = (n_perm + 3) // 4
+    digests = shingles.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws("|", F.lit(str(j)), F.col("shingle"))).alias(f"__h{j}")
+            for j in range(n_digests)
+        ],
+    )
     aggs = [
-        F.min(
-            F.md5(F.concat_ws("|", F.lit(str(p)), F.col("shingle")))
-        ).alias(f"mh_{p}")
+        F.min(F.substring(F.col(f"__h{p // 4}"), 8 * (p % 4) + 1, 8)).alias(f"mh_{p}")
         for p in range(n_perm)
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return digests.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_keys_wide(

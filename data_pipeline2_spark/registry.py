@@ -1079,9 +1079,17 @@ _MINHASH_SQL = """
       SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
             FROM toks WHERE len(ws) >= 3)
+    ), digests AS (
+      SELECT doc_id,
+             md5('0' || '|' || shingle) AS h0, md5('1' || '|' || shingle) AS h1,
+             md5('2' || '|' || shingle) AS h2, md5('3' || '|' || shingle) AS h3
+      FROM sh
     ), mh AS (
-      SELECT doc_id, p, min(md5(p::VARCHAR || '|' || shingle)) AS mh
-      FROM (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS p FROM sh)
+      SELECT doc_id, p,
+             min(substring(CASE CAST(floor(p/4.0) AS INT)
+                    WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END,
+                  (p % 4) * 8 + 1, 8)) AS mh
+      FROM (SELECT *, unnest(generate_series(0, 15)) AS p FROM digests)
       GROUP BY doc_id, p
     ), bands AS (
       SELECT doc_id, CAST(floor(p/4.0) AS INT) AS band,
