@@ -313,6 +313,64 @@ def simhash64(
     return sums.select("doc_id", fingerprint.alias("simhash"))
 
 
+def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id).
+
+    cluster_id = min doc id reachable through the pair graph — the
+    canonical keeper for each duplicate cluster. Iterative min-label
+    propagation (the standard large-graph CC pattern): each round joins
+    current labels across edges and keeps the min; label count halves
+    superlinearly, converging in O(log diameter) rounds. Each round is
+    one shuffle on node id; at 100 TB-scale graphs this is the same
+    scheme GraphX/GraphFrames use.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(20):  # ceil(log2(diameter)) bound; tiny fixpoint check
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def dedup_near_embedding(
     embeddings: DataFrame, threshold: float = 0.9,
     id_col: str = "vec_id", vec_col: str = "embedding",

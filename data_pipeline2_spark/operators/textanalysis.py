@@ -127,6 +127,42 @@ def fingerprint(
     )
 
 
+def tfidf_top_terms(
+    documents: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document → (doc_id, term, tf, df, tfidf, rank).
+
+    tf = in-doc term count, df = documents containing the term,
+    idf = ln(N/df). One explode + two aggregations + a broadcast-sized
+    term-df join; the heavy (doc,term) aggregation shuffles once.
+    tfidf rounded for cross-engine hash stability.
+    """
+    from pyspark.sql.window import Window
+
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.count()
+    scored = tf.join(df_, "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
 def token_histogram(
     documents: DataFrame, text_col: str = "text", bucket: int = 20
 ) -> DataFrame:

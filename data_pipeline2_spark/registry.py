@@ -1233,6 +1233,67 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 @_register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_transform(
+        CASE WHEN len(trim(text)) = 0 THEN []
+             ELSE regexp_split_to_array(trim(text), '\\s+') END,
+        t -> lower(t))) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored) WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    return textanalysis.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@_register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents
+      WHERE doc_id % 7 < 2 AND doc_id + 1 IN (SELECT doc_id FROM documents)
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    # deterministic chain edges (doc, doc+1) over part of the corpus —
+    # exercises multi-hop label propagation with a SQL-checkable fixpoint
+    pairs = (
+        docs.filter(F.col("doc_id") % 7 < 2)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1).alias("doc_b"),
+        )
+        .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    )
+    return dedup.dedup_clusters(pairs)
+
+
+@_register(
     "token_histogram",
     """
     SELECT CAST(floor(CASE WHEN len(trim(text)) = 0 THEN 0

@@ -93,3 +93,13 @@ def test_knn_batch_lsh_recall_on_self(spark):
     # self always lands in its own bucket → rank-1 hit is the query itself
     top1 = dict(zip(out[out["rank"] == 1].qid, out[out["rank"] == 1].vec_id))
     assert top1 == {i: i for i in range(5)}
+
+
+def test_dedup_clusters_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 1)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in
+           __import__("data_pipeline2_spark.operators.dedup", fromlist=["dedup"])
+           .dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 1, 7: 7, 8: 7}
