@@ -72,6 +72,50 @@ def write_jobs_partitioned(jobs: DataFrame, path: str) -> DataFrame:
     return write_parquet_roundtrip(jobs, path, partition_by=["job_type"])
 
 
+def compact(spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024):
+    """Small-file compaction: rewrite a table directory into
+    ~target_bytes files.
+
+    100 TB lakes rot into millions of small files under streaming /
+    incremental writers; scan throughput and driver planning both
+    degrade. Compaction = read → coalesce to ceil(total/target) →
+    atomic-ish rewrite (write to .tmp, swap). Returns the new file count.
+    """
+    import glob
+    import shutil
+
+    total = sum(os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet")))
+    n_files = max(1, (total + target_bytes - 1) // target_bytes)
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact_tmp"
+    df.coalesce(int(n_files)).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def delete_keys(
+    spark: SparkSession, path: str, keys_df: DataFrame, key_col: str
+) -> DataFrame:
+    """Hard-delete rows by key from an immutable table: anti-join
+    rewrite (the GDPR/right-to-be-forgotten pattern). On a partitioned
+    lake, restrict the rewrite to affected partitions.
+    """
+    df = spark.read.parquet(path)
+    kept = df.join(keys_df.select(key_col), key_col, "left_anti")
+    tmp = path.rstrip("/") + ".delete_tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    old = path.rstrip("/") + ".delete_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 def scratch_dir(name: str, sf_dir: str) -> str:
     """Deterministic per-(operator, dataset) scratch path for
     write-roundtrip queries; overwrite mode keeps repeated runs

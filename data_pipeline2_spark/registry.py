@@ -1478,6 +1478,45 @@ def q_stratified_sample(spark, sf_dir):
 
 
 @_register(
+    "data_profile",
+    """
+    SELECT 'o_custkey' AS col, count(*) AS rows_n,
+           count(o_custkey) AS non_null, count(DISTINCT o_custkey) AS distinct_n,
+           CAST(min(o_custkey) AS DOUBLE) AS min_v, CAST(max(o_custkey) AS DOUBLE) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(o_totalprice),
+           count(DISTINCT o_totalprice), min(o_totalprice), max(o_totalprice)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+           count(DISTINCT o_orderstatus), NULL, NULL
+    FROM orders
+    """,
+)
+def q_data_profile(spark, sf_dir):
+    # the data-quality profiling pass every pipeline runs before
+    # training: per-column completeness, cardinality, ranges
+    orders = _t(spark, sf_dir, "orders")
+
+    def prof(col, numeric=True):
+        return orders.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("rows_n"),
+            F.count(col).alias("non_null"),
+            F.count_distinct(F.col(col)).alias("distinct_n"),
+            (F.min(col).cast("double") if numeric else F.lit(None).cast("double")).alias("min_v"),
+            (F.max(col).cast("double") if numeric else F.lit(None).cast("double")).alias("max_v"),
+        )
+
+    return (
+        prof("o_custkey")
+        .unionByName(prof("o_totalprice"))
+        .unionByName(prof("o_orderstatus", numeric=False))
+    )
+
+
+@_register(
     "count_distinct_users",
     """
     SELECT event_type,
