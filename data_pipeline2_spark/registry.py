@@ -1478,6 +1478,33 @@ def q_stratified_sample(spark, sf_dir):
 
 
 @_register(
+    "dataset_mix",
+    """
+    SELECT source, count(*) AS kept FROM documents
+    WHERE substring(md5(concat_ws('|', 'mix1', doc_id::VARCHAR)), 1, 2)
+          < CASE WHEN source IN ('src0','src1','src2') THEN '80' ELSE '1a' END
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_dataset_mix(spark, sf_dir):
+    # weighted source mixing for training corpora: hot sources sampled
+    # at 50%, the long tail at 10% — deterministic (hash), no rand()
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.substring(
+        F.md5(F.concat_ws("|", F.lit("mix1"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    rate = F.when(
+        F.col("source").isin("src0", "src1", "src2"), F.lit("80")
+    ).otherwise(F.lit("1a"))
+    return (
+        docs.filter(prefix < rate)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .orderBy("source")
+    )
+
+
+@_register(
     "data_profile",
     """
     SELECT 'o_custkey' AS col, count(*) AS rows_n,
