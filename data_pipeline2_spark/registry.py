@@ -16,6 +16,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
+import pandas as pd  # noqa: F401  (resolves pandas_udf type annotations)
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1991,13 +1993,12 @@ def q_embed_retry(spark, sf_dir):
     # retry-inside-the-UDF seam (embedding_service.py:45-50): a provider
     # that deterministically fails its first N attempts per item; the
     # wrapper retries up to 3x — every item with N < 3 must succeed.
-    import pandas as pd
     from pyspark.sql.types import IntegerType
 
-    # no type annotations: postponed-evaluation strings ('pd.Series')
-    # defeat pyspark's signature inference under __future__ annotations
-    @F.pandas_udf(IntegerType(), F.PandasUDFType.SCALAR)
-    def attempts_needed(texts):
+    # annotations must reference module-global names (postponed
+    # evaluation strings are resolved against function globals)
+    @F.pandas_udf(IntegerType())
+    def attempts_needed(texts: "pd.Series") -> "pd.Series":
         import hashlib
 
         def run(t):

@@ -118,3 +118,16 @@ def test_frame_sample_plan(spark):
     plan = multimodal.frame_sample_plan(assets, every_ms=1000).toPandas()
     assert (plan.ts_ms == plan.frame_no * 1000).all()
     assert plan.groupby("asset_id").frame_no.min().eq(0).all()
+
+
+def test_metadata_filter_malformed_json(spark):
+    from data_pipeline2_spark.operators.relational import metadata_filter
+    from pyspark.sql import functions as F
+
+    evt = spark.createDataFrame(
+        [(1, '{"k": 95}'), (2, "not json"), (3, ""), (4, None), (5, '{"k": 10}')],
+        "event_id long, props string",
+    )
+    out = metadata_filter(evt, "props", "$.k", lambda c: c.cast("int") > 50)
+    # malformed/missing JSON → null extraction → filtered out, no errors
+    assert [r.event_id for r in out.collect()] == [1]
