@@ -970,6 +970,137 @@ def q_chunk_size_histogram(spark, sf_dir):
     return aggregates.length_histogram(fixed, "content", [], bucket_width=20)
 
 
+@_register(
+    "chunk_token_budget",
+    """
+    WITH units AS (
+      SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+      FROM (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+                 ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+            FROM documents)
+    ), bucketed AS (
+      SELECT doc_id, w, i,
+             CAST(floor((sum(CAST(ceil(length(w) / 4.0) AS BIGINT))
+                  OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) - 1) / 64.0) AS INT) AS pos
+      FROM units
+    )
+    SELECT doc_id, pos,
+           doc_id::VARCHAR || '-' || pos::VARCHAR AS chunk_id,
+           string_agg(w, ' ' ORDER BY i) AS content,
+           CAST(sum(CAST(ceil(length(w) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens
+    FROM bucketed GROUP BY doc_id, pos
+    """,
+)
+def q_chunk_token_budget(spark, sf_dir):
+    # tokenizer-aware chunking with a deterministic token estimator
+    # (ceil(len/4) ≈ BPE tokens): pack words into <=64-token chunks.
+    # Same running-sum bucket scheme as chunk_sentence, budgeted in
+    # tokens instead of characters — the LLM-context-window chunker.
+    docs = _t(spark, sf_dir, "documents")
+    from data_pipeline2_spark.functions.text import tokens as toks_f
+    from data_pipeline2_spark.plans.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(docs, "doc_id")
+    exploded = docs.select(
+        "doc_id", F.posexplode(toks_f(F.col("text"))).alias("i", "w")
+    )
+    est = F.ceil(F.length("w") / 4.0).cast("long")
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucketed = exploded.withColumn(
+        "pos", F.floor((F.sum(est).over(w_cum) - 1) / F.lit(64.0)).cast("int")
+    )
+    return (
+        bucketed.groupBy("doc_id", "pos")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("content"),
+            F.sum(est).alias("est_tokens"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws("-", "doc_id", "pos").alias("chunk_id"),
+            "content",
+            "est_tokens",
+        )
+    )
+
+
+@_register(
+    "pack_sequences",
+    """
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, est_tokens,
+             CAST(floor((sum(est_tokens) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - 1) / 512.0) AS INT) AS seq_id
+      FROM sized
+    )
+    SELECT seq_id, count(*) AS docs,
+           CAST(sum(est_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM packed GROUP BY seq_id
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    # training-sequence packing: greedily fill 512-token sequences with
+    # whole documents in a deterministic order (running-sum bucketing —
+    # the distributed approximation of first-fit packing). At scale the
+    # global window becomes per-partition packing + partition offsets.
+    docs = _t(spark, sf_dir, "documents")
+    est = F.ceil(F.col("n_chars") / 4.0).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = docs.select(
+        "doc_id",
+        est.alias("est_tokens"),
+        F.floor((F.sum(est).over(w) - 1) / F.lit(512.0)).cast("int").alias("seq_id"),
+    )
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("est_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@_register(
+    "dedup_incremental",
+    """
+    SELECT d.doc_id, sha256(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))) AS content_sha
+    FROM documents d
+    WHERE d.doc_id >= 250
+      AND sha256(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))) NOT IN (
+        SELECT sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+        FROM documents WHERE doc_id < 250)
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    # incremental corpus growth: keep only new docs whose fingerprint is
+    # absent from the existing corpus — fingerprint anti-join, the daily
+    # ingestion dedup pass (composition of doc_fingerprint + left_anti)
+    docs = _t(spark, sf_dir, "documents")
+    old = textanalysis.fingerprint(docs.filter(F.col("doc_id") < 250))
+    new = textanalysis.fingerprint(docs.filter(F.col("doc_id") >= 250))
+    return joins.join_anti_incremental(
+        new, old.select("content_sha"), ["content_sha"]
+    ).select("doc_id", "content_sha")
+
+
 # ============================================== embeddings + similarity
 # (§2.4, §2.6) and LLM-pipeline dedup/text ops (§2.10)
 
