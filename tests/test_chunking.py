@@ -138,3 +138,20 @@ def test_hybrid_matches_exact_sentence(spark, docs):
     assert [(r.doc_id, r.pos, r.content) for r in a] == [
         (r.doc_id, r.pos, r.content) for r in b
     ]
+
+
+def test_fixed_chunker_unicode_reconstruction(spark):
+    # CJK + emoji: Spark length/substring count UTF-16 code units, so
+    # surrogate-pair emoji occupy 2 units — slices may split a pair at a
+    # boundary, but concatenation must still reconstruct the original
+    rows = [
+        (1, "中文文本处理测试，分块器必须正确。" * 10),
+        (2, "mixed 中文 and ascii words " * 8),
+        (3, "emoji 🚀🔥🎉 payload " * 12),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunking.chunk_fixed(docs, 7).toPandas()
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, grp in chunks.groupby("doc_id"):
+        joined = "".join(grp.sort_values("pos")["content"])
+        assert joined == src[doc_id]
