@@ -35,8 +35,15 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """cosine(a, b) = a·b / (|a| |b|); callers round for oracle parity."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """cosine(a, b) = a·b / (|a| |b|); callers round for oracle parity.
+
+    Zero-norm inputs yield NULL, not NaN: Spark's NaN semantics
+    (NaN >= x is true, NaN sorts above every double) would otherwise
+    rank a zero vector as everyone's best match; NULL drops out of
+    filters and sorts last under desc.
+    """
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
 
 
 def query_vector_lit(vec) -> Column:

@@ -317,12 +317,13 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
     """Connected components over near-dup pairs → (doc_id, cluster_id).
 
     cluster_id = min doc id reachable through the pair graph — the
-    canonical keeper for each duplicate cluster. Iterative min-label
-    propagation (the standard large-graph CC pattern): each round joins
-    current labels across edges and keeps the min; label count halves
-    superlinearly, converging in O(log diameter) rounds. Each round is
-    one shuffle on node id; at 100 TB-scale graphs this is the same
-    scheme GraphX/GraphFrames use.
+    canonical keeper for each duplicate cluster. Each round does (1) a
+    neighbor-min hop and (2) a pointer-doubling shortcut (label :=
+    label of my label), so reach doubles per round and convergence is
+    O(log diameter) — a 2^20-hop chain converges within the round cap.
+    Raises if the fixpoint is not reached (never silently mislabels).
+    Each round is a couple of shuffles on node id; the same scheme
+    GraphX/GraphFrames use.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -336,23 +337,39 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    for _ in range(20):  # ceil(log2(diameter)) bound; tiny fixpoint check
+    converged = False
+    for _ in range(24):  # doubling: covers diameter up to 2^24
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        hopped = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["src"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer doubling: label := min(label, label(label))
+        lab2 = hopped.select(
+            F.col("node").alias("node2"), F.col("label").alias("label2")
+        )
+        # localCheckpoint truncates lineage: the self-join doubles the
+        # logical plan every round, and 20+ rounds of nested plans OOM
+        # the driver during analysis long before any data is large
         new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            hopped.join(lab2, hopped["label"] == lab2["node2"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -361,11 +378,16 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters did not converge within the round cap; "
+            "graph diameter exceeds 2^24 or the input is pathological"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -388,8 +410,11 @@ def dedup_near_embedding(
     """
     from data_pipeline2_spark.functions.vectors import dot, l2_norm
 
-    normed = F.transform(
-        F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
+    # zero-norm (degenerate) vectors normalize to NULL and drop out of
+    # the pair scan — and the guard avoids ANSI divide-by-zero errors
+    norm = l2_norm(F.col(vec_col))
+    normed = F.when(
+        norm > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
     )
     base_cols = [F.col(id_col), normed.alias("__nv")]
     if group_col:

@@ -112,18 +112,26 @@ def embed_incremental(
     re-expression of per-key Redis cache-aside; at 100 TB it is the
     difference between an incremental append and a full recompute.
     """
-    cached_kv = cached.select("chunk_id", "provider", "embedding")
-    pending = chunks.select(
+    requested = chunks.select(
         F.col(id_col).alias("chunk_id"), F.col(text_col).alias("__text")
-    ).join(
-        cached_kv.filter(F.col("provider") == provider).select("chunk_id"),
-        "chunk_id",
-        "left_anti",
+    )
+    cached_kv = cached.select("chunk_id", "provider", "embedding").filter(
+        F.col("provider") == provider
+    )
+    # the output is keyed to the REQUESTED chunks: cache hits for this
+    # batch plus freshly computed misses — never the whole cache table
+    # (reference contract: generate_embeddings returns results for the
+    # chunks passed in, embedding_service.py:183-214)
+    hits = cached_kv.join(
+        requested.select("chunk_id"), "chunk_id", "left_semi"
+    )
+    pending = requested.join(
+        cached_kv.select("chunk_id"), "chunk_id", "left_anti"
     )
     fresh = embed_chunks(
         pending, text_col="__text", id_col="chunk_id", provider=provider, dim=dim
     )
-    return cached_kv.filter(F.col("provider") == provider).unionByName(fresh)
+    return hits.unionByName(fresh)
 
 
 def embed_metrics(embeddings_log: DataFrame) -> DataFrame:

@@ -27,17 +27,29 @@ def _hash_key(key: Column, salt: str = "") -> Column:
     return F.md5(F.concat_ws("|", F.lit(salt), key.cast("string")))
 
 
+def _threshold(pct: float) -> str:
+    """2-hex-char prefix boundary for a percentage in [0, 100].
+
+    256 slots → granularity 1/256 ≈ 0.4%. At >= 100% the boundary must
+    exceed every hex prefix: 'g' sorts after 'f', so `prefix < 'g'` is
+    always true (format(256,'02x') would be the 3-char '100', which
+    sorts BELOW most 2-char prefixes and silently drops ~94% of rows).
+    """
+    slots = int(round(256 * pct / 100.0))
+    if slots <= 0:
+        return "00"
+    if slots >= 256:
+        return "g"
+    return format(slots, "02x")
+
+
 def sample_fraction(
     df: DataFrame, key_col: str, rate_pct: int, salt: str = ""
 ) -> DataFrame:
-    """Keep ~rate_pct% of rows, decided by hash prefix < threshold.
-
-    rate_pct is in whole percent; threshold = the 2-hex-char prefix
-    boundary (256 slots → granularity 1/256 ≈ 0.4%).
-    """
-    threshold = format(int(round(256 * rate_pct / 100.0)), "02x")
+    """Keep ~rate_pct% of rows, decided by hash prefix < threshold."""
     return df.filter(
-        F.substring(_hash_key(F.col(key_col), salt), 1, 2) < F.lit(threshold)
+        F.substring(_hash_key(F.col(key_col), salt), 1, 2)
+        < F.lit(_threshold(rate_pct))
     )
 
 
@@ -51,8 +63,8 @@ def train_test_split(
 ) -> DataFrame:
     """Stable 3-way split: same key → same split, forever."""
     prefix = F.substring(_hash_key(F.col(key_col), salt), 1, 2)
-    t1 = format(int(round(256 * train_pct / 100.0)), "02x")
-    t2 = format(int(round(256 * (train_pct + val_pct) / 100.0)), "02x")
+    t1 = _threshold(train_pct)
+    t2 = _threshold(train_pct + val_pct)
     return df.withColumn(
         split_col,
         F.when(prefix < t1, "train").when(prefix < t2, "val").otherwise("test"),

@@ -73,27 +73,51 @@ def write_jobs_partitioned(jobs: DataFrame, path: str) -> DataFrame:
 
 
 def compact(spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024):
-    """Small-file compaction: rewrite a table directory into
-    ~target_bytes files.
+    """Small-file compaction: rewrite each leaf directory of a table
+    into ~target_bytes files, preserving any partition layout.
 
     100 TB lakes rot into millions of small files under streaming /
     incremental writers; scan throughput and driver planning both
-    degrade. Compaction = read → coalesce to ceil(total/target) →
-    atomic-ish rewrite (write to .tmp, swap). Returns the new file count.
+    degrade. Per-leaf: read → coalesce to ceil(total/target) → write to
+    .tmp → swap. Crash leftovers (.compact_tmp / .compact_old from an
+    interrupted run) are recovered or cleared before the swap, so the
+    operation is safely re-runnable. Returns total file count after.
     """
     import glob
     import shutil
 
-    total = sum(os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet")))
-    n_files = max(1, (total + target_bytes - 1) // target_bytes)
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".compact_tmp"
-    df.coalesce(int(n_files)).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + ".compact_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
+    root = path.rstrip("/")
+    # crash recovery: a previous run may have died mid-swap
+    old, tmp = root + ".compact_old", root + ".compact_tmp"
+    if not os.path.exists(root) and os.path.exists(old):
+        os.rename(old, root)  # swap died between the two renames
     shutil.rmtree(old, ignore_errors=True)
-    return len(glob.glob(os.path.join(path, "*.parquet")))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    # leaf dirs = directories that directly contain parquet files
+    # (partitioned tables have hive-style key=value subdirs)
+    leaves = sorted(
+        {os.path.dirname(f) for f in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)}
+    )
+    total_files = 0
+    for leaf in leaves:
+        files = glob.glob(os.path.join(leaf, "*.parquet"))
+        total = sum(os.path.getsize(f) for f in files)
+        n_files = int(max(1, (total + target_bytes - 1) // target_bytes))
+        if n_files >= len(files):
+            total_files += len(files)
+            continue  # already compact enough
+        leaf_tmp = leaf + ".compact_tmp"
+        leaf_old = leaf + ".compact_old"
+        shutil.rmtree(leaf_tmp, ignore_errors=True)
+        spark.read.parquet(leaf).coalesce(n_files).write.mode("overwrite").parquet(
+            leaf_tmp
+        )
+        os.rename(leaf, leaf_old)
+        os.rename(leaf_tmp, leaf)
+        shutil.rmtree(leaf_old, ignore_errors=True)
+        total_files += len(glob.glob(os.path.join(leaf, "*.parquet")))
+    return total_files
 
 
 def delete_keys(

@@ -46,7 +46,16 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join immune to hot keys: shuffle spreads each join key over
-    n_salts partitions. Result is identical to the unsalted join."""
+    n_salts partitions. Result is identical to the unsalted join for
+    inner/left-family joins; right/full outer are rejected — an
+    unmatched small-side row exists n_salts times after replication and
+    would surface once per salt.
+    """
+    if how.replace("_", "").lower() in {"right", "rightouter", "full", "fullouter", "outer"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: replicated "
+            "unmatched small-side rows would be duplicated per salt"
+        )
     lg = salt_large(large, unique_col, n_salts)
     sm = replicate_small(small, n_salts)
     return lg.join(sm, keys + ["__salt"], how).drop("__salt")

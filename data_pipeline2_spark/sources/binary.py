@@ -75,7 +75,9 @@ def ingest_binary_dir(spark: SparkSession, path: str) -> DataFrame:
             F.element_at(F.split("path", "/"), -1).alias("filename"),
             mime_detect_col().alias("content_type"),
             F.col("content"),
-            F.base64("content").alias("content_b64"),
+            # canonical unchunked base64 (Spark's base64 is MIME-chunked
+            # with CRLF every 76 chars; strip for cross-system parity)
+            F.translate(F.base64("content"), "\r\n", "").alias("content_b64"),
             F.lit("pending").alias("status"),
             F.col("modificationTime").alias("created_at"),
         )

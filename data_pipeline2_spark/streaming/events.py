@@ -81,16 +81,37 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def read_events_stream(spark, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (schema pinned —
-    streaming sources never infer)."""
+def read_events_stream(spark, path: str) -> DataFrame:
+    """File-source stream over events parquet (schema pinned —
+    streaming sources never infer).
+
+    Accepts either a testdata sf dir (streams `{path}/events.parquet`,
+    whose TIMESTAMP(NANOS) ts is read as long and converted, matching
+    sources/parquet.load_table) or a directory of events-schema parquet
+    files written by the engine (µs timestamps).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
     from data_pipeline2_spark.schemas import EVENTS
 
-    return (
-        spark.readStream.schema(EVENTS)
-        .format("parquet")
-        .load(f"{sf_dir}")
-    )
+    testdata_file = os.path.join(path, "events.parquet")
+    if os.path.exists(testdata_file):
+        raw_schema = StructType(
+            [
+                StructField(f.name, LongType() if f.name == "ts" else f.dataType)
+                for f in EVENTS.fields
+            ]
+        )
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .load(testdata_file)
+        )
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(EVENTS).format("parquet").load(path)
 
 
 def windowed_stream(

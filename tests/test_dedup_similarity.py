@@ -103,3 +103,30 @@ def test_dedup_clusters_components(spark):
            __import__("data_pipeline2_spark.operators.dedup", fromlist=["dedup"])
            .dedup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 1, 7: 7, 8: 7}
+
+
+def test_dedup_clusters_long_chain(spark):
+    # 40-hop chain: one-hop-per-round propagation would need 39 rounds;
+    # pointer doubling must converge well inside the cap
+    from data_pipeline2_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 41)], "doc_a long, doc_b long"
+    )
+    out = dedup_clusters(pairs).toPandas()
+    assert set(out.cluster_id) == {1}
+    assert len(out) == 41
+
+
+def test_cosine_zero_vector_is_null_not_nan(spark):
+    from data_pipeline2_spark.operators.dedup import dedup_near_embedding
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 0.0], 0),  # degenerate: zero norm
+        (3, [1.0, 0.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = dedup_near_embedding(emb, threshold=0.9).toPandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    assert found == {(1, 3)}  # zero vector never reported as a near-dup

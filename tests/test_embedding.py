@@ -57,3 +57,16 @@ def test_embed_metrics_counts(spark):
            for r in embedding.embed_metrics(log).collect()}
     assert out[("nomic", "success")] == 2
     assert out[("granite", "cache_hit")] == 1
+
+
+def test_embed_incremental_scoped_to_request(spark):
+    # the cache holds MANY more chunks than requested; output must be
+    # keyed to the request, not the cache
+    all_chunks = spark.createDataFrame(
+        [(f"c{i}", f"text {i}") for i in range(100)],
+        "chunk_id string, content string",
+    )
+    cached = embedding.embed_chunks(all_chunks)
+    request = all_chunks.filter(F.expr("substring(chunk_id, 2) < 10"))
+    out = embedding.embed_incremental(request, cached)
+    assert out.count() == request.count()

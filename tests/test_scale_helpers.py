@@ -65,3 +65,27 @@ def test_ensure_parallelism_noop_when_wide(spark):
     narrow = spark.range(1000).coalesce(1)
     widened = ensure_parallelism(narrow, "id")
     assert widened.rdd.getNumPartitions() > 1
+
+
+def test_sample_boundary_rates(spark):
+    from data_pipeline2_spark.operators.sampling import (
+        sample_fraction,
+        train_test_split,
+    )
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    assert sample_fraction(df, "doc_id", 100).count() == 1000
+    assert sample_fraction(df, "doc_id", 0).count() == 0
+    split = train_test_split(df, "doc_id", 80, 20)
+    counts = {r.split: r.cnt for r in
+              split.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts.get("test", 0) == 0  # 80+20 leaves no test bucket
+    assert 700 < counts["train"] < 900
+    assert counts["val"] == 1000 - counts["train"]
+
+
+def test_salted_join_rejects_outer(spark):
+    large = spark.createDataFrame([(1, 1)], "k int, row_id int")
+    small = spark.createDataFrame([(1, "x")], "k int, v string")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(large, small, ["k"], "row_id", how="full")

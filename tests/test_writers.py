@@ -43,3 +43,32 @@ def test_delete_keys_anti_join_rewrite(spark, fragmented_table):
     # idempotent: deleting again changes nothing
     out2 = delete_keys(spark, fragmented_table, doomed, "id")
     assert out2.count() == 3600
+
+
+def test_compact_preserves_partition_layout(spark):
+    d = tempfile.mkdtemp(prefix="dp2s_compact_part_")
+    path = os.path.join(d, "t")
+    df = spark.range(2000).withColumn("part", (F.col("id") % 3).cast("string"))
+    df.repartition(10).write.partitionBy("part").parquet(path)
+    before_leaves = {os.path.dirname(f) for f in
+                     glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)}
+    assert len(before_leaves) == 3
+    compact(spark, path, target_bytes=1 << 30)
+    after = spark.read.parquet(path)
+    assert after.count() == 2000
+    after_leaves = {os.path.dirname(f) for f in
+                    glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)}
+    assert after_leaves == before_leaves  # layout preserved
+    plan = after.filter(F.col("part") == "1")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_recovers_from_crashed_swap(spark, fragmented_table):
+    # simulate a crash between the two renames: table dir missing,
+    # .compact_old holding the data
+    old = fragmented_table.rstrip("/") + ".compact_old"
+    os.rename(fragmented_table, old)
+    n = compact(spark, fragmented_table, target_bytes=1 << 30)
+    assert n == 1
+    assert spark.read.parquet(fragmented_table).count() == 4000
