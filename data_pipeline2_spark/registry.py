@@ -1611,6 +1611,56 @@ def q_stratified_sample(spark, sf_dir):
 
 
 @_register(
+    "snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 400
+    ), new AS (
+      SELECT doc_id, md5(CASE WHEN doc_id % 9 = 0 THEN text || ' v2'
+                              ELSE text END) AS h
+      FROM documents WHERE doc_id >= 100
+    )
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                WHEN old.h <> new.h THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    # CDC-style snapshot diff: classify rows as added/removed/changed/
+    # unchanged between two table versions via a full outer join on the
+    # key with content-hash comparison — the incremental-publish
+    # primitive for slowly-changing lake tables
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 400).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    new = docs.filter(F.col("doc_id") >= 100).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    o = old.select(F.col("doc_id").alias("o_id"), F.col("h").alias("o_h"))
+    n = new.select(F.col("doc_id").alias("n_id"), F.col("h").alias("n_h"))
+    joined = o.join(n, o["o_id"] == n["n_id"], "full_outer")
+    change = (
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_h") != F.col("n_h"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        F.coalesce(F.col("o_id"), F.col("n_id")).alias("doc_id"),
+        change.alias("change_type"),
+    )
+
+
+@_register(
     "dataset_mix",
     """
     SELECT source, count(*) AS kept FROM documents
