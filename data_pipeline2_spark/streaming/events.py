@@ -130,6 +130,29 @@ def windowed_stream(
     )
 
 
+def enrich_stream(events_stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static join: enrich each event with a broadcast dimension.
+
+    The static side is re-read per micro-batch (picking up dim updates);
+    broadcast keeps the stream side shuffle-free — the streaming analog
+    of join_lookup.
+    """
+    return events_stream.join(F.broadcast(dim), key, "left")
+
+
+def dedup_stream(events_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event-id dedup within a watermark horizon.
+
+    dropDuplicatesWithinWatermark bounds state to the horizon (drop the
+    duplicate arrivals of the same event_id, forget ids older than the
+    watermark) — unbounded dropDuplicates state would grow forever on a
+    100 TB/day stream.
+    """
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def queue_process(
     events_stream: DataFrame,
     out_dir: str,

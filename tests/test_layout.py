@@ -73,3 +73,18 @@ def test_date_partitioned_write_prunes(spark, outdir):
     n_days = events.select("day").distinct().count()
     assert back.count() == events.filter(F.col("day") == "2024-01-05").count()
     assert n_days > 1
+
+
+def test_schema_evolution_merge(spark, outdir):
+    # v1 writer: 3 columns; v2 writer adds a column — readers must see
+    # the union schema with nulls for old files (lake schema evolution)
+    p = os.path.join(outdir, "evolving")
+    spark.createDataFrame([(1, "a", 1.0)], "id long, name string, v double") \
+        .write.parquet(os.path.join(p, "day=1"))
+    spark.createDataFrame([(2, "b", 2.0, "extra")],
+                          "id long, name string, v double, note string") \
+        .write.parquet(os.path.join(p, "day=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "name", "v", "note", "day"}
+    rows = {r.id: r.note for r in merged.collect()}
+    assert rows[1] is None and rows[2] == "extra"

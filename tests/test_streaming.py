@@ -117,3 +117,60 @@ def test_queue_process_emits_status_rows(spark, tmpdir):
     q2 = ev.queue_process(ev.read_events_stream(spark, src), out_dir, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == 5
+
+
+def test_stream_static_enrichment(spark, tmpdir):
+    src = os.path.join(tmpdir, "src")
+    _write_events(spark, src)
+    dim = spark.createDataFrame(
+        [("click", "interaction"), ("view", "passive")],
+        "event_type string, category string",
+    )
+    out = ev.enrich_stream(ev.read_events_stream(spark, src), dim, "event_type")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from enriched").collect()
+    cats = {r.event_id: r.category for r in rows}
+    assert cats[1] == "interaction" and cats[3] == "passive"
+    assert len(rows) == 5  # left join keeps unmatched events
+
+
+def test_stream_dedup_within_watermark(spark, tmpdir):
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    b1 = [(1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+          (2, "2024-01-01 00:01:00", 1, "click", 2.0, "{}")]
+    b2 = [(1, "2024-01-01 00:02:00", 1, "click", 1.0, "{}"),  # dup id 1
+          (3, "2024-01-01 00:03:00", 1, "click", 3.0, "{}")]
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(os.path.join(src, "b0")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = ev.dedup_stream(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdd")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = [r.event_id for r in spark.sql("select * from sdd").collect()]
+    assert sorted(ids) == [1, 2, 3]  # duplicate arrival of id 1 dropped
