@@ -35,9 +35,12 @@ def dedup_exact(
 
     → (content_sha, keep_id, dup_count): keeper = min doc id. Filtering
     the corpus = semi-join on (content_sha, keep_id) or dropDuplicates.
+    NULL-text rows are excluded (sha2(NULL) is NULL — grouping them
+    would collapse unrelated null-text docs into one fake dup cluster).
     """
     return (
-        documents.select(
+        documents.filter(F.col(text_col).isNotNull())
+        .select(
             content_hash(F.col(text_col)).alias("content_sha"),
             F.col(id_col).alias("doc_id"),
         )
@@ -52,11 +55,16 @@ def dedup_exact(
 def dedup_exact_drop(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Corpus with exact duplicates removed (keeper = min doc_id)."""
+    """Corpus with exact duplicates removed (keeper = min doc_id);
+    NULL-text rows pass through untouched (they are not duplicates of
+    each other)."""
     keep = dedup_exact(documents, id_col, text_col).select(
         F.col("keep_id").alias(id_col)
     )
-    return documents.join(keep, id_col, "left_semi")
+    kept = documents.filter(F.col(text_col).isNotNull()).join(
+        keep, id_col, "left_semi"
+    )
+    return kept.unionByName(documents.filter(F.col(text_col).isNull()))
 
 
 def doc_shingles(
@@ -264,18 +272,22 @@ def dedup_near_minhash(
     """
     sh_all = doc_shingles(documents, shingle_n, id_col, text_col, distinct=False)
     sigs = minhash_signature_cols(sh_all, n_perm)
-    # cands feeds three consumers; persisting it is O(candidate pairs) —
-    # unlike caching the full shingle set, this stays tiny at any corpus size
+    # cands feeds three consumers; eager localCheckpoint materializes it
+    # once and truncates lineage (O(candidate pairs) storage — unlike
+    # caching the full shingle set, tiny at any corpus size; cleaned by
+    # the ContextCleaner when the result DataFrame is released)
     cands = lsh_candidate_pairs(
         lsh_band_keys_wide(sigs, n_perm, band_size)
-    ).persist()
+    ).localCheckpoint(eager=True)
     cand_ids = (
         cands.select(F.col("doc_a").alias(id_col))
         .unionByName(cands.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
     cand_docs = documents.join(cand_ids, id_col, "left_semi")
-    sh_cand = doc_shingles(cand_docs, shingle_n, id_col, text_col).persist()
+    sh_cand = doc_shingles(cand_docs, shingle_n, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     return jaccard_pairs(cands, sh_cand, threshold)
 
 
@@ -285,30 +297,42 @@ def simhash64(
     """64-bit SimHash per document from token md5s → (doc_id, simhash).
 
     Bit b of the fingerprint is the sign of sum over tokens of (+1 if
-    bit b of md5(token) set else -1). conv(hex,16,10) keeps it
-    JVM-side; near-dup = hamming distance on the result.
+    bit b of md5(token) set else -1); the 64 bits come from two 32-bit
+    halves of the digest (conv(hex,16,10) keeps it JVM-side). Near-dup
+    = hamming distance on the result. Uses the canonical tokens()
+    (blank documents yield no tokens and are excluded, rather than all
+    colliding on md5('')).
     """
     toks = documents.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    md5h = F.md5(F.col("tok"))
+    h_lo = F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long")
+    h_hi = F.conv(F.substring(md5h, 9, 8), 16, 10).cast("long")
     with_bits = toks.select(
         "doc_id",
         *[
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+            F.when(
+                F.shiftright(h_lo if b < 32 else h_hi, b % 32).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            )
             .otherwise(-1)
             .alias(f"b{b}")
-            for b in range(60)
+            for b in range(64)
         ],
     )
     sums = with_bits.groupBy("doc_id").agg(
-        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(60)]
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(64)]
     )
     fingerprint = None
-    for b in range(60):
+    for b in range(64):
         bit = F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0))
-        term = bit * F.lit(1 << b).cast("long")
+        # bit 63 as a positive power would overflow signed long; the
+        # fingerprint is an arbitrary 64-bit pattern, so fold bit 63 in
+        # via the sign (two's complement)
+        term = bit * F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
         fingerprint = term if fingerprint is None else fingerprint + term
     return sums.select("doc_id", fingerprint.alias("simhash"))
 

@@ -89,6 +89,7 @@ def stratified_sample(
     df: DataFrame, group_col: str, key_col: str, rate_pct: int, salt: str = ""
 ) -> DataFrame:
     """~rate_pct% of every group, hash-decided (no rand, no groupBy)."""
-    threshold = format(int(round(256 * rate_pct / 100.0)), "02x")
     key = F.concat_ws("|", F.col(group_col), F.col(key_col).cast("string"))
-    return df.filter(F.substring(_hash_key(key, salt), 1, 2) < F.lit(threshold))
+    return df.filter(
+        F.substring(_hash_key(key, salt), 1, 2) < F.lit(_threshold(rate_pct))
+    )

@@ -48,9 +48,20 @@ def upsert_documents(
     version_col: str = "updated_at",
 ) -> DataFrame:
     """ES-style upsert-by-id: append updates, keep latest per key,
-    rewrite. (document_storage.py:86-114 as a batch rewrite.)"""
+    rewrite. (document_storage.py:86-114 as a batch rewrite.)
+
+    Version ties (same key, same version, different payload) break
+    deterministically on a content hash of the remaining columns —
+    never on partition order, so reruns produce identical tables.
+    """
     log = base.unionByName(updates)
-    current = latest_state(log, [key], [F.desc(version_col)])
+    payload_cols = [c for c in log.columns if c not in (key, version_col)]
+    tie_break = F.md5(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in payload_cols])
+    )
+    current = latest_state(
+        log, [key], [F.desc(version_col), F.desc(tie_break)]
+    )
     return write_parquet_roundtrip(current, path)
 
 
@@ -72,6 +83,33 @@ def write_jobs_partitioned(jobs: DataFrame, path: str) -> DataFrame:
     return write_parquet_roundtrip(jobs, path, partition_by=["job_type"])
 
 
+def _recover_swaps(root: str, suffix: str) -> None:
+    """Repair `<dir>{suffix}_old` / `<dir>{suffix}_tmp` leftovers from a
+    crashed swap, at the root AND at every partition leaf.
+
+    A crash between os.rename(leaf, leaf_old) and os.rename(leaf_tmp,
+    leaf) leaves the leaf missing with its data in leaf_old; restore it.
+    Any remaining _old/_tmp dirs are deleted so a rerun's recursive glob
+    cannot mistake them for hive partitions.
+    """
+    import glob
+    import shutil
+
+    if not os.path.exists(root) and os.path.exists(root + suffix + "_old"):
+        os.rename(root + suffix + "_old", root)  # root swap died mid-way
+    shutil.rmtree(root + suffix + "_old", ignore_errors=True)
+    shutil.rmtree(root + suffix + "_tmp", ignore_errors=True)
+    if os.path.isdir(root):
+        for d in glob.glob(os.path.join(root, "**", f"*{suffix}_old"), recursive=True):
+            original = d[: -len(suffix + "_old")]
+            if not os.path.exists(original):
+                os.rename(d, original)  # leaf swap died mid-way
+            else:
+                shutil.rmtree(d, ignore_errors=True)
+        for d in glob.glob(os.path.join(root, "**", f"*{suffix}_tmp"), recursive=True):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def compact(spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024):
     """Small-file compaction: rewrite each leaf directory of a table
     into ~target_bytes files, preserving any partition layout.
@@ -87,15 +125,11 @@ def compact(spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 102
     import shutil
 
     root = path.rstrip("/")
-    # crash recovery: a previous run may have died mid-swap
-    old, tmp = root + ".compact_old", root + ".compact_tmp"
-    if not os.path.exists(root) and os.path.exists(old):
-        os.rename(old, root)  # swap died between the two renames
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
+    _recover_swaps(root, ".compact")
 
     # leaf dirs = directories that directly contain parquet files
-    # (partitioned tables have hive-style key=value subdirs)
+    # (partitioned tables have hive-style key=value subdirs); swap
+    # leftovers were cleared above so none can masquerade as partitions
     leaves = sorted(
         {os.path.dirname(f) for f in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)}
     )
@@ -120,24 +154,52 @@ def compact(spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 102
     return total_files
 
 
+def _partition_columns(path: str) -> list[str]:
+    """Hive-style partition column names (in nesting order) of a table
+    directory, detected from `key=value` subdirectory names."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        subdirs = [
+            d for d in os.listdir(cur)
+            if "=" in d and os.path.isdir(os.path.join(cur, d))
+        ]
+        if not subdirs:
+            return cols
+        name = subdirs[0].split("=", 1)[0]
+        cols.append(name)
+        cur = os.path.join(cur, subdirs[0])
+
+
 def delete_keys(
     spark: SparkSession, path: str, keys_df: DataFrame, key_col: str
 ) -> DataFrame:
     """Hard-delete rows by key from an immutable table: anti-join
-    rewrite (the GDPR/right-to-be-forgotten pattern). On a partitioned
-    lake, restrict the rewrite to affected partitions.
+    rewrite (the GDPR/right-to-be-forgotten pattern).
+
+    Preserves any hive partition layout (detected from the directory
+    structure and re-applied via partitionBy) and recovers from a crash
+    between the swap renames before running — safe to re-run. On a real
+    partitioned lake, additionally restrict the rewrite to partitions
+    that actually contain doomed keys.
     """
-    df = spark.read.parquet(path)
-    kept = df.join(keys_df.select(key_col), key_col, "left_anti")
-    tmp = path.rstrip("/") + ".delete_tmp"
-    kept.write.mode("overwrite").parquet(tmp)
     import shutil
 
-    old = path.rstrip("/") + ".delete_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
+    root = path.rstrip("/")
+    _recover_swaps(root, ".delete")
+    part_cols = _partition_columns(root)
+    df = spark.read.parquet(root)
+    kept = df.join(keys_df.select(key_col), key_col, "left_anti")
+    tmp = root + ".delete_tmp"
+    writer = kept.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp)
+    old = root + ".delete_old"
+    os.rename(root, old)
+    os.rename(tmp, root)
     shutil.rmtree(old, ignore_errors=True)
-    return spark.read.parquet(path)
+    return spark.read.parquet(root)
 
 
 def scratch_dir(name: str, sf_dir: str) -> str:

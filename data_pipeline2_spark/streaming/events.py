@@ -162,20 +162,24 @@ def queue_process(
     emit per-item status rows, exactly-once via checkpointing.
 
     foreachBatch writes a status log (append-only; current state =
-    latest-wins window, operators/lifecycle.py). availableNow trigger
-    drains everything then stops — the batch-parity mode the tests use;
-    a live deployment omits the trigger. Graceful shutdown =
-    `query.stop()`, replacing the reference's (None, None) poison pill
-    (document_processor.py:35,82-84).
+    latest-wins window, operators/lifecycle.py). Exactly-once comes from
+    IDEMPOTENT batch writes: each micro-batch overwrites its own
+    batch_id-keyed partition, so a crash between the sink write and the
+    checkpoint commit replays the batch onto itself instead of
+    appending duplicates (a blind append would be at-least-once).
+    availableNow trigger drains everything then stops — the
+    batch-parity mode the tests use; a live deployment omits the
+    trigger. Graceful shutdown = `query.stop()`, replacing the
+    reference's (None, None) poison pill (document_processor.py:35,82-84).
     """
+    import os
 
     def handle_batch(batch_df: DataFrame, batch_id: int):
         (
             batch_df.withColumn("status", F.lit("completed"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .select("event_id", "ts", "event_type", "status", "batch_id")
-            .write.mode("append")
-            .parquet(out_dir)
+            .select("event_id", "ts", "event_type", "status")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
         )
 
     return (

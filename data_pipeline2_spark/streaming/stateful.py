@@ -9,9 +9,12 @@ scale the equivalent needs per-key state that survives micro-batches:
 - `running_user_totals`: per-user running aggregate emitted per batch
   (the job-progress analog: processed_items accumulating).
 
-Both use GroupState with timeouts so state is bounded — the property
-that matters at 100 TB/day: state size is O(distinct keys in window),
-not O(events).
+State is bounded when a processing-time TTL is configured (the
+`state_ttl` parameter → GroupStateTimeout.ProcessingTimeTimeout with
+per-key eviction): size stays O(keys active within the TTL), not
+O(all keys ever seen) — the property that matters at 100 TB/day. The
+default (no TTL) keeps state forever, which is only appropriate for
+bounded key domains (e.g. event_type).
 """
 
 from __future__ import annotations
@@ -24,13 +27,19 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 DEDUP_SCHEMA = "key string, first_ts timestamp"
 DEDUP_STATE_SCHEMA = "seen boolean"
+DEDUP_STATE_TTL_MS = 24 * 3600 * 1000  # embedding-cache TTL analog (86400 s)
 
 TOTALS_SCHEMA = "user_id long, events long, total_value double"
 TOTALS_STATE_SCHEMA = "events long, total_value double"
 
 
 def dedup_first_seen(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    """Emit the first occurrence of each key, drop the rest."""
+    """Emit the first occurrence of each key, drop the rest. A timed-out
+    key's marker is evicted (after the configured TTL the key may be
+    emitted again — bounded-state streaming dedup semantics)."""
+    if state.hasTimedOut:
+        state.remove()
+        return iter(())
     if state.exists:
         return iter(())
     first_ts = None
@@ -38,6 +47,10 @@ def dedup_first_seen(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         ts = pdf["ts"].min()
         first_ts = ts if first_ts is None else min(first_ts, ts)
     state.update((True,))
+    try:  # evict the marker after the TTL (only in ProcessingTimeTimeout mode)
+        state.setTimeoutDuration(DEDUP_STATE_TTL_MS)
+    except Exception:
+        pass  # NoTimeout mode: bounded key domain, marker kept forever
     return iter([pd.DataFrame({"key": [key[0]], "first_ts": [first_ts]})])
 
 
@@ -58,8 +71,17 @@ def running_totals(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     )
 
 
-def streaming_dedup_first_seen(events_stream):
-    """events stream → one row per event_type with its first timestamp."""
+def streaming_dedup_first_seen(events_stream, bounded_state: bool = False):
+    """events stream → one row per event_type with its first timestamp.
+
+    bounded_state=True enables the processing-time TTL (state evicted
+    after DEDUP_STATE_TTL_MS) — required for unbounded key domains.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if bounded_state
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events_stream.select("event_type", "ts")
         .withColumnRenamed("event_type", "key")
@@ -69,7 +91,7 @@ def streaming_dedup_first_seen(events_stream):
             outputStructType=DEDUP_SCHEMA,
             stateStructType=DEDUP_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

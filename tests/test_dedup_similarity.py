@@ -54,8 +54,9 @@ def test_minhash_finds_near_dups(spark, dup_docs):
 def test_simhash_identical_and_near(spark, dup_docs):
     out = {r.doc_id: r.simhash for r in dedup.simhash64(dup_docs).collect()}
     assert out[1] == out[2]
-    ham_near = bin(out[1] ^ out[3]).count("1")
-    ham_far = bin(out[1] ^ out[4]).count("1")
+    mask = (1 << 64) - 1  # hashes are signed 64-bit patterns
+    ham_near = bin((out[1] ^ out[3]) & mask).count("1")
+    ham_far = bin((out[1] ^ out[4]) & mask).count("1")
     assert ham_near < ham_far
 
 
@@ -130,3 +131,13 @@ def test_cosine_zero_vector_is_null_not_nan(spark):
     pairs = dedup_near_embedding(emb, threshold=0.9).toPandas()
     found = set(zip(pairs.id_a, pairs.id_b))
     assert found == {(1, 3)}  # zero vector never reported as a near-dup
+
+
+def test_dedup_exact_null_text_passthrough(spark):
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_exact_drop(docs).toPandas()
+    # null-text docs are not duplicates of each other: both survive
+    assert set(out.doc_id) == {1, 3, 4}

@@ -89,3 +89,13 @@ def test_salted_join_rejects_outer(spark):
     small = spark.createDataFrame([(1, "x")], "k int, v string")
     with pytest.raises(ValueError, match="salted_join"):
         salted_join(large, small, ["k"], "row_id", how="full")
+
+
+def test_stratified_sample_boundary(spark):
+    from data_pipeline2_spark.operators.sampling import stratified_sample
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id").withColumn(
+        "lang", (F.col("doc_id") % 3).cast("string")
+    )
+    assert stratified_sample(df, "lang", "doc_id", 100).count() == 500
+    assert stratified_sample(df, "lang", "doc_id", 0).count() == 0

@@ -72,3 +72,58 @@ def test_compact_recovers_from_crashed_swap(spark, fragmented_table):
     n = compact(spark, fragmented_table, target_bytes=1 << 30)
     assert n == 1
     assert spark.read.parquet(fragmented_table).count() == 4000
+
+
+def test_compact_recovers_partitioned_leaf_crash(spark):
+    d = tempfile.mkdtemp(prefix="dp2s_leafcrash_")
+    path = os.path.join(d, "t")
+    df = spark.range(600).withColumn("part", (F.col("id") % 2).cast("string"))
+    df.repartition(6).write.partitionBy("part").parquet(path)
+    # simulate a crash mid-leaf-swap: leaf renamed away, tmp left behind
+    leaf = os.path.join(path, "part=0")
+    os.rename(leaf, leaf + ".compact_old")
+    os.makedirs(leaf + ".compact_tmp")
+    compact(spark, path, target_bytes=1 << 30)
+    back = spark.read.parquet(path)
+    assert back.count() == 600  # leaf restored, nothing lost
+    # partition-value inference may read them back as ints; compare as str
+    assert {str(r.part) for r in back.select("part").distinct().collect()} == {"0", "1"}
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_delete_keys_preserves_partitions_and_recovers(spark):
+    d = tempfile.mkdtemp(prefix="dp2s_delpart_")
+    path = os.path.join(d, "t")
+    df = spark.range(500).withColumn("part", (F.col("id") % 2).cast("string"))
+    df.write.partitionBy("part").parquet(path)
+    doomed = spark.createDataFrame([(i,) for i in range(0, 500, 5)], "id long")
+    out = delete_keys(spark, path, doomed, "id")
+    assert out.count() == 400
+    # partition layout survived
+    assert any("part=" in n for n in os.listdir(path))
+    plan = spark.read.parquet(path).filter(F.col("part") == "1")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # crash recovery: table renamed away mid-swap, rerun restores + deletes
+    os.rename(path, path + ".delete_old")
+    out2 = delete_keys(spark, path, doomed, "id")
+    assert out2.count() == 400
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_upsert_version_tie_is_deterministic(spark):
+    base = spark.createDataFrame(
+        [(1, "aaa", 1), (1, "zzz", 1)], "doc_id long, payload string, version int"
+    )
+    d = tempfile.mkdtemp(prefix="dp2s_tie_")
+    from data_pipeline2_spark.operators.writers import upsert_documents
+
+    outs = set()
+    for i in range(3):
+        out = upsert_documents(
+            base, base.limit(0), os.path.join(d, f"t{i}"),
+            key="doc_id", version_col="version",
+        )
+        outs.add(out.collect()[0]["payload"])
+    assert len(outs) == 1  # same winner every run
+    shutil.rmtree(d, ignore_errors=True)
