@@ -532,13 +532,19 @@ def q_q18(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    qty = F.sum(F.col("l_quantity").cast("decimal(25,2)"))
+    # aggregate-below-join: quantity sums collapse lineitem to one row
+    # per orderkey (and the >200 filter prunes to a handful) before any
+    # join touches it — grouping key ⊇ join key makes this exact
+    li_agg = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,2)")).alias("__qty"))
+        .withColumn("total_qty", F.col("__qty").cast("double"))
+        .filter(F.col("total_qty") > 200)
+    )
     return (
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .agg(qty.cast("double").alias("total_qty"))
-        .filter(F.col("total_qty") > 200)
+        .join(li_agg, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
