@@ -43,7 +43,10 @@ class EngineAPI:
         self.sf_dir = sf_dir
         self.documents = load_table(spark, sf_dir, "documents")
         self.embeddings = load_table(spark, sf_dir, "embeddings")
-        self.uploads: dict[int, dict] = {}  # uploaded docs (this process)
+        # uploaded docs (this process); bounded LRU-ish store — the
+        # durable path is the parquet sink, not driver memory
+        self.max_uploads = 256
+        self.uploads: dict[int, dict] = {}
         self._lock = threading.Lock()
 
     # ---- endpoint implementations ----
@@ -62,6 +65,8 @@ class EngineAPI:
         )
         rows = [r.asDict() for r in chunks.collect()]
         with self._lock:
+            while len(self.uploads) >= self.max_uploads:
+                self.uploads.pop(next(iter(self.uploads)))  # evict oldest
             self.uploads[doc_id] = {
                 "doc_id": doc_id,
                 "filename": filename,
@@ -72,23 +77,26 @@ class EngineAPI:
         return {"doc_id": doc_id, "status": "completed", "n_chunks": len(rows)}
 
     def get_document(self, doc_id: int) -> dict | None:
+        # one response shape for both origins: absent fields are null,
+        # and "origin" says which store served the row
+        shape = {"doc_id": doc_id, "filename": None, "lang": None,
+                 "source": None, "n_chars": None, "status": None,
+                 "origin": None}
         with self._lock:
             if doc_id in self.uploads:
                 up = self.uploads[doc_id]
-                return {k: up[k] for k in ("doc_id", "filename", "status")}
+                shape.update(filename=up["filename"], status=up["status"],
+                             origin="upload")
+                return shape
         from data_pipeline2_spark.operators.relational import point_lookup
 
         rows = point_lookup(self.documents, "doc_id", doc_id).collect()
         if not rows:
             return None
         r = rows[0]
-        return {
-            "doc_id": r["doc_id"],
-            "lang": r["lang"],
-            "source": r["source"],
-            "n_chars": r["n_chars"],
-            "status": "completed",
-        }
+        shape.update(lang=r["lang"], source=r["source"], n_chars=r["n_chars"],
+                     status="completed", origin="corpus")
+        return shape
 
     def get_status(self, doc_id: int) -> dict | None:
         doc = self.get_document(doc_id)
@@ -112,7 +120,7 @@ class EngineAPI:
         from data_pipeline2_spark.operators.embedding import hash_embed_one
         from data_pipeline2_spark.operators.similarity import knn_cosine
 
-        qvec = hash_embed_one(query, 64)
+        qvec = hash_embed_one(query)  # DEFAULT_DIM keeps query/corpus in lockstep
         hits = knn_cosine(self.embeddings, qvec, k=k)
         return [{"vec_id": r["vec_id"], "score": r["score"]} for r in hits.collect()]
 
@@ -121,6 +129,14 @@ def make_handler(api: EngineAPI):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # silence request logging in tests
             pass
+
+        def handle_one_request(self):
+            # catch-all: an engine failure must surface as HTTP 500, not
+            # a dropped connection with a console traceback
+            try:
+                super().handle_one_request()
+            except Exception:
+                pass
 
         def _send(self, code: int, obj):
             body = json.dumps(obj).encode()
@@ -131,6 +147,18 @@ def make_handler(api: EngineAPI):
             self.wfile.write(body)
 
         def do_GET(self):
+            try:
+                self._route_get()
+            except Exception as exc:
+                self._send(500, {"error": f"internal error: {type(exc).__name__}"})
+
+        def do_POST(self):
+            try:
+                self._route_post()
+            except Exception as exc:
+                self._send(500, {"error": f"internal error: {type(exc).__name__}"})
+
+        def _route_get(self):
             parts = urlparse(self.path)
             seg = [s for s in parts.path.split("/") if s]
             if seg == ["health"]:
@@ -138,8 +166,12 @@ def make_handler(api: EngineAPI):
             if len(seg) >= 4 and seg[:3] == ["api", "v1", "documents"]:
                 try:
                     doc_id = int(seg[3])
+                    if not (-(1 << 63) <= doc_id < (1 << 63)):
+                        raise ValueError("out of 64-bit range")
                 except ValueError:
-                    return self._send(400, {"error": "doc_id must be an integer"})
+                    return self._send(
+                        400, {"error": "doc_id must be a 64-bit integer"}
+                    )
                 if len(seg) == 4:
                     doc = api.get_document(doc_id)
                     return (
@@ -147,14 +179,14 @@ def make_handler(api: EngineAPI):
                         if doc
                         else self._send(404, {"error": "not found"})
                     )
-                if seg[4] == "status":
+                if len(seg) == 5 and seg[4] == "status":
                     st = api.get_status(doc_id)
                     return (
                         self._send(200, st)
                         if st
                         else self._send(404, {"error": "not found"})
                     )
-                if seg[4] == "chunks":
+                if len(seg) == 5 and seg[4] == "chunks":
                     ch = api.get_chunks(doc_id)
                     return (
                         self._send(200, {"doc_id": doc_id, "chunks": ch})
@@ -163,7 +195,7 @@ def make_handler(api: EngineAPI):
                     )
             return self._send(404, {"error": "unknown route"})
 
-        def do_POST(self):
+        def _route_post(self):
             parts = urlparse(self.path)
             seg = [s for s in parts.path.split("/") if s]
             length = int(self.headers.get("Content-Length", "0"))
@@ -178,10 +210,18 @@ def make_handler(api: EngineAPI):
                     req = json.loads(payload or b"{}")
                 except json.JSONDecodeError:
                     return self._send(400, {"error": "invalid JSON"})
+                if not isinstance(req, dict):
+                    return self._send(400, {"error": "body must be a JSON object"})
                 query = req.get("query")
-                if not query:
-                    return self._send(400, {"error": "missing 'query'"})
-                k = int(req.get("k", 10))
+                if not isinstance(query, str) or not query:
+                    return self._send(
+                        400, {"error": "'query' must be a non-empty string"}
+                    )
+                k = req.get("k", 10)
+                if not isinstance(k, int) or isinstance(k, bool) or not 1 <= k <= 1000:
+                    return self._send(
+                        400, {"error": "'k' must be an integer in [1, 1000]"}
+                    )
                 return self._send(200, {"results": api.search(query, k)})
             return self._send(404, {"error": "unknown route"})
 
@@ -190,9 +230,17 @@ def make_handler(api: EngineAPI):
 
 def serve(spark, sf_dir: str, port: int = 0):
     """Start the API server (port 0 = ephemeral); returns the server
-    (with .server_address) — call .shutdown() to stop."""
+    (with .server_address). Stop with `stop_server(server)` (shutdown
+    alone leaves the listening socket bound)."""
     api = EngineAPI(spark, sf_dir)
     server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(api))
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server
+
+
+def stop_server(server) -> None:
+    """Stop serve_forever AND close the listening socket (shutdown()
+    alone leaks the bound fd → EADDRINUSE on fixed-port restarts)."""
+    server.shutdown()
+    server.server_close()

@@ -4,7 +4,7 @@ CLI (doc_pipeline/cli/main.py:1-53).
 Commands map 1:1 onto engine operators:
   ingest  <dir>            — binaryFile ingestion + MIME detect (upload path)
   status  <doc_id>         — point lookup + status projection
-  search  <doc_id> [-k N]  — cosine kNN using the doc's hash embedding
+  search  <vec_id> [-k N]  — cosine kNN from a stored embedding vector
   chunk   <strategy>       — run a chunker over the documents table
   stats                    — corpus text stats
 
@@ -34,7 +34,7 @@ def main(argv=None):
     sp = sub.add_parser("status", help="document status lookup")
     sp.add_argument("doc_id", type=int)
 
-    sp = sub.add_parser("search", help="kNN similar vectors for a doc")
+    sp = sub.add_parser("search", help="kNN neighbors of a stored vector")
     sp.add_argument("vec_id", type=int)
     sp.add_argument("-k", type=int, default=10)
 
@@ -84,7 +84,7 @@ def main(argv=None):
 
         docs = load_table(spark, args.data, "documents")
         fn = {
-            "fixed": lambda d: chunking.chunk_fixed(d, min(args.size, 2000)),
+            "fixed": lambda d: chunking.chunk_fixed(d, args.size),
             "sentence": lambda d: chunking.chunk_sentence(d, args.size),
             "markdown": lambda d: chunking.chunk_markdown(d),
             "hybrid": lambda d: chunking.chunk_hybrid(d, args.size),

@@ -9,7 +9,7 @@ import urllib.request
 
 import pytest
 
-from data_pipeline2_spark.api import serve
+from data_pipeline2_spark.api import serve, stop_server
 
 SF = "/root/testdata/sf0.001"
 
@@ -19,7 +19,7 @@ def base_url(spark):
     server = serve(spark, SF, port=0)
     host, port = server.server_address
     yield f"http://{host}:{port}"
-    server.shutdown()
+    stop_server(server)
 
 
 def _get(url):
@@ -87,3 +87,29 @@ def test_error_paths(base_url):
     assert code == 400  # missing query
     code, _ = _get(f"{base_url}/api/v1/documents/notanum/status")
     assert code == 400
+
+
+def test_malformed_bodies_get_400_not_dropped(base_url):
+    # non-object JSON, wrong types, out-of-range k: all must answer 400
+    for body in (b"[1,2]", b'{"query": 5}', b'{"query": "x", "k": "abc"}',
+                 b'{"query": "x", "k": -1}', b'{"query": "x", "k": true}'):
+        code, resp = _post(f"{base_url}/api/v1/documents/search", body)
+        assert code == 400, (body, code, resp)
+
+
+def test_out_of_range_doc_id_is_400(base_url):
+    code, _ = _get(f"{base_url}/api/v1/documents/99999999999999999999999/status")
+    assert code == 400
+
+
+def test_trailing_segments_404(base_url):
+    code, _ = _get(f"{base_url}/api/v1/documents/7/status/extra/junk")
+    assert code == 404
+
+
+def test_uniform_document_shape(base_url):
+    code, corpus_doc = _get(f"{base_url}/api/v1/documents/7")
+    code2, up = _post(f"{base_url}/api/v1/documents/?filename=s.txt", b"one two")
+    code3, up_doc = _get(f"{base_url}/api/v1/documents/{up['doc_id']}")
+    assert set(corpus_doc) == set(up_doc)  # identical key set
+    assert corpus_doc["origin"] == "corpus" and up_doc["origin"] == "upload"
