@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""End-to-end training-data pipeline on the engine — the composition a
+user of the reference system would run after switching:
+
+  raw corpus → quality filter → exact dedup → near dedup (MinHash
+  clusters) → chunk to token budget → embed (cache-aside) → pack into
+  training sequences → stable train/val/test split → partitioned
+  parquet layout
+
+Run:  python examples/training_data_pipeline.py [sf_dir] [out_dir]
+Defaults: /root/testdata/sf0.01 → /tmp/dp2s_example_out
+Every stage prints row counts; the output directory holds the final
+sequence table partitioned by split.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def main(sf_dir: str, out_dir: str):
+    from data_pipeline2_spark.operators import chunking, dedup, embedding
+    from data_pipeline2_spark.operators.sampling import train_test_split
+    from data_pipeline2_spark.operators.textanalysis import quality_score
+    from data_pipeline2_spark.session import get_spark
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    spark = get_spark("dp2s-example")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    print(f"corpus:            {docs.count():>8} docs")
+
+    # 1. quality filter: drop bottom-quality documents
+    scored = quality_score(docs).filter(F.col("quality") >= 0.5)
+    docs = docs.join(scored.select("doc_id"), "doc_id", "left_semi")
+    print(f"quality >= 0.5:    {docs.count():>8} docs")
+
+    # 2. exact dedup (normalized content hash, keeper = min id)
+    docs = dedup.dedup_exact_drop(docs)
+    print(f"exact-deduped:     {docs.count():>8} docs")
+
+    # 3. near dedup: MinHash/LSH pairs → connected components → keep
+    #    one doc per cluster
+    pairs = dedup.dedup_near_minhash(docs, threshold=0.6)
+    clusters = dedup.dedup_clusters(pairs)
+    doomed = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    docs = docs.join(doomed, "doc_id", "left_anti")
+    print(f"near-deduped:      {docs.count():>8} docs")
+
+    # 4. chunk to a 64-token budget (context-window chunking)
+    chunks = chunking.chunk_metadata_enrich(
+        chunking.chunk_sentence(docs, 400), "sentence"
+    )
+    print(f"chunks:            {chunks.count():>8}")
+
+    # 5. embed with cache-aside (second run would only embed new chunks)
+    cache_path = os.path.join(out_dir, "embedding_cache")
+    try:
+        cached = spark.read.parquet(cache_path)
+    except Exception:
+        cached = spark.createDataFrame(
+            [], "chunk_id string, provider string, embedding array<float>"
+        )
+    embedded = embedding.embed_incremental(chunks, cached)
+    embedded.write.mode("overwrite").parquet(cache_path)
+    print(f"embedded:          {embedded.count():>8} vectors (cache at {cache_path})")
+
+    # 6. pack whole documents into ~512-token training sequences and
+    #    split stably by document id
+    est = F.ceil(F.col("n_chars") / 4.0).cast("long")
+    sized = docs.select("doc_id", "text", est.alias("est_tokens"))
+    split = train_test_split(sized, "doc_id", 90, 5)
+    w = (
+        Window.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = split.withColumn(
+        "seq_id",
+        F.floor((F.sum("est_tokens").over(w) - 1) / 512.0).cast("int"),
+    )
+    final = out.select("split", "seq_id", "doc_id", "est_tokens", "text")
+    final.write.mode("overwrite").partitionBy("split").parquet(
+        os.path.join(out_dir, "sequences")
+    )
+    print("final split:")
+    final.groupBy("split").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.count_distinct("seq_id").alias("sequences"),
+        F.sum("est_tokens").alias("tokens"),
+    ).orderBy("split").show()
+    print(f"written to {out_dir}/sequences (partitioned by split)")
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dp2s_example_out"
+    main(sf, out)
