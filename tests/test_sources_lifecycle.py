@@ -131,3 +131,27 @@ def test_metadata_filter_malformed_json(spark):
     out = metadata_filter(evt, "props", "$.k", lambda c: c.cast("int") > 50)
     # malformed/missing JSON → null extraction → filtered out, no errors
     assert [r.event_id for r in out.collect()] == [1]
+
+
+def test_convert_documents_seam(spark, upload_dir):
+    from data_pipeline2_spark.operators.convert import convert_documents
+
+    ingested = ingest_binary_dir(spark, upload_dir)
+    # strict mode raises at the docling plug-in point for binary formats
+    with pytest.raises(Exception, match="NotImplementedError|no converter"):
+        convert_documents(ingested).collect()
+    # lenient mode converts text formats for real, stubs the rest
+    out = convert_documents(ingested, lenient=True).toPandas()
+    assert len(out) == 5
+    md = out[out.content_type == "text/markdown"].iloc[0]
+    assert md["text"].startswith("# heading") and md["converter"] == "text/markdown"
+    pdf = out[out.content_type == "application/pdf"].iloc[0]
+    assert pdf["converter"] == "stub" and "unconverted" in pdf["text"]
+    # custom converter plugs into the same seam
+    out2 = convert_documents(
+        ingested,
+        converters={"application/pdf": lambda b: f"PDFTEXT:{len(b)}"},
+        lenient=True,
+    ).toPandas()
+    pdf2 = out2[out2.content_type == "application/pdf"].iloc[0]
+    assert pdf2["text"].startswith("PDFTEXT:")
