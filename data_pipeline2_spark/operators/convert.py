@@ -79,29 +79,37 @@ def convert_documents(
 
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                mime = r["content_type"]
-                payload = bytes(r["content"] or b"")
+            # zip over columns, not iterrows: per-row Series construction
+            # would dominate this CPU-heavy stage
+            for doc_id, mime, content in zip(
+                pdf["doc_id"], pdf["content_type"], pdf["content"]
+            ):
+                payload = bytes(content or b"")
                 fn = table.get(mime)
                 if fn is not None:
-                    out.append((r["doc_id"], mime, fn(payload), mime))
+                    out.append((doc_id, mime, fn(payload), mime))
                 elif lenient:
                     sha = hashlib.sha256(payload).hexdigest()[:16]
                     out.append(
                         (
-                            r["doc_id"],
+                            doc_id,
                             mime,
                             f"[unconverted {mime} payload sha256:{sha} "
                             f"bytes:{len(payload)}]",
                             "stub",
                         )
                     )
-                else:
+                elif mime in STUBBED_MIMES:
                     # the docling plug-in point (docling_service.py:199)
                     raise NotImplementedError(
-                        f"no converter for {mime}; docling-class converters "
-                        "are external dependencies — register one or use "
+                        f"{mime} requires a docling-class converter "
+                        "(external dependency) — register one or use "
                         "lenient=True"
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"unknown content type {mime!r}: no converter "
+                        "registered and not a recognized document format"
                     )
             yield pd.DataFrame(
                 out, columns=["doc_id", "content_type", "text", "converter"]

@@ -39,7 +39,9 @@ def documents_as_assets(documents: DataFrame) -> DataFrame:
         F.col("doc_id").alias("asset_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
+            # pmod: % follows the dividend's sign, so negative ids would
+            # hit index 0 (ANSI error) or index -1 (wrong modality)
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
         ).alias("modality"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
@@ -71,8 +73,10 @@ def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
                     "deterministic stand-in"
                 )
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"] or b"")
+            for asset_id, modality, raw in zip(
+                pdf["asset_id"], pdf["modality"], pdf["payload"]
+            ):
+                payload = bytes(raw or b"")
                 sha = hashlib.sha256(payload).hexdigest()
                 n = len(payload)
                 # deterministic fake "probe": dims derived from content
@@ -81,13 +85,13 @@ def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
                 dur = 1000 + (int(sha[4:8], 16) % 60_000)
                 rows.append(
                     (
-                        r["asset_id"],
-                        r["modality"],
+                        asset_id,
+                        modality,
                         n,
                         sha,
-                        w if r["modality"] == "image" else None,
-                        h if r["modality"] == "image" else None,
-                        dur if r["modality"] in ("audio", "video") else None,
+                        w if modality == "image" else None,
+                        h if modality == "image" else None,
+                        dur if modality in ("audio", "video") else None,
                     )
                 )
             yield pd.DataFrame(
@@ -124,10 +128,10 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     Pure plumbing: generates (asset_id, frame_no, ts_ms) rows from the
     (fake-)probed duration; a real sampler maps frames via mapInPandas.
+    Filter BEFORE decoding — Catalyst cannot push a filter through the
+    opaque mapInPandas, and probing non-video payloads is pure waste.
     """
-    probed = decode_assets(assets, fake=True).filter(
-        F.col("modality") == "video"
-    )
+    probed = decode_assets(assets.filter(F.col("modality") == "video"), fake=True)
     n_frames = F.greatest((F.col("duration_ms") / every_ms).cast("int"), F.lit(1))
     return probed.select(
         "asset_id",

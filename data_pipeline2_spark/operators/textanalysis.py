@@ -70,9 +70,15 @@ def quality_score(
     n_tok = token_count(t)
     alpha_ratio = F.round(n_alpha / F.greatest(n, F.lit(1)), 6)
     digit_ratio = F.round(n_digit / F.greatest(n, F.lit(1)), 6)
-    mean_tok_len = F.round(
-        (n - (n_tok - 1)) / F.greatest(n_tok, F.lit(1)), 6
+    # exact mean token length from the token array itself — a
+    # separator-count formula miscounts under repeated/leading
+    # whitespace, and an empty doc must read 0, not 1
+    tok_chars = F.aggregate(
+        F.transform(tokens(t), lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
+    mean_tok_len = F.round(tok_chars / F.greatest(n_tok, F.lit(1)), 6)
     score = F.round(
         alpha_ratio * 0.6
         + (1 - digit_ratio) * 0.2

@@ -23,8 +23,16 @@ from pyspark.sql import functions as F
 
 def ensure_parallelism(df: DataFrame, key: str | Column | None = None) -> DataFrame:
     """Repartition to the session's default parallelism iff the current
-    layout has fewer partitions than that."""
+    layout has fewer partitions than that.
+
+    Only active on local masters: on a cluster the lake layout provides
+    scan parallelism, and even *checking* the partition count there
+    isn't free (df.rdd forces physical planning), so the guard
+    short-circuits to a no-op without touching the plan.
+    """
     sc = df.sparkSession.sparkContext
+    if not sc.master.startswith("local"):
+        return df
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

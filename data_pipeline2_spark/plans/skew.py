@@ -22,9 +22,11 @@ def salt_large(
     df: DataFrame, unique_col: str, n_salts: int = 16, salt_col: str = "__salt"
 ) -> DataFrame:
     """Attach a deterministic salt in [0, n_salts) derived from a
-    row-unique column (xxhash64 — uniform, engine-stable)."""
+    row-unique column (xxhash64 — uniform, engine-stable). pmod, not
+    abs(x) % n: abs(Long.MIN_VALUE) overflows (ANSI error / negative
+    salt that silently drops the row from the join)."""
     return df.withColumn(
-        salt_col, (F.abs(F.xxhash64(F.col(unique_col))) % n_salts).cast("int")
+        salt_col, F.pmod(F.xxhash64(F.col(unique_col)), F.lit(n_salts)).cast("int")
     )
 
 

@@ -55,19 +55,24 @@ def zorder_write(
     Column domains are taken from a single cheap min/max agg (at scale:
     use known domains or a sampled agg).
     """
+    # the interleaved key must fit a signed long
+    bits = min(bits, 63 // max(1, len(cols)))
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
     ).collect()[0]
-    buckets = [
-        _bucket(
-            F.col(c),
-            F.lit(float(stats[f"__lo_{c}"])),
-            F.lit(float(stats[f"__hi_{c}"])),
-            bits,
-        )
-        for c in cols
-    ]
+
+    def domain(c):
+        lo, hi = stats[f"__lo_{c}"], stats[f"__hi_{c}"]
+        # empty input / all-null column: any constant domain works (the
+        # bucket expression guards hi > lo), just don't crash on None
+        return (float(lo) if lo is not None else 0.0,
+                float(hi) if hi is not None else 1.0)
+
+    buckets = []
+    for c in cols:
+        lo, hi = domain(c)
+        buckets.append(_bucket(F.col(c), F.lit(lo), F.lit(hi), bits))
     key = zorder_key(buckets, bits)
     (
         df.withColumn("__z", key)

@@ -1342,13 +1342,17 @@ def q_lang_id(spark, sf_dir):
              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
              length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
              CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+             coalesce(list_aggregate(list_transform(
+                 CASE WHEN len(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END,
+                 x -> length(x)), 'sum'), 0) AS tok_chars
       FROM documents
     )
     SELECT doc_id, CAST(n AS BIGINT) AS n_chars, CAST(n_tok AS BIGINT) AS n_tokens,
            round(n_alpha / greatest(n, 1), 6) AS alpha_ratio,
            round(n_digit / greatest(n, 1), 6) AS digit_ratio,
-           round((n - (n_tok - 1)) / greatest(n_tok, 1), 6) AS mean_tok_len,
+           round(tok_chars / greatest(n_tok, 1), 6) AS mean_tok_len,
            round(round(n_alpha / greatest(n, 1), 6) * 0.6
                  + (1 - round(n_digit / greatest(n, 1), 6)) * 0.2
                  + least(n_tok / 100.0, 1.0) * 0.2, 6) AS quality

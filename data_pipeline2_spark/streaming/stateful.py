@@ -41,6 +41,12 @@ def dedup_first_seen(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         state.remove()
         return iter(())
     if state.exists:
+        # GroupState clears the timeout on every invocation — re-arm it
+        # or a key seen twice within the TTL keeps its marker forever
+        try:
+            state.setTimeoutDuration(DEDUP_STATE_TTL_MS)
+        except Exception:
+            pass  # NoTimeout mode
         return iter(())
     first_ts = None
     for pdf in pdfs:
