@@ -104,3 +104,50 @@ def distribution_stats(
 def rollup_counts(df: DataFrame, cols: list[str]) -> DataFrame:
     """Hierarchical rollup (GROUPING SETS family)."""
     return df.rollup(*cols).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    fine: str = "hour",
+    coarse: str = "day",
+    value_scale: int = 2,
+) -> DataFrame:
+    """Timescale-style continuous-aggregate rollup: fine-grain partials
+    (time_bucket = date_trunc) re-aggregated into the coarse grain FROM
+    THE PARTIALS — the raw rows are scanned exactly once.
+
+    → (grain, bucket, *key_cols, n, total, avg_v): both resolutions in
+    one frame, `grain` in {fine, coarse}.
+
+    This is the scale pattern behind hypertable/materialized rollups: at
+    100 TB the hourly partials are what you persist (orders of magnitude
+    smaller than raw), and every coarser resolution — day, month — is a
+    cheap re-aggregation of them. Decimal partial sums make the two-level
+    sum exact and order-independent, so rollup-of-partials is
+    bit-identical to a direct aggregation (the oracle checks exactly
+    that: its coarse level aggregates raw rows directly).
+    """
+    key_cols = key_cols if key_cols is not None else ["event_type"]
+    dec = F.col(value_col).cast(f"decimal(25,{value_scale})")
+    fine_p = events.groupBy(
+        F.date_trunc(fine, F.col(ts_col)).alias("bucket"), *key_cols
+    ).agg(F.sum(dec).alias("__sum"), F.count(F.lit(1)).alias("n"))
+    coarse_p = fine_p.groupBy(
+        F.date_trunc(coarse, F.col("bucket")).alias("bucket"), *key_cols
+    ).agg(F.sum("__sum").alias("__sum"), F.sum("n").alias("n"))
+
+    def _finish(df, grain):
+        total = F.col("__sum").cast("double")
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            *key_cols,
+            F.col("n").cast("long").alias("n"),
+            total.alias("total"),
+            F.round(total / F.col("n"), 6).alias("avg_v"),
+        )
+
+    return _finish(fine_p, fine).unionByName(_finish(coarse_p, coarse))

@@ -144,9 +144,122 @@ def range_join_events(
 
     Broadcast the window table (small); Spark plans BroadcastNestedLoop —
     at scale, bin both sides to an hour key first to make it an equi-join
-    plus residual predicate.
+    plus residual predicate (that scale path is `join_range`).
     """
     return events.join(
         F.broadcast(windows),
         (F.col(ts_col) >= F.col("w_start")) & (F.col(ts_col) < F.col("w_end")),
+    )
+
+
+def join_asof(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """As-of (backward) join: each left row gets the right row with the
+    greatest right_ts <= left_ts for the same key, or NULL payload if
+    none. Output = all left columns + right_payload columns.
+
+    Spark has no ASOF JOIN (DuckDB/Pandas do; the oracle uses DuckDB's),
+    and the naive formulation — inequality join + argmax — explodes to a
+    range join. This is the shuffle-minimal formulation: UNION both
+    sides tagged, ONE hash shuffle on the key, and a running
+    last(payload, ignorenulls) window fills each left row with the most
+    recent right payload. Cost is a single sort per key partition —
+    the same shape as a windowed dedup, independent of time-range
+    overlap, so it survives 100 TB where a range join would not.
+
+    Ties: right rows sort BEFORE left rows at equal ts (<= semantics).
+    Like DuckDB's ASOF JOIN, `right` should be unique per (key, ts) —
+    among same-ts right rows the winner is otherwise unspecified.
+    """
+    from pyspark.sql.window import Window
+
+    r_struct = F.struct(*[F.col(c) for c in right_payload])
+    l_tagged = left.select(
+        *key_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(
+            right.select(r_struct.alias("__r")).schema["__r"].dataType
+        ).alias("__r"),
+    )
+    r_tagged = right.select(
+        *key_cols,
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c) for c in left.columns]).alias("__l")
+            ).schema["__l"].dataType
+        ).alias("__l"),
+        r_struct.alias("__r"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("__rv", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 0)
+    )
+    return filled.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__rv.{c}").alias(c) for c in right_payload],
+    )
+
+
+def join_range(
+    probe: DataFrame,
+    intervals: DataFrame,
+    key_cols: list[str],
+    probe_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_width_us: int,
+) -> DataFrame:
+    """Scalable interval join: probe rows matched to [start, end) windows
+    on the same key, as an EQUI-join on (key, time-bucket) + residual
+    range predicate — the banded-join rewrite of the O(n*m) nested loop.
+
+    Each interval explodes to ceil(span/width)+1 bucket rows; each probe
+    row maps to exactly one bucket; the join shuffles on (key, bucket)
+    like any hash join. Choose bucket_width_us ~ the typical window span
+    so intervals land in O(1) buckets. Timestamps are compared at
+    microsecond precision (Spark's native timestamp resolution).
+    """
+    # integer `div`, not double `/` + cast: epoch-µs values (~1e15) lose
+    # low bits in a double quotient, mis-bucketing boundary rows
+    iv = (
+        intervals.withColumn("__s_us", F.unix_micros(F.col(start_col)))
+        .withColumn("__e_us", F.unix_micros(F.col(end_col)))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"__s_us div {bucket_width_us}"),
+                    # end is exclusive: the last covered bucket holds end-1µs
+                    F.expr(f"(__e_us - 1) div {bucket_width_us}"),
+                )
+            ),
+        )
+        .drop("__s_us", "__e_us")
+    )
+    pr = probe.withColumn(
+        "__p_us", F.unix_micros(F.col(probe_ts))
+    ).withColumn("__bucket", F.expr(f"__p_us div {bucket_width_us}")).drop("__p_us")
+    return (
+        pr.join(iv, [*key_cols, "__bucket"])
+        .filter(
+            (F.col(probe_ts) >= F.col(start_col))
+            & (F.col(probe_ts) < F.col(end_col))
+        )
+        .drop("__bucket")
     )

@@ -571,6 +571,112 @@ def q_join_outer(spark, sf_dir):
 
 
 @_register(
+    "join_asof",
+    """
+    WITH l AS (SELECT * FROM events WHERE event_type <> 'error'),
+         r AS (SELECT user_id, ts, max(event_id) AS err_event_id
+               FROM events WHERE event_type = 'error'
+               GROUP BY user_id, ts)
+    SELECT l.event_id, l.user_id, l.event_type, r.err_event_id,
+           CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """As-of join: each non-error event picks up the user's most recent
+    error at-or-before it (oracle: DuckDB's native ASOF LEFT JOIN; the
+    engine's shuffle-minimal union+window formulation is joins.join_asof).
+    Right side deduped to unique (user_id, ts) — the determinism contract
+    both implementations share."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "error").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_event_id"))
+        .withColumn("err_ts", F.col("ts"))
+    )
+    out = joins.join_asof(
+        left, right, ["user_id"], "ts", "ts", ["err_event_id", "err_ts"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "err_event_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("err_ts")))
+        .cast("long")
+        .alias("lag_us"),
+    )
+
+
+@_register(
+    "join_range",
+    """
+    WITH iv AS (SELECT event_id AS err_event_id, user_id, ts AS w_start,
+                       ts + INTERVAL 24 HOUR AS w_end
+                FROM events WHERE event_type = 'error')
+    SELECT iv.err_event_id, iv.user_id, count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(25,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN iv
+      ON e.user_id = iv.user_id AND e.ts >= iv.w_start AND e.ts < iv.w_end
+    GROUP BY iv.err_event_id, iv.user_id
+    """,
+)
+def q_join_range(spark, sf_dir):
+    """Interval join at scale: per error event, activity of the same user
+    in the following 24h — bucketed equi-join (joins.join_range), NOT the
+    nested-loop inequality join the oracle runs."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_event_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("w_end"),
+    )
+    day_us = 24 * 3600 * 1_000_000
+    joined = joins.join_range(
+        ev.select("user_id", "ts", "value"),
+        iv,
+        ["user_id"],
+        "ts",
+        "w_start",
+        "w_end",
+        day_us,
+    )
+    return joined.groupBy("err_event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        aggregates.exact_sum(F.col("value")).alias("total_value"),
+    )
+
+
+@_register(
+    "hypertable_rollup",
+    """
+    WITH fine AS (
+      SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,
+             count(*) AS n, sum(CAST(value AS DECIMAL(25,2))) AS s
+      FROM events GROUP BY 2, 3),
+    coarse AS (
+      SELECT 'day' AS grain, date_trunc('day', ts) AS bucket, event_type,
+             count(*) AS n, sum(CAST(value AS DECIMAL(25,2))) AS s
+      FROM events GROUP BY 2, 3)
+    SELECT grain, bucket, event_type, CAST(n AS BIGINT) AS n,
+           CAST(s AS DOUBLE) AS total,
+           round(CAST(s AS DOUBLE) / n, 6) AS avg_v
+    FROM (SELECT * FROM fine UNION ALL SELECT * FROM coarse)
+    """,
+)
+def q_hypertable_rollup(spark, sf_dir):
+    """Continuous-aggregate rollup; the oracle aggregates BOTH grains
+    directly from raw rows, so parity proves rollup-of-partials ==
+    direct aggregation (exactness of the decimal partial sums)."""
+    return aggregates.hypertable_rollup(_t(spark, sf_dir, "events"))
+
+
+@_register(
     "cube_counts",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
@@ -2265,9 +2371,47 @@ def q_knn_batch_lsh(spark, sf_dir):
     return similarity.knn_batch_lsh(emb, queries, k=3, dim=64, n_planes=6)
 
 
-@_register("simhash", None)
+def _simhash_sql() -> str:
+    """DuckDB replay of dedup.simhash64: md5 halves via hex-literal cast
+    (DuckDB has no conv()), per-bit +/-1 sums, sign bits assembled into
+    a signed 64-bit fingerprint (bit 63 folded in as two's complement)."""
+    bit_sums = ",\n      ".join(
+        f"sum(CASE WHEN (({'h_lo' if b < 32 else 'h_hi'} >> {b % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {'(1::BIGINT << ' + str(b) + ')' if b < 63 else '(-9223372036854775807 - 1)::BIGINT'} ELSE 0::BIGINT END)"
+        for b in range(64)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE doc_id < 100 AND len(trim(text)) > 0
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_lo,
+             ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_hi
+      FROM toks
+    ),
+    s AS (
+      SELECT doc_id,
+      {bit_sums}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM s
+    """
+
+
+@_register("simhash", _simhash_sql())
 def q_simhash(spark, sf_dir):
-    return dedup.simhash64(_t(spark, sf_dir, "documents").limit(100))
+    """Scope pinned by predicate (doc_id < 100), not limit(): limit
+    without an order is scan-order-dependent and not oracle-safe."""
+    return dedup.simhash64(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    )
 
 
 @_register("multimodal_decode", None)
