@@ -271,7 +271,11 @@ def dedup_near_minhash(
       touches almost nothing.
     """
     sh_all = doc_shingles(documents, shingle_n, id_col, text_col, distinct=False)
-    sigs = minhash_signature_cols(sh_all, n_perm)
+    # materialize signatures (n_perm x 8 bytes per doc — the artifact a
+    # corpus-scale run persists anyway): the band-bucket self-join
+    # consumes them twice, and without this the whole shingle+hash
+    # pipeline re-executes for each join side (~2x the map work)
+    sigs = minhash_signature_cols(sh_all, n_perm).localCheckpoint(eager=True)
     # cands feeds three consumers; eager localCheckpoint materializes it
     # once and truncates lineage (O(candidate pairs) storage — unlike
     # caching the full shingle set, tiny at any corpus size; cleaned by
