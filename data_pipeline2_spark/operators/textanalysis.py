@@ -181,3 +181,129 @@ def token_histogram(
         .agg(F.count(F.lit(1)).alias("docs"))
         .orderBy("bucket_lo")
     )
+
+
+# PII patterns — engine-portable regexes: no lookaround/alternation-
+# order tricks, so Java regex (Spark, leftmost-first) and RE2 (DuckDB,
+# leftmost-longest) match identical spans. Training pipelines run these
+# BEFORE tokenization/dedup so placeholders hash consistently.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IP": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "PHONE": r"\+?\d{1,3}[- ]?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}\b",
+    "SSN": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_redact(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact PII spans with typed placeholders → (doc_id, text_redacted,
+    n_email, n_ip, n_phone, n_ssn).
+
+    Pure map-side regexp_replace chain (JVM codegen, no UDF, no
+    shuffle); counts via regexp_extract_all BEFORE redaction. Pattern
+    order matters — EMAIL first so user@1.2.3.4-style strings redact as
+    one email, then IP/PHONE/SSN over the residue.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        .cast("long")
+        .alias(f"n_{kind.lower()}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    red = t
+    for kind, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{kind}>")
+    return documents.select(
+        F.col(id_col).alias("doc_id"), red.alias("text_redacted"), *counts
+    )
+
+
+def repetition_ratio(
+    documents: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document n-gram repetition (Gopher/RefinedWeb-style
+    quality signal) → (doc_id, n_grams, distinct_grams, dup_ratio,
+    top_ratio).
+
+    dup_ratio = 1 - distinct/total; top_ratio = most frequent gram's
+    share. Docs with < n tokens emit no row (no grams to measure).
+    Two-level agg, both clustered by doc_id: (doc, gram) counts then
+    per-doc rollup — the (doc, gram) shuffle is the only data movement
+    and partial aggregation collapses repeats map-side.
+    """
+    from data_pipeline2_spark.operators.dedup import doc_shingles
+
+    grams = doc_shingles(documents, n, id_col, text_col, distinct=False)
+    per_gram = grams.groupBy("doc_id", "shingle").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count(F.lit(1)).alias("distinct_grams"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "distinct_grams",
+            F.round(
+                1 - F.col("distinct_grams") / F.col("n_grams"), 6
+            ).alias("dup_ratio"),
+            F.round(F.col("max_cnt") / F.col("n_grams"), 6).alias("top_ratio"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check: per corpus doc, the fraction of
+    its distinct n-grams that appear anywhere in the eval set →
+    (doc_id, n_grams, n_hit, contamination, contaminated).
+
+    The eval-gram index is DISTINCT grams only (tiny — eval sets are
+    thousands of docs, not billions) and broadcast, so the corpus side
+    never shuffles its text: grams are derived map-side, probed against
+    the broadcast set, and collapsed back to one row per doc on the
+    existing doc_id clustering. This is the standard train-set
+    decontamination pass (GPT-3 appendix C / PaLM style) at lake scale.
+    """
+    from data_pipeline2_spark.operators.dedup import doc_shingles
+
+    eval_grams = (
+        doc_shingles(eval_set, n, id_col, text_col, distinct=False)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus_grams = doc_shingles(corpus, n, id_col, text_col, distinct=True)
+    probed = corpus_grams.join(F.broadcast(eval_grams), "shingle", "left")
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contamination"),
+            (F.col("n_hit") / F.col("n_grams") >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )

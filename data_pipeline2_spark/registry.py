@@ -1481,6 +1481,90 @@ def q_doc_fingerprint(spark, sf_dir):
     return textanalysis.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _pii_sql() -> str:
+    """Oracle for pii_redact, generated from the SAME PII_PATTERNS dict
+    (regexes are RE2/Java-portable by construction)."""
+    from data_pipeline2_spark.operators.textanalysis import PII_PATTERNS
+
+    red = "text"
+    for kind, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{kind}>', 'g')"
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind.lower()}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    return f"""
+    SELECT doc_id,
+           {red} AS text_redacted,
+           {counts}
+    FROM documents
+    """
+
+
+@_register("pii_redact", _pii_sql())
+def q_pii_redact(spark, sf_dir):
+    return textanalysis.pii_redact(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "repetition_ratio",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                                           i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    pg AS (SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS distinct_grams,
+           round(1 - count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_ratio,
+           round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS top_ratio
+    FROM pg GROUP BY doc_id
+    """,
+)
+def q_repetition_ratio(spark, sf_dir):
+    return textanalysis.repetition_ratio(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "decontaminate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(t) - 4),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+             || ' ' || t[i+4])) AS g
+      FROM toks WHERE len(t) >= 5
+    ),
+    eg AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+    cg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id >= 20)
+    SELECT cg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(eg.g) AS BIGINT) AS n_hit,
+           round(count(eg.g) / CAST(count(*) AS DOUBLE), 6) AS contamination,
+           (count(eg.g) / CAST(count(*) AS DOUBLE)) >= 0.1 AS contaminated
+    FROM cg LEFT JOIN eg ON cg.g = eg.g
+    GROUP BY cg.doc_id
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Eval set = doc_id < 20 (stands in for a benchmark suite); corpus
+    = the rest. 5-gram overlap fraction per corpus doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return textanalysis.decontaminate(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
+    )
+
+
 @_register(
     "tfidf_top_terms",
     """

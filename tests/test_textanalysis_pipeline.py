@@ -1,0 +1,71 @@
+"""Semantic tests for the training-pipeline text operators: PII
+redaction on real-looking strings (the testdata corpus has none),
+repetition ratio on known-shape docs, decontamination overlap math."""
+
+from __future__ import annotations
+
+from data_pipeline2_spark.operators import textanalysis
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_redact_each_kind(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at jane.doe+x@example.co.uk today"),
+            (2, "server at 10.0.255.7 rebooted"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "ssn 123-45-6789 leaked"),
+            (5, "clean text with no pii at all"),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in textanalysis.pii_redact(df).collect()}
+    assert got[1]["text_redacted"] == "mail me at <EMAIL> today"
+    assert got[1]["n_email"] == 1
+    assert got[2]["text_redacted"] == "server at <IP> rebooted"
+    assert got[2]["n_ip"] == 1
+    assert "<PHONE>" in got[3]["text_redacted"]
+    assert got[3]["n_phone"] == 1
+    assert got[4]["text_redacted"] == "ssn <SSN> leaked"
+    assert got[4]["n_ssn"] == 1
+    assert got[5]["text_redacted"] == "clean text with no pii at all"
+    assert all(got[5][k] == 0 for k in ("n_email", "n_ip", "n_phone", "n_ssn"))
+
+
+def test_repetition_ratio_shapes(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b a b"),      # grams: ab,ba,ab,ba,ab -> 5 total, 2 distinct
+            (2, "v w x y z"),        # 4 grams, all distinct
+            (3, "one"),              # < 2 tokens -> no row
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in textanalysis.repetition_ratio(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_grams"] == 5 and got[1]["distinct_grams"] == 2
+    assert got[1]["dup_ratio"] == 0.6  # 1 - 2/5
+    assert got[1]["top_ratio"] == 0.6  # 'a b' appears 3/5
+    assert got[2]["dup_ratio"] == 0.0
+    assert got[2]["top_ratio"] == 0.25
+
+
+def test_decontaminate_overlap(spark):
+    evals = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    corpus = _docs(
+        spark,
+        [
+            # contains the eval 5-gram "the quick brown fox jumps"
+            (1, "copied: the quick brown fox jumps right here"),
+            (2, "totally unrelated words that never overlap anything else"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textanalysis.decontaminate(corpus, evals, threshold=0.2).collect()
+    }
+    assert got[1]["n_hit"] >= 1 and got[1]["contaminated"] is True
+    assert got[2]["n_hit"] == 0 and got[2]["contaminated"] is False
