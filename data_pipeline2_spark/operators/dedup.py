@@ -295,6 +295,52 @@ def dedup_near_minhash(
     return jaccard_pairs(cands, sh_cand, threshold)
 
 
+def dedup_ngram_jaccard(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs → (doc_a, doc_b, jaccard).
+
+    Ground-truth variant of dedup_near_minhash: candidates = every doc
+    pair sharing >= 1 shingle (inverted-index self-join on the shingle
+    key), then the same exact Jaccard verify. Candidate generation is
+    quadratic in per-shingle document frequency, so at lake scale pass
+    max_df to skip ultra-common shingles when generating candidates —
+    verification still scores with ALL shingles, so reported jaccard
+    values stay exact; only a pair whose every shared shingle exceeds
+    max_df can be missed — or use dedup_near_minhash, whose candidate
+    cost is O(corpus) regardless of shingle frequency. This operator
+    doubles as the recall oracle for the LSH path in tests.
+    """
+    # one consumer for candidates (x2 join sides) + three inside
+    # jaccard_pairs: materialize the distinct shingle set once
+    sh = doc_shingles(documents, shingle_n, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    cand_src = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        cand_src = sh.join(rare, "shingle")
+    a = cand_src.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = cand_src.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_pairs(cands, sh, threshold)
+
+
 def simhash64(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

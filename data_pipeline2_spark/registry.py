@@ -1366,6 +1366,36 @@ def q_dedup_near_minhash(spark, sf_dir):
 
 
 @_register(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      FROM documents WHERE len(trim(text)) > 0
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+            FROM toks WHERE len(ws) >= 3)
+    ), counts AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+    FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a
+                 JOIN counts cb ON cb.doc_id = i.doc_b
+    WHERE round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact (no-LSH) n-gram Jaccard — the ground truth dedup_near_minhash
+    approximates; same output contract."""
+    return dedup.dedup_ngram_jaccard(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "dedup_near_embedding",
     """
     WITH n AS (

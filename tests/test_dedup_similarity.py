@@ -51,6 +51,31 @@ def test_minhash_finds_near_dups(spark, dup_docs):
     assert j[(1, 2)] == 1.0
 
 
+def test_ngram_jaccard_exact_ground_truth(spark, dup_docs):
+    pairs = dedup.dedup_ngram_jaccard(dup_docs, threshold=0.3).toPandas()
+    j = {tuple(sorted((a, b))): v for a, b, v in zip(pairs.doc_a, pairs.doc_b, pairs.jaccard)}
+    assert j[(1, 2)] == 1.0 and j[(1, 5)] == 1.0 and j[(2, 5)] == 1.0
+    assert 0.3 <= j[(1, 3)] < 1.0  # one-word change: high but not full overlap
+    assert all(4 not in p for p in j)
+    # exact pass is a recall superset of the LSH pass at the same threshold
+    lsh = dedup.dedup_near_minhash(dup_docs, threshold=0.3).toPandas()
+    lsh_pairs = {tuple(sorted((a, b))) for a, b in zip(lsh.doc_a, lsh.doc_b)}
+    assert lsh_pairs <= set(j)
+
+
+def test_ngram_jaccard_max_df_caps_candidates(spark, dup_docs):
+    # every shared shingle of the dup group has df >= 2, so max_df=1
+    # generates zero candidate pairs — scores would still be exact if any
+    # candidate survived (verification ignores max_df)
+    out = dedup.dedup_ngram_jaccard(dup_docs, threshold=0.3, max_df=1).toPandas()
+    assert len(out) == 0
+    # a permissive cap changes nothing vs the exact pass
+    capped = dedup.dedup_ngram_jaccard(dup_docs, threshold=0.3, max_df=100).toPandas()
+    exact = dedup.dedup_ngram_jaccard(dup_docs, threshold=0.3).toPandas()
+    key = lambda df: {tuple(sorted((a, b))): v for a, b, v in zip(df.doc_a, df.doc_b, df.jaccard)}
+    assert key(capped) == key(exact)
+
+
 def test_simhash_identical_and_near(spark, dup_docs):
     out = {r.doc_id: r.simhash for r in dedup.simhash64(dup_docs).collect()}
     assert out[1] == out[2]
