@@ -123,6 +123,132 @@ def asset_meta(assets: DataFrame) -> DataFrame:
     )
 
 
+def resize_plan(assets: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Aspect-preserving resize targets for image assets →
+    (asset_id, width, height, target_w, target_h, scale).
+
+    The geometry is pure JVM-side arithmetic over probed dimensions —
+    only the pixel work needs a codec, so a real pipeline runs THIS to
+    plan (and to skip already-small images entirely) and hands only the
+    shrink-needed subset to `resize_assets`. Filter to images before the
+    probe: the modality filter prunes at the parquet scan, the decode
+    stub never sees audio/video bytes.
+    """
+    probed = decode_assets(assets.filter(F.col("modality") == "image"), fake=True)
+    longest = F.greatest(F.col("width"), F.col("height"))
+    scale = F.when(longest <= max_dim, F.lit(1.0)).otherwise(
+        F.lit(max_dim) / longest
+    )
+    return probed.select(
+        "asset_id",
+        "width",
+        "height",
+        F.round(scale, 6).alias("scale"),
+        # floor-with-min-1 keeps extreme aspect ratios from collapsing a
+        # dimension to 0 pixels
+        F.greatest((F.col("width") * scale).cast("int"), F.lit(1)).alias("target_w"),
+        F.greatest((F.col("height") * scale).cast("int"), F.lit(1)).alias("target_h"),
+    ).select("asset_id", "width", "height", "target_w", "target_h", "scale")
+
+
+def resize_assets(
+    assets: DataFrame, max_dim: int = 256, fake: bool = True
+) -> DataFrame:
+    """Resize image payloads via mapInPandas → (asset_id, target_w,
+    target_h, payload).
+
+    STUB for the pixel work (PIL absent): fake=True emits a
+    deterministic payload (sha256 of original bytes + target geometry,
+    so downstream dedup/caching semantics are exercisable); fake=False
+    raises NotImplementedError where `PIL.Image.open(...).thumbnail`
+    plugs in. Batch shape, schema, and the plan/execute split are real.
+    """
+    plan = resize_plan(assets, max_dim)
+    to_resize = assets.select("asset_id", "payload").join(
+        plan.filter(F.col("scale") < 1.0), "asset_id"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL; run with fake=True for "
+                    "the deterministic stand-in"
+                )
+            out = []
+            for asset_id, raw, tw, th in zip(
+                pdf["asset_id"], pdf["payload"], pdf["target_w"], pdf["target_h"]
+            ):
+                payload = bytes(raw or b"")
+                fake_pixels = hashlib.sha256(
+                    payload + f"|{tw}x{th}".encode()
+                ).digest()
+                out.append((asset_id, int(tw), int(th), fake_pixels))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "target_w", "target_h", "payload"]
+            )
+
+    return to_resize.select("asset_id", "payload", "target_w", "target_h").mapInPandas(
+        resize, "asset_id long, target_w int, target_h int, payload binary"
+    )
+
+
+def extract_features(assets: DataFrame, dim: int = 64, fake: bool = True) -> DataFrame:
+    """Feature vectors from binary payloads via mapInPandas →
+    (asset_id, modality, feature array<float>).
+
+    STUB for the model forward pass (no torch/CLIP here): fake=True
+    derives a deterministic unit-norm vector from sha256 of the payload
+    (vectorized numpy over the whole Arrow batch — the same batch shape
+    a real encoder would consume); fake=False raises where the model
+    call plugs in. Output plugs straight into the kNN/ANN surface
+    (similarity.knn_batch and friends take array<float> columns).
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "feature extraction requires a model runtime; run "
+                    "with fake=True for the deterministic stand-in"
+                )
+            feats = []
+            for raw in pdf["payload"]:
+                payload = bytes(raw or b"")
+                # expand sha256 (32 bytes) to dim floats deterministically
+                need = (dim * 2 + 31) // 32
+                buf = b"".join(
+                    hashlib.sha256(payload + bytes([i])).digest()
+                    for i in range(need)
+                )
+                v = (
+                    np.frombuffer(buf[: dim * 2], dtype=np.uint16).astype(
+                        np.float32
+                    )
+                    / 65535.0
+                    - 0.5
+                )
+                n = float(np.linalg.norm(v))
+                feats.append((v / n if n > 0 else v).tolist())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "feature": feats,
+                }
+            )
+
+    return assets.select("asset_id", "modality", "payload").mapInPandas(
+        featurize, "asset_id long, modality string, feature array<float>"
+    )
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Explode a per-asset frame-sampling plan (video → frame rows).
 

@@ -2542,6 +2542,87 @@ def q_frame_sample_plan(spark, sf_dir):
     return multimodal.frame_sample_plan(assets, every_ms=5000)
 
 
+# The fake probe's dims are sha256-derived, so the oracle replays them in
+# SQL: hex→int via positional strpos over the digest prefix. Shared by
+# the resize plan/execute oracles.
+_RESIZE_DIMS_SQL = """
+    WITH probe AS (
+      SELECT doc_id AS asset_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+             sha256(text) AS sha
+      FROM documents WHERE doc_id % 3 = 0
+    ), dims AS (
+      SELECT asset_id, text,
+             CAST(16 + (nb % 1024) AS INT) AS width,
+             CAST(16 + ((
+                  (strpos('0123456789abcdef', substr(sha, 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(sha, 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(sha, 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(sha, 4, 1)) - 1)
+             ) % 1024) AS INT) AS height
+      FROM probe
+    ), scaled AS (
+      SELECT asset_id, text, width, height,
+             CASE WHEN greatest(width, height) <= 256 THEN CAST(1 AS DOUBLE)
+                  ELSE CAST(256 AS DOUBLE) / greatest(width, height) END AS s
+      FROM dims
+    )
+"""
+
+
+@_register(
+    "multimodal_resize_plan",
+    _RESIZE_DIMS_SQL
+    + """
+    SELECT asset_id, width, height,
+           CAST(greatest(trunc(width * s), 1) AS INT) AS target_w,
+           CAST(greatest(trunc(height * s), 1) AS INT) AS target_h,
+           round(s, 6) AS scale
+    FROM scaled
+    """,
+)
+def q_multimodal_resize_plan(spark, sf_dir):
+    assets = multimodal.documents_as_assets(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_plan(assets, max_dim=256)
+
+
+@_register(
+    "multimodal_resize",
+    _RESIZE_DIMS_SQL
+    + """
+    SELECT asset_id,
+           CAST(greatest(trunc(width * s), 1) AS INT) AS target_w,
+           CAST(greatest(trunc(height * s), 1) AS INT) AS target_h,
+           sha256(text || '|'
+                  || CAST(CAST(greatest(trunc(width * s), 1) AS INT) AS VARCHAR)
+                  || 'x'
+                  || CAST(CAST(greatest(trunc(height * s), 1) AS INT) AS VARCHAR)
+           ) AS payload_hex
+    FROM scaled WHERE s < 1
+    """,
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Stubbed pixel work is still fully value-checked: the fake resized
+    payload is a sha256 digest, compared as lowercase hex (DuckDB sha256
+    is VARCHAR-only, so the oracle hashes the same text+geometry string)."""
+    assets = multimodal.documents_as_assets(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_assets(assets, max_dim=256, fake=True).select(
+        "asset_id",
+        "target_w",
+        "target_h",
+        F.lower(F.hex(F.col("payload"))).alias("payload_hex"),
+    )
+
+
+@_register("multimodal_features", None)
+def q_multimodal_features(spark, sf_dir):
+    """Deterministic fake feature vectors (unit-norm float32) over every
+    asset — rows-only: float32 little-endian expansion isn't reasonably
+    SQL-expressible; determinism + norm are pytest-checked instead."""
+    assets = multimodal.documents_as_assets(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(assets, dim=64, fake=True)
+
+
 # ---------------------------------------------------------------- export
 
 

@@ -110,6 +110,57 @@ def test_multimodal_decode_fake_and_stub(spark):
         multimodal.decode_assets(assets, fake=False).collect()
 
 
+def test_resize_plan_and_execute(spark):
+    # long texts → big fake dims → most images need shrinking
+    docs = spark.createDataFrame(
+        [(i * 3, f"img payload {i} " * (i * 40 + 1)) for i in range(8)],
+        "doc_id long, text string",
+    )
+    assets = multimodal.documents_as_assets(docs)
+    plan = multimodal.resize_plan(assets, max_dim=64).toPandas()
+    assert len(plan) == 8  # every image planned, shrink or not
+    assert (plan.target_w <= 64).all() and (plan.target_h <= 64).all()
+    assert (plan.target_w >= 1).all() and (plan.target_h >= 1).all()
+    noop = plan[plan.scale == 1.0]
+    assert (noop.target_w == noop.width).all()
+    # aspect ratio preserved within integer truncation
+    shrunk = plan[plan.scale < 1.0]
+    assert len(shrunk) > 0
+    out = multimodal.resize_assets(assets, max_dim=64, fake=True).toPandas()
+    assert set(out.asset_id) == set(shrunk.asset_id)  # only shrinkers resized
+    assert out.payload.map(len).eq(32).all()  # fake pixels = sha256 digest
+    # deterministic: same inputs → byte-identical payloads
+    again = multimodal.resize_assets(assets, max_dim=64, fake=True).toPandas()
+    m1 = dict(zip(out.asset_id, out.payload))
+    m2 = dict(zip(again.asset_id, again.payload))
+    assert m1 == m2
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        multimodal.resize_assets(assets, max_dim=64, fake=False).collect()
+
+
+def test_extract_features_unit_norm_deterministic(spark):
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i, f"asset {i}") for i in range(6)] + [(100, "asset 0x")],
+        "doc_id long, text string",
+    )
+    assets = multimodal.documents_as_assets(docs)
+    out = multimodal.extract_features(assets, dim=32, fake=True).toPandas()
+    assert len(out) == 7
+    norms = out.feature.map(lambda v: float(np.linalg.norm(v)))
+    assert ((norms - 1.0).abs() < 1e-5).all()
+    assert out.feature.map(len).eq(32).all()
+    # deterministic across runs; distinct payloads → distinct vectors
+    again = multimodal.extract_features(assets, dim=32, fake=True).toPandas()
+    f1 = {a: tuple(v) for a, v in zip(out.asset_id, out.feature)}
+    f2 = {a: tuple(v) for a, v in zip(again.asset_id, again.feature)}
+    assert f1 == f2
+    assert len(set(f1.values())) == 7
+    with pytest.raises(Exception, match="NotImplementedError|model"):
+        multimodal.extract_features(assets, fake=False).collect()
+
+
 def test_frame_sample_plan(spark):
     docs = spark.createDataFrame(
         [(i, "x" * 100) for i in range(9)], "doc_id long, text string"
