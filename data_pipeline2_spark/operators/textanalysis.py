@@ -28,6 +28,20 @@ def _hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
+def lang_pred_cols(t: Column) -> tuple[Column, Column]:
+    """(lang_pred, best_hits) expressions over a text column — the
+    shared core of lang_id and any composed pipeline (curation) that
+    wants the prediction without a separate scan + join."""
+    toks = tokens(F.lower(t))
+    langs = sorted(STOPWORDS)
+    hits = {l: _hits(toks, STOPWORDS[l]) for l in langs}
+    best = F.greatest(*[hits[l] for l in langs])
+    pred = F.lit("und")
+    for l in reversed(langs):  # earlier langs win ties (reversed fold)
+        pred = F.when((best > 0) & (hits[l] == best), F.lit(l)).otherwise(pred)
+    return pred, best
+
+
 def lang_id(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -37,33 +51,17 @@ def lang_id(
     resolve to 'und' (undetermined) / lexicographically first winner, so
     the result is order-independent and oracle-checkable.
     """
-    toks = tokens(F.lower(F.col(text_col)))
-    hit_cols = [
-        _hits(toks, ws).alias(f"hits_{lang}") for lang, ws in sorted(STOPWORDS.items())
-    ]
-    df = documents.select(F.col(id_col).alias("doc_id"), *hit_cols)
-    langs = sorted(STOPWORDS)
-    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
-    pred = F.lit("und")
-    for l in reversed(langs):  # earlier langs win ties (reversed fold)
-        pred = F.when(
-            (best > 0) & (F.col(f"hits_{l}") == best), F.lit(l)
-        ).otherwise(pred)
-    return df.select(
-        "doc_id", pred.alias("lang_pred"), best.cast("int").alias("hits")
+    pred, best = lang_pred_cols(F.col(text_col))
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("lang_pred"),
+        best.cast("int").alias("hits"),
     )
 
 
-def quality_score(
-    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Per-doc quality features + a composite score → one row per doc.
-
-    Features follow the standard pretraining-data filters: length,
-    alphabetic ratio, digit ratio, mean token length, token count.
-    Score = deterministic weighted sum, rounded for hash stability.
-    """
-    t = F.col(text_col)
+def quality_feature_cols(t: Column) -> dict[str, Column]:
+    """Named quality-feature expressions over a text column — shared by
+    quality_score and composed pipelines (one scan, no joins)."""
     n = F.length(t)
     n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
     n_digit = F.length(F.regexp_replace(t, "[^0-9]", ""))
@@ -85,14 +83,29 @@ def quality_score(
         + F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.2,
         6,
     )
+    return {
+        "n_chars": n.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "alpha_ratio": alpha_ratio,
+        "digit_ratio": digit_ratio,
+        "mean_tok_len": mean_tok_len,
+        "quality": score,
+    }
+
+
+def quality_score(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality features + a composite score → one row per doc.
+
+    Features follow the standard pretraining-data filters: length,
+    alphabetic ratio, digit ratio, mean token length, token count.
+    Score = deterministic weighted sum, rounded for hash stability.
+    """
+    feats = quality_feature_cols(F.col(text_col))
     return documents.select(
         F.col(id_col).alias("doc_id"),
-        n.cast("long").alias("n_chars"),
-        n_tok.cast("long").alias("n_tokens"),
-        alpha_ratio.alias("alpha_ratio"),
-        digit_ratio.alias("digit_ratio"),
-        mean_tok_len.alias("mean_tok_len"),
-        score.alias("quality"),
+        *[c.alias(name) for name, c in feats.items()],
     )
 
 
@@ -195,6 +208,27 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def pii_redact_col(t: Column) -> Column:
+    """Typed-placeholder redaction chain over a text column. Pattern
+    order matters — EMAIL first so user@1.2.3.4-style strings redact as
+    one email, then IP/PHONE/SSN over the residue."""
+    red = t
+    for kind, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{kind}>")
+    return red
+
+
+def pii_count_cols(t: Column) -> list[Column]:
+    """Per-kind match counts (aliased n_email/n_ip/...), taken BEFORE
+    redaction."""
+    return [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        .cast("long")
+        .alias(f"n_{kind.lower()}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+
+
 def pii_redact(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -202,22 +236,13 @@ def pii_redact(
     n_email, n_ip, n_phone, n_ssn).
 
     Pure map-side regexp_replace chain (JVM codegen, no UDF, no
-    shuffle); counts via regexp_extract_all BEFORE redaction. Pattern
-    order matters — EMAIL first so user@1.2.3.4-style strings redact as
-    one email, then IP/PHONE/SSN over the residue.
+    shuffle); counts via regexp_extract_all BEFORE redaction.
     """
     t = F.col(text_col)
-    counts = [
-        F.size(F.regexp_extract_all(t, F.lit(pat), 0))
-        .cast("long")
-        .alias(f"n_{kind.lower()}")
-        for kind, pat in PII_PATTERNS.items()
-    ]
-    red = t
-    for kind, pat in PII_PATTERNS.items():
-        red = F.regexp_replace(red, pat, f"<{kind}>")
     return documents.select(
-        F.col(id_col).alias("doc_id"), red.alias("text_redacted"), *counts
+        F.col(id_col).alias("doc_id"),
+        pii_redact_col(t).alias("text_redacted"),
+        *pii_count_cols(t),
     )
 
 

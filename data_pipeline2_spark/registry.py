@@ -28,6 +28,7 @@ from data_pipeline2_spark.operators import (
     dedup,
     embedding,
     joins,
+    curation,
     multimodal,
     relational,
     similarity,
@@ -1470,9 +1471,7 @@ def q_lang_id(spark, sf_dir):
     return textanalysis.lang_id(_t(spark, sf_dir, "documents"))
 
 
-@_register(
-    "quality_score",
-    """
+_QUALITY_SQL = """
     WITH f AS (
       SELECT doc_id, length(text) AS n,
              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
@@ -1493,8 +1492,10 @@ def q_lang_id(spark, sf_dir):
                  + (1 - round(n_digit / greatest(n, 1), 6)) * 0.2
                  + least(n_tok / 100.0, 1.0) * 0.2, 6) AS quality
     FROM f
-    """,
-)
+"""
+
+
+@_register("quality_score", _QUALITY_SQL)
 def q_quality_score(spark, sf_dir):
     return textanalysis.quality_score(_t(spark, sf_dir, "documents"))
 
@@ -1592,6 +1593,40 @@ def q_decontaminate(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return textanalysis.decontaminate(
         docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
+    )
+
+
+def _curation_sql() -> str:
+    """Oracle for curate_corpus: the quality / lang / pii oracles reused
+    verbatim as CTEs (the engine computes them in ONE scan; the oracle
+    joins them — values must agree either way), gated identically."""
+    return f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS keep_id
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+    ),
+    q AS ({_QUALITY_SQL}),
+    l AS ({_lang_sql()}),
+    r AS ({_pii_sql()})
+    SELECT q.doc_id, l.lang_pred, q.quality, q.n_tokens, r.text_redacted
+    FROM q
+    JOIN l ON l.doc_id = q.doc_id
+    JOIN r ON r.doc_id = q.doc_id
+    JOIN keep ON keep.keep_id = q.doc_id
+    WHERE q.quality >= 0.7 AND l.lang_pred = 'en'
+      AND q.n_tokens BETWEEN 5 AND 5000
+    """
+
+
+@_register("corpus_curation", _curation_sql())
+def q_corpus_curation(spark, sf_dir):
+    return curation.curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_quality=0.7,
+        langs=("en",),
+        min_tokens=5,
+        max_tokens=5000,
     )
 
 

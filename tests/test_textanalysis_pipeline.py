@@ -53,6 +53,33 @@ def test_repetition_ratio_shapes(spark):
     assert got[2]["top_ratio"] == 0.25
 
 
+def test_curate_corpus_gates_and_redaction(spark):
+    from data_pipeline2_spark.operators.curation import curate_corpus
+
+    en = (
+        "please contact the team at john@example.com for the offer and "
+        "the details of the plan that it includes"
+    )
+    df = _docs(
+        spark,
+        [
+            (10, en),
+            (11, en),  # exact dup → only keeper 10 survives
+            (20, "le chat est dans la maison et il est content avec le chien"),
+            (30, "1234 5678 9012 3456 7890 1111 2222 3333 4444 5555 6666"),
+            (40, "the end"),  # too short for min_tokens
+            (50, None),  # null text never survives
+        ],
+    )
+    out = curate_corpus(
+        df, min_quality=0.6, langs=("en",), min_tokens=5, max_tokens=100
+    ).toPandas()
+    assert list(out.doc_id) == [10]
+    row = out.iloc[0]
+    assert "<EMAIL>" in row.text_redacted and "john@" not in row.text_redacted
+    assert row.lang_pred == "en" and row.quality >= 0.6
+
+
 def test_decontaminate_overlap(spark):
     evals = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
     corpus = _docs(
