@@ -143,12 +143,12 @@ def resize_plan(assets: DataFrame, max_dim: int = 256) -> DataFrame:
         "asset_id",
         "width",
         "height",
-        F.round(scale, 6).alias("scale"),
         # floor-with-min-1 keeps extreme aspect ratios from collapsing a
         # dimension to 0 pixels
         F.greatest((F.col("width") * scale).cast("int"), F.lit(1)).alias("target_w"),
         F.greatest((F.col("height") * scale).cast("int"), F.lit(1)).alias("target_h"),
-    ).select("asset_id", "width", "height", "target_w", "target_h", "scale")
+        F.round(scale, 6).alias("scale"),
+    )
 
 
 def resize_assets(
@@ -200,11 +200,13 @@ def extract_features(assets: DataFrame, dim: int = 64, fake: bool = True) -> Dat
     (asset_id, modality, feature array<float>).
 
     STUB for the model forward pass (no torch/CLIP here): fake=True
-    derives a deterministic unit-norm vector from sha256 of the payload
-    (vectorized numpy over the whole Arrow batch — the same batch shape
-    a real encoder would consume); fake=False raises where the model
-    call plugs in. Output plugs straight into the kNN/ANN surface
-    (similarity.knn_batch and friends take array<float> columns).
+    derives a deterministic unit-norm vector per payload — sha256 seeds
+    per row (that hash IS the fake generator), then one (batch, dim)
+    numpy expansion + normalization for the whole Arrow batch, the same
+    batch-matrix shape a real encoder's output takes; fake=False raises
+    where the model call plugs in. Output plugs straight into the
+    kNN/ANN surface (similarity.knn_batch and friends take array<float>
+    columns).
     """
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -212,35 +214,33 @@ def extract_features(assets: DataFrame, dim: int = 64, fake: bool = True) -> Dat
 
         import numpy as np
 
+        # expand sha256 (32 bytes) to dim uint16s deterministically
+        need = (dim * 2 + 31) // 32
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
                     "feature extraction requires a model runtime; run "
                     "with fake=True for the deterministic stand-in"
                 )
-            feats = []
-            for raw in pdf["payload"]:
-                payload = bytes(raw or b"")
-                # expand sha256 (32 bytes) to dim floats deterministically
-                need = (dim * 2 + 31) // 32
-                buf = b"".join(
-                    hashlib.sha256(payload + bytes([i])).digest()
-                    for i in range(need)
-                )
-                v = (
-                    np.frombuffer(buf[: dim * 2], dtype=np.uint16).astype(
-                        np.float32
-                    )
-                    / 65535.0
-                    - 0.5
-                )
-                n = float(np.linalg.norm(v))
-                feats.append((v / n if n > 0 else v).tolist())
+            seeds = b"".join(
+                hashlib.sha256(bytes(raw or b"") + bytes([i])).digest()
+                for raw in pdf["payload"]
+                for i in range(need)
+            )
+            mat = (
+                np.frombuffer(seeds, dtype=np.uint16)
+                .reshape(len(pdf), need * 16)[:, :dim]
+                .astype(np.float32)
+                / 65535.0
+                - 0.5
+            )
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(norms > 0, norms, 1.0)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
-                    "feature": feats,
+                    "feature": list(map(list, mat)),
                 }
             )
 

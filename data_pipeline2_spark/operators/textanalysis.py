@@ -196,36 +196,51 @@ def token_histogram(
     )
 
 
-# PII patterns — engine-portable regexes: no lookaround/alternation-
-# order tricks, so Java regex (Spark, leftmost-first) and RE2 (DuckDB,
-# leftmost-longest) match identical spans. Training pipelines run these
-# BEFORE tokenization/dedup so placeholders hash consistently.
+# PII patterns — engine-portable regexes: no lookaround, and alternation
+# branches have disjoint start characters ('+' / '(' / digit-at-\b), so
+# Java regex (Spark, leftmost-first) and RE2 (DuckDB, leftmost-longest)
+# match identical spans. Training pipelines run these BEFORE
+# tokenization/dedup so placeholders hash consistently.
+#
+# PHONE branches: explicit +country-code; parenthesized area code; plain
+# 10-digit with optional - or space separators. The leading \b on the
+# plain branch stops matches starting mid-digit-run (long numeric ids),
+# and the exact 3-3-4 shape with \b on both ends rejects runs of ≥11
+# digits without a '+'.
 PII_PATTERNS: dict[str, str] = {
     "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "IP": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
-    "PHONE": r"\+?\d{1,3}[- ]?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}\b",
+    "PHONE": (
+        r"\+\d{1,3}[- ]?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}\b"
+        r"|\(\d{3}\)[- ]?\d{3}[- ]?\d{4}\b"
+        r"|\b\d{3}[- ]?\d{3}[- ]?\d{4}\b"
+    ),
     "SSN": r"\b\d{3}-\d{2}-\d{4}\b",
 }
 
 
 def pii_redact_col(t: Column) -> Column:
     """Typed-placeholder redaction chain over a text column. Pattern
-    order matters — EMAIL first so user@1.2.3.4-style strings redact as
-    one email, then IP/PHONE/SSN over the residue."""
+    order matters — EMAIL first so an address with an alpha TLD after a
+    dotted-quad-looking local ('u@1.2.3.4.com') redacts as one email
+    rather than leaving an <IP> inside it; later patterns see only the
+    residue."""
     red = t
     for kind, pat in PII_PATTERNS.items():
         red = F.regexp_replace(red, pat, f"<{kind}>")
     return red
 
 
-def pii_count_cols(t: Column) -> list[Column]:
-    """Per-kind match counts (aliased n_email/n_ip/...), taken BEFORE
-    redaction."""
+def pii_count_cols(red: Column) -> list[Column]:
+    """Per-kind placeholder counts (aliased n_email/n_ip/...), counted
+    in the REDACTED text, so counts always agree with the placeholders
+    actually emitted — a span matching two kinds (an SSN-shaped string
+    inside an email) is attributed to the kind that redacted it."""
     return [
-        F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        F.size(F.regexp_extract_all(red, F.lit(f"<{kind}>"), 0))
         .cast("long")
         .alias(f"n_{kind.lower()}")
-        for kind, pat in PII_PATTERNS.items()
+        for kind in PII_PATTERNS
     ]
 
 
@@ -236,13 +251,14 @@ def pii_redact(
     n_email, n_ip, n_phone, n_ssn).
 
     Pure map-side regexp_replace chain (JVM codegen, no UDF, no
-    shuffle); counts via regexp_extract_all BEFORE redaction.
+    shuffle); counts = placeholders present in the redacted output (one
+    span, one attribution).
     """
-    t = F.col(text_col)
+    red = pii_redact_col(F.col(text_col))
     return documents.select(
         F.col(id_col).alias("doc_id"),
-        pii_redact_col(t).alias("text_redacted"),
-        *pii_count_cols(t),
+        red.alias("text_redacted"),
+        *pii_count_cols(red),
     )
 
 
@@ -298,6 +314,11 @@ def decontaminate(
     """Benchmark-contamination check: per corpus doc, the fraction of
     its distinct n-grams that appear anywhere in the eval set →
     (doc_id, n_grams, n_hit, contamination, contaminated).
+
+    Corpus docs with fewer than n tokens emit NO row (no grams to
+    probe, same contract as repetition_ratio) — callers gating on
+    `contaminated = false` must left-join and treat absence as
+    no-signal, not drop short docs.
 
     The eval-gram index is DISTINCT grams only (tiny — eval sets are
     thousands of docs, not billions) and broadcast, so the corpus side

@@ -1514,21 +1514,24 @@ def q_doc_fingerprint(spark, sf_dir):
 
 def _pii_sql() -> str:
     """Oracle for pii_redact, generated from the SAME PII_PATTERNS dict
-    (regexes are RE2/Java-portable by construction)."""
+    (regexes are RE2/Java-portable by construction). Counts are taken
+    over the redacted text — placeholder occurrences — matching the
+    engine's one-span-one-attribution contract."""
     from data_pipeline2_spark.operators.textanalysis import PII_PATTERNS
 
     red = "text"
     for kind, pat in PII_PATTERNS.items():
         red = f"regexp_replace({red}, '{pat}', '<{kind}>', 'g')"
     counts = ",\n           ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind.lower()}"
-        for kind, pat in PII_PATTERNS.items()
+        f"CAST(len(regexp_extract_all(text_redacted, '<{kind}>')) AS BIGINT)"
+        f" AS n_{kind.lower()}"
+        for kind in PII_PATTERNS
     )
     return f"""
     SELECT doc_id,
-           {red} AS text_redacted,
+           text_redacted,
            {counts}
-    FROM documents
+    FROM (SELECT doc_id, {red} AS text_redacted FROM documents)
     """
 
 

@@ -35,6 +35,29 @@ def test_pii_redact_each_kind(spark):
     assert all(got[5][k] == 0 for k in ("n_email", "n_ip", "n_phone", "n_ssn"))
 
 
+def test_pii_phone_shapes_and_count_attribution(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "call 555-123-4567 now"),          # plain separated
+            (2, "call (555) 123-4567 now"),        # parenthesized area code
+            (3, "call 5551234567 now"),            # bare 10-digit
+            (4, "order id 92345678901234 shipped"),  # long run: NOT a phone
+            (5, "reach 123-45-6789@example.com"),  # SSN-shaped inside email
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in textanalysis.pii_redact(df).collect()}
+    for i in (1, 2, 3):
+        assert got[i]["text_redacted"] == "call <PHONE> now", got[i]
+        assert got[i]["n_phone"] == 1
+    assert got[4]["text_redacted"] == "order id 92345678901234 shipped"
+    assert got[4]["n_phone"] == 0
+    # the whole span redacts as EMAIL; counts attribute to the emitted
+    # placeholder, not to every pattern that could have matched
+    assert got[5]["text_redacted"] == "reach <EMAIL>"
+    assert got[5]["n_email"] == 1 and got[5]["n_ssn"] == 0
+
+
 def test_repetition_ratio_shapes(spark):
     df = _docs(
         spark,
