@@ -137,6 +137,274 @@ def shipping_priority(
     )
 
 
+def _rev() -> Column:
+    """The TPC-H revenue expression under the exact-decimal rule
+    (price×(1-disc) has 4 decimal digits; see aggregates.exact_sum)."""
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,4)"
+    )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7-shaped: shipped revenue between DIFFERENT nations, by
+    (supplier nation, customer nation, ship year).
+
+    nation joins broadcast twice under different aliases; supplier
+    broadcasts at dim scale. The fact-fact joins (lineitem⋈orders on
+    orderkey, ⋈customer on custkey) shuffle on their keys — bucketed
+    layouts delete both at 100 TB.
+    """
+    n1 = nation.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    region_name: str,
+    nation_name: str,
+    type_name: str,
+) -> DataFrame:
+    """TPC-H Q8-shaped: share of a region's revenue (for one part type)
+    supplied by one nation, per order year.
+
+    Numerator and denominator come from the SAME aggregation pass
+    (conditional sum) — one plan, no self-join. part is filtered then
+    broadcast, so the lineitem scan prunes to matching parts via the
+    broadcast hash join before anything shuffles.
+    """
+    p = part.filter(F.col("p_type") == type_name).select("p_partkey")
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_regionkey").alias("__cr_key")
+    )
+    r = region.filter(F.col("r_name") == region_name)
+    n1 = nation.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(25,4)")
+    nat_rev = F.when(F.col("supp_nation") == nation_name, _rev()).otherwise(zero)
+    return (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))
+        .join(F.broadcast(r), F.col("__cr_key") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nat_rev).cast("double") / F.sum(_rev()).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def profit_by_nation_year(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_like: str = "%red%",
+) -> DataFrame:
+    """TPC-H Q9-shaped product-profit rollup by (supplier nation, order
+    year) for parts matching a name pattern.
+
+    Adapted: the testdata schema has no partsupp/ps_supplycost, so
+    profit = revenue (the join/agg shape is Q9's; the cost subtraction
+    is a column-arithmetic detail the schema cannot express).
+    """
+    p = part.filter(F.col("p_name").like(name_like)).select("p_partkey")
+    return (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(_rev()).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13-shaped: how many customers placed N orders, including
+    N = 0 (the left join is the point — an inner join silently drops
+    order-less customers).
+
+    Two aggregations: per-customer count shuffles on custkey (the same
+    key the join shuffled on, so AQE/co-partitioning reuses it), then
+    the tiny histogram agg.
+    """
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1997-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) with the maximum revenue in a
+    quarter. The max is joined back via a broadcast single-row agg —
+    no collect(), no second scan of lineitem (the per-supplier revenue
+    aggregate is reused for both sides; double equality is safe because
+    both values come from the identical decimal-exact sum).
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str
+) -> DataFrame:
+    """TPC-H Q17-shaped: yearly revenue lost if sub-20%-of-average
+    quantity orders for one brand were dropped.
+
+    The per-part average-quantity aggregate joins back to lineitem on
+    partkey (both sides cluster on partkey; the brand-filtered part dim
+    broadcasts and prunes BEFORE the heavy per-part aggregate, so the
+    avg is computed only for the brand's parts).
+    """
+    from data_pipeline2_spark.operators.aggregates import exact_avg, exact_sum
+
+    p = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li_p = lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    qlim = (
+        li_p.groupBy(F.col("l_partkey").alias("__pk"))
+        .agg((exact_avg(F.col("l_quantity")) * F.lit(0.2)).alias("__qlim"))
+    )
+    return (
+        li_p.join(qlim, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__qlim"))
+        .agg(
+            (
+                exact_sum(F.col("l_extendedprice")) / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def banded_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    bands: list[tuple[str, float, float, int, int]],
+) -> DataFrame:
+    """TPC-H Q19-shaped: revenue for an OR of (brand, quantity-range,
+    size-range) bands — the disjunctive-predicate pushdown showcase.
+
+    Adapted to the testdata schema: p_size ranges stand in for the
+    container/shipmode attributes it lacks. The whole predicate stays
+    in the scan/join stage (no UDF), so Catalyst pushes the band
+    filters into the broadcast hash join.
+    """
+    cond = None
+    for brand, q_lo, q_hi, s_lo, s_hi in bands:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("l_quantity").between(q_lo, q_hi)
+            & F.col("p_size").between(s_lo, s_hi)
+        )
+        cond = c if cond is None else cond | c
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(cond)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+def dormant_high_balance(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22-shaped: customers with above-average positive balance
+    and NO orders, rolled up by nation.
+
+    Adapted: nationkey stands in for the phone country code the schema
+    lacks. The global threshold is a broadcast single-row aggregate
+    (cross join of a scalar — no collect), and NOT EXISTS is a
+    left_anti join on custkey.
+    """
+    from data_pipeline2_spark.operators.aggregates import exact_avg, exact_sum
+
+    thr = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(exact_avg(F.col("c_acctbal")).alias("__thr"))
+    )
+    return (
+        customer.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("__thr"))
+        .join(orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def range_join_events(
     events: DataFrame, windows: DataFrame, ts_col: str = "ts"
 ) -> DataFrame:

@@ -246,6 +246,214 @@ def q_q5(spark, sf_dir):
 
 
 @_register(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND n1.n_name <> n2.n_name)
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_q7(spark, sf_dir):
+    return joins.volume_shipping(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        date_lo="1996-01-01",
+        date_hi="1998-01-01",
+    )
+
+
+@_register(
+    "q8_market_share",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           round(
+             CAST(sum(CASE WHEN n1.n_name = (SELECT min(n_name) FROM nation)
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))
+                  ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE),
+           6) AS mkt_share
+    FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    WHERE p_type = 'PROMO' AND r_name = (SELECT min(r_name) FROM region)
+    GROUP BY year(o_orderdate)
+    ORDER BY o_year
+    """,
+)
+def q_q8(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nation_name = nation.agg(F.min("n_name")).collect()[0][0]
+    region_name = region.agg(F.min("r_name")).collect()[0][0]
+    return joins.market_share(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        nation,
+        region,
+        _t(spark, sf_dir, "part"),
+        region_name=region_name,
+        nation_name=nation_name,
+        type_name="PROMO",
+    )
+
+
+@_register(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS profit
+    FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_q9(spark, sf_dir):
+    return joins.profit_by_nation_year(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "part"),
+        name_like="%red%",
+    )
+
+
+@_register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_q13(spark, sf_dir):
+    return joins.customer_order_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q_q15(spark, sf_dir):
+    return joins.top_supplier(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    WITH li_p AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#1'),
+    qlim AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE)
+               / count(l_quantity) * CAST(0.2 AS DOUBLE) AS q
+      FROM li_p GROUP BY l_partkey)
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE)
+           / CAST(7.0 AS DOUBLE) AS avg_yearly
+    FROM li_p JOIN qlim ON l_partkey = pk
+    WHERE l_quantity < q
+    """,
+)
+def q_q17(spark, sf_dir):
+    return joins.small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"), brand="Brand#1"
+    )
+
+
+@_register(
+    "q19_banded_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#10' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#11' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def q_q19(spark, sf_dir):
+    return joins.banded_revenue(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        bands=[
+            ("Brand#1", 1, 11, 1, 5),
+            ("Brand#10", 10, 20, 1, 10),
+            ("Brand#11", 20, 30, 1, 15),
+        ],
+    )
+
+
+@_register(
+    "q22_dormant_high_balance",
+    """
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE)
+               / count(c_acctbal)
+        FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_q22(spark, sf_dir):
+    return joins.dormant_high_balance(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_register(
     "sort_limit",
     """
     SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
