@@ -2453,6 +2453,46 @@ def q_write_documents(spark, sf_dir):
     return out.select("doc_id", "lang", "version")
 
 
+_DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@_register(
+    "jsonl_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_jsonl_roundtrip(spark, sf_dir):
+    """documents → JSONL files → read back with explicit schema; the
+    oracle checks the roundtrip is lossless (JSONL is the corpus
+    interchange format; parquet stays lake-internal)."""
+    from data_pipeline2_spark.operators import writers
+    from data_pipeline2_spark.sources import text_formats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = writers.scratch_dir("jsonl_roundtrip", sf_dir)
+    text_formats.write_jsonl(docs, path)
+    return text_formats.read_jsonl(spark, path, _DOCS_DDL)
+
+
+@_register(
+    "csv_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_csv_roundtrip(spark, sf_dir):
+    """Same roundtrip through quoted CSV (embedded quotes/newlines in
+    text must survive — writer quotes, reader is multiLine)."""
+    from data_pipeline2_spark.operators import writers
+    from data_pipeline2_spark.sources import text_formats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = writers.scratch_dir("csv_roundtrip", sf_dir)
+    text_formats.write_csv(docs, path)
+    return text_formats.read_csv(spark, path, _DOCS_DDL)
+
+
 @_register(
     "write_embeddings",
     "SELECT vec_id, label FROM embeddings",

@@ -1,0 +1,89 @@
+"""JSONL / CSV sources and sinks — the interchange formats around a
+training-data lake (JSONL in particular is the lingua franca for
+document corpora; parquet stays the internal format).
+
+Scale stance:
+- **Schema is always explicit.** Inference costs a full extra pass over
+  the data and can silently widen/narrow types between runs; at 100 TB
+  both are unacceptable. Callers pass a DDL string or StructType.
+- **Compression**: writers default to uncompressed for local tests;
+  at scale pass compression="gzip" knowing gzip files are NOT
+  splittable (one task per file — size files ~128 MB at write time via
+  repartition) while uncompressed/bzip2 split fine.
+- Reads are line-based and parallel: Spark splits uncompressed JSONL /
+  CSV by byte ranges, so a single huge file still fans out.
+
+Reference parity: the reference ingests raw bytes via POST + base64
+(document_processor.py:47-74); JSONL/CSV ingest is the batch analog of
+that entry point for text corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """Write one JSON object per line. Column order is not significant
+    in JSON; readers bind by name."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read JSONL with an EXPLICIT schema (DDL string or StructType).
+
+    mode=FAILFAST: a corrupt line is a data bug to surface, not a row
+    to silently null out — flip to PERMISSIVE + corrupt-record column
+    only for known-dirty feeds.
+    """
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    compression: str | None = None,
+) -> None:
+    """CSV with full quoting/escaping enabled — newlines and quotes in
+    text columns survive the roundtrip (multiLine on the read side)."""
+    w = (
+        df.write.mode(mode)
+        .option("header", str(header).lower())
+        .option("quote", '"')
+        .option("escape", '"')
+        # the writer trims cell whitespace by default — lossy for text
+        # corpora where leading/trailing space is content
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema, header: bool = True
+) -> DataFrame:
+    """Read CSV with an explicit schema. multiLine=true pairs with the
+    writer's quote-everything stance so embedded newlines parse; note
+    multiLine makes gzip'd CSV single-task per file — another reason
+    the lake-internal format is parquet."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )

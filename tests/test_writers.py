@@ -127,3 +127,30 @@ def test_upsert_version_tie_is_deterministic(spark):
         outs.add(out.collect()[0]["payload"])
     assert len(outs) == 1  # same winner every run
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_jsonl_csv_roundtrip_hostile_content(spark):
+    from data_pipeline2_spark.sources import text_formats
+
+    rows = [
+        (1, 'quote " and comma, and\nnewline', "en"),
+        (2, "unicode: naïve café 中文 🙂", "zh"),
+        (3, None, None),  # nulls survive both formats
+        (4, "trailing space ", "en"),
+    ]
+    ddl = "doc_id long, text string, lang string"
+    df = spark.createDataFrame(rows, ddl)
+    base = tempfile.mkdtemp(prefix="dp2s_fmt_")
+    try:
+        for fmt, write, read in (
+            ("jsonl", text_formats.write_jsonl, text_formats.read_jsonl),
+            ("csv", text_formats.write_csv, text_formats.read_csv),
+        ):
+            path = os.path.join(base, fmt)
+            write(df, path)
+            back = read(spark, path, ddl)
+            got = {r.doc_id: (r.text, r.lang) for r in back.collect()}
+            want = {i: (t, l) for i, t, l in rows}
+            assert got == want, f"{fmt} roundtrip mismatch: {got}"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
