@@ -2298,6 +2298,48 @@ def q_events_tumbling(spark, sf_dir):
 
 
 @_register(
+    "events_funnel",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+    SELECT CAST(1 AS INT) AS step_no, 'view' AS step, count(*) AS users FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click', count(*) FROM s2
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase', count(*) FROM s3
+    """,
+)
+def q_events_funnel(spark, sf_dir):
+    return ev.funnel(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "events_retention",
+    """
+    WITH fs AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                FROM events GROUP BY user_id),
+    aw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+           FROM events)
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, active_week) / 7 AS INT) AS week_offset,
+           count(*) AS users
+    FROM aw JOIN fs ON aw.user_id = fs.user_id
+    GROUP BY cohort_week,
+             CAST(datediff('day', cohort_week, active_week) / 7 AS INT)
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q_events_retention(spark, sf_dir):
+    return ev.retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+@_register(
     "events_sliding",
     """
     SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS w_start,

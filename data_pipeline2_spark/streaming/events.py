@@ -81,6 +81,77 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel → (step_no, step, users): users who performed
+    step_i strictly AFTER their qualifying step_{i-1} time (earliest
+    qualifying time carried forward — the standard strict-order funnel).
+
+    One filtered min-agg per step, each joined on user_col: every
+    shuffle is on the same key, so co-partitioning (or a lake layout
+    partitioned by user bucket) collapses the chain to one exchange.
+    The per-step filter prunes the events scan before aggregation —
+    step cardinality is usually a small slice of the log.
+    """
+    step_users: list[DataFrame] = []
+    prev = None
+    for s in steps:
+        cur = events.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("user_id"), F.col(ts_col).alias("__ts")
+        )
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(F.col("__ts") > F.col("__t"))
+        cur = cur.groupBy("user_id").agg(F.min("__ts").alias("__t"))
+        step_users.append(cur)
+        prev = cur
+    out = None
+    for i, (s, df) in enumerate(zip(steps, step_users)):
+        row = df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(i + 1).alias("step_no"), F.lit(s).alias("step"), "users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle → (cohort_week, week_offset, users):
+    users first seen in cohort_week who were active week_offset weeks
+    later.
+
+    Two aggregations on user_col (first-seen, then distinct activity
+    weeks — same shuffle key) + a final tiny rollup. Offsets divide
+    exactly (both sides are week-truncated), so the int cast is safe
+    and engine-portable.
+    """
+    first_seen = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    active = events.select(
+        F.col(user_col).alias("user_id"),
+        F.date_trunc("week", F.col(ts_col)).alias("active_week"),
+    ).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def read_events_stream(spark, path: str) -> DataFrame:
     """File-source stream over events parquet (schema pinned —
     streaming sources never infer).

@@ -174,3 +174,47 @@ def test_stream_dedup_within_watermark(spark, tmpdir):
     q.awaitTermination(120)
     ids = [r.event_id for r in spark.sql("select * from sdd").collect()]
     assert sorted(ids) == [1, 2, 3]  # duplicate arrival of id 1 dropped
+
+
+def test_funnel_strict_ordering(spark):
+    rows = [
+        # user 1: full ordered funnel
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:05:00", 1, "click"),
+        (3, "2024-01-01 10:10:00", 1, "purchase"),
+        # user 2: purchase BEFORE click -> counts only through click
+        (4, "2024-01-01 09:00:00", 2, "view"),
+        (5, "2024-01-01 09:01:00", 2, "purchase"),
+        (6, "2024-01-01 09:02:00", 2, "click"),
+        # user 3: click only (no view) -> counts for nothing
+        (7, "2024-01-01 08:00:00", 3, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.step: r.users for r in ev.funnel(df).collect()}
+    assert got == {"view": 2, "click": 2, "purchase": 1}
+
+
+def test_retention_cohort_offsets(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1),  # Monday, cohort week 1
+        (2, "2024-01-10 10:00:00", 1),  # active week offset 1
+        (3, "2024-01-16 10:00:00", 1),  # active week offset 2
+        (4, "2024-01-10 09:00:00", 2),  # cohort week 2 only
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (str(r.cohort_week.date()), r.week_offset): r.users
+        for r in ev.retention_cohorts(df).collect()
+    }
+    # user 1: cohort = week of Mon Jan 1, active offsets 0/1/2;
+    # user 2: cohort = week of Mon Jan 8, active offset 0 only
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
