@@ -106,6 +106,58 @@ def rollup_counts(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.rollup(*cols).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def gap_fill(
+    series: DataFrame,
+    key_cols: list[str],
+    bucket_col: str = "bucket",
+    value_col: str = "total",
+    grain: str = "1 hour",
+) -> DataFrame:
+    """Timescale-style gap filling over a bucketed series → one row per
+    (key, bucket) for EVERY bucket in each key's [min, max] span:
+    (key..., bucket, value, is_gap, value_locf).
+
+    `value` is NULL in gaps; `value_locf` carries the last observed
+    value forward. Grid generation is per-key sequence + posexplode
+    (map-side after a tiny min/max agg); the LOCF uses the portable
+    run-group formulation — cumulative count of non-nulls assigns each
+    gap row to its preceding observation's run, then a per-run max
+    recovers that observation — which needs no IGNORE NULLS support and
+    is engine-portable (same SQL runs on DuckDB for the oracle). Both
+    windows sort within the existing hash(key) clustering: one shuffle
+    for the grid join, none extra for the fill.
+    """
+    from pyspark.sql.window import Window
+
+    bounds = series.groupBy(*key_cols).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    grid = bounds.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"interval {grain}"))
+        ).alias(bucket_col),
+    )
+    actual = series.select(
+        *key_cols, bucket_col, F.col(value_col).alias("__v"), F.lit(1).alias("__present")
+    )
+    joined = grid.join(actual, [*key_cols, bucket_col], "left")
+    w_run = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_grp = joined.withColumn("__grp", F.count("__v").over(w_run))
+    w_grp = Window.partitionBy(*key_cols, "__grp")
+    return with_grp.select(
+        *key_cols,
+        bucket_col,
+        F.col("__v").alias(value_col),
+        F.col("__present").isNull().alias("is_gap"),
+        F.max("__v").over(w_grp).alias(f"{value_col}_locf"),
+    )
+
+
 def hypertable_rollup(
     events: DataFrame,
     ts_col: str = "ts",

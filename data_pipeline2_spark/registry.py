@@ -2340,6 +2340,48 @@ def q_events_retention(spark, sf_dir):
 
 
 @_register(
+    "events_gap_fill",
+    """
+    WITH s AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+          FROM s GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM b
+    ),
+    j AS (
+      SELECT g.event_type, g.bucket, s.total AS v,
+             (s.bucket IS NULL) AS is_gap
+      FROM grid g LEFT JOIN s
+        ON s.event_type = g.event_type AND s.bucket = g.bucket
+    ),
+    r AS (
+      SELECT *, count(v) OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM j
+    )
+    SELECT event_type, bucket, v AS total, is_gap,
+           max(v) OVER (PARTITION BY event_type, grp) AS total_locf
+    FROM r
+    """,
+)
+def q_events_gap_fill(spark, sf_dir):
+    """Hourly per-type totals gap-filled across each type's span (the
+    testdata really has gaps: sparse types cover ~25% of hours)."""
+    e = _t(spark, sf_dir, "events")
+    series = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(aggregates.exact_sum(F.col("value")).alias("total"))
+    return aggregates.gap_fill(
+        series, ["event_type"], bucket_col="bucket", value_col="total"
+    )
+
+
+@_register(
     "events_sliding",
     """
     SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS w_start,

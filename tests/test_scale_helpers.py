@@ -99,3 +99,24 @@ def test_stratified_sample_boundary(spark):
     )
     assert stratified_sample(df, "lang", "doc_id", 100).count() == 500
     assert stratified_sample(df, "lang", "doc_id", 0).count() == 0
+
+
+def test_gap_fill_locf_and_spans(spark):
+    from data_pipeline2_spark.operators.aggregates import gap_fill
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1.0),
+        ("a", "2024-01-01 03:00:00", 4.0),   # 2 gap hours between
+        ("b", "2024-01-01 05:00:00", 9.0),   # single-bucket span, no gaps
+    ]
+    series = spark.createDataFrame(
+        rows, "k string, bucket string, total double"
+    ).withColumn("bucket", F.col("bucket").cast("timestamp"))
+    out = gap_fill(series, ["k"], value_col="total").toPandas()
+    a = out[out.k == "a"].sort_values("bucket")
+    assert len(a) == 4  # 00,01,02,03 — span bounded per key
+    assert list(a.is_gap) == [False, True, True, False]
+    assert list(a.total_locf) == [1.0, 1.0, 1.0, 4.0]  # carried forward
+    assert a.total.isna().tolist() == [False, True, True, False]
+    b = out[out.k == "b"]
+    assert len(b) == 1 and not b.is_gap.iloc[0] and b.total_locf.iloc[0] == 9.0
