@@ -40,6 +40,60 @@ def job_stats(jobs: DataFrame) -> DataFrame:
     )
 
 
+def scd2_history(
+    change_log: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an append-only
+    change log → every input row + (valid_from, valid_to, is_current):
+    valid_to = next change's timestamp for the key (NULL while current).
+
+    One lead() window per key — sorts within the existing hash(key)
+    clustering, no extra shuffle beyond the partitionBy. tiebreak_cols
+    order same-timestamp changes deterministically (default: the attr
+    columns themselves). This is the warehouse-standard history build;
+    at 100 TB it runs incrementally by unioning the new log slice with
+    each key's current row and re-windowing only touched keys.
+    """
+    tb = tiebreak_cols if tiebreak_cols is not None else attr_cols
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *tb)
+    return (
+        change_log.select(*key_cols, ts_col, *attr_cols)
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(ts_col)
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Markov-style transition counts → (from_type, to_type, transitions):
+    how often each event type is immediately followed by each other type
+    within a user's ordered stream (id_col breaks timestamp ties
+    deterministically). lead() sorts within the user clustering; the
+    final count agg is tiny (|types|² groups).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("transitions"))
+        .orderBy("from_type", "to_type")
+    )
+
+
 def validate_transitions(status_log: DataFrame) -> DataFrame:
     """Rows that violate the monotone lifecycle (a terminal status
     followed by a later non-terminal row) — data-quality check."""

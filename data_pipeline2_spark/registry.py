@@ -29,6 +29,7 @@ from data_pipeline2_spark.operators import (
     embedding,
     joins,
     curation,
+    lifecycle,
     multimodal,
     relational,
     similarity,
@@ -2378,6 +2379,46 @@ def q_events_gap_fill(spark, sf_dir):
     ).agg(aggregates.exact_sum(F.col("value")).alias("total"))
     return aggregates.gap_fill(
         series, ["event_type"], bucket_col="bucket", value_col="total"
+    )
+
+
+@_register(
+    "events_transitions",
+    """
+    SELECT from_type, to_type, count(*) AS transitions
+    FROM (SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS to_type
+          FROM events)
+    WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    ORDER BY from_type, to_type
+    """,
+)
+def q_events_transitions(spark, sf_dir):
+    return lifecycle.event_transitions(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "scd2_history",
+    """
+    SELECT user_id, event_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_history(spark, sf_dir):
+    """Events as a change log: each user's stream becomes a type-2
+    validity-range history (valid_from/valid_to/is_current)."""
+    return lifecycle.scd2_history(
+        _t(spark, sf_dir, "events"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_id", "event_type"],
+        tiebreak_cols=["event_id"],
     )
 
 
