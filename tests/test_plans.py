@@ -84,3 +84,33 @@ def test_events_scan_not_repeated_per_window(spark):
     # sliding windows explode in-plan (no self-union of scans)
     plan = plan_of(QUERIES["events_sliding"](spark, SF))
     assert plan.count("FileScan parquet") == 1
+
+
+def test_q7_no_sort_merge_at_dim_scale(spark):
+    plan = plan_of(QUERIES["q7_volume_shipping"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier + both nation aliases
+    assert "PushedFilters" in plan  # shipdate range reaches the scan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    plan = plan_of(QUERIES["decontaminate"](spark, SF))
+    # the eval-gram index is the broadcast side; corpus text never
+    # joins as a shuffled side
+    assert "BroadcastHashJoin" in plan
+
+
+def test_curation_is_single_fused_projection(spark):
+    plan = plan_of(QUERIES["corpus_curation"](spark, SF))
+    # quality + lang + PII + budget must NOT appear as joins of separate
+    # operator outputs: the only join is exact-dedup's semi-join
+    assert plan.count("Join") <= 2  # semi join (+ AQE may label broadcast)
+    # all three parquet scans belong to dedup (groupBy side, semi side,
+    # null-text union branch) — a per-operator-join plan would scan 6x
+    assert plan.count("Scan parquet") <= 3
+
+
+def test_gap_fill_windows_reuse_key_partitioning(spark):
+    plan = plan_of(QUERIES["events_gap_fill"](spark, SF))
+    # grid join + series agg shuffle; the two LOCF windows must not add
+    # exchanges beyond the join/agg ones (they sort within clustering)
+    assert plan.count("Exchange") <= 5
