@@ -75,3 +75,39 @@ def test_fixed_chunk_count_formula(chunk_size, text_len):
     assert starts[0] == 0
     assert starts[-1] < text_len
     assert starts[-1] + chunk_size >= text_len
+
+
+def _py_redact(text: str) -> str:
+    from data_pipeline2_spark.operators.textanalysis import PII_PATTERNS
+
+    for kind, pat in PII_PATTERNS.items():
+        text = re.sub(pat, f"<{kind}>", text)
+    return text
+
+
+pii_ish = st.text(
+    alphabet="0123456789-+() .@abcdef\n", max_size=120
+)
+
+
+@given(pii_ish)
+@settings(max_examples=300, deadline=None)
+def test_pii_redaction_idempotent(text):
+    # placeholders are alphabetic, so a second pass must be a no-op:
+    # redaction never manufactures new matches (Python re is
+    # leftmost-first like Spark's Java regex; engine parity with DuckDB
+    # RE2 is covered by the oracle harness)
+    once = _py_redact(text)
+    assert _py_redact(once) == once
+
+
+@given(pii_ish)
+@settings(max_examples=300, deadline=None)
+def test_pii_redaction_never_leaves_full_matches(text):
+    from data_pipeline2_spark.operators.textanalysis import PII_PATTERNS
+
+    once = _py_redact(text)
+    # EMAIL can legitimately survive in residue around placeholders
+    # (e.g. 'a@b<IP>c' fragments); the anchored numeric kinds must not
+    for kind in ("IP", "SSN"):
+        assert not re.search(PII_PATTERNS[kind], once), (text, once)
