@@ -377,14 +377,19 @@ def banded_revenue(
     )
 
 
-def dormant_high_balance(customer: DataFrame, orders: DataFrame) -> DataFrame:
+def dormant_high_balance(
+    customer: DataFrame, orders: DataFrame, since: str = "1998-05-01"
+) -> DataFrame:
     """TPC-H Q22-shaped: customers with above-average positive balance
-    and NO orders, rolled up by nation.
+    and no orders SINCE a cutoff, rolled up by nation.
 
-    Adapted: nationkey stands in for the phone country code the schema
-    lacks. The global threshold is a broadcast single-row aggregate
-    (cross join of a scalar — no collect), and NOT EXISTS is a
-    left_anti join on custkey.
+    Adapted twice for the testdata: nationkey stands in for the phone
+    country code the schema lacks, and dormancy is "no recent orders"
+    (the synthetic key space is dense — every customer has SOME order,
+    so the literal Q22 NOT EXISTS would be vacuous). The global
+    threshold is a broadcast single-row aggregate (cross join of a
+    scalar — no collect), and NOT EXISTS is a left_anti join on custkey
+    with the date filter pushed below it.
     """
     from data_pipeline2_spark.operators.aggregates import exact_avg, exact_sum
 
@@ -392,10 +397,13 @@ def dormant_high_balance(customer: DataFrame, orders: DataFrame) -> DataFrame:
         customer.filter(F.col("c_acctbal") > 0)
         .agg(exact_avg(F.col("c_acctbal")).alias("__thr"))
     )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
     return (
         customer.crossJoin(F.broadcast(thr))
         .filter(F.col("c_acctbal") > F.col("__thr"))
-        .join(orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),

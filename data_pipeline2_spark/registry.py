@@ -443,14 +443,17 @@ def q_q19(spark, sf_dir):
         SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE)
                / count(c_acctbal)
         FROM customer WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1998-05-01')
     GROUP BY c_nationkey
     ORDER BY c_nationkey
     """,
 )
 def q_q22(spark, sf_dir):
     return joins.dormant_high_balance(
-        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        since="1998-05-01",
     )
 
 
