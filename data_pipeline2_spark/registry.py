@@ -767,14 +767,19 @@ def q_q18(spark, sf_dir):
     "join_outer_zero_orders",
     """
     SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders
-    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      ON c_custkey = o_custkey
     GROUP BY c_custkey, c_mktsegment
     HAVING count(o_orderkey) = 0
     """,
 )
 def q_join_outer(spark, sf_dir):
+    """Customers with zero LARGE orders (the synthetic key space is
+    dense, so zero orders outright matches nobody — the filtered left
+    join keeps the NULL-preserving outer semantics non-vacuous)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return (
         cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
         .groupBy("c_custkey", "c_mktsegment")
@@ -1623,12 +1628,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
                  i -> a.nv[i] * b.nv[i]), 'sum'), 6) AS cos
     FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round(list_aggregate(list_transform(generate_series(1, len(a.nv)),
-              i -> a.nv[i] * b.nv[i]), 'sum'), 6) >= 0.5
+              i -> a.nv[i] * b.nv[i]), 'sum'), 6) >= 0.35
     """,
 )
 def q_dedup_near_embedding(spark, sf_dir):
+    """Threshold 0.35 sits in the real tail of the synthetic embedding
+    distribution (max intra-label cosine ≈ 0.47): ~15-30 pairs at test
+    SFs — a 0.5 threshold matches nothing and would vacuously pass."""
     return dedup.dedup_near_embedding(
-        _t(spark, sf_dir, "embeddings"), threshold=0.5, group_col="label"
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, group_col="label"
     )
 
 
