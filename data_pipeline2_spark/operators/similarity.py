@@ -301,3 +301,98 @@ def knn_batch_lsh(
         .filter(F.col("rank") <= k)
         .select(qid_col, "rank", id_col, "score")
     )
+
+
+def hybrid_search_rrf(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec,
+    k: int = 10,
+    rrf_k: int = 60,
+    n_candidates: int = 50,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion.
+
+    Reference parity: the reference exposes BOTH a full-text match path
+    (ES `match`, test_full_pipeline.py:130-139) and a cosine-kNN path
+    (services/vector_storage.py:69-100); Elasticsearch's standard way
+    to combine them is RRF (`rank: {rrf: ...}`), which this reproduces:
+
+        rrf(d) = Σ_rankings 1 / (rrf_k + rank_i(d))     (rrf_k = 60)
+
+    over the top-`n_candidates` of each ranking; documents absent from
+    one ranking contribute 0 from it.
+
+    Scale shape: each leg prunes to `n_candidates` rows BEFORE fusion
+    (BM25 leg via TakeOrderedAndProject inside bm25_search, vector leg
+    inside knn_cosine), so the global rank windows and the full-outer
+    fusion join run on ≤ 2·n_candidates rows — driver-scale, regardless
+    of corpus size. The heavy work stays in the two legs, which keep
+    their distributed plans.
+    """
+    from data_pipeline2_spark.operators.textanalysis import bm25_search
+
+    bm = bm25_search(
+        documents, query_terms, k=n_candidates, id_col=id_col
+    )
+    wb = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    bm_r = bm.select(
+        "doc_id", F.row_number().over(wb).alias("bm25_rank")
+    )
+    vec = knn_cosine(embeddings, query_vec, k=n_candidates, id_col=vec_id_col)
+    wv = Window.orderBy(F.desc("score"), F.col(vec_id_col))
+    vec_r = vec.select(
+        F.col(vec_id_col).alias("doc_id"),
+        F.row_number().over(wv).alias("vec_rank"),
+    )
+    inv = lambda rank_col: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(rrf_k)) + rank_col.cast("double")), F.lit(0.0)
+    )
+    fused = bm_r.join(vec_r, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "vec_rank",
+        F.round(inv(F.col("bm25_rank")) + inv(F.col("vec_rank")), 6).alias(
+            "rrf_score"
+        ),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.col("doc_id")).limit(k)
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding, long format → (label, pos, n, centroid_v).
+
+    The grouped-centroid primitive behind IVF cells, nearest-centroid
+    classification, and cluster drift monitoring. One posexplode + one
+    (label, pos) hash aggregation — a single shuffle whose width is
+    n_labels × dim, independent of corpus row count; partial (map-side)
+    aggregation collapses each partition to that width before the
+    exchange. Mean is computed as an exact decimal sum / count so the
+    result is independent of partitioning and bit-matches the DuckDB
+    oracle; rounded for hash stability.
+    """
+    ex = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(
+                    F.col("v").cast("double").cast("decimal(25,10)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid_v"),
+        )
+        .select(F.col("label"), F.col("pos").cast("int").alias("pos"), "n", "centroid_v")
+    )

@@ -353,3 +353,133 @@ def decontaminate(
             ),
         )
     )
+
+
+def bm25_search(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval over a document corpus → top-k
+    (doc_id, score, matched_terms), score desc / doc_id asc.
+
+    Reference parity: the reference's full-text path is an Elasticsearch
+    `match` query (test_full_pipeline.py:130-139; README.md:35-38
+    promises full-text search), and ES `match` scores with Lucene's
+    BM25 (k1=1.2, b=0.75 defaults). This is that scoring function as a
+    pure Catalyst plan — no index, no UDF:
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))      (Lucene idf)
+        s(d, t) = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape: the token explode is filtered to the query terms
+    BEFORE the (doc, term) aggregation, so the big shuffle carries only
+    matching postings (query terms are a handful — this is the moral
+    equivalent of an inverted-index seek). df and the corpus stats
+    (N, avgdl) are one-row/handful-of-rows aggregates, broadcast back.
+    Per-doc scores sum the per-term contributions in a FIXED order
+    (one conditional max per query term, added left-to-right) so the
+    double result is bit-identical across partitionings and engines —
+    there is exactly one contribution per (doc, term), so max is not a
+    float accumulation.
+    """
+    q = sorted({t.lower() for t in query_terms})
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    dl = docs.select(
+        "doc_id", token_count(F.col("_text")).cast("double").alias("dl")
+    )
+    # integer-valued doubles: sums are exact, avg is order-independent
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("_text")))).alias("term")
+    ).filter(F.col("term").isin(q))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == F.lit(t), F.col("c"))), F.lit(0.0)
+        )
+        for t in q
+    ]
+    score = per_term[0]
+    for p in per_term[1:]:
+        score = score + p
+    agg = contrib.groupBy("doc_id").agg(
+        F.round(score, 6).alias("score"),
+        F.count(F.lit(1)).cast("int").alias("matched_terms"),
+    )
+    return agg.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
+
+
+def bm25_oracle_sql(
+    query_terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """DuckDB replica of bm25_search over the `documents` view —
+    identical tokenization, idf, fixed-order term summation, rounding."""
+    q = sorted({t.lower() for t in query_terms})
+    in_list = ", ".join(f"'{t}'" for t in q)
+    fixed_sum = " + ".join(
+        f"coalesce(max(CASE WHEN term = '{t}' THEN c END), 0.0)" for t in q
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN []
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs
+    ), stats AS (
+      SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+      WHERE term IN ({in_list})
+      GROUP BY doc_id, term
+    ), dfx AS (
+      SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+             * tf.tf * {k1 + 1.0}
+             / (tf.tf + {k1} * ({1.0 - b} + {b} * dl.dl / s.avgdl)) AS c
+      FROM tf
+      JOIN dfx USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, round({fixed_sum}, 6) AS score,
+           CAST(count(*) AS INT) AS matched_terms
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {k}
+    """

@@ -3045,6 +3045,79 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(assets, dim=64, fake=True)
 
 
+
+# ============================================== BM25 / hybrid retrieval
+# (ES `match` = Lucene BM25; hybrid = ES RRF rank fusion) + centroids
+
+_BM25_TERMS = ["dup", "vector", "spark"]  # rare + common terms (df 25/382/385)
+
+
+from data_pipeline2_spark.operators.textanalysis import bm25_oracle_sql as _bm25_sql  # noqa: E402
+
+
+@_register("fulltext_bm25", _bm25_sql(_BM25_TERMS, k=10))
+def q_fulltext_bm25(spark, sf_dir):
+    return textanalysis.bm25_search(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS, k=10
+    )
+
+
+def _rrf_oracle_sql() -> str:
+    bm = _bm25_sql(_BM25_TERMS, k=50)
+    return f"""
+    WITH bm25 AS ({bm}),
+    bm_r AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS bm25_rank
+      FROM bm25
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vec AS (
+      SELECT e.vec_id AS doc_id, round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score
+      FROM embeddings e, q ORDER BY score DESC, doc_id LIMIT 50
+    ),
+    vec_r AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS vec_rank
+      FROM vec
+    ),
+    fused AS (
+      SELECT coalesce(bm_r.doc_id, vec_r.doc_id) AS doc_id,
+             bm_r.bm25_rank, vec_r.vec_rank,
+             round(coalesce(1.0 / (60.0 + bm_r.bm25_rank), 0.0)
+                   + coalesce(1.0 / (60.0 + vec_r.vec_rank), 0.0), 6) AS rrf_score
+      FROM bm_r FULL OUTER JOIN vec_r ON bm_r.doc_id = vec_r.doc_id
+    )
+    SELECT doc_id, bm25_rank, vec_rank, rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
+
+@_register("hybrid_search_rrf", _rrf_oracle_sql())
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval works because vec_id aligns 1:1 with doc_id in
+    the testdata (both 0..N-1); the vector leg reuses knn's query vec."""
+    return similarity.hybrid_search_rrf(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        _BM25_TERMS,
+        _knn_query_vec(spark, sf_dir),
+        k=10,
+    )
+
+
+@_register(
+    "label_centroids",
+    """
+    SELECT label, CAST(i - 1 AS INT) AS pos, count(*) AS n,
+           round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE)
+                 / count(*), 6) AS centroid_v
+    FROM embeddings, generate_series(1, 64) t(i)
+    GROUP BY label, i
+    """,
+)
+def q_label_centroids(spark, sf_dir):
+    return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------- export
 
 

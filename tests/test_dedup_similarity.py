@@ -166,3 +166,89 @@ def test_dedup_exact_null_text_passthrough(spark):
     out = dedup.dedup_exact_drop(docs).toPandas()
     # null-text docs are not duplicates of each other: both survive
     assert set(out.doc_id) == {1, 3, 4}
+
+
+# ---------------------------------------------------------------- BM25 /
+# hybrid RRF / centroids (ES match + hybrid-search parity surface)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    from data_pipeline2_spark.operators.textanalysis import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "needle in the stack"),
+            (2, "the the the stack stack"),
+            (3, "the stack"),
+            (4, "completely unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    top = bm25_search(docs, ["needle", "the"], k=4).collect()
+    # doc 1 holds the only occurrence of the rare term -> max idf -> rank 1
+    assert top[0]["doc_id"] == 1
+    # doc 4 matches nothing -> absent entirely
+    assert all(r["doc_id"] != 4 for r in top)
+    # matched_terms counts distinct query terms present
+    by_id = {r["doc_id"]: r for r in top}
+    assert by_id[1]["matched_terms"] == 2
+    assert by_id[2]["matched_terms"] == 1
+
+
+def test_bm25_tf_saturates(spark):
+    from data_pipeline2_spark.operators.textanalysis import bm25_search
+
+    # same dl, increasing tf: score grows but sub-linearly (k1 saturation)
+    docs = spark.createDataFrame(
+        [
+            (1, "x a b c d e f g"),
+            (2, "x x b c d e f g"),
+            (3, "x x x c d e f g"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["score"] for r in bm25_search(docs, ["x"], k=3).collect()}
+    assert rows[1] < rows[2] < rows[3]
+    assert (rows[3] - rows[2]) < (rows[2] - rows[1])
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    from data_pipeline2_spark.operators.similarity import hybrid_search_rrf
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha alpha alpha"), (2, "gamma delta")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    out = hybrid_search_rrf(docs, emb, ["alpha"], [1.0, 0.0], k=3).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 0: matches lexically AND is the exact vector match -> both ranks set
+    assert by_id[0]["bm25_rank"] is not None and by_id[0]["vec_rank"] == 1
+    # doc 2: no lexical match, vector-only -> bm25_rank NULL, still fused in
+    assert by_id[2]["bm25_rank"] is None and by_id[2]["vec_rank"] == 2
+    # two-leg doc 0 beats any single-leg doc
+    assert out[0]["doc_id"] == 0
+    expected = round(1.0 / (60 + by_id[0]["bm25_rank"]) + 1.0 / 61, 6)
+    assert abs(by_id[0]["rrf_score"] - expected) < 1e-9
+
+
+def test_label_centroids_exact_mean(spark):
+    from data_pipeline2_spark.operators.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 7),
+            (1, [0.0, 1.0], 7),
+            (2, [2.0, 2.0], 8),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = label_centroids(emb).collect()
+    got = {(r["label"], r["pos"]): (r["n"], r["centroid_v"]) for r in rows}
+    assert got[(7, 0)] == (2, 0.5)
+    assert got[(7, 1)] == (2, 0.5)
+    assert got[(8, 0)] == (1, 2.0)
+    assert len(rows) == 4
