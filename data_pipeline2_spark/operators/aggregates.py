@@ -203,3 +203,43 @@ def hypertable_rollup(
         )
 
     return _finish(fine_p, fine).unionByName(_finish(coarse_p, coarse))
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_cols: list[str],
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outliers → (id_cols…, group_cols…, value, z).
+
+    The metric-anomaly primitive over an event stream: per-group mean
+    and sample stddev, then |z| > threshold rows joined back. Both
+    moments come from exact decimal sums (value at scale 2, value² at
+    scale 4 — the per-row double square is bit-identical across
+    engines, and decimal accumulation is order-independent), so
+    var = (Σv² − (Σv)²/n) / (n−1) is a fixed-order double expression
+    that bit-matches the oracle. Stats are a handful of rows and
+    broadcast back — the corpus never shuffles.
+    """
+    v = F.col(value_col)
+    stats = df.groupBy(*group_cols).agg(
+        F.count(v).alias("_n"),
+        exact_sum(v, scale=2).alias("_s"),
+        exact_sum(v * v, scale=4).alias("_ssq"),
+    )
+    mean = F.col("_s") / F.col("_n")
+    var = (F.col("_ssq") - F.col("_s") * F.col("_s") / F.col("_n")) / (
+        F.col("_n") - 1
+    )
+    stats = stats.select(
+        *group_cols, mean.alias("_mean"), F.sqrt(var).alias("_sd")
+    )
+    z = (v - F.col("_mean")) / F.col("_sd")
+    return (
+        df.join(F.broadcast(stats), group_cols)
+        .withColumn("z", F.round(z, 4))
+        .filter(F.abs(F.col("z")) > threshold)
+        .select(*id_cols, *group_cols, value_col, "z")
+    )

@@ -396,3 +396,52 @@ def label_centroids(
         )
         .select(F.col("label"), F.col("pos").cast("int").alias("pos"), "n", "centroid_v")
     )
+
+
+def centroid_assign(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid classification → confusion matrix
+    (label, pred_label, n).
+
+    Every vector is scored against each label centroid (from
+    `label_centroids`, rounded so both engines score identical
+    centroids) and assigned to the cosine-nearest one; the output is
+    the confusion-matrix counts — the standard cluster-purity /
+    embedding-quality eval in a training-data pipeline.
+
+    Scale shape: centroids are n_labels × dim (tiny regardless of
+    corpus size) and broadcast; the crossJoin scores map-side with no
+    corpus shuffle, argmax is a per-vec_id window over n_labels rows,
+    and the confusion aggregation collapses to n_labels² rows with
+    map-side partials.
+    """
+    cents = label_centroids(embeddings, label_col, vec_col)
+    carr = cents.groupBy(F.col("label").alias("pred_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid_v"))),
+            lambda s: s.centroid_v,
+        ).alias("cvec")
+    )
+    scored = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("_v"),
+    ).crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "label",
+        "pred_label",
+        F.round(cosine_similarity(F.col("_v"), F.col("cvec")), SCORE_ROUND).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.col("pred_label"))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "pred_label")
+    )

@@ -3118,6 +3118,72 @@ def q_label_centroids(spark, sf_dir):
     return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
 
 
+
+_CENTROID_SQL = """
+    SELECT label, CAST(i - 1 AS INT) AS pos,
+           round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE)
+                 / count(*), 6) AS centroid_v
+    FROM embeddings, generate_series(1, 64) t(i)
+    GROUP BY label, i
+"""
+
+
+@_register(
+    "centroid_assign",
+    f"""
+    WITH cent AS ({_CENTROID_SQL}),
+    carr AS (
+      SELECT label AS pred_label, list(centroid_v ORDER BY pos) AS cvec
+      FROM cent GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.pred_label,
+             round({_cos_sql('e.embedding', 'c.cvec')}, 6) AS score
+      FROM embeddings e CROSS JOIN carr c
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY score DESC, pred_label) AS rn
+      FROM scored
+    )
+    SELECT label, pred_label, count(*) AS n
+    FROM best WHERE rn = 1 GROUP BY label, pred_label
+    ORDER BY label, pred_label
+    """,
+)
+def q_centroid_assign(spark, sf_dir):
+    return similarity.centroid_assign(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "events_zscore_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type, count(value) AS _n,
+             CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS _s,
+             CAST(sum(CAST(value * value AS DECIMAL(25,4))) AS DOUBLE) AS _ssq
+      FROM events GROUP BY event_type
+    ), ms AS (
+      SELECT event_type, _s / _n AS _mean,
+             sqrt((_ssq - _s * _s / _n) / (_n - 1)) AS _sd
+      FROM stats
+    )
+    SELECT event_id, e.event_type, value,
+           round((value - _mean) / _sd, 4) AS z
+    FROM events e JOIN ms ON e.event_type = ms.event_type
+    WHERE abs(round((value - _mean) / _sd, 4)) > 3.0
+    """,
+)
+def q_events_zscore_outliers(spark, sf_dir):
+    return aggregates.zscore_outliers(
+        _t(spark, sf_dir, "events"),
+        "value",
+        ["event_type"],
+        ["event_id"],
+        threshold=3.0,
+    )
+
+
 # ---------------------------------------------------------------- export
 
 

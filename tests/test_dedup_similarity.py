@@ -252,3 +252,20 @@ def test_label_centroids_exact_mean(spark):
     assert got[(7, 1)] == (2, 0.5)
     assert got[(8, 0)] == (1, 2.0)
     assert len(rows) == 4
+
+
+def test_centroid_assign_separable_clusters(spark):
+    from data_pipeline2_spark.operators.similarity import centroid_assign
+
+    # two well-separated clusters -> pure diagonal confusion matrix
+    rows = [
+        (0, [1.0, 0.0, 0.1], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.1], 1),
+        (3, [0.1, 0.9, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    conf = {(r["label"], r["pred_label"]): r["n"] for r in centroid_assign(emb).collect()}
+    assert conf == {(0, 0): 2, (1, 1): 2}

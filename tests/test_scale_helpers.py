@@ -120,3 +120,14 @@ def test_gap_fill_locf_and_spans(spark):
     assert a.total.isna().tolist() == [False, True, True, False]
     b = out[out.k == "b"]
     assert len(b) == 1 and not b.is_gap.iloc[0] and b.total_locf.iloc[0] == 9.0
+
+
+def test_zscore_flags_only_planted_outlier(spark):
+    from data_pipeline2_spark.operators.aggregates import zscore_outliers
+
+    # 20 values at ~10 +/- 1, one planted at 100 -> only that row flags
+    rows = [(i, "a", 10.0 + (i % 3) - 1) for i in range(20)] + [(99, "a", 100.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = zscore_outliers(df, "value", ["event_type"], ["event_id"]).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["z"] > 3
