@@ -513,3 +513,49 @@ def dedup_near_embedding(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def dedup_representative(
+    documents: DataFrame,
+    clusters: DataFrame,
+    rank_cols: list | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick one canonical document per duplicate cluster →
+    (doc_id, cluster_id, is_representative).
+
+    `clusters` is (doc_id, cluster_id) from dedup_clusters; documents
+    without a cluster row are singletons (their own cluster, always
+    representative). `rank_cols` define preference, smaller-first —
+    e.g. [-n_chars, doc_id] keeps the longest copy; doc_id is always
+    appended as the final tiebreak so selection is total and
+    deterministic.
+
+    Scale shape: the representative is computed with min_by over a
+    rank STRUCT in a plain groupBy — partial (map-side) aggregation
+    collapses even a pathological 10M-copy boilerplate cluster to one
+    row per map partition before the shuffle, where a
+    row_number-window formulation would sort the whole skewed cluster
+    in one task. The rep table is one row per cluster, joined back on
+    cluster_id.
+    """
+    joined = documents.join(
+        clusters.select(
+            F.col(id_col), F.col("cluster_id").alias("__cid")
+        ),
+        id_col,
+        "left",
+    ).withColumn("cluster_id", F.coalesce(F.col("__cid"), F.col(id_col)))
+    ranks = list(rank_cols) if rank_cols else []
+    rank = F.struct(*ranks, F.col(id_col))
+    reps = joined.groupBy("cluster_id").agg(
+        F.min_by(F.col(id_col), rank).alias("__rep_id")
+    )
+    return (
+        joined.join(reps, "cluster_id")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            (F.col(id_col) == F.col("__rep_id")).alias("is_representative"),
+        )
+    )

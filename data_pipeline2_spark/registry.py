@@ -3184,6 +3184,53 @@ def q_events_zscore_outliers(spark, sf_dir):
     )
 
 
+
+@_register(
+    "dedup_representative",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents
+      WHERE doc_id % 7 < 2 AND doc_id + 1 IN (SELECT doc_id FROM documents)
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ), clusters AS (
+      SELECT node AS doc_id, min(label) AS cid FROM reach GROUP BY node
+    ), joined AS (
+      SELECT d.doc_id, coalesce(c.cid, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    ), ranked AS (
+      SELECT doc_id, cluster_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY -n_chars, doc_id) AS rn
+      FROM joined
+    )
+    SELECT doc_id, cluster_id, rn = 1 AS is_representative FROM ranked
+    """,
+)
+def q_dedup_representative(spark, sf_dir):
+    """Keep-longest-copy representative over the same deterministic
+    chain clusters as `dedup_clusters` (synthetic (doc, doc+1) edges)."""
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    pairs = (
+        docs.filter(F.col("doc_id") % 7 < 2)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1).alias("doc_b"),
+        )
+        .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    )
+    clusters = dedup.dedup_clusters(pairs).withColumnRenamed("cluster_id", "cluster_id")
+    return dedup.dedup_representative(
+        docs, clusters, rank_cols=[-F.col("n_chars")]
+    )
+
+
 # ---------------------------------------------------------------- export
 
 

@@ -269,3 +269,23 @@ def test_centroid_assign_separable_clusters(spark):
     )
     conf = {(r["label"], r["pred_label"]): r["n"] for r in centroid_assign(emb).collect()}
     assert conf == {(0, 0): 2, (1, 1): 2}
+
+
+def test_dedup_representative_keeps_longest_and_singletons(spark):
+    from data_pipeline2_spark.operators.dedup import dedup_representative
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 2)],
+        "doc_id long, n_chars long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    out = dedup_representative(docs, clusters, rank_cols=[-F.col("n_chars")])
+    got = {r["doc_id"]: (r["cluster_id"], r["is_representative"]) for r in out.collect()}
+    # longest copy (9 chars) wins; doc_id breaks the 2-vs-3 tie
+    assert got[2] == (1, True)
+    assert got[1] == (1, False) and got[3] == (1, False)
+    # doc 4 has no cluster row -> singleton, self-representative
+    assert got[4] == (4, True)

@@ -20,3 +20,13 @@ def test_training_data_pipeline_example(spark):
         "train", "val", "test"
     }
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_semantic_search_pipeline_example(spark):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mod = runpy.run_path(os.path.join(repo, "examples", "semantic_search_pipeline.py"))
+    fused = mod["main"]("/root/testdata/sf0.001")
+    rows = fused.collect()
+    assert len(rows) == 5
+    # fused output carries at least one doc ranked by BOTH legs
+    assert any(r["bm25_rank"] is not None and r["vec_rank"] is not None for r in rows)
