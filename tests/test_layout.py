@@ -88,3 +88,29 @@ def test_schema_evolution_merge(spark, outdir):
     assert set(merged.columns) == {"id", "name", "v", "note", "day"}
     rows = {r.id: r.note for r in merged.collect()}
     assert rows[1] is None and rows[2] == "extra"
+
+
+def test_table_cache_opt_in_and_key_partitioned(spark, monkeypatch):
+    from data_pipeline2_spark.sources import parquet as pq
+
+    # default off: two loads build independent scan plans, no cache entry
+    monkeypatch.delenv("SPARK_GRAFT_TABLE_CACHE", raising=False)
+    pq._TABLE_CACHE.clear()
+    pq.load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert not pq._TABLE_CACHE
+
+    # opted in: same object returned, persisted, parallel, values intact
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_CACHE", "1")
+    a = pq.load_table(spark, "/root/testdata/sf0.001", "documents")
+    b = pq.load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert a is b
+    assert a.storageLevel.useMemory
+    assert a.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    plain = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert a.count() == plain.count()
+    # events table goes through the nanos->timestamp conversion too
+    ev = pq.load_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    pq._TABLE_CACHE.clear()
+    a.unpersist()
+    ev.unpersist()
