@@ -25,9 +25,13 @@ ENGINE_DEFAULTS: dict[str, str] = {
     # Arrow for every Python<->JVM exchange (pandas_udf, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
-    # Broadcast threshold: dims (region/nation/supplier at bench SF)
-    # must broadcast, never shuffle.
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Broadcast threshold: dims (region/nation/supplier/customer/part —
+    # all <= a few MB at bench SF) must broadcast, never shuffle; but
+    # FACT tables must not — at 64 MB, AQE happily broadcast the whole
+    # lineitem table into a serial hash-relation build, beating the
+    # cheaper co-partitioned shuffle join. 8 MB keeps every dim on the
+    # broadcast side and every fact on the exchange side at any SF.
+    "spark.sql.autoBroadcastJoinThreshold": str(8 * 1024 * 1024),
     # Parquet: vectorized reader + predicate/column pushdown are on by
     # default; keep explicit so configs survive version bumps.
     "spark.sql.parquet.filterPushdown": "true",
