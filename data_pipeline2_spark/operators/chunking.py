@@ -366,3 +366,40 @@ def chunk_hybrid(
     """
     validate_chunk_config(chunk_size, chunk_overlap)
     return chunk_sentence_exact(documents, chunk_size, id_col, text_col)
+
+
+def sentence_udtf_class():
+    """Python UDTF that explodes a document into (pos, sentence) rows —
+    the engine's table-function extension seam.
+
+    The reference's chunking strategies are pluggable classes
+    (docling_service.py:208-271 string-dispatch); scalar pandas_udf and
+    grouped applyInPandas seams already mirror that for 1:1 and
+    group:group shapes. This UDTF covers the remaining 1:N shape: a
+    custom operator that emits a variable number of rows per input row,
+    usable from SQL as a lateral table function:
+
+        spark.udtf.register("split_sentences", sentence_udtf_class())
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM documents d, LATERAL split_sentences(d.text) s
+
+    Python UDTFs are the slow path (row-at-a-time Python) — production
+    chunkers here use the Catalyst regexp/explode pipeline
+    (chunk_sentence) or applyInPandas (chunk_sentence_exact); the UDTF
+    exists as the API seam for logic that genuinely needs per-row
+    generative Python. Sentence regex matches the reference's
+    (docling_service.py:103).
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, sentence: string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if not text:
+                return
+            for i, m in enumerate(re.finditer(r"[^.!?]+[.!?]+", text)):
+                yield i, m.group(0).strip()
+
+    return SplitSentences

@@ -2612,6 +2612,24 @@ def q_jsonl_roundtrip(spark, sf_dir):
 
 
 @_register(
+    "orc_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_orc_roundtrip(spark, sf_dir):
+    """Same roundtrip through ORC (the Hive/Trino columnar interchange
+    format; vectorized + pushdown like parquet)."""
+    from data_pipeline2_spark.operators import writers
+    from data_pipeline2_spark.sources import text_formats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = writers.scratch_dir("orc_roundtrip", sf_dir)
+    text_formats.write_orc(docs, path)
+    return text_formats.read_orc(spark, path, _DOCS_DDL)
+
+
+@_register(
     "csv_roundtrip",
     "SELECT doc_id, text, lang, source, n_chars FROM documents",
 )

@@ -87,3 +87,16 @@ def read_csv(
         .option("mode", "FAILFAST")
         .csv(path)
     )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar lake format Spark ships natively
+    (zlib-compressed, vectorized reader, predicate pushdown). Exists so
+    a corpus can interchange with Hive/Trino ORC lakes without an extra
+    conversion hop."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read ORC with an explicit schema (never infer at scale)."""
+    return spark.read.schema(schema).orc(path)

@@ -155,3 +155,36 @@ def test_fixed_chunker_unicode_reconstruction(spark):
     for doc_id, grp in chunks.groupby("doc_id"):
         joined = "".join(grp.sort_values("pos")["content"])
         assert joined == src[doc_id]
+
+
+def test_sentence_udtf_lateral_join(spark):
+    from data_pipeline2_spark.operators.chunking import sentence_udtf_class
+
+    spark.udtf.register("split_sentences", sentence_udtf_class())
+    df = spark.createDataFrame(
+        [(1, "One. Two! Three?"), (2, "no terminator"), (3, None)],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM udtf_docs d, LATERAL split_sentences(d.text) s
+        ORDER BY d.doc_id, s.pos
+        """
+    ).collect()
+    assert [(r.doc_id, r.pos, r.sentence) for r in rows] == [
+        (1, 0, "One."),
+        (1, 1, "Two!"),
+        (1, 2, "Three?"),
+    ]
+    # matches the Catalyst sentences() splitter on the same input
+    from data_pipeline2_spark.functions.text import sentences
+    import pyspark.sql.functions as F
+
+    cat = (
+        df.filter(F.col("doc_id") == 1)
+        .select(F.explode(sentences(F.col("text"))).alias("s"))
+        .collect()
+    )
+    assert [c.s.strip() for c in cat] == ["One.", "Two!", "Three?"]
