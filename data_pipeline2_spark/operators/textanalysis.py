@@ -483,3 +483,100 @@ def bm25_oracle_sql(
     FROM contrib GROUP BY doc_id
     ORDER BY score DESC, doc_id LIMIT {k}
     """
+
+
+def _bm25_contrib(k1: float, b: float):
+    """Per-(doc, term) BM25 contribution from posting columns
+    (tf, df, dl) + corpus stats (n_docs, avgdl) — shared by the scan
+    and indexed search paths so both produce bit-identical scores."""
+    return (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+
+
+def build_text_index(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """Materialize the inverted-index tables behind BM25 →
+    {"postings": (term, doc_id, tf), "terms": (term, df),
+     "doclen": (doc_id, dl), "stats": (n_docs, avgdl)}.
+
+    This is the build-side of the SCALE.md retrieval story: at
+    search-serving rates you pay the corpus text scan ONCE, persist
+    postings bucketed by term, and every query becomes a term-bucket
+    probe — the engine-native analog of the reference's Elasticsearch
+    inverted index (ES does exactly this behind `match`). Postings are
+    one row per (doc, term): the heavy aggregation happens at build
+    time, never at query time.
+    """
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    dl = docs.select(
+        "doc_id", token_count(F.col("_text")).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("_text")))).alias("term")
+    )
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    terms = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    return {"postings": postings, "terms": terms, "doclen": dl, "stats": stats}
+
+
+def bm25_search_indexed(
+    index: dict[str, DataFrame],
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k over a materialized text index — bit-identical output
+    to bm25_search, but the query plan touches only the query terms'
+    posting rows (filter pushed to the postings scan; with postings
+    bucketed/partitioned by term on disk, that's an index seek, not a
+    scan). terms/stats are broadcast; scores sum per-term contributions
+    in the same fixed order as the scan path.
+    """
+    q = sorted({t.lower() for t in query_terms})
+    contrib = (
+        index["postings"]
+        .filter(F.col("term").isin(q))
+        .join(F.broadcast(index["terms"]), "term")
+        .join(index["doclen"], "doc_id")
+        .crossJoin(F.broadcast(index["stats"]))
+        .withColumn("c", _bm25_contrib(k1, b))
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == F.lit(t), F.col("c"))), F.lit(0.0)
+        )
+        for t in q
+    ]
+    score = per_term[0]
+    for p in per_term[1:]:
+        score = score + p
+    agg = contrib.groupBy("doc_id").agg(
+        F.round(score, 6).alias("score"),
+        F.count(F.lit(1)).cast("int").alias("matched_terms"),
+    )
+    return agg.orderBy(F.desc("score"), F.col("doc_id")).limit(k)

@@ -3080,6 +3080,15 @@ def q_fulltext_bm25(spark, sf_dir):
     )
 
 
+@_register("fulltext_bm25_indexed", _bm25_sql(_BM25_TERMS, k=10))
+def q_fulltext_bm25_indexed(spark, sf_dir):
+    """Same query through the materialized inverted index — identical
+    oracle because the output contract is bit-identical to the scan
+    path (shared scoring expression, same fixed-order summation)."""
+    idx = textanalysis.build_text_index(_t(spark, sf_dir, "documents"))
+    return textanalysis.bm25_search_indexed(idx, _BM25_TERMS, k=10)
+
+
 def _rrf_oracle_sql() -> str:
     bm = _bm25_sql(_BM25_TERMS, k=50)
     return f"""

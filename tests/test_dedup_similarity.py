@@ -289,3 +289,18 @@ def test_dedup_representative_keeps_longest_and_singletons(spark):
     assert got[1] == (1, False) and got[3] == (1, False)
     # doc 4 has no cluster row -> singleton, self-representative
     assert got[4] == (4, True)
+
+
+def test_bm25_indexed_matches_scan(spark):
+    from data_pipeline2_spark.operators.textanalysis import (
+        bm25_search,
+        bm25_search_indexed,
+        build_text_index,
+    )
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    scan = bm25_search(docs, ["dup", "vector", "spark"], k=25).collect()
+    idx = build_text_index(docs)
+    probed = bm25_search_indexed(idx, ["dup", "vector", "spark"], k=25).collect()
+    assert [tuple(r) for r in scan] == [tuple(r) for r in probed]
