@@ -19,10 +19,12 @@ bounded key domains (e.g. event_type).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
 
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 DEDUP_SCHEMA = "key string, first_ts timestamp"
@@ -113,3 +115,78 @@ def streaming_running_totals(events_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def index_maintenance_sink(index_dir: str):
+    """foreachBatch sink that incrementally maintains the BM25 inverted
+    index (operators/textanalysis.py:build_text_index) as documents
+    stream in — the engine's analog of the reference's continuous
+    ingest→Elasticsearch-index loop (document_processor queue →
+    document_storage index writes).
+
+    Per batch: postings (term, doc_id, tf) and doclen (doc_id, dl) for
+    the batch's documents are APPENDED, stamped with batch_id. Docs are
+    append-only by doc_id (the reference's upsert-by-_id collapses to
+    this under latest-wins ingestion); a retried batch re-appends the
+    same rows, which load_text_index collapses by key — so the index is
+    exactly-once under task/batch retry. Global stats (df, N, avgdl)
+    are NOT maintained per batch: they are cheap aggregates of the
+    stored tables, derived at load (at scale, a periodic compaction job
+    snapshots them alongside the postings buckets).
+    """
+    from data_pipeline2_spark.operators.textanalysis import build_text_index
+
+    def sink(batch_df, batch_id: int):
+        idx = build_text_index(batch_df)
+        (
+            idx["postings"]
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(os.path.join(index_dir, "postings"))
+        )
+        (
+            idx["doclen"]
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(os.path.join(index_dir, "doclen"))
+        )
+
+    return sink
+
+
+def index_documents_stream(
+    docs_stream, index_dir: str, checkpoint_dir: str
+):
+    """Run the index-maintenance sink over a document stream with an
+    availableNow trigger (batch parity; a live deployment drops the
+    trigger). Returns the StreamingQuery."""
+    return (
+        docs_stream.writeStream.foreachBatch(index_maintenance_sink(index_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def load_text_index(spark, index_dir: str) -> dict:
+    """Load the streamed index back into the bm25_search_indexed
+    contract: collapse retry duplicates by key, then derive terms/stats.
+    """
+    postings = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .dropDuplicates(["term", "doc_id"])
+        .select("term", "doc_id", "tf")
+    )
+    doclen = (
+        spark.read.parquet(os.path.join(index_dir, "doclen"))
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "dl")
+    )
+    terms = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    return {"postings": postings, "terms": terms, "doclen": doclen, "stats": stats}

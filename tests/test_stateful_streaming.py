@@ -81,3 +81,49 @@ def test_streaming_running_totals(spark, multi_batch_src):
         )
     assert final[1] == (3, 8.0)
     assert final[2] == (2, 7.0)
+
+
+def test_streamed_index_matches_batch_bm25(spark, tmp_path):
+    """Documents streamed through the index-maintenance sink must answer
+    BM25 queries identically to a batch-built index — including after a
+    second run over the same source (exactly-once via key collapse)."""
+    import os
+
+    from data_pipeline2_spark.operators.textanalysis import (
+        bm25_search,
+        bm25_search_indexed,
+    )
+    from data_pipeline2_spark.sources.parquet import load_table
+    from data_pipeline2_spark.streaming.stateful import (
+        index_documents_stream,
+        load_text_index,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    idx_dir = os.path.join(str(tmp_path), "index")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    # two source files -> at least one multi-file availableNow pass
+    docs.repartition(2).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = index_documents_stream(stream, idx_dir, ckpt)
+    q.awaitTermination(120)
+
+    idx = load_text_index(spark, idx_dir)
+    probed = bm25_search_indexed(idx, ["dup", "vector", "spark"], k=20).collect()
+    scan = bm25_search(docs, ["dup", "vector", "spark"], k=20).collect()
+    assert [tuple(r) for r in probed] == [tuple(r) for r in scan]
+
+    # restart over the same checkpoint: no new data, index unchanged
+    q2 = index_documents_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        idx_dir,
+        ckpt,
+    )
+    q2.awaitTermination(120)
+    idx2 = load_text_index(spark, idx_dir)
+    again = bm25_search_indexed(idx2, ["dup", "vector", "spark"], k=20).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in scan]
