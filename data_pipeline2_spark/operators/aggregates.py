@@ -243,3 +243,37 @@ def zscore_outliers(
         .filter(F.abs(F.col("z")) > threshold)
         .select(*id_cols, *group_cols, value_col, "z")
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram → per-bucket
+    (bucket, n, lo, hi) — the optimizer-statistics primitive (histogram
+    boundaries for selectivity estimation, quantile-bucketed length
+    stratification for sequence packing).
+
+    ntile assigns each row to one of n_buckets rank slices; ordering is
+    made total with tiebreak columns so bucket membership (and thus
+    lo/hi bounds) is deterministic and engine-portable. The global sort
+    is a range exchange; at 100 TB prefer approx percentile cuts
+    (percentile_approx) and a broadcast bucket join — this exact form
+    exists for oracle-checkable statistics at audit time.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(value_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.orderBy(*order)
+    return (
+        df.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

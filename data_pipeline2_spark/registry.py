@@ -3258,6 +3258,28 @@ def q_dedup_representative(spark, sf_dir):
     )
 
 
+
+@_register(
+    "equi_depth_histogram",
+    """
+    SELECT CAST(bucket AS INT) AS bucket, count(*) AS n,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    ) GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_equi_depth_histogram(spark, sf_dir):
+    return aggregates.equi_depth_histogram(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        n_buckets=10,
+        tiebreak_cols=["o_orderkey"],
+    )
+
+
 # ---------------------------------------------------------------- export
 
 

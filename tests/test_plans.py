@@ -114,3 +114,35 @@ def test_gap_fill_windows_reuse_key_partitioning(spark):
     # grid join + series agg shuffle; the two LOCF windows must not add
     # exchanges beyond the join/agg ones (they sort within clustering)
     assert plan.count("Exchange") <= 5
+
+
+def test_bm25_indexed_probe_pushes_term_filter(spark, tmp_path):
+    """When the inverted index is a parquet table, the query-term filter
+    must reach the postings scan (the probe is an index seek, not a
+    corpus scan)."""
+    import os
+
+    from data_pipeline2_spark.operators.textanalysis import (
+        bm25_search_indexed,
+        build_text_index,
+    )
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents")
+    idx = build_text_index(docs)
+    pdir = os.path.join(str(tmp_path), "postings")
+    idx["postings"].write.parquet(pdir)
+    idx = dict(idx, postings=spark.read.parquet(pdir))
+    plan = plan_of(bm25_search_indexed(idx, ["dup", "vector"], k=10))
+    # the postings FileScan carries the term IN-filter (plan strings
+    # truncate paths, so match the filter itself, not the location)
+    scan_lines = [
+        l
+        for l in plan.splitlines()
+        if "FileScan parquet" in l and "term" in l and "tf" in l
+    ]
+    assert scan_lines, f"no postings scan found:\n{plan}"
+    assert any(
+        "IN (dup,vector)" in l.replace("`", "") or "In(term" in l.replace("`", "")
+        for l in scan_lines
+    ), scan_lines
