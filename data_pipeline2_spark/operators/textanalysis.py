@@ -580,3 +580,33 @@ def bm25_search_indexed(
         F.count(F.lit(1)).cast("int").alias("matched_terms"),
     )
     return agg.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
+
+
+def heavy_hitters(
+    documents: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Global top-k terms by occurrence → (term, occurrences, rank).
+
+    The exact heavy-hitters query (vocabulary head, stopword discovery,
+    boilerplate detection). One explode + one (term) aggregation with
+    map-side partials, then TakeOrderedAndProject — no global sort. At
+    100 TB the same shape holds (the term aggregate is vocabulary-
+    sized); for sub-scan cost use sketches: hll_sketch_agg partials for
+    distinct counts merge losslessly across shards (register-max), see
+    tests/test_scale_helpers.py.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        documents.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+    w = Window.orderBy(F.desc("occurrences"), F.col("term"))
+    return (
+        counts.orderBy(F.desc("occurrences"), F.col("term"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )

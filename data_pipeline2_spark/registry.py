@@ -3280,6 +3280,26 @@ def q_equi_depth_histogram(spark, sf_dir):
     )
 
 
+
+@_register(
+    "heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT unnest(CASE WHEN len(trim(text)) = 0 THEN []
+                         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS term
+      FROM documents
+    ), counts AS (
+      SELECT term, count(*) AS occurrences FROM toks GROUP BY term
+    )
+    SELECT term, occurrences, CAST(row_number() OVER (
+             ORDER BY occurrences DESC, term) AS INT) AS rank
+    FROM counts ORDER BY occurrences DESC, term LIMIT 10
+    """,
+)
+def q_heavy_hitters(spark, sf_dir):
+    return textanalysis.heavy_hitters(_t(spark, sf_dir, "documents"), k=10)
+
+
 # ---------------------------------------------------------------- export
 
 

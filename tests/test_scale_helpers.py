@@ -131,3 +131,25 @@ def test_zscore_flags_only_planted_outlier(spark):
     out = zscore_outliers(df, "value", ["event_type"], ["event_id"]).collect()
     assert [r["event_id"] for r in out] == [99]
     assert out[0]["z"] > 3
+
+
+def test_hll_sketch_partials_merge_losslessly(spark):
+    """Per-group HLL sketches unioned must estimate EXACTLY what one
+    global sketch estimates (register-merge is max — the property that
+    makes distinct-count partials mergeable across 100 TB shards)."""
+    import pyspark.sql.functions as F
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    merged = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0]["est"]
+    assert merged == direct
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - exact) / exact < 0.05
