@@ -230,13 +230,20 @@ def zscore_outliers(
         exact_sum(v * v, scale=4).alias("_ssq"),
     )
     mean = F.col("_s") / F.col("_n")
-    var = (F.col("_ssq") - F.col("_s") * F.col("_s") / F.col("_n")) / (
-        F.col("_n") - 1
+    # guards (mirrored in the oracle SQL): a singleton group has no
+    # sample variance, and a zero-variance group has no outliers — both
+    # would otherwise DIVIDE_BY_ZERO under Spark 4's ANSI mode.
+    var = F.when(
+        F.col("_n") > 1,
+        (F.col("_ssq") - F.col("_s") * F.col("_s") / F.col("_n"))
+        / (F.col("_n") - 1),
     )
     stats = stats.select(
         *group_cols, mean.alias("_mean"), F.sqrt(var).alias("_sd")
     )
-    z = (v - F.col("_mean")) / F.col("_sd")
+    z = F.when(
+        F.col("_sd") > 0, (v - F.col("_mean")) / F.col("_sd")
+    )
     return (
         df.join(F.broadcast(stats), group_cols)
         .withColumn("z", F.round(z, 4))

@@ -3192,13 +3192,14 @@ def q_centroid_assign(spark, sf_dir):
       FROM events GROUP BY event_type
     ), ms AS (
       SELECT event_type, _s / _n AS _mean,
-             sqrt((_ssq - _s * _s / _n) / (_n - 1)) AS _sd
+             sqrt(CASE WHEN _n > 1
+                       THEN (_ssq - _s * _s / _n) / (_n - 1) END) AS _sd
       FROM stats
     )
     SELECT event_id, e.event_type, value,
-           round((value - _mean) / _sd, 4) AS z
+           round(CASE WHEN _sd > 0 THEN (value - _mean) / _sd END, 4) AS z
     FROM events e JOIN ms ON e.event_type = ms.event_type
-    WHERE abs(round((value - _mean) / _sd, 4)) > 3.0
+    WHERE abs(round(CASE WHEN _sd > 0 THEN (value - _mean) / _sd END, 4)) > 3.0
     """,
 )
 def q_events_zscore_outliers(spark, sf_dir):

@@ -153,3 +153,19 @@ def test_hll_sketch_partials_merge_losslessly(spark):
     assert merged == direct
     exact = ev.select("user_id").distinct().count()
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_zscore_constant_and_singleton_groups_safe(spark):
+    """Zero-variance and singleton groups must produce no outliers (and
+    must not DIVIDE_BY_ZERO under Spark 4 ANSI mode)."""
+    from data_pipeline2_spark.operators.aggregates import zscore_outliers
+
+    rows = (
+        [(i, "const", 7.37) for i in range(50)]
+        + [(900, "single", 1.0)]
+        + [(100 + i, "mix", 10.0 + (i % 3) - 1) for i in range(20)]
+        + [(999, "mix", 100.0)]
+    )
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = zscore_outliers(df, "value", ["event_type"], ["event_id"]).collect()
+    assert [r["event_id"] for r in out] == [999]
