@@ -104,3 +104,28 @@ def latest_state(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def phrase_match(
+    df: DataFrame,
+    text_column: str,
+    phrase: str,
+) -> DataFrame:
+    """Exact phrase filter (ES `match_phrase` analog): the phrase's
+    tokens must appear consecutively, on word boundaries.
+
+    Tokenizes both sides with the engine's one tokenizer (trim +
+    whitespace split + lower) and substring-searches the space-joined
+    token stream padded with sentinels — word-boundary-exact without
+    joins or positional postings, one codegen'd pass over the corpus.
+    A positional-index variant only pays off once phrase queries
+    dominate; at that point extend build_text_index's postings with
+    position arrays (the ES layout) and intersect adjacent terms.
+    """
+    needle = " ".join(phrase.lower().split())
+    haystack = F.concat(
+        F.lit(" "),
+        F.array_join(tokens(F.lower(F.col(text_column))), " "),
+        F.lit(" "),
+    )
+    return df.filter(haystack.contains(f" {needle} "))

@@ -3301,6 +3301,53 @@ def q_heavy_hitters(spark, sf_dir):
     return textanalysis.heavy_hitters(_t(spark, sf_dir, "documents"), k=10)
 
 
+
+@_register(
+    "phrase_match",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ' ' || array_to_string(
+            CASE WHEN len(trim(text)) = 0 THEN []
+                 ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END, ' ')
+          || ' ' LIKE '% spark join %'
+    """,
+)
+def q_phrase_match(spark, sf_dir):
+    """ES match_phrase analog: consecutive word-boundary tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return relational.phrase_match(docs, "text", "spark join").select(
+        "doc_id", "lang"
+    )
+
+
+@_register(
+    "grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS through the SQL surface (the DataFrame API covers
+    rollup/cube; arbitrary set lists are SQL-only) over the loader's
+    registered views — proving spark.sql is a first-class entry point."""
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__gs_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
 # ---------------------------------------------------------------- export
 
 

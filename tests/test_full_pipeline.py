@@ -138,3 +138,19 @@ def test_sql_interface_matches_dataframe_api(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert [tuple(r) for r in sql_rows] == [tuple(r) for r in api_rows]
+
+
+def test_phrase_match_word_boundaries(spark):
+    from data_pipeline2_spark.operators.relational import phrase_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the spark join runs"),
+            (2, "sparkly join here"),          # substring, not a token
+            (3, "spark  JOIN   with spaces"),  # whitespace runs + case
+            (4, "join spark reversed"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r.doc_id for r in phrase_match(docs, "text", "Spark Join").collect())
+    assert got == [1, 3]
