@@ -610,3 +610,70 @@ def heavy_hitters(
         .limit(k)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def build_positional_index(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional postings → (term, doc_id, tf, positions array<int>) —
+    the Elasticsearch index layout for phrase/proximity queries
+    (Lucene stores term positions per doc for `match_phrase`). Same
+    build shape as build_text_index with the position list carried
+    through the one (term, doc_id) aggregation.
+    """
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("p", "term"),
+    )
+    return toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.sort_array(F.collect_list("p")).alias("positions"),
+    )
+
+
+def phrase_match_indexed(
+    postings: DataFrame,
+    phrase: str,
+) -> DataFrame:
+    """Phrase query over a positional index → (doc_id, n_matches).
+
+    ES `match_phrase` execution: probe each phrase term's postings,
+    shift the i-th term's positions back by i, and intersect — every
+    surviving position is a phrase start. The plan touches only the
+    phrase terms' posting rows (filter pushed to the postings scan) and
+    joins them on doc_id; corpus text is never read. Equivalent to the
+    scan-side phrase_match (equivalence-tested), with cost proportional
+    to the phrase terms' posting lists instead of the corpus.
+    """
+    terms = phrase.lower().split()
+
+    def _shift_by(i: int):
+        # single-arg lambda: a 2-arg lambda would make F.transform pass
+        # the ARRAY INDEX as the second argument, silently shadowing i
+        return lambda p: p - F.lit(i)
+
+    legs = []
+    for i, t in enumerate(terms):
+        shifted = (
+            F.col("positions")
+            if i == 0
+            else F.transform("positions", _shift_by(i))
+        )
+        legs.append(
+            postings.filter(F.col("term") == F.lit(t)).select(
+                "doc_id", shifted.alias(f"__pos{i}")
+            )
+        )
+    joined = legs[0]
+    acc = F.col("__pos0")
+    for i in range(1, len(legs)):
+        joined = joined.join(legs[i], "doc_id")
+        acc = F.array_intersect(acc, F.col(f"__pos{i}"))
+    return (
+        joined.select(
+            "doc_id", F.size(acc).cast("int").alias("n_matches")
+        )
+        .filter(F.col("n_matches") > 0)
+    )

@@ -3348,6 +3348,34 @@ def q_grouping_sets(spark, sf_dir):
     )
 
 
+
+@_register(
+    "phrase_match_indexed",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN []
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS t
+      FROM documents
+    ), flat AS (
+      SELECT doc_id, unnest(t) AS term,
+             unnest(generate_series(1, len(t))) AS p
+      FROM docs
+    ), p0 AS (
+      SELECT doc_id, list(p) AS lp FROM flat WHERE term = 'spark' GROUP BY doc_id
+    ), p1 AS (
+      SELECT doc_id, list(p - 1) AS lp FROM flat WHERE term = 'join' GROUP BY doc_id
+    )
+    SELECT p0.doc_id, CAST(len(list_intersect(p0.lp, p1.lp)) AS INT) AS n_matches
+    FROM p0 JOIN p1 USING (doc_id)
+    WHERE len(list_intersect(p0.lp, p1.lp)) > 0
+    """,
+)
+def q_phrase_match_indexed(spark, sf_dir):
+    idx = textanalysis.build_positional_index(_t(spark, sf_dir, "documents"))
+    return textanalysis.phrase_match_indexed(idx, "spark join")
+
+
 # ---------------------------------------------------------------- export
 
 

@@ -154,3 +154,24 @@ def test_phrase_match_word_boundaries(spark):
     )
     got = sorted(r.doc_id for r in phrase_match(docs, "text", "Spark Join").collect())
     assert got == [1, 3]
+
+
+def test_phrase_indexed_counts_overlapping_starts(spark):
+    from data_pipeline2_spark.operators.textanalysis import (
+        build_positional_index,
+        phrase_match_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # 'a b' starts at 0 and 2
+            (2, "b a"),          # reversed, no match
+            (3, "a a a"),        # repeated-term phrase 'a a': starts 0,1
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_positional_index(docs)
+    ab = {r.doc_id: r.n_matches for r in phrase_match_indexed(idx, "a b").collect()}
+    assert ab == {1: 2}
+    aa = {r.doc_id: r.n_matches for r in phrase_match_indexed(idx, "a a").collect()}
+    assert aa == {3: 2}
