@@ -65,3 +65,52 @@ def curate_corpus(
             & F.col("n_tokens").between(min_tokens, max_tokens)
         )
     )
+
+
+def decontaminate_semantic(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    eval_vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination →
+    (vec_id, max_sim, nearest_eval_id, contaminated).
+
+    Complements the 5-gram lexical pass (decontaminate): paraphrased or
+    reformatted eval leakage that shares no exact n-grams still sits
+    next to the eval point in embedding space. Every corpus vector is
+    scored against the broadcast eval set (eval sets are thousands of
+    rows — driver-scale); max-sim + argmax come from one max_by over
+    the crossJoin, so the corpus never shuffles and the output is one
+    row per corpus doc. Ties break toward the smaller eval id for
+    engine-portable determinism.
+    """
+    from data_pipeline2_spark.functions.vectors import cosine_similarity
+
+    ev = eval_emb.select(
+        F.col(eval_id_col).alias("__eid"), F.col(eval_vec_col).alias("__evec")
+    )
+    scored = corpus_emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+    ).crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        "__eid",
+        F.round(cosine_similarity(F.col("__v"), F.col("__evec")), 6).alias(
+            "__sim"
+        ),
+    )
+    agg = scored.groupBy("vec_id").agg(
+        F.max("__sim").alias("max_sim"),
+        F.min_by("__eid", F.struct(-F.col("__sim"), F.col("__eid"))).alias(
+            "nearest_eval_id"
+        ),
+    )
+    return agg.select(
+        "vec_id",
+        "max_sim",
+        "nearest_eval_id",
+        (F.col("max_sim") >= F.lit(threshold)).alias("contaminated"),
+    )

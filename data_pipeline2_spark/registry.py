@@ -3376,6 +3376,42 @@ def q_phrase_match_indexed(spark, sf_dir):
     return textanalysis.phrase_match_indexed(idx, "spark join")
 
 
+
+@_register(
+    "decontaminate_semantic",
+    f"""
+    WITH ev AS (
+      SELECT vec_id AS eid, embedding AS evec FROM embeddings WHERE vec_id < 50
+    ), corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50
+    ), scored AS (
+      SELECT c.vec_id, e.eid,
+             round({_cos_sql('c.embedding', 'e.evec')}, 6) AS sim
+      FROM corpus c CROSS JOIN ev e
+    ), best AS (
+      SELECT vec_id, max(sim) AS max_sim FROM scored GROUP BY vec_id
+    ), near AS (
+      SELECT s.vec_id, min(s.eid) AS nearest_eval_id
+      FROM scored s JOIN best b ON s.vec_id = b.vec_id AND s.sim = b.max_sim
+      GROUP BY s.vec_id
+    )
+    SELECT b.vec_id, b.max_sim, n.nearest_eval_id,
+           b.max_sim >= 0.35 AS contaminated
+    FROM best b JOIN near n USING (vec_id)
+    """,
+)
+def q_decontaminate_semantic(spark, sf_dir):
+    """Eval set = vec_id < 50 of the same embedding table; threshold in
+    the real cosine tail of the synthetic vectors (max intra-label
+    ~0.47), so the flag splits non-trivially at every SF."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return curation.decontaminate_semantic(
+        emb.filter(F.col("vec_id") >= 50),
+        emb.filter(F.col("vec_id") < 50),
+        threshold=0.35,
+    )
+
+
 # ---------------------------------------------------------------- export
 
 

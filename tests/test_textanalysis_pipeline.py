@@ -119,3 +119,22 @@ def test_decontaminate_overlap(spark):
     }
     assert got[1]["n_hit"] >= 1 and got[1]["contaminated"] is True
     assert got[2]["n_hit"] == 0 and got[2]["contaminated"] is False
+
+
+def test_semantic_decontamination_flags_planted_copy(spark):
+    """A corpus vector identical to an eval vector must flag with
+    max_sim 1.0 and point at that eval id; an orthogonal one must not."""
+    from data_pipeline2_spark.operators.curation import decontaminate_semantic
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in decontaminate_semantic(corpus, ev, 0.95).collect()}
+    assert out[100].contaminated and out[100].nearest_eval_id == 0
+    assert out[100].max_sim == 1.0
+    assert not out[101].contaminated
