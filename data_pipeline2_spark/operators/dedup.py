@@ -559,3 +559,76 @@ def dedup_representative(
             (F.col(id_col) == F.col("__rep_id")).alias("is_representative"),
         )
     )
+
+
+def signature_estimate_pairs(
+    candidates: DataFrame, signatures: DataFrame, n_perm: int = N_PERM
+) -> DataFrame:
+    """Estimate Jaccard for candidate pairs from wide MinHash signatures
+    alone → (doc_a, doc_b, est_jaccard).
+
+    est = fraction of equal signature components — the standard MinHash
+    estimator (unbiased, stderr ≈ 1/sqrt(n_perm)). No document text is
+    touched: this is what makes incremental dedup cheap, the signature
+    store IS the corpus representation.
+    """
+    sa = signatures.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{p}").alias(f"__a{p}") for p in range(n_perm)],
+    )
+    sb = signatures.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{p}").alias(f"__b{p}") for p in range(n_perm)],
+    )
+    eq = sum(
+        (F.col(f"__a{p}") == F.col(f"__b{p}")).cast("int") for p in range(n_perm)
+    )
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(eq / F.lit(float(n_perm)), 6).alias("est_jaccard"),
+        )
+    )
+
+
+def dedup_near_incremental_minhash(
+    new_docs: DataFrame,
+    old_signatures: DataFrame,
+    n_perm: int = N_PERM,
+    band_size: int = BAND_SIZE,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dedup a NEW batch against a persisted signature store →
+    (doc_a, doc_b, est_jaccard) pairs involving >= 1 new doc.
+
+    The production incremental pattern: each ingest batch computes
+    signatures for its own docs only, LSH-joins against the
+    accumulated signature store (old text is never re-read — the store
+    is n_perm x 8 bytes per doc), and verifies candidates with the
+    signature-estimated Jaccard. Old-old pairs are excluded: they were
+    reported when those batches arrived. Append new_sigs to the store
+    afterwards and the loop continues.
+    """
+    new_sigs = minhash_signature_cols(
+        doc_shingles(new_docs, 3, id_col, text_col, distinct=False), n_perm
+    ).localCheckpoint(eager=True)
+    all_sigs = old_signatures.unionByName(new_sigs)
+    cands = lsh_candidate_pairs(lsh_band_keys_wide(all_sigs, n_perm, band_size))
+    new_ids = new_sigs.select(F.col("doc_id"))
+    cands_new = (
+        cands.join(new_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .unionByName(
+            cands.join(
+                new_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
+            )
+        )
+        .distinct()
+    )
+    return signature_estimate_pairs(cands_new, all_sigs, n_perm).filter(
+        F.col("est_jaccard") >= threshold
+    )

@@ -3412,6 +3412,64 @@ def q_decontaminate_semantic(spark, sf_dir):
     )
 
 
+
+@_register(
+    "dedup_near_incremental",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      FROM documents WHERE len(trim(text)) > 0
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+            FROM toks WHERE len(ws) >= 3)
+    ), digests AS (
+      SELECT doc_id,
+             md5('0' || '|' || shingle) AS h0, md5('1' || '|' || shingle) AS h1,
+             md5('2' || '|' || shingle) AS h2, md5('3' || '|' || shingle) AS h3
+      FROM sh
+    ), mh AS (
+      SELECT doc_id, p,
+             min(substring(CASE CAST(floor(p/4.0) AS INT)
+                    WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END,
+                  (p % 4) * 8 + 1, 8)) AS mh
+      FROM (SELECT *, unnest(generate_series(0, 15)) AS p FROM digests)
+      GROUP BY doc_id, p
+    ), bands AS (
+      SELECT doc_id, CAST(floor(p/4.0) AS INT) AS band,
+             md5(string_agg(mh, ',' ORDER BY p)) AS band_key
+      FROM mh GROUP BY doc_id, CAST(floor(p/4.0) AS INT)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      WHERE a.doc_id >= 400 OR b.doc_id >= 400
+    ), est AS (
+      SELECT c.doc_a, c.doc_b,
+             round(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 16.0, 6)
+               AS est_jaccard
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.doc_a
+      JOIN mh mb ON mb.doc_id = c.doc_b AND mb.p = ma.p
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """,
+)
+def q_dedup_near_incremental(spark, sf_dir):
+    """New batch = doc_id >= 400 arriving against the signature store of
+    doc_id < 400 (store built once, batch-side here)."""
+    docs = _t(spark, sf_dir, "documents")
+    old_sigs = dedup.minhash_signature_cols(
+        dedup.doc_shingles(
+            docs.filter(F.col("doc_id") < 400), 3, distinct=False
+        )
+    )
+    return dedup.dedup_near_incremental_minhash(
+        docs.filter(F.col("doc_id") >= 400), old_sigs, threshold=0.5
+    )
+
+
 # ---------------------------------------------------------------- export
 
 

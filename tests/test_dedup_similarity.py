@@ -304,3 +304,35 @@ def test_bm25_indexed_matches_scan(spark):
     idx = build_text_index(docs)
     probed = bm25_search_indexed(idx, ["dup", "vector", "spark"], k=25).collect()
     assert [tuple(r) for r in scan] == [tuple(r) for r in probed]
+
+
+def test_incremental_near_dedup_matches_new_against_store(spark):
+    from data_pipeline2_spark.operators.dedup import (
+        dedup_near_incremental_minhash,
+        doc_shingles,
+        minhash_signature_cols,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    old = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark joins here ok")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base + " now"),                       # near-dup of old doc 1
+            (11, "utterly unrelated fresh text with novel words entirely"),
+            (12, base + " now"),                       # new-new dup of 10
+        ],
+        "doc_id long, text string",
+    )
+    store = minhash_signature_cols(doc_shingles(old, 3, distinct=False))
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup_near_incremental_minhash(new, store, threshold=0.5).collect()
+    }
+    assert (1, 10) in pairs and pairs[(1, 10)] >= 0.5
+    assert (10, 12) in pairs and pairs[(10, 12)] == 1.0
+    assert all(11 not in p for p in pairs)
+    # old-old pairs are never re-reported
+    assert all(a >= 10 or b >= 10 for a, b in pairs)
