@@ -677,3 +677,41 @@ def phrase_match_indexed(
         )
         .filter(F.col("n_matches") > 0)
     )
+
+
+def near_match(
+    postings: DataFrame,
+    term_a: str,
+    term_b: str,
+    slop: int = 3,
+) -> DataFrame:
+    """Proximity query over the positional index → (doc_id, n_pairs):
+    docs where `term_a` and `term_b` occur within `slop` token positions
+    (either order) — ES match_phrase-with-slop / SpanNear analog.
+
+    Probes two posting rows per doc and counts close position pairs
+    with a codegen'd nested array filter; cost follows posting-list
+    length. n_pairs uses the exists-count over a's positions (each a
+    position with >= 1 close b counts once) so a run of b's doesn't
+    quadratically inflate the score.
+    """
+    pa = postings.filter(F.col("term") == F.lit(term_a.lower())).select(
+        "doc_id", F.col("positions").alias("__pa")
+    )
+    pb = postings.filter(F.col("term") == F.lit(term_b.lower())).select(
+        "doc_id", F.col("positions").alias("__pb")
+    )
+    close = F.size(
+        F.filter(
+            F.col("__pa"),
+            lambda p: F.exists(
+                F.col("__pb"),
+                lambda q: (F.abs(q - p) <= F.lit(slop)) & (q != p),
+            ),
+        )
+    )
+    return (
+        pa.join(pb, "doc_id")
+        .select("doc_id", close.cast("int").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+    )

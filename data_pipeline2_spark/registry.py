@@ -3470,6 +3470,39 @@ def q_dedup_near_incremental(spark, sf_dir):
     )
 
 
+
+@_register(
+    "near_match",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN []
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS t
+      FROM documents
+    ), flat AS (
+      SELECT doc_id, unnest(t) AS term,
+             unnest(generate_series(1, len(t))) AS p
+      FROM docs
+    ), pa AS (
+      SELECT doc_id, list(p) AS lp FROM flat WHERE term = 'dup' GROUP BY doc_id
+    ), pb AS (
+      SELECT doc_id, list(p) AS lp FROM flat WHERE term = 'spark' GROUP BY doc_id
+    )
+    SELECT pa.doc_id,
+           CAST(len(list_filter(pa.lp,
+                p -> len(list_filter(pb.lp,
+                     q -> abs(q - p) <= 3 AND q != p)) > 0)) AS INT) AS n_pairs
+    FROM pa JOIN pb USING (doc_id)
+    WHERE len(list_filter(pa.lp,
+          p -> len(list_filter(pb.lp,
+               q -> abs(q - p) <= 3 AND q != p)) > 0)) > 0
+    """,
+)
+def q_near_match(spark, sf_dir):
+    idx = textanalysis.build_positional_index(_t(spark, sf_dir, "documents"))
+    return textanalysis.near_match(idx, "dup", "spark", slop=3)
+
+
 # ---------------------------------------------------------------- export
 
 

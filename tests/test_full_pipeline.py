@@ -175,3 +175,23 @@ def test_phrase_indexed_counts_overlapping_starts(spark):
     assert ab == {1: 2}
     aa = {r.doc_id: r.n_matches for r in phrase_match_indexed(idx, "a a").collect()}
     assert aa == {3: 2}
+
+
+def test_near_match_slop_and_order(spark):
+    from data_pipeline2_spark.operators.textanalysis import (
+        build_positional_index,
+        near_match,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup x x spark"),        # distance 3 -> within slop
+            (2, "dup x x x spark"),      # distance 4 -> outside slop 3
+            (3, "spark then dup"),       # reverse order, distance 2
+            (4, "spark only here"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_positional_index(docs)
+    got = {r.doc_id: r.n_pairs for r in near_match(idx, "dup", "spark", slop=3).collect()}
+    assert got == {1: 1, 3: 1}
