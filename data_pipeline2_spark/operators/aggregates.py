@@ -284,3 +284,44 @@ def equi_depth_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_cols: list[str],
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outliers by modified z-score →
+    (id_cols…, group_cols…, value, robust_z).
+
+    Median/MAD instead of mean/stddev: a contaminated group (the case
+    an anomaly detector exists for) drags the mean and inflates the
+    stddev, masking its own outliers; the breakdown point of the
+    median is 50%. robust_z = 0.6745·(v − median)/MAD (Iglewicz-
+    Hoaglin), |robust_z| > 3.5 flags. Zero-MAD groups (>= half the
+    values identical) yield no outliers rather than dividing by zero.
+    Two grouped exact percentiles + broadcast joins back — the event
+    table never shuffles.
+    """
+    v = F.col(value_col)
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.lit(0.5)).alias("_med")
+    )
+    dev = df.join(F.broadcast(med), group_cols)
+    mad = (
+        dev.withColumn("_absdev", F.abs(v - F.col("_med")))
+        .groupBy(*group_cols)
+        .agg(F.percentile(F.col("_absdev"), F.lit(0.5)).alias("_mad"))
+    )
+    rz = F.when(
+        F.col("_mad") > 0,
+        F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad"),
+    )
+    return (
+        dev.join(F.broadcast(mad), group_cols)
+        .withColumn("robust_z", F.round(rz, 4))
+        .filter(F.abs(F.col("robust_z")) > threshold)
+        .select(*id_cols, *group_cols, value_col, "robust_z")
+    )

@@ -3503,6 +3503,35 @@ def q_near_match(spark, sf_dir):
     return textanalysis.near_match(idx, "dup", "spark", slop=3)
 
 
+
+@_register(
+    "events_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS _med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, quantile_cont(abs(value - _med), 0.5) AS _mad
+      FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+    )
+    SELECT event_id, e.event_type, value,
+           round(CASE WHEN _mad > 0
+                      THEN 0.6745 * (value - _med) / _mad END, 4) AS robust_z
+    FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+    WHERE abs(round(CASE WHEN _mad > 0
+                         THEN 0.6745 * (value - _med) / _mad END, 4)) > 3.5
+    """,
+)
+def q_events_mad_outliers(spark, sf_dir):
+    return aggregates.mad_outliers(
+        _t(spark, sf_dir, "events"),
+        "value",
+        ["event_type"],
+        ["event_id"],
+        threshold=3.5,
+    )
+
+
 # ---------------------------------------------------------------- export
 
 

@@ -169,3 +169,19 @@ def test_zscore_constant_and_singleton_groups_safe(spark):
     df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
     out = zscore_outliers(df, "value", ["event_type"], ["event_id"]).collect()
     assert [r["event_id"] for r in out] == [999]
+
+
+def test_mad_outliers_robust_to_contamination(spark):
+    """A group where the planted outliers are extreme enough to inflate
+    the stddev (masking themselves from the z-score) must still flag
+    under MAD; zero-MAD groups stay silent."""
+    from data_pipeline2_spark.operators.aggregates import mad_outliers
+
+    rows = (
+        [(i, "g", 10.0 + (i % 5) * 0.1) for i in range(40)]
+        + [(900, "g", 10000.0), (901, "g", -10000.0)]
+        + [(950 + i, "flat", 5.0) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = sorted(r.event_id for r in mad_outliers(df, "value", ["event_type"], ["event_id"]).collect())
+    assert got == [900, 901]
