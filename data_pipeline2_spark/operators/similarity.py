@@ -445,3 +445,60 @@ def centroid_assign(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "pred_label")
     )
+
+
+def hybrid_search_linear(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec,
+    k: int = 10,
+    w_lex: float = 0.5,
+    n_candidates: int = 50,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid retrieval by convex score fusion (the other ES hybrid
+    mode besides RRF): min-max normalize each leg's scores over its
+    candidate set, then fused = w_lex·lex + (1−w_lex)·vec; a document
+    absent from a leg contributes 0 from it.
+
+    Same driver-scale fusion shape as hybrid_search_rrf (legs prune to
+    n_candidates first). A leg whose candidates all tie normalizes to
+    1.0 (equally best) rather than dividing by zero.
+    """
+    from data_pipeline2_spark.operators.textanalysis import bm25_search
+
+    def _normalized(leg: DataFrame, out: str) -> DataFrame:
+        bounds = leg.agg(
+            F.min("score").alias("__lo"), F.max("score").alias("__hi")
+        )
+        return leg.crossJoin(F.broadcast(bounds)).select(
+            "doc_id",
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                (F.col("score") - F.col("__lo"))
+                / (F.col("__hi") - F.col("__lo")),
+            )
+            .otherwise(F.lit(1.0))
+            .alias(out),
+        )
+
+    bm = _normalized(
+        bm25_search(documents, query_terms, k=n_candidates, id_col=id_col),
+        "lex_norm",
+    )
+    vec = _normalized(
+        knn_cosine(embeddings, query_vec, k=n_candidates, id_col=vec_id_col)
+        .withColumnRenamed(vec_id_col, "doc_id"),
+        "vec_norm",
+    )
+    fused = bm.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.lit(w_lex) * F.coalesce(F.col("lex_norm"), F.lit(0.0))
+            + F.lit(1.0 - w_lex) * F.coalesce(F.col("vec_norm"), F.lit(0.0)),
+            6,
+        ).alias("fused_score"),
+    )
+    return fused.orderBy(F.desc("fused_score"), F.col("doc_id")).limit(k)

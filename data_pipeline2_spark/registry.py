@@ -3532,6 +3532,69 @@ def q_events_mad_outliers(spark, sf_dir):
     )
 
 
+
+@_register(
+    "events_trending_topk",
+    """
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, CAST(rank AS INT) AS rank, event_type, total
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY total DESC, event_type) AS rank
+      FROM agg
+    ) WHERE rank <= 3
+    """,
+)
+def q_events_trending_topk(spark, sf_dir):
+    return ev.trending_topk(_t(spark, sf_dir, "events"), k=3)
+
+
+
+def _linear_fusion_sql() -> str:
+    bm = _bm25_sql(_BM25_TERMS, k=50)
+    return f"""
+    WITH bm25 AS ({bm}),
+    bmb AS (SELECT min(score) lo, max(score) hi FROM bm25),
+    bmn AS (
+      SELECT doc_id, CASE WHEN hi > lo THEN (score - lo) / (hi - lo)
+                          ELSE 1.0 END AS lex_norm
+      FROM bm25, bmb
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vec AS (
+      SELECT e.vec_id AS doc_id, round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score
+      FROM embeddings e, q ORDER BY score DESC, doc_id LIMIT 50
+    ),
+    vb AS (SELECT min(score) lo, max(score) hi FROM vec),
+    vn AS (
+      SELECT doc_id, CASE WHEN hi > lo THEN (score - lo) / (hi - lo)
+                          ELSE 1.0 END AS vec_norm
+      FROM vec, vb
+    )
+    SELECT coalesce(bmn.doc_id, vn.doc_id) AS doc_id,
+           round(0.5 * coalesce(lex_norm, 0.0)
+                 + 0.5 * coalesce(vec_norm, 0.0), 6) AS fused_score
+    FROM bmn FULL OUTER JOIN vn ON bmn.doc_id = vn.doc_id
+    ORDER BY fused_score DESC, doc_id LIMIT 10
+    """
+
+
+@_register("hybrid_search_linear", _linear_fusion_sql())
+def q_hybrid_search_linear(spark, sf_dir):
+    return similarity.hybrid_search_linear(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        _BM25_TERMS,
+        _knn_query_vec(spark, sf_dir),
+        k=10,
+        w_lex=0.5,
+    )
+
+
 # ---------------------------------------------------------------- export
 
 

@@ -259,3 +259,39 @@ def queue_process(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def trending_topk(
+    events: DataFrame,
+    k: int = 3,
+    width: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Top-k keys per time window by total value → (window_start, rank,
+    event_type, total) — the trending/leaderboard composite (windowed
+    aggregation + per-window top-k).
+
+    Two-level: (window, key) partial-summed aggregation, then a
+    per-window rank over key-cardinality rows. The heavy shuffle
+    carries one row per (window, key); the rank window is tiny. Exact
+    decimal totals keep ranking ties engine-portable.
+    """
+    from pyspark.sql.window import Window
+
+    from data_pipeline2_spark.operators.aggregates import exact_sum
+
+    agg = (
+        events.groupBy(F.window(F.col(ts_col), width).alias("w"), key_col)
+        .agg(exact_sum(F.col(value_col)).alias("total"))
+        .select(F.col("w.start").alias("window_start"), key_col, "total")
+    )
+    rw = Window.partitionBy("window_start").orderBy(
+        F.desc("total"), F.col(key_col)
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "rank", key_col, "total")
+    )
