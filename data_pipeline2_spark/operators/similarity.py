@@ -502,3 +502,218 @@ def hybrid_search_linear(
         ).alias("fused_score"),
     )
     return fused.orderBy(F.desc("fused_score"), F.col("doc_id")).limit(k)
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization per vector → (vec_id, scale,
+    q_sum, q_absmax, max_err).
+
+    The storage-compression primitive for large embedding stores (4×
+    smaller than float32, 8× than float64): scale = max|v|/127, q_i =
+    floor(v_i/scale + 0.5) ∈ [-127, 127], reconstruction v̂_i = q_i·scale.
+    Emits the per-vector codebook scale plus integer checksums and the
+    max reconstruction error so the oracle value-checks the full
+    quantize→dequantize round trip without shipping the int8 payload.
+
+    Pure per-row Catalyst array expressions (`transform`/`zip_with`/
+    `aggregate`) — no shuffle, no UDF; at 100 TB this is a map-only
+    pass that parallelizes per file split. floor(x+0.5) rather than
+    round() so halves break identically in Spark and DuckDB.
+
+    Engine analog of the reference's dense_vector storage knob
+    (doc_pipeline/services/vector_storage.py:42-59 stores float vectors
+    verbatim; quantization is the scale-path refinement).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(v, F.abs))
+    scale = (absmax / F.lit(127.0)).alias("_scale")
+    df = embeddings.select(F.col(id_col).alias("vec_id"), v.alias("_v"), scale)
+    q = F.when(
+        F.col("_scale") == 0,
+        F.transform(F.col("_v"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(x / F.col("_scale") + F.lit(0.5)).cast("int"),
+        )
+    )
+    df = df.withColumn("_q", q)
+    err = F.when(F.col("_scale") == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.zip_with(
+                F.col("_v"),
+                F.col("_q"),
+                lambda x, qq: F.abs(x - qq.cast("double") * F.col("_scale")),
+            )
+        )
+    )
+    return df.select(
+        "vec_id",
+        F.round(F.col("_scale"), 8).alias("scale"),
+        F.aggregate(
+            F.col("_q"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.aggregate(
+            F.col("_q"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("q_absmax_sum"),
+        F.round(err, 8).alias("max_err"),
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    qlabel_col: str = "qlabel",
+) -> DataFrame:
+    """Hard-negative mining: for each query vector, the k most
+    cosine-similar corpus vectors with a DIFFERENT label →
+    (qid, rank, vec_id, neg_label, score).
+
+    The contrastive-training data-prep primitive (most-confusable
+    negatives beat random negatives). Same physical shape as
+    `knn_batch` — broadcast query set, map-side scoring with zero
+    corpus shuffle, per-qid top-k window — plus the label-mismatch
+    predicate applied BEFORE scoring so excluded pairs are never
+    scored at all.
+    """
+    scored = (
+        embeddings.crossJoin(F.broadcast(queries))
+        .filter(F.col(label_col) != F.col(qlabel_col))
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.col(label_col).alias("neg_label"),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(qvec_col)), SCORE_ROUND
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(qid_col).alias("qid"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col(id_col).alias("vec_id"),
+            "neg_label",
+            "score",
+        )
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance, left-to-right index-order fold so
+    the double arithmetic bit-matches the DuckDB oracle's fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column →
+    (cluster, n, inertia) per final cluster.
+
+    Init = the k lowest-id vectors (seed-free, reproducible); each of
+    `n_iter` rounds assigns every vector to the nearest centroid
+    (squared-L2, rounded before argmin so cross-engine ulp noise can't
+    flip ties) and recomputes centroids as exact decimal-sum means
+    rounded to 6 places. Rounded centroids are collected to the driver
+    (k×dim doubles — bytes, not data) and re-broadcast as literals,
+    exactly how MLlib's KMeans iterates; all heavy work stays
+    distributed: assignment is a broadcast crossJoin (k× row blowup,
+    no corpus shuffle) and the mean recompute is one posexplode +
+    (cluster, pos) partial-aggregated shuffle of width k×dim.
+
+    The iterative step is the engine's template for driver-coordinated
+    iterative algorithms at 100 TB: per-iteration state is O(k·dim),
+    never O(rows). Fixed iteration count keeps it oracle-replayable
+    (the DuckDB SQL unrolls the same rounds as CTEs).
+    """
+    spark = embeddings.sparkSession
+
+    init = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6)).alias(
+                "cvec"
+            )
+        )
+        .collect()
+    )
+    cents = [(i, list(r["cvec"])) for i, r in enumerate(init)]
+
+    def assign(cent_rows):
+        cdf = spark.createDataFrame(
+            cent_rows, "cid int, cvec array<double>"
+        )
+        scored = embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        ).crossJoin(F.broadcast(cdf)).withColumn(
+            "dist", F.round(_sq_dist(F.col("_v"), F.col("cvec")), 6)
+        )
+        w = Window.partitionBy("_id").orderBy("dist", "cid")
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_id", "_v", F.col("cid").alias("cluster"), "dist")
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(cents)
+        means = (
+            assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(25,10)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("m")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        cents = sorted((r["cluster"], list(r["cvec"])) for r in means)
+
+    final = assign(cents)
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("dist"), 8).cast("decimal(25,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("inertia"),
+        )
+        .select(F.col("cluster").cast("int").alias("cluster"), "n", "inertia")
+        .orderBy("cluster")
+    )

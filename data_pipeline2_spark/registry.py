@@ -3595,6 +3595,128 @@ def q_hybrid_search_linear(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- vector
+# compression / mining / clustering (engine additions, north-star scope)
+
+
+@_register(
+    "embedding_quantize",
+    """
+    WITH b AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+               AS scale
+      FROM embeddings
+    ), qn AS (
+      SELECT vec_id, v, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+             END AS q
+      FROM b
+    )
+    SELECT vec_id, round(scale, 8) AS scale,
+           CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(list_transform(q, x -> abs(x)), 'sum') AS BIGINT)
+             AS q_absmax_sum,
+           round(CASE WHEN scale = 0 THEN 0.0
+                 ELSE list_max(list_transform(generate_series(1, len(v)),
+                        i -> abs(v[i] - q[i] * scale))) END, 8) AS max_err
+    FROM qn
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    return similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+               FROM embeddings WHERE vec_id < 8),
+    s AS (
+      SELECT q.qid, e.vec_id, e.label AS neg_label,
+             round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score
+      FROM embeddings e JOIN q ON e.label <> q.qlabel
+    ), r AS (
+      SELECT qid, vec_id, neg_label, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM s)
+    SELECT qid, CAST(rank AS INT) AS rank, vec_id, neg_label, score
+    FROM r WHERE rank <= 5
+    """,
+)
+def q_hard_negatives(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+    )
+    return similarity.hard_negatives(emb, queries, k=5)
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd's iterations as CTEs — same init (k lowest ids,
+    rounded), same rounded-distance argmin, same decimal-exact rounded
+    means as operators/similarity.kmeans, so both engines walk an
+    identical centroid trajectory."""
+    sq = (
+        "list_aggregate(list_transform(generate_series(1, len({v})), "
+        "i -> ({v}[i]::DOUBLE - {c}[i]) * ({v}[i]::DOUBLE - {c}[i])), 'sum')"
+    )
+
+    def assign(cent_cte: str, out: str) -> str:
+        d = sq.format(v="e.embedding", c="c.cvec")
+        return f"""{out} AS (
+      SELECT vec_id, embedding, cluster, dist FROM (
+        SELECT e.vec_id, e.embedding, c.cid AS cluster,
+               round({d}, 6) AS dist,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({d}, 6), c.cid) AS rn
+        FROM embeddings e CROSS JOIN {cent_cte} c) WHERE rn = 1
+    )"""
+
+    def recompute(assign_cte: str, out: str) -> str:
+        return f"""{out} AS (
+      SELECT cluster AS cid, list(m ORDER BY i) AS cvec FROM (
+        SELECT cluster, i,
+               round(CAST(sum(CAST(embedding[i]::DOUBLE AS DECIMAL(25,10)))
+                          AS DOUBLE) / count(*), 6) AS m
+        FROM {assign_cte}, generate_series(1, {dim}) t(i)
+        GROUP BY cluster, i) GROUP BY cluster
+    )"""
+
+    parts = [
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             list_transform(embedding, x -> round(x::DOUBLE, 6)) AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT {k}
+    )"""
+    ]
+    prev = "c0"
+    for it in range(1, n_iter + 1):
+        parts.append(assign(prev, f"a{it}"))
+        parts.append(recompute(f"a{it}", f"c{it}"))
+        prev = f"c{it}"
+    parts.append(assign(prev, "af"))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+    SELECT CAST(cluster AS INT) AS cluster, count(*) AS n,
+           round(CAST(sum(CAST(round(dist, 8) AS DECIMAL(25,10))) AS DOUBLE), 6)
+             AS inertia
+    FROM af GROUP BY cluster
+    """
+    )
+
+
+@_register("kmeans_embeddings", _kmeans_sql())
+def q_kmeans_embeddings(spark, sf_dir):
+    return similarity.kmeans(_t(spark, sf_dir, "embeddings"), k=8, n_iter=2)
+
+
 # ---------------------------------------------------------------- export
 
 

@@ -336,3 +336,80 @@ def test_incremental_near_dedup_matches_new_against_store(spark):
     assert all(11 not in p for p in pairs)
     # old-old pairs are never re-reported
     assert all(a >= 10 or b >= 10 for a, b in pairs)
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    from data_pipeline2_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.5, -0.25, 0.125, 0.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, no div-by-zero
+            (2, [-1.0, 1.0, 0.3, -0.7]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    # reconstruction error bounded by scale/2 (+ rounding slack)
+    for vid in (0, 2):
+        assert out[vid]["max_err"] <= out[vid]["scale"] / 2 + 1e-8
+        assert out[vid]["q_absmax_sum"] > 0
+    assert out[1]["scale"] == 0.0
+    assert out[1]["q_sum"] == 0 and out[1]["max_err"] == 0.0
+
+
+def test_hard_negatives_excludes_own_label(spark):
+    from data_pipeline2_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.05], 0),   # same label as query → must NOT appear
+        (2, [0.9, 0.1], 1),     # hard negative (close, other label)
+        (3, [0.0, 1.0], 1),     # easy negative
+        (4, [0.5, 0.5], 2),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+    )
+    out = hard_negatives(emb, q, k=3).collect()
+    got = [(r["rank"], r["vec_id"], r["neg_label"]) for r in out]
+    assert all(lbl != 0 for _, _, lbl in got)
+    # hardest (most similar, different label) ranks first
+    assert got[0][1] == 2
+    assert [r for r, _, _ in got] == [1, 2, 3]
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    from data_pipeline2_spark.operators.similarity import kmeans
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.95, 0.02, 0.0]), (2, [1.05, -0.02, 0.01]),
+        (3, [0.0, 1.0, 0.0]), (4, [0.02, 0.97, 0.0]), (5, [-0.01, 1.03, 0.02]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans(emb, k=2, n_iter=3).collect()
+    sizes = sorted(r["n"] for r in out)
+    assert sizes == [3, 3]
+    # tight clusters → tiny within-cluster inertia
+    assert all(r["inertia"] < 0.05 for r in out)
+
+
+def test_kmeans_inertia_nonincreasing(spark):
+    from data_pipeline2_spark.operators.similarity import kmeans
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def total(n_iter):
+        return sum(r["inertia"] for r in kmeans(emb, k=4, n_iter=n_iter).collect())
+
+    # Lloyd's guarantees monotone non-increasing objective
+    assert total(3) <= total(1) + 1e-6
