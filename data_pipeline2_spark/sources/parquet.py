@@ -23,11 +23,43 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from data_pipeline2_spark.schemas import TABLE_SCHEMAS
 
-# columns stored as TIMESTAMP(NANOS) in the testdata parquet — Spark's
-# reader rejects nanos, so (with spark.sql.legacy.parquet.nanosAsLong)
-# we read them as long and convert: ns div 1000 → timestamp_micros.
-# The testdata's ns values are µs-aligned, so the conversion is exact.
-_NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+# timestamp columns whose parquet time unit varies across testdata
+# generations (NANOS in some snapshots, MICROS in others). Spark's
+# reader rejects nanos, so when the footer says ns we (with
+# spark.sql.legacy.parquet.nanosAsLong) read them as long and convert:
+# ns div 1000 → timestamp_micros (the ns values are µs-aligned, so the
+# conversion is exact). When the footer says µs we read them natively.
+# The unit is sniffed ONCE per path from a single file footer — not
+# schema inference (the logical schema stays pinned), just physical
+# encoding detection, which a real lake reader must do anyway.
+_TS_UNIT_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+_TS_UNIT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _parquet_ts_unit(path: str, col: str) -> str:
+    """Time unit ('ns'/'us'/'ms'/'s') of `col` in the parquet at path
+    (file or directory), from one file footer; defaults to 'us'."""
+    key = (path, col)
+    hit = _TS_UNIT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    unit = "us"
+    try:
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        f = path
+        if os.path.isdir(path):
+            cands = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+            f = cands[0] if cands else path
+        typ = pq.ParquetFile(f).schema_arrow.field(col).type
+        unit = getattr(typ, "unit", "us") or "us"
+    except Exception:
+        pass
+    _TS_UNIT_CACHE[key] = unit
+    return unit
 
 # Opt-in warm table cache (SPARK_GRAFT_TABLE_CACHE=1): repartition to
 # full parallelism and persist on first load, keyed per (application,
@@ -83,7 +115,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     schema = TABLE_SCHEMAS.get(name)
-    nanos_cols = _NANOS_TS_COLS.get(name, [])
+    path = table_path(sf_dir, name)
+    nanos_cols = [
+        c
+        for c in _TS_UNIT_COLS.get(name, [])
+        if _parquet_ts_unit(path, c) == "ns"
+    ]
     if schema is not None and nanos_cols:
         schema = StructType(
             [
@@ -94,7 +131,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    path = table_path(sf_dir, name)
     if _cache_enabled():
         key = (spark.sparkContext.applicationId, path)
         hit = _TABLE_CACHE.get(key)
