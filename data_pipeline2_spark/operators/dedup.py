@@ -471,16 +471,37 @@ def dedup_near_embedding(
     embeddings: DataFrame, threshold: float = 0.9,
     id_col: str = "vec_id", vec_col: str = "embedding",
     group_col: str | None = None,
+    exact: bool = False,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above threshold.
 
-    Exact all-pairs (optionally within `group_col` partitions — the
-    provider-partitioned scope, mirroring the reference's composite
-    (chunk, provider) key space). Cost control for the quadratic scan:
-    vectors are L2-normalized ONCE per row map-side, so each pair costs
-    a single dot-product fold instead of dot + two norms (3x). At scale
-    route candidates through similarity.knn_batch_lsh buckets first —
-    same verification tail, subquadratic pair count.
+    Candidate scopes, in order of preference:
+
+    - `group_col` given: exact pairs within group partitions (the
+      provider-partitioned scope, mirroring the reference's composite
+      (chunk, provider) key space, vector_storage.py:65) — an equi-join,
+      never a cross join; safe when groups are bounded.
+    - default (no group, exact=False): random-hyperplane LSH candidate
+      generation — `n_tables` signature tables of `n_planes` sign bits
+      each (deterministic seeds), candidates = pairs colliding in ANY
+      table, then ONE exact cosine verification per candidate pair.
+      Sub-quadratic: pair count shrinks ~2^n_planes per table. Recall
+      < 1.0 by design (raise n_tables for recall; P[collide] =
+      (1-θ/π)^n_planes per table) — the standard ANN trade, same as
+      knn_batch_lsh. Exact duplicates (identical vectors) always
+      collide, so recall on true duplicates is 1.0. `dim` must match
+      the embedding dimensionality: shorter vectors degrade to one
+      shared bucket (correct output, quadratic within that bucket).
+    - `exact=True` (no group): full all-pairs cross join. O(N²) — only
+      for bounded inputs / recall ground truth.
+
+    Cost control for verification: vectors are L2-normalized ONCE per
+    row map-side, so each pair costs a single dot-product fold instead
+    of dot + two norms (3x).
     """
     from data_pipeline2_spark.functions.vectors import dot, l2_norm
 
@@ -494,6 +515,13 @@ def dedup_near_embedding(
     if group_col:
         base_cols.append(F.col(group_col))
     base = embeddings.select(*base_cols)
+
+    if group_col is None and not exact:
+        return _near_embedding_lsh(
+            base, embeddings, threshold, id_col, vec_col,
+            dim, n_planes, n_tables, seed,
+        )
+
     join_keys = [group_col] if group_col else []
     a = base.select(
         *( [F.col(group_col)] if group_col else [] ),
@@ -506,6 +534,68 @@ def dedup_near_embedding(
     joined = a.join(b, join_keys) if join_keys else a.crossJoin(b)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("na"), F.col("nb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def _near_embedding_lsh(
+    base: DataFrame,
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+) -> DataFrame:
+    """LSH candidate generation + exact verify for dedup_near_embedding.
+
+    Shuffle shape at scale: only (id, table, sig) rows — ~n_tables x
+    (8B + n_planes bits) per vector — move through the candidate join;
+    full vectors are joined back ONLY for the (tiny) candidate pair set.
+    """
+    from data_pipeline2_spark.functions.vectors import dot
+    from data_pipeline2_spark.operators.similarity import (
+        _hyperplanes,
+        signature_col,
+    )
+
+    sigs = None
+    vec = F.col(vec_col)
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        tbl = embeddings.select(
+            F.col(id_col).alias("__id"),
+            F.lit(t).alias("__tbl"),
+            signature_col(vec, planes).alias("__sig"),
+        )
+        sigs = tbl if sigs is None else sigs.unionByName(tbl)
+    cand = (
+        sigs.alias("sa")
+        .join(
+            sigs.alias("sb"),
+            [
+                F.col("sa.__tbl") == F.col("sb.__tbl"),
+                F.col("sa.__sig") == F.col("sb.__sig"),
+                F.col("sa.__id") < F.col("sb.__id"),
+            ],
+        )
+        .select(
+            F.col("sa.__id").alias("id_a"), F.col("sb.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    na = base.select(F.col(id_col).alias("id_a"), F.col("__nv").alias("na"))
+    nb = base.select(F.col(id_col).alias("id_b"), F.col("__nv").alias("nb"))
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",

