@@ -349,6 +349,72 @@ def chunk_sentence_exact(
     return prepared.groupBy("doc_id").applyInPandas(pack, _EXACT_SCHEMA)
 
 
+# BPE-ish subword estimator: greedy <=4-char alphabetic pieces, digit
+# runs, single punctuation — the same family as registry token_count_bpe.
+# No token spans whitespace, so per-sentence counts sum exactly to the
+# packed chunk's count when sentences are joined with spaces.
+_BPE_RE = None  # compiled lazily inside the UDF closure
+
+
+def _bpe_token_count(text: str) -> int:
+    import re
+
+    global _BPE_RE
+    if _BPE_RE is None:
+        _BPE_RE = re.compile(r"[a-z]{1,4}|[0-9]+|[^a-z0-9\s]")
+    return len(_BPE_RE.findall(text.lower()))
+
+
+def _greedy_pack_tokens(
+    units: list[str], budget: int, overlap: int
+) -> list[tuple[int, str, int]]:
+    """Greedy token-budget packing with trailing-unit overlap carry →
+    [(pos, content, n_tokens)].
+
+    Invariant (tested): n_tokens <= budget unless a chunk is a single
+    unit that alone exceeds the budget (the reference's oversized-
+    sentence case, docling_service.py:124-147, which it then word-
+    splits; here the oversized unit stays whole and is flagged by its
+    token count). Overlap keeps trailing whole units totaling <=
+    `overlap` tokens — dropped entirely when carrying them would
+    overflow the next chunk.
+    """
+    out: list[tuple[int, str, int]] = []
+    cur: list[str] = []
+    cur_tok = 0
+    pos = 0
+    counts: list[int] = []
+    for u in units:
+        ut = _bpe_token_count(u)
+        if cur and cur_tok + ut > budget:
+            out.append((pos, " ".join(cur), cur_tok))
+            pos += 1
+            keep: list[str] = []
+            keep_tok = 0
+            for v, vt in zip(reversed(cur), reversed(counts)):
+                if keep_tok + vt > overlap:
+                    break
+                keep.insert(0, v)
+                keep_tok += vt
+            if keep_tok + ut > budget:
+                keep, keep_tok = [], 0
+            cur = keep + [u]
+            counts = [_bpe_token_count(v) for v in keep] + [ut]
+            cur_tok = keep_tok + ut
+        else:
+            cur.append(u)
+            counts.append(ut)
+            cur_tok += ut
+    if cur:
+        out.append((pos, " ".join(cur), cur_tok))
+    return out
+
+
+_HYBRID_SCHEMA = (
+    "doc_id long, pos int, chunk_id string, content string, n_tokens int"
+)
+
+
 def chunk_hybrid(
     documents: DataFrame,
     chunk_size: int = DEFAULT_CHUNK_SIZE,
@@ -356,16 +422,49 @@ def chunk_hybrid(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Hybrid strategy seam.
+    """Tokenizer-aware hybrid chunking: sentence units greedily packed
+    into a TOKEN budget (not characters), with token-bounded overlap.
 
-    The reference delegates to docling's tokenizer-aware HybridChunker
-    (docling_service.py:212-236, tokenizer BAAI/bge-small-en-v1.5) — a
-    non-deterministic external dependency. The engine's default maps
-    "hybrid" onto the exact sentence packer (deterministic, same seam);
-    a real tokenizer plugs into the same applyInPandas signature.
+    Mirrors docling's HybridChunker semantics (docling_service.py:
+    212-236 — tokenizer-counted packing with chunk_overlap carry,
+    tokenizer BAAI/bge-small-en-v1.5 per config/settings.py:50). The
+    exact HF tokenizer is a non-deterministic external dependency, so
+    the engine uses its deterministic BPE-ish estimator (same regex
+    family as the token_count_bpe operator); a real tokenizer plugs
+    into the same applyInPandas seam by swapping _bpe_token_count.
+
+    `chunk_size`/`chunk_overlap` are budgets in TOKENS here — the unit
+    the reference's HybridChunker uses — unlike the character budgets
+    of chunk_fixed/chunk_sentence.
     """
+    import re
+
     validate_chunk_config(chunk_size, chunk_overlap)
-    return chunk_sentence_exact(documents, chunk_size, id_col, text_col)
+    sent_re = re.compile(SENTENCE_REGEX)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            text = r["__text"] or ""
+            units = [s.strip() for s in sent_re.findall(text)]
+            if not units:
+                units = [w for w in text.split() if w]
+            if not units:
+                units = [""]
+            for pos, content, n_tok in _greedy_pack_tokens(
+                units, chunk_size, chunk_overlap
+            ):
+                rows.append(
+                    (r["doc_id"], pos, f"{r['doc_id']}-{pos}", content, n_tok)
+                )
+        return pd.DataFrame(
+            rows, columns=["doc_id", "pos", "chunk_id", "content", "n_tokens"]
+        )
+
+    prepared = ensure_parallelism(documents, id_col).select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("__text")
+    )
+    return prepared.groupBy("doc_id").applyInPandas(pack, _HYBRID_SCHEMA)
 
 
 def sentence_udtf_class():
