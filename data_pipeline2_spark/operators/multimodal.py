@@ -26,9 +26,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DECODE_SCHEMA = (
-    "asset_id long, modality string, n_bytes long, sha string, "
-    "width int, height int, duration_ms int"
+    "asset_id long, modality string, format string, n_bytes long, "
+    "sha string, width int, height int, mode string, duration_ms int"
 )
+
+ASSET_SCHEMA = "asset_id long, modality string, format string, payload binary"
+
+
+def real_assets(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL media fixtures: one actual PNG/GIF/BMP/JPEG/WAV
+    file per document id (functions/imagecodec.make_asset — real
+    container bytes, dims/duration a pure function of the id so a SQL
+    oracle can verify the parsers end-to-end)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_pipeline2_spark.functions.imagecodec import make_asset
+
+        for pdf in batches:
+            fmts, payloads = [], []
+            for aid in pdf["asset_id"]:
+                f, p = make_asset(int(aid))
+                fmts.append(f)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": [
+                        "audio" if f == "wav" else "image" for f in fmts
+                    ],
+                    "format": fmts,
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select(
+        F.col(id_col).cast("long").alias("asset_id")
+    ).mapInPandas(gen, ASSET_SCHEMA)
 
 
 def documents_as_assets(documents: DataFrame) -> DataFrame:
@@ -54,24 +87,30 @@ def documents_as_assets(documents: DataFrame) -> DataFrame:
 def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Decode / probe binary payloads via mapInPandas.
 
-    STUB: real decoding needs PIL/ffmpeg — unavailable here. With
-    `fake=True` a deterministic fake derives dimensions from payload
-    bytes (so the distributed plumbing and schema are fully exercised);
-    with `fake=False` it raises NotImplementedError exactly where a real
-    decoder plugs in.
+    `fake=False` is the REAL path: byte-exact header parsing of PNG /
+    JPEG / GIF / BMP containers (dimensions + color mode) and RIFF/WAVE
+    audio (duration) via functions/imagecodec — no external codec
+    involved. Payloads in formats that genuinely need a codec library
+    (mp4/webm/ogg/...) raise NotImplementedError naming the asset.
+
+    `fake=True` keeps the deterministic stand-in probe (dims derived
+    from payload bytes) for text-derived fixture assets, so the
+    plumbing oracles stay reproducible from the documents table alone.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from data_pipeline2_spark.functions.imagecodec import (
+            probe_image,
+            probe_wav,
+        )
+
+        cols = [
+            "asset_id", "modality", "format", "n_bytes", "sha",
+            "width", "height", "mode", "duration_ms",
+        ]
         for pdf in batches:
-            if not fake:
-                # Real implementation: PIL.Image.open / ffprobe per payload.
-                raise NotImplementedError(
-                    "media decoding requires codec libraries not present "
-                    "in this environment; run with fake=True for the "
-                    "deterministic stand-in"
-                )
             rows = []
             for asset_id, modality, raw in zip(
                 pdf["asset_id"], pdf["modality"], pdf["payload"]
@@ -79,33 +118,45 @@ def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
                 payload = bytes(raw or b"")
                 sha = hashlib.sha256(payload).hexdigest()
                 n = len(payload)
-                # deterministic fake "probe": dims derived from content
-                w = 16 + (n % 1024)
-                h = 16 + (int(sha[:4], 16) % 1024)
-                dur = 1000 + (int(sha[4:8], 16) % 60_000)
-                rows.append(
-                    (
-                        asset_id,
-                        modality,
-                        n,
-                        sha,
-                        w if modality == "image" else None,
-                        h if modality == "image" else None,
-                        dur if modality in ("audio", "video") else None,
+                if fake:
+                    # deterministic fake "probe": dims derived from content
+                    w = 16 + (n % 1024)
+                    h = 16 + (int(sha[:4], 16) % 1024)
+                    dur = 1000 + (int(sha[4:8], 16) % 60_000)
+                    rows.append(
+                        (
+                            asset_id, modality, "fake", n, sha,
+                            w if modality == "image" else None,
+                            h if modality == "image" else None,
+                            None,
+                            dur if modality in ("audio", "video") else None,
+                        )
                     )
+                    continue
+                img = probe_image(payload)
+                if img is not None:
+                    rows.append(
+                        (
+                            asset_id, modality, img["format"], n, sha,
+                            img["width"], img["height"], img["mode"], None,
+                        )
+                    )
+                    continue
+                wav = probe_wav(payload)
+                if wav is not None:
+                    rows.append(
+                        (
+                            asset_id, modality, "wav", n, sha,
+                            None, None, None, wav["duration_ms"],
+                        )
+                    )
+                    continue
+                raise NotImplementedError(
+                    f"asset {asset_id}: payload is not a recognized "
+                    "PNG/JPEG/GIF/BMP/WAV container; other formats need "
+                    "codec libraries not present in this environment"
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "asset_id",
-                    "modality",
-                    "n_bytes",
-                    "sha",
-                    "width",
-                    "height",
-                    "duration_ms",
-                ],
-            )
+            yield pd.DataFrame(rows, columns=cols)
 
     return assets.select("asset_id", "modality", "payload").mapInPandas(
         decode, DECODE_SCHEMA
@@ -123,7 +174,9 @@ def asset_meta(assets: DataFrame) -> DataFrame:
     )
 
 
-def resize_plan(assets: DataFrame, max_dim: int = 256) -> DataFrame:
+def resize_plan(
+    assets: DataFrame, max_dim: int = 256, fake: bool = True
+) -> DataFrame:
     """Aspect-preserving resize targets for image assets →
     (asset_id, width, height, target_w, target_h, scale).
 
@@ -131,10 +184,11 @@ def resize_plan(assets: DataFrame, max_dim: int = 256) -> DataFrame:
     only the pixel work needs a codec, so a real pipeline runs THIS to
     plan (and to skip already-small images entirely) and hands only the
     shrink-needed subset to `resize_assets`. Filter to images before the
-    probe: the modality filter prunes at the parquet scan, the decode
-    stub never sees audio/video bytes.
+    probe: the modality filter prunes at the parquet scan, the probe
+    never sees audio/video bytes. `fake=False` probes real container
+    headers (PNG/JPEG/GIF/BMP) instead of the deterministic stand-in.
     """
-    probed = decode_assets(assets.filter(F.col("modality") == "image"), fake=True)
+    probed = decode_assets(assets.filter(F.col("modality") == "image"), fake=fake)
     longest = F.greatest(F.col("width"), F.col("height"))
     scale = F.when(longest <= max_dim, F.lit(1.0)).otherwise(
         F.lit(max_dim) / longest
@@ -157,13 +211,18 @@ def resize_assets(
     """Resize image payloads via mapInPandas → (asset_id, target_w,
     target_h, payload).
 
-    STUB for the pixel work (PIL absent): fake=True emits a
-    deterministic payload (sha256 of original bytes + target geometry,
-    so downstream dedup/caching semantics are exercisable); fake=False
-    raises NotImplementedError where `PIL.Image.open(...).thumbnail`
-    plugs in. Batch shape, schema, and the plan/execute split are real.
+    `fake=False` is the REAL pixel path for PNG payloads: decode (all
+    five scanline filters), nearest-neighbor resample, re-encode — all
+    via functions/imagecodec, no external library. Non-PNG images raise
+    NotImplementedError (JPEG/GIF pixel decode genuinely needs a codec
+    library; their headers still probe fine in resize_plan).
+
+    `fake=True` emits a deterministic payload (sha256 of original bytes
+    + target geometry) so downstream dedup/caching semantics stay
+    exercisable from text-derived fixtures. Batch shape, schema, and
+    the plan/execute split are identical in both modes.
     """
-    plan = resize_plan(assets, max_dim)
+    plan = resize_plan(assets, max_dim, fake=fake)
     to_resize = assets.select("asset_id", "payload").join(
         plan.filter(F.col("scale") < 1.0), "asset_id"
     )
@@ -171,21 +230,35 @@ def resize_assets(
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from data_pipeline2_spark.functions.imagecodec import (
+            decode_png,
+            encode_png,
+            probe_image,
+            resize_nearest,
+        )
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires PIL; run with fake=True for "
-                    "the deterministic stand-in"
-                )
             out = []
             for asset_id, raw, tw, th in zip(
                 pdf["asset_id"], pdf["payload"], pdf["target_w"], pdf["target_h"]
             ):
                 payload = bytes(raw or b"")
-                fake_pixels = hashlib.sha256(
-                    payload + f"|{tw}x{th}".encode()
-                ).digest()
-                out.append((asset_id, int(tw), int(th), fake_pixels))
+                if fake:
+                    new_payload = hashlib.sha256(
+                        payload + f"|{tw}x{th}".encode()
+                    ).digest()
+                else:
+                    info = probe_image(payload)
+                    if not info or info["format"] != "png":
+                        raise NotImplementedError(
+                            f"asset {asset_id}: real pixel resize is "
+                            "implemented for PNG; "
+                            f"{info['format'] if info else 'unknown'} "
+                            "pixel decode needs a codec library"
+                        )
+                    arr = resize_nearest(decode_png(payload), int(tw), int(th))
+                    new_payload = encode_png(arr)
+                out.append((asset_id, int(tw), int(th), new_payload))
             yield pd.DataFrame(
                 out, columns=["asset_id", "target_w", "target_h", "payload"]
             )

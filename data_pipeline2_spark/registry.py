@@ -2968,10 +2968,82 @@ def q_simhash(spark, sf_dir):
     )
 
 
-@_register("multimodal_decode", None)
+@_register(
+    "multimodal_decode",
+    """
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 5 = 4 THEN 'audio' ELSE 'image' END AS modality,
+           CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' ELSE 'wav' END AS format,
+           CASE WHEN doc_id % 5 <> 4
+                THEN CAST(16 + doc_id % 97 AS INT) END AS width,
+           CASE WHEN doc_id % 5 <> 4
+                THEN CAST(16 + doc_id % 53 AS INT) END AS height,
+           CASE doc_id % 5 WHEN 0 THEN 'RGB' WHEN 1 THEN 'P'
+                WHEN 2 THEN 'RGB' WHEN 3 THEN 'YCbCr' END AS mode,
+           CASE WHEN doc_id % 5 = 4
+                THEN CAST(500 + (doc_id % 41) * 250 AS INT) END AS duration_ms
+    FROM documents
+    """,
+)
 def q_multimodal_decode(spark, sf_dir):
-    assets = multimodal.documents_as_assets(_t(spark, sf_dir, "documents"))
-    return multimodal.decode_assets(assets, fake=True)
+    """REAL codec path, fully value-checked: real_assets writes actual
+    PNG/GIF/BMP/JPEG/WAV container bytes (dims/duration a pure function
+    of the id), decode_assets(fake=False) re-parses the headers byte-
+    exactly (functions/imagecodec), and the oracle recomputes what the
+    generator embedded — a header-parser bug becomes a value mismatch."""
+    assets = multimodal.real_assets(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_assets(assets, fake=False).select(
+        "asset_id", "modality", "format", "width", "height", "mode",
+        "duration_ms",
+    )
+
+
+@_register(
+    "multimodal_resize_real",
+    """
+    WITH dims AS (
+      SELECT doc_id AS asset_id,
+             CAST(16 + doc_id % 97 AS INT) AS w,
+             CAST(16 + doc_id % 53 AS INT) AS h
+      FROM documents WHERE doc_id % 5 = 0
+    ), scaled AS (
+      SELECT asset_id, w, h,
+             CASE WHEN greatest(w, h) <= 64 THEN 1.0
+                  ELSE 64.0 / greatest(w, h) END AS s
+      FROM dims
+    )
+    SELECT asset_id,
+           CAST(greatest(trunc(w * s), 1) AS INT) AS target_w,
+           CAST(greatest(trunc(h * s), 1) AS INT) AS target_h,
+           CAST(greatest(trunc(w * s), 1) AS INT) AS dec_w,
+           CAST(greatest(trunc(h * s), 1) AS INT) AS dec_h
+    FROM scaled WHERE s < 1
+    """,
+)
+def q_multimodal_resize_real(spark, sf_dir):
+    """Real pixel work, verified end-to-end: PNG fixtures are decoded,
+    nearest-resampled and re-ENCODED (imagecodec), then the output
+    payloads are re-probed — dec_w/dec_h come from the resized bytes
+    themselves, so the whole decode→resize→encode loop must be correct
+    for the driver hash to match the oracle's closed-form targets."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    assets = multimodal.real_assets(docs)
+    resized = multimodal.resize_assets(assets, max_dim=64, fake=False)
+    redecoded = multimodal.decode_assets(
+        resized.select(
+            "asset_id", F.lit("image").alias("modality"), "payload"
+        ),
+        fake=False,
+    )
+    return resized.select("asset_id", "target_w", "target_h").join(
+        redecoded.select(
+            "asset_id",
+            F.col("width").alias("dec_w"),
+            F.col("height").alias("dec_h"),
+        ),
+        "asset_id",
+    )
 
 
 @_register("frame_sample_plan", None)
@@ -3768,8 +3840,8 @@ _PRIORITY = [
     # §2.3 exact/hybrid chunkers
     "chunk_sentence_exact", "chunk_hybrid",
     # multimodal columns
-    "multimodal_meta", "multimodal_decode", "multimodal_resize_plan",
-    "multimodal_resize", "multimodal_features", "frame_sample_plan",
+    "multimodal_meta", "multimodal_decode", "multimodal_resize_real",
+    "multimodal_resize_plan", "multimodal_resize", "multimodal_features",
 ]
 
 

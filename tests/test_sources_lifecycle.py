@@ -206,3 +206,50 @@ def test_convert_documents_seam(spark, upload_dir):
     ).toPandas()
     pdf2 = out2[out2.content_type == "application/pdf"].iloc[0]
     assert pdf2["text"].startswith("PDFTEXT:")
+
+
+def test_multimodal_real_decode_all_formats(spark):
+    """The REAL path: actual PNG/GIF/BMP/JPEG/WAV container bytes are
+    generated, then decode_assets(fake=False) re-parses the headers —
+    parsed dims/duration must equal what the generator embedded."""
+    from data_pipeline2_spark.functions.imagecodec import (
+        fixture_dims,
+        fixture_duration_ms,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(25)], "doc_id long"
+    )
+    assets = multimodal.real_assets(docs)
+    out = multimodal.decode_assets(assets, fake=False).toPandas()
+    assert len(out) == 25
+    assert set(out.format) == {"png", "gif", "bmp", "jpeg", "wav"}
+    for r in out.itertuples():
+        if r.format == "wav":
+            assert r.modality == "audio"
+            assert r.duration_ms == fixture_duration_ms(r.asset_id)
+        else:
+            w, h = fixture_dims(r.asset_id)
+            assert (r.width, r.height) == (w, h), r
+
+
+def test_multimodal_real_resize_roundtrip(spark):
+    """Real pixel path: PNG decode → nearest resize → PNG encode; the
+    output payload re-decodes to exactly the target geometry and the
+    corner pixel survives (nearest-neighbor maps (0,0) to (0,0))."""
+    import numpy as np
+
+    from data_pipeline2_spark.functions.imagecodec import decode_png, make_asset
+
+    # ids divisible by 5 are PNG fixtures; pick ones bigger than max_dim
+    ids = [i for i in range(0, 500, 5) if max(
+        (16 + i % 97), (16 + i % 53)) > 32][:6]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    assets = multimodal.real_assets(docs)
+    out = multimodal.resize_assets(assets, max_dim=32, fake=False).toPandas()
+    assert len(out) == len(ids)
+    originals = {i: decode_png(make_asset(i)[1]) for i in ids}
+    for r in out.itertuples():
+        arr = decode_png(bytes(r.payload))
+        assert arr.shape == (r.target_h, r.target_w, 3)
+        assert (arr[0, 0] == originals[r.asset_id][0, 0]).all()
