@@ -56,7 +56,7 @@ def revenue_by_nation(
     supplier: DataFrame,
     nation: DataFrame,
     region: DataFrame,
-    region_name: str,
+    region_name: str | None,
     date_lo: str,
     date_hi: str,
 ) -> DataFrame:
@@ -67,6 +67,10 @@ def revenue_by_nation(
     (region, nation, supplier at bench SF) broadcast; the orders⋈lineitem
     join shuffles on orderkey — at 100 TB both sides bucketed on
     orderkey makes it shuffle-free.
+
+    region_name=None parameterizes by the min region name IN-PLAN (the
+    1-row aggregate broadcasts into a hash join) — no driver-side
+    collect, so the whole query stays one Spark job.
     """
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(25,4)"
@@ -75,9 +79,14 @@ def revenue_by_nation(
         (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
         & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
     )
+    if region_name is None:
+        r = region.join(
+            F.broadcast(region.agg(F.min("r_name").alias("r_name"))), "r_name"
+        )
+    else:
+        r = region.filter(F.col("r_name") == region_name)
     n_r = nation.join(
-        F.broadcast(region.filter(F.col("r_name") == region_name)),
-        F.col("n_regionkey") == F.col("r_regionkey"),
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
     )
     return (
         customer.join(o, F.col("c_custkey") == F.col("o_custkey"))
@@ -197,8 +206,8 @@ def market_share(
     nation: DataFrame,
     region: DataFrame,
     part: DataFrame,
-    region_name: str,
-    nation_name: str,
+    region_name: str | None,
+    nation_name: str | None,
     type_name: str,
 ) -> DataFrame:
     """TPC-H Q8-shaped: share of a region's revenue (for one part type)
@@ -208,19 +217,36 @@ def market_share(
     (conditional sum) — one plan, no self-join. part is filtered then
     broadcast, so the lineitem scan prunes to matching parts via the
     broadcast hash join before anything shuffles.
+
+    region_name / nation_name = None derive the min name IN-PLAN
+    (broadcast 1-row aggregates: a hash join for the region filter, a
+    cross join for the nation parameter column) — zero driver collects.
     """
     p = part.filter(F.col("p_type") == type_name).select("p_partkey")
     n2 = nation.select(
         F.col("n_nationkey").alias("__cn_key"), F.col("n_regionkey").alias("__cr_key")
     )
-    r = region.filter(F.col("r_name") == region_name)
+    if region_name is None:
+        r = region.join(
+            F.broadcast(region.agg(F.min("r_name").alias("r_name"))), "r_name"
+        )
+    else:
+        r = region.filter(F.col("r_name") == region_name)
     n1 = nation.select(
         F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
     )
     zero = F.lit(0).cast("decimal(25,4)")
-    nat_rev = F.when(F.col("supp_nation") == nation_name, _rev()).otherwise(zero)
+    chain = lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    if nation_name is None:
+        chain = chain.crossJoin(
+            F.broadcast(nation.agg(F.min("n_name").alias("__param_nation")))
+        )
+        nat_pred = F.col("supp_nation") == F.col("__param_nation")
+    else:
+        nat_pred = F.col("supp_nation") == nation_name
+    nat_rev = F.when(nat_pred, _rev()).otherwise(zero)
     return (
-        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        chain
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))

@@ -44,14 +44,26 @@ def knn_cosine(
     """Top-k cosine neighbors of one query vector, optional term
     pre-filter (pushed below scoring, like the ES bool filter+script_score).
 
+    `query_vec` is either a Python list (inlined as an array literal) or
+    a ONE-ROW DataFrame whose first column is the vector — the scalar-
+    subquery parameter pattern: the row broadcasts into the plan via a
+    1-row cross join, so parameterizing by data (e.g. "the embedding of
+    doc 0") costs zero extra driver-side Spark jobs.
+
     → (vec_id, score) ordered by score desc, id asc.
     """
     df = embeddings
     if filter_col is not None:
         df = df.filter(F.col(filter_col) == F.lit(filter_value))
-    score = F.round(
-        cosine_similarity(F.col(vec_col), query_vector_lit(query_vec)), SCORE_ROUND
-    )
+    if isinstance(query_vec, DataFrame):
+        qdf = query_vec.select(
+            F.col(query_vec.columns[0]).alias("__qv")
+        ).limit(1)
+        df = df.crossJoin(F.broadcast(qdf))
+        qcol = F.col("__qv")
+    else:
+        qcol = query_vector_lit(query_vec)
+    score = F.round(cosine_similarity(F.col(vec_col), qcol), SCORE_ROUND)
     return (
         df.select(F.col(id_col), score.alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))

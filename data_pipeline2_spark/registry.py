@@ -231,16 +231,14 @@ def q_q3(spark, sf_dir):
     """,
 )
 def q_q5(spark, sf_dir):
-    region = _t(spark, sf_dir, "region")
-    region_name = region.agg(F.min("r_name")).collect()[0][0]
     return joins.revenue_by_nation(
         _t(spark, sf_dir, "customer"),
         _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "lineitem"),
         _t(spark, sf_dir, "supplier"),
         _t(spark, sf_dir, "nation"),
-        region,
-        region_name=region_name,
+        _t(spark, sf_dir, "region"),
+        region_name=None,  # min r_name resolved in-plan, no driver job
         date_lo="1996-01-01",
         date_hi="1998-01-01",
     )
@@ -304,20 +302,16 @@ def q_q7(spark, sf_dir):
     """,
 )
 def q_q8(spark, sf_dir):
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    nation_name = nation.agg(F.min("n_name")).collect()[0][0]
-    region_name = region.agg(F.min("r_name")).collect()[0][0]
     return joins.market_share(
         _t(spark, sf_dir, "lineitem"),
         _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "customer"),
         _t(spark, sf_dir, "supplier"),
-        nation,
-        region,
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
         _t(spark, sf_dir, "part"),
-        region_name=region_name,
-        nation_name=nation_name,
+        region_name=None,  # both params resolved in-plan, no driver jobs
+        nation_name=None,
         type_name="PROMO",
     )
 
@@ -1466,8 +1460,11 @@ def q_search_cache_key(spark, sf_dir):
 
 
 def _knn_query_vec(spark, sf_dir):
+    """One-row query-vector DataFrame (the embedding of vec_id 0) —
+    resolved in-plan via knn_cosine's broadcast cross join, not a
+    driver-side collect (which would run an extra scan per call)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return emb.filter(F.col("vec_id") == 0).select("embedding")
 
 
 @_register(
