@@ -134,6 +134,143 @@ def embed_incremental(
     return hits.unionByName(fresh)
 
 
+# ---------------------------------------------------------------- real
+# provider seam: HTTP payload contracts + retry, over a mock transport
+
+
+class TransientProviderError(RuntimeError):
+    """A retryable provider failure (the 5xx / timeout class the
+    reference retries via tenacity, embedding_service.py:45-50)."""
+
+
+class MockHTTPSession:
+    """Deterministic in-process stand-in for the HTTP transport
+    (reference: lazy shared aiohttp session, embedding_service.py:40-43).
+
+    Routes POSTed payloads to the right provider contract and answers
+    with the deterministic hash embedding of the text. `fail_plan(text)`
+    scripts how many transient failures precede success — the seam tests
+    use it to prove the retry contract without a network."""
+
+    def __init__(self, dim: int = DEFAULT_DIM, fail_plan=None):
+        self.dim = dim
+        self.fail_plan = fail_plan or (lambda t: 0)
+        self.attempts: dict[str, int] = {}
+        self.requests: list[tuple[str, dict, dict]] = []
+
+    def post(self, url: str, json: dict, headers: dict | None = None) -> dict:
+        self.requests.append((url, json, headers or {}))
+        if "texts" in json:  # Nomic contract (embedding_service.py:95-105)
+            text = json["texts"][0]
+        else:  # Granite contract (embedding_service.py:107-122)
+            text = json["input"]
+        n = self.attempts.get(text, 0)
+        self.attempts[text] = n + 1
+        if n < self.fail_plan(text):
+            raise TransientProviderError(f"503 on attempt {n + 1}")
+        vec = hash_embed_one(text, self.dim)
+        if "texts" in json:
+            return {"embeddings": [vec]}
+        return {"data": [{"embedding": vec}]}
+
+
+class NomicProvider:
+    """Payload/response contract of the reference's Nomic provider:
+    POST {"texts": [t], "task_type": "search"} → embeddings[0]
+    (embedding_service.py:95-105)."""
+
+    name = "nomic"
+
+    def __init__(self, url: str = "mock://nomic/embed"):
+        self.url = url
+
+    def embed(self, session, text: str) -> list[float]:
+        resp = session.post(
+            self.url, json={"texts": [text], "task_type": "search"}
+        )
+        return resp["embeddings"][0]
+
+
+class GraniteProvider:
+    """Payload/response contract of the reference's Granite provider:
+    X-API-Key header, POST {"input": t, "encoding_format": "float"} →
+    data[0].embedding (embedding_service.py:107-122)."""
+
+    name = "granite"
+
+    def __init__(self, url: str = "mock://granite/embed", api_key: str = "test"):
+        self.url = url
+        self.api_key = api_key
+
+    def embed(self, session, text: str) -> list[float]:
+        resp = session.post(
+            self.url,
+            json={"input": text, "encoding_format": "float"},
+            headers={"X-API-Key": self.api_key},
+        )
+        return resp["data"][0]["embedding"]
+
+
+def embed_with_retry(
+    provider,
+    session,
+    text: str,
+    max_attempts: int = 3,
+    backoff_base: float = 4.0,
+    backoff_max: float = 10.0,
+    sleep=None,
+) -> list[float] | None:
+    """The reference's retry contract (embedding_service.py:45-50):
+    `max_attempts` tries, exponential backoff clamped to [base, max]
+    seconds between them, None after the final failure (callers drop
+    the item — skip-and-continue, :206-212).
+
+    `sleep` is injectable: real transports pass time.sleep; tests pass
+    a recorder; UDFs default to None so deterministic mock providers
+    never stall an executor core."""
+    for attempt in range(1, max_attempts + 1):
+        try:
+            return provider.embed(session, text)
+        except TransientProviderError:
+            if attempt == max_attempts:
+                return None
+            if sleep is not None:
+                sleep(min(backoff_max, backoff_base * 2 ** (attempt - 1)))
+    return None
+
+
+def make_provider_embedder(
+    provider_factory,
+    session_factory,
+    max_attempts: int = 3,
+):
+    """pandas_udf text -> array<float> running an HTTP-contract provider
+    under the retry wrapper; null rows = items that exhausted retries.
+
+    One provider + session per executor python worker (created lazily
+    inside the closure — the Arrow-batch analog of the reference's
+    shared session), so connection setup amortizes across batches."""
+
+    state: dict = {}
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        if not state:
+            state["provider"] = provider_factory()
+            state["session"] = session_factory()
+
+        def one(t):
+            if t is None:
+                return None
+            return embed_with_retry(
+                state["provider"], state["session"], t, max_attempts
+            )
+
+        return texts.map(one)
+
+    return embed
+
+
 def embed_metrics(embeddings_log: DataFrame) -> DataFrame:
     """Request counters by (provider, status) — the engine analog of the
     reference's Prometheus embedding counters (embedding_service.py:14-23)."""

@@ -2836,31 +2836,46 @@ def q_embed_batch(spark, sf_dir):
     )
 
 
-@_register("embed_retry", None)
+@_register(
+    "embed_retry",
+    """
+    SELECT count(*) AS requested,
+           CAST(sum(CASE WHEN fail_n < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS succeeded,
+           CAST(sum(CASE WHEN fail_n >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped
+    FROM (
+      SELECT (strpos('0123456789abcdef', substr(sha256(text), 64, 1)) - 1) % 4
+               AS fail_n
+      FROM documents WHERE doc_id < 100
+    )
+    """,
+)
 def q_embed_retry(spark, sf_dir):
-    # retry-inside-the-UDF seam (embedding_service.py:45-50): a provider
-    # that deterministically fails its first N attempts per item; the
-    # wrapper retries up to 3x — every item with N < 3 must succeed.
-    from pyspark.sql.types import IntegerType
+    """The full retry contract over the mock-HTTP provider seam
+    (embedding_service.py:45-50, 206-212): each document's provider
+    deterministically fails its first sha256(text)%4 attempts — items
+    needing 0-2 retries succeed under the 3-attempt wrapper, items
+    scripted to fail 3x exhaust retries, return null, and are DROPPED
+    (skip-and-continue). The oracle recomputes the fail plan in SQL
+    (full-digest mod 4 == last hex digit mod 4), so the retry loop's
+    success/drop split is value-checked, not just row-counted."""
+    import hashlib as _hl
 
-    # annotations must reference module-global names (postponed
-    # evaluation strings are resolved against function globals)
-    @F.pandas_udf(IntegerType())
-    def attempts_needed(texts: "pd.Series") -> "pd.Series":
-        import hashlib
+    def fail_plan(t):
+        return int(_hl.sha256(t.encode()).hexdigest(), 16) % 4
 
-        def run(t):
-            fail_n = int(hashlib.sha256(t.encode()).hexdigest(), 16) % 3
-            for attempt in range(1, 4):
-                if attempt > fail_n:  # provider succeeds after fail_n failures
-                    return attempt
-            return -1
-
-        return texts.map(run)
-
-    docs = _t(spark, sf_dir, "documents").limit(100)
-    out = docs.select("doc_id", attempts_needed(F.col("text")).alias("attempts"))
-    return out.groupBy("attempts").agg(F.count(F.lit(1)).alias("docs"))
+    embedder = embedding.make_provider_embedder(
+        embedding.NomicProvider,
+        lambda: embedding.MockHTTPSession(fail_plan=fail_plan),
+    )
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = docs.select("doc_id", embedder(F.col("text")).alias("embedding"))
+    return out.groupBy().agg(
+        F.count(F.lit(1)).alias("requested"),
+        F.count("embedding").alias("succeeded"),
+        F.sum(F.col("embedding").isNull().cast("long")).alias("dropped"),
+    )
 
 
 @_register("embed_provider", None)

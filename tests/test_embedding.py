@@ -70,3 +70,68 @@ def test_embed_incremental_scoped_to_request(spark):
     request = all_chunks.filter(F.expr("substring(chunk_id, 2) < 10"))
     out = embedding.embed_incremental(request, cached)
     assert out.count() == request.count()
+
+
+# ---- mock-HTTP provider seam: retry + payload contracts (reference
+# test_embedding_service.py:134-206) ----
+
+
+def test_retry_then_succeed_with_backoff():
+    """2 transient failures → success on attempt 3; backoff sleeps are
+    4s then 8s (exponential, clamped to 10s), mirroring tenacity
+    wait_exponential(min=4, max=10) x 3 attempts."""
+    session = embedding.MockHTTPSession(fail_plan=lambda t: 2)
+    sleeps = []
+    vec = embedding.embed_with_retry(
+        embedding.NomicProvider(), session, "hello", sleep=sleeps.append
+    )
+    assert vec == embedding.hash_embed_one("hello")
+    assert session.attempts["hello"] == 3
+    assert sleeps == [4.0, 8.0]
+
+
+def test_retry_exhausted_returns_none():
+    session = embedding.MockHTTPSession(fail_plan=lambda t: 3)
+    sleeps = []
+    vec = embedding.embed_with_retry(
+        embedding.GraniteProvider(), session, "doomed", sleep=sleeps.append
+    )
+    assert vec is None
+    assert session.attempts["doomed"] == 3
+    assert sleeps == [4.0, 8.0]  # no sleep after the final failure
+
+
+def test_provider_payload_contracts():
+    """Byte-level payload/header/response-path contracts of both
+    reference providers (embedding_service.py:95-122)."""
+    session = embedding.MockHTTPSession()
+    embedding.NomicProvider().embed(session, "abc")
+    url, payload, headers = session.requests[-1]
+    assert payload == {"texts": ["abc"], "task_type": "search"}
+    assert "X-API-Key" not in headers
+
+    embedding.GraniteProvider(api_key="k123").embed(session, "abc")
+    url, payload, headers = session.requests[-1]
+    assert payload == {"input": "abc", "encoding_format": "float"}
+    assert headers["X-API-Key"] == "k123"
+
+
+def test_provider_embedder_skip_and_continue(spark):
+    """Distributed seam: rows whose provider never recovers are dropped;
+    survivors carry the exact deterministic embedding."""
+    rows = [(i, f"text {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, content string")
+
+    def fail_plan(t):  # odd ids fail forever (>=3), even ids need 1 retry
+        return 1 if int(t.split()[1]) % 2 == 0 else 3
+
+    embedder = embedding.make_provider_embedder(
+        embedding.NomicProvider,
+        lambda: embedding.MockHTTPSession(fail_plan=fail_plan),
+    )
+    out = df.select("id", embedder(F.col("content")).alias("embedding"))
+    survivors = out.filter(F.col("embedding").isNotNull()).collect()
+    assert {r.id for r in survivors} == {i for i in range(20) if i % 2 == 0}
+    expect = embedding.hash_embed_one("text 0")
+    got = next(r.embedding for r in survivors if r.id == 0)
+    assert [round(v, 5) for v in got] == [round(v, 5) for v in expect]
