@@ -228,9 +228,21 @@ def queue_process(
     events_stream: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
+    priority_col: str | None = None,
 ):
-    """The processing-queue analog: consume the stream in arrival order,
-    emit per-item status rows, exactly-once via checkpointing.
+    """The processing-queue analog: consume the stream, emit per-item
+    status rows, exactly-once via checkpointing.
+
+    Ordering: within each micro-batch items are processed
+    priority-then-arrival — higher `priority_col` first, ties by ts
+    then event_id (the reference's Job.priority field, models/job.py:26;
+    its asyncio queue is plain FIFO, so priority_col=None preserves
+    that). The per-batch `process_seq` column records the order the
+    consumer handled items, making the discipline observable and
+    testable. The seq is a single-partition row_number per micro-batch
+    — bounded by the trigger size (maxFilesPerTrigger /
+    maxOffsetsPerTrigger caps a batch), not by stream size, so the
+    one-task sort is safe at scale.
 
     foreachBatch writes a status log (append-only; current state =
     latest-wins window, operators/lifecycle.py). Exactly-once comes from
@@ -245,10 +257,18 @@ def queue_process(
     """
     import os
 
+    from pyspark.sql.window import Window
+
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    if priority_col is not None:
+        order.insert(0, F.col(priority_col).desc())
+
     def handle_batch(batch_df: DataFrame, batch_id: int):
+        seq = F.row_number().over(Window.orderBy(*order)) - 1
         (
             batch_df.withColumn("status", F.lit("completed"))
-            .select("event_id", "ts", "event_type", "status")
+            .withColumn("process_seq", seq.cast("long"))
+            .select("event_id", "ts", "event_type", "status", "process_seq")
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
         )

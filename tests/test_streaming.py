@@ -218,3 +218,31 @@ def test_retention_cohort_offsets(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_queue_process_priority_ordering(spark, tmpdir):
+    """Job.priority semantics (reference models/job.py:26): within a
+    micro-batch, higher priority processes first, ties break by
+    arrival (ts, event_id). FIFO preserved when no priority column."""
+    src = os.path.join(tmpdir, "src")
+    out_dir = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    _write_events(spark, src)
+    # value doubles as priority: events 1..5 carry priority 1..5
+    stream = ev.read_events_stream(spark, src).withColumn(
+        "priority", F.col("value").cast("int")
+    )
+    q = ev.queue_process(stream, out_dir, ckpt, priority_col="priority")
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).orderBy("process_seq").collect()
+    # single availableNow batch: highest priority (5) first, then 4...1
+    assert [r.event_id for r in got] == [5, 4, 3, 2, 1]
+    assert [r.process_seq for r in got] == [0, 1, 2, 3, 4]
+
+    # FIFO baseline: no priority column → arrival order
+    out2 = os.path.join(tmpdir, "out2")
+    ckpt2 = os.path.join(tmpdir, "ckpt2")
+    q2 = ev.queue_process(ev.read_events_stream(spark, src), out2, ckpt2)
+    q2.awaitTermination(120)
+    fifo = spark.read.parquet(out2).orderBy("process_seq").collect()
+    assert [r.event_id for r in fifo] == [1, 2, 3, 4, 5]
