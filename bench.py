@@ -82,18 +82,43 @@ def main():
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # Cold-scan pass: same queries, table cache OFF and dropped — every
+    # run re-reads parquet. Published alongside the warm number so both
+    # steady-state (long-lived session) and cold (first-touch) costs
+    # are tracked round over round. JIT/codegen warmup still applies to
+    # both: "cold" here means cold DATA, not a cold JVM.
+    cold_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_COLD", "1") == "1":
+        from data_pipeline2_spark.sources import parquet as _pq
+
+        os.environ["SPARK_GRAFT_TABLE_CACHE"] = "0"
+        for df in _pq._TABLE_CACHE.values():
+            df.unpersist()
+        _pq._TABLE_CACHE.clear()
+        spark.catalog.clearCache()
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            n = qmap[name](spark, sf_dir).count()
+            cold_timings[name] = round(time.perf_counter() - t0, 3)
+            print(
+                f"# cold {name}: {cold_timings[name]}s rows={n}",
+                file=sys.stderr,
+            )
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "table_cache_warm": True,
+    }
+    if cold_timings:
+        out["cold_value"] = round(sum(cold_timings.values()), 3)
+        out["queries_cold"] = cold_timings
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -31,33 +31,68 @@ from data_pipeline2_spark.schemas import TABLE_SCHEMAS
 # conversion is exact). When the footer says µs we read them natively.
 # The unit is sniffed ONCE per path from a single file footer — not
 # schema inference (the logical schema stays pinned), just physical
-# encoding detection, which a real lake reader must do anyway.
+# encoding detection, which a real lake reader must do anyway. The
+# single-footer read assumes UNIFORM units per table directory (mixed
+# units within one table would need per-file rewrites anyway).
 _TS_UNIT_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
-_TS_UNIT_CACHE: dict[tuple[str, str], str] = {}
+_TS_UNIT_CACHE: dict[tuple, str] = {}
+
+
+def clear_ts_unit_cache() -> None:
+    """Invalidation hook for harnesses that regenerate testdata in place
+    during one driver's lifetime (the cache key already folds in the
+    sniffed file's mtime/size, so this is belt-and-braces)."""
+    _TS_UNIT_CACHE.clear()
 
 
 def _parquet_ts_unit(path: str, col: str) -> str:
     """Time unit ('ns'/'us'/'ms'/'s') of `col` in the parquet at path
-    (file or directory), from one file footer; defaults to 'us'."""
-    key = (path, col)
+    (file or directory), from one file footer.
+
+    Sniff failure (pyarrow absent, unreadable footer, empty dir) falls
+    back to 'ns' WITH a warning: callers only ask about _TS_UNIT_COLS
+    columns, which have historically shipped as TIMESTAMP(NANOS) —
+    pinning TimestampType against an actually-nanos file fails the
+    whole scan, so degrade loudly to the pre-sniff behavior that read
+    those snapshots."""
+    import glob as _glob
+
+    f = path
+    sig = None
+    try:
+        if os.path.isdir(path):
+            cands = sorted(_glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+                _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            )
+            f = cands[0] if cands else path
+        st = os.stat(f)
+        sig = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        pass
+    key = (path, col, sig)
     hit = _TS_UNIT_CACHE.get(key)
     if hit is not None:
         return hit
-    unit = "us"
     try:
-        import glob as _glob
-
         import pyarrow.parquet as pq
 
-        f = path
-        if os.path.isdir(path):
-            cands = sorted(_glob.glob(os.path.join(path, "*.parquet")))
-            f = cands[0] if cands else path
-        typ = pq.ParquetFile(f).schema_arrow.field(col).type
-        unit = getattr(typ, "unit", "us") or "us"
-    except Exception:
-        pass
+        pf = pq.ParquetFile(f)
+        try:
+            typ = pf.schema_arrow.field(col).type
+            unit = getattr(typ, "unit", "us") or "us"
+        finally:
+            pf.close()
+    except Exception as exc:
+        import warnings
+
+        unit = "ns"
+        warnings.warn(
+            f"could not sniff parquet time unit for {path} col={col} "
+            f"({type(exc).__name__}: {exc}); defaulting to 'ns' "
+            "(read-as-long + convert)",
+            stacklevel=2,
+        )
     _TS_UNIT_CACHE[key] = unit
     return unit
 
