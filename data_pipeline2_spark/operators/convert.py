@@ -41,17 +41,64 @@ def _convert_markdown(payload: bytes) -> str:
     return payload.decode("utf-8", errors="replace")
 
 
+MIME_DOCX = (
+    "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+)
+MIME_XLSX = (
+    "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+)
+MIME_PPTX = (
+    "application/vnd.openxmlformats-officedocument.presentationml.presentation"
+)
+
+
+def _convert_docx(payload: bytes) -> str:
+    from data_pipeline2_spark.functions.docformats import docx_to_markdown
+
+    return docx_to_markdown(payload)
+
+
+def _convert_xlsx(payload: bytes) -> str:
+    from data_pipeline2_spark.functions.docformats import xlsx_to_markdown
+
+    return xlsx_to_markdown(payload)
+
+
+def _convert_pptx(payload: bytes) -> str:
+    from data_pipeline2_spark.functions.docformats import pptx_to_markdown
+
+    return pptx_to_markdown(payload)
+
+
+def _convert_pdf(payload: bytes) -> str:
+    from data_pipeline2_spark.functions.docformats import pdf_extract_text
+
+    return pdf_extract_text(payload)
+
+
+def _convert_html(payload: bytes) -> str:
+    from data_pipeline2_spark.functions.docformats import html_to_markdown
+
+    return html_to_markdown(payload)
+
+
+# Real converters (functions/docformats.py, pure stdlib): OOXML zip+XML
+# walkers, HTML parser, PDF Flate/plain text-operator extraction —
+# covering the structured-text core of the reference's docling formats
+# (docling_service.py:188-206) deterministically.
 DEFAULT_CONVERTERS: dict[str, ConverterFn] = {
     "text/plain": _convert_text,
     "text/markdown": _convert_markdown,
+    "text/html": _convert_html,
+    "application/pdf": _convert_pdf,
+    MIME_DOCX: _convert_docx,
+    MIME_XLSX: _convert_xlsx,
+    MIME_PPTX: _convert_pptx,
 }
 
-# formats the reference supports only via docling — stubbed here
+# formats that genuinely need the external docling/OCR stack: image
+# content has no text without OCR; raw archives have no single document
 STUBBED_MIMES = {
-    "application/pdf",
-    "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
-    "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
-    "application/vnd.openxmlformats-officedocument.presentationml.presentation",
     "application/zip",
     "image/png",
     "image/jpeg",
@@ -118,3 +165,53 @@ def convert_documents(
     return ingested.select("doc_id", "content_type", "content").mapInPandas(
         run, CONVERT_SCHEMA
     )
+
+
+FIXTURE_FORMATS = ("docx", "xlsx", "pptx", "pdf", "html")
+FIXTURE_MIMES = {
+    "docx": MIME_DOCX,
+    "xlsx": MIME_XLSX,
+    "pptx": MIME_PPTX,
+    "pdf": "application/pdf",
+    "html": "text/html",
+}
+
+
+def fixture_binary_documents(
+    documents: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL binary documents — one actual DOCX/XLSX/PPTX/
+    PDF/HTML file per id (format = id % 5, content a pure function of
+    the id via functions/docformats.make_*), shaped like ingest output
+    (doc_id, content_type, content) so convert_documents runs on real
+    container bytes end-to-end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_pipeline2_spark.functions import docformats as dfm
+
+        makers = {
+            "docx": dfm.make_docx,
+            "xlsx": dfm.make_xlsx,
+            "pptx": dfm.make_pptx,
+            "pdf": dfm.make_pdf_doc,
+            "html": dfm.make_html_doc,
+        }
+        for pdf in batches:
+            mimes, payloads = [], []
+            for did in pdf["doc_id"]:
+                fmt = FIXTURE_FORMATS[int(did) % len(FIXTURE_FORMATS)]
+                mimes.append(FIXTURE_MIMES[fmt])
+                payloads.append(makers[fmt](int(did)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content_type": mimes,
+                    "content": payloads,
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    return documents.select(
+        F.col(id_col).cast("long").alias("doc_id")
+    ).mapInPandas(gen, "doc_id long, content_type string, content binary")

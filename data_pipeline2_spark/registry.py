@@ -2981,6 +2981,52 @@ def q_simhash(spark, sf_dir):
 
 
 @_register(
+    "docling_convert",
+    """
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+             WHEN 1 THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+             WHEN 2 THEN 'application/vnd.openxmlformats-officedocument.presentationml.presentation'
+             WHEN 3 THEN 'application/pdf'
+             ELSE 'text/html' END AS content_type,
+           CASE doc_id % 5
+             WHEN 0 THEN '# Document ' || doc_id || chr(10) || chr(10)
+               || 'Body text for document ' || doc_id || '.' || chr(10) || chr(10)
+               || '| key | value |' || chr(10) || '| --- | --- |' || chr(10)
+               || '| id | ' || doc_id || ' |'
+             WHEN 1 THEN '## Data' || chr(10) || chr(10)
+               || '| metric | value |' || chr(10) || '| --- | --- |' || chr(10)
+               || '| doc | ' || doc_id || ' |'
+             WHEN 2 THEN '## Slide 1' || chr(10) || chr(10) || 'Deck ' || doc_id
+               || chr(10) || chr(10) || '## Slide 2' || chr(10) || chr(10)
+               || 'Summary ' || doc_id
+             WHEN 3 THEN 'PDF body ' || doc_id
+             ELSE '# Page ' || doc_id || chr(10) || chr(10)
+               || 'Paragraph for page ' || doc_id || '.' || chr(10) || chr(10)
+               || '- alpha ' || doc_id || chr(10) || '- beta ' || doc_id
+           END AS text
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_docling_convert(spark, sf_dir):
+    """REAL binary-format conversion, fully value-checked: actual
+    DOCX/XLSX/PPTX container bytes (zip+XML), a real FlateDecode PDF and
+    HTML are generated per id, converted to markdown by the pure-stdlib
+    parsers (functions/docformats), and the oracle rebuilds the exact
+    markdown each container implies — a parser bug anywhere in the
+    zip/XML/PDF walk becomes a value mismatch. Reference seam:
+    DoclingService.convert, docling_service.py:188-206."""
+    from data_pipeline2_spark.operators import convert as conv
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ingested = conv.fixture_binary_documents(docs)
+    return conv.convert_documents(ingested).select(
+        "doc_id", "content_type", "text"
+    )
+
+
+@_register(
     "multimodal_decode",
     """
     SELECT doc_id AS asset_id,
@@ -3848,7 +3894,7 @@ _PRIORITY = [
     # §2.1 / §2.5 — sources, sinks, metrics
     "scan_parquet_tables", "write_documents", "write_embeddings",
     "write_jobs", "cache_write_ttl", "processing_time_stats",
-    "jsonl_roundtrip",
+    "docling_convert",
     # §2.3 exact/hybrid chunkers
     "chunk_sentence_exact", "chunk_hybrid",
     # multimodal columns
