@@ -134,8 +134,20 @@ def convert_documents(
                 payload = bytes(content or b"")
                 fn = table.get(mime)
                 if fn is not None:
-                    out.append((doc_id, mime, fn(payload), mime))
-                elif lenient:
+                    if lenient:
+                        # skip-and-placeholder on converter failure
+                        # (image-only PDF, corrupt container, ...) — the
+                        # per-item analog of the reference's
+                        # skip-and-continue (embedding_service.py:206-212)
+                        try:
+                            out.append((doc_id, mime, fn(payload), mime))
+                            continue
+                        except Exception:
+                            fn = None
+                    else:
+                        out.append((doc_id, mime, fn(payload), mime))
+                        continue
+                if lenient:
                     sha = hashlib.sha256(payload).hexdigest()[:16]
                     out.append(
                         (

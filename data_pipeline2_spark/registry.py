@@ -2909,8 +2909,49 @@ def q_embed_incremental(spark, sf_dir):
     return out.select("chunk_id", "provider", F.size("embedding").alias("dim"))
 
 
-@_register("chunk_sentence_exact", None)
+@_register(
+    "chunk_sentence_exact",
+    r"""
+    WITH RECURSIVE units AS (
+      SELECT doc_id, u.idx, u.unit, length(u.unit) AS ulen
+      FROM (
+        SELECT doc_id,
+          CASE WHEN len(regexp_extract_all(text, '[^.!?]+[.!?]+')) > 0
+               THEN list_transform(regexp_extract_all(text, '[^.!?]+[.!?]+'),
+                                   s -> trim(s))
+               WHEN len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                        '\s+'), w -> w <> '')) > 0
+               THEN list_filter(regexp_split_to_array(text, '\s+'),
+                                w -> w <> '')
+               ELSE ['']
+          END AS us
+        FROM documents
+      ), LATERAL (SELECT unnest(us) AS unit,
+                         generate_subscripts(us, 1) AS idx) u
+    ), step AS (
+      SELECT doc_id, idx, unit, ulen, 0 AS pos, ulen AS cur_len
+      FROM units WHERE idx = 1
+      UNION ALL
+      SELECT n.doc_id, n.idx, n.unit, n.ulen,
+             CASE WHEN s.cur_len + 1 + n.ulen > 500
+                  THEN s.pos + 1 ELSE s.pos END,
+             CASE WHEN s.cur_len + 1 + n.ulen > 500
+                  THEN n.ulen ELSE s.cur_len + 1 + n.ulen END
+      FROM step s JOIN units n ON n.doc_id = s.doc_id AND n.idx = s.idx + 1
+    )
+    SELECT doc_id, CAST(pos AS INT) AS pos,
+           doc_id || '-' || pos AS chunk_id,
+           string_agg(unit, ' ' ORDER BY idx) AS content,
+           CAST(count(*) AS INT) AS n_units
+    FROM step GROUP BY doc_id, pos
+    """,
+)
 def q_chunk_sentence_exact(spark, sf_dir):
+    """The exact sequential greedy packer (applyInPandas), now fully
+    value-checked: the oracle replays the stateful accumulation loop as
+    a DuckDB recursive CTE — one recursion step per sentence, same
+    separator arithmetic, same oversized-unit and word/empty fallbacks
+    (reference loop: docling_service.py:150-160)."""
     return chunking.chunk_sentence_exact(_t(spark, sf_dir, "documents"), 500)
 
 
@@ -2928,7 +2969,40 @@ def q_knn_batch_ivf(spark, sf_dir):
     return similarity.knn_batch_ivf(emb, queries, k=3, n_clusters=8, n_probe=2)
 
 
-@_register("knn_batch_lsh", None)
+def _lsh_oracle_sql() -> str:
+    """DuckDB replay of the hyperplane-LSH kNN: the deterministic LCG
+    planes are inlined as double literals, signatures recomputed
+    bit-for-bit, and only sig-colliding pairs are scored — a bucketing
+    bug on either side becomes a value mismatch."""
+    planes = similarity._hyperplanes(64, 6, 42)
+    plits = "[" + ", ".join(
+        "[" + ", ".join(repr(v) for v in p) + "]" for p in planes
+    ) + "]"
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding,
+        list_aggregate(list_transform(generate_series(1, 6),
+          p -> CASE WHEN list_aggregate(list_transform(generate_series(1, 64),
+                 i -> embedding[i]::DOUBLE * ({plits})[p][i]), 'sum') >= 0
+               THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS qv, sig FROM sigs WHERE vec_id < 5
+    ), s AS (
+      SELECT q.qid, e.vec_id,
+             round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score
+      FROM sigs e JOIN q ON e.sig = q.sig
+    ), r AS (
+      SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)
+               AS rank
+      FROM s)
+    SELECT qid, CAST(rank AS INT) AS rank, vec_id, score
+    FROM r WHERE rank <= 3
+    """
+
+
+@_register("knn_batch_lsh", _lsh_oracle_sql())
 def q_knn_batch_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
