@@ -2878,9 +2878,28 @@ def q_embed_retry(spark, sf_dir):
     )
 
 
-@_register("embed_provider", None)
+@_register(
+    "embed_provider",
+    """
+    WITH chunks AS (
+      SELECT doc_id::VARCHAR || '-' || i::VARCHAR AS chunk_id,
+             substring(text, CAST(i*100+1 AS INT), 100) AS content
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(0,
+                      greatest(CAST(ceil(length(text)/100.0) AS BIGINT), 1) - 1)) AS i
+            FROM documents WHERE doc_id < 50)
+    )
+    SELECT chunk_id, 'hash64' AS provider, 64 AS dim, 1.0 AS sq_norm
+    FROM chunks WHERE trim(content) <> ''
+    """,
+)
 def q_embed_provider(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").limit(50)
+    """Provider seam value-checked at the contract level: the oracle
+    replays the chunk grid and asserts every non-blank chunk got an
+    embedding of the configured width with unit norm (the vector VALUES
+    are pytest-checked — float32 content is not SQL-portable, but
+    skip-and-continue, dimensionality, and normalization are)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     chunks = chunking.chunk_fixed(docs, 100)
     out = embedding.embed_chunks(chunks, text_col="content", id_col="chunk_id")
     return out.select(
@@ -2898,9 +2917,26 @@ def q_embed_provider(spark, sf_dir):
     )
 
 
-@_register("embed_incremental", None)
+@_register(
+    "embed_incremental",
+    """
+    WITH chunks AS (
+      SELECT doc_id::VARCHAR || '-' || i::VARCHAR AS chunk_id,
+             substring(text, CAST(i*200+1 AS INT), 200) AS content
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(0,
+                      greatest(CAST(ceil(length(text)/200.0) AS BIGINT), 1) - 1)) AS i
+            FROM documents WHERE doc_id < 60)
+    )
+    SELECT chunk_id, 'hash64' AS provider, 64 AS dim
+    FROM chunks WHERE trim(content) <> ''
+    """,
+)
 def q_embed_incremental(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").limit(60)
+    """Cache-aside invariant value-checked: hits ∪ fresh must cover
+    every requested non-blank chunk exactly once (no duplicates from
+    the union, no cache rows leaking beyond the requested batch)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     chunks = chunking.chunk_fixed(docs, 200)
     cached = embedding.embed_chunks(
         chunks.filter(F.col("doc_id") % 2 == 0), "content", "chunk_id"
