@@ -2991,9 +2991,98 @@ def q_chunk_sentence_exact(spark, sf_dir):
     return chunking.chunk_sentence_exact(_t(spark, sf_dir, "documents"), 500)
 
 
-@_register("chunk_hybrid", None)
+def _hybrid_oracle_sql(budget: int = 60, overlap: int = 12) -> str:
+    """DuckDB replay of token-budget greedy packing WITH overlap carry:
+    per-doc token prefix sums + a recursive CTE whose state is (unit
+    idx, chunk pos, chunk start); the carry start is found by counting
+    prefix values below P[idx]-overlap (the longest suffix within the
+    overlap budget), dropped when carrying would overflow the next
+    chunk — step-for-step the _greedy_pack_tokens loop."""
+    return rf"""
+    WITH RECURSIVE units AS (
+      SELECT doc_id, u.idx, u.unit,
+             len(regexp_extract_all(lower(u.unit),
+                 '[a-z]{{1,4}}|[0-9]+|[^a-z0-9\s]')) AS t
+      FROM (
+        SELECT doc_id,
+          CASE WHEN len(regexp_extract_all(text, '[^.!?]+[.!?]+')) > 0
+               THEN list_transform(regexp_extract_all(text, '[^.!?]+[.!?]+'),
+                                   s -> trim(s))
+               WHEN len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                        '\s+'), w -> w <> '')) > 0
+               THEN list_filter(regexp_split_to_array(text, '\s+'),
+                                w -> w <> '')
+               ELSE ['']
+          END AS us
+        FROM documents
+      ), LATERAL (SELECT unnest(us) AS unit,
+                         generate_subscripts(us, 1) AS idx) u
+    ), pref AS (
+      SELECT doc_id, idx, unit, t,
+             sum(t) OVER (PARTITION BY doc_id ORDER BY idx) AS P
+      FROM units
+    ), plist AS (
+      SELECT doc_id, list(P ORDER BY idx) AS PL, max(idx) AS n_units
+      FROM pref GROUP BY doc_id
+    ), step AS (
+      SELECT doc_id, 1 AS idx, 0 AS pos, 1 AS start,
+             false AS flushed, 0 AS f_pos, 0 AS f_start, 0 AS f_end
+      FROM pref WHERE idx = 1
+      UNION ALL
+      SELECT s.doc_id, n.idx,
+             CASE WHEN fl.flush THEN s.pos + 1 ELSE s.pos END,
+             CASE WHEN fl.flush THEN ns.new_start ELSE s.start END,
+             fl.flush, s.pos, s.start, n.idx - 1
+      FROM (
+        SELECT s.doc_id, s.idx, s.pos, s.start, pl.PL, pl.n_units
+        FROM step s JOIN plist pl ON pl.doc_id = s.doc_id
+      ) s
+      JOIN pref n ON n.doc_id = s.doc_id AND n.idx = s.idx + 1,
+      LATERAL (
+        SELECT (s.PL[s.idx] - CASE WHEN s.start = 1 THEN 0
+                                   ELSE s.PL[s.start - 1] END) AS cur_tok
+      ) c,
+      LATERAL (SELECT (c.cur_tok + n.t > {budget}) AS flush) fl,
+      LATERAL (
+        SELECT CASE WHEN NOT fl.flush THEN s.start ELSE (
+          CASE WHEN (
+            s.PL[s.idx] - CASE WHEN jj.j0 = 1 THEN 0
+                               ELSE s.PL[jj.j0 - 1] END + n.t > {budget})
+          THEN n.idx ELSE jj.j0 END
+        ) END AS new_start
+        FROM (
+          SELECT s.start + len(list_filter(
+                   list_slice(list_prepend(CAST(0 AS HUGEINT), s.PL),
+                              s.start, s.idx),
+                   p -> p < s.PL[s.idx] - {overlap})) AS j0
+        ) jj
+      ) ns
+    ), chunks AS (
+      SELECT doc_id, f_pos AS pos, f_start AS s, f_end AS e
+      FROM step WHERE flushed
+      UNION ALL
+      SELECT st.doc_id, st.pos, st.start, st.idx
+      FROM step st JOIN plist pl
+        ON pl.doc_id = st.doc_id AND st.idx = pl.n_units
+    )
+    SELECT c.doc_id, CAST(c.pos AS INT) AS pos,
+           c.doc_id || '-' || c.pos AS chunk_id,
+           string_agg(u.unit, ' ' ORDER BY u.idx) AS content,
+           CAST(sum(u.t) AS INT) AS n_tokens
+    FROM chunks c JOIN pref u
+      ON u.doc_id = c.doc_id AND u.idx BETWEEN c.s AND c.e
+    GROUP BY c.doc_id, c.pos
+    """
+
+
+@_register("chunk_hybrid", _hybrid_oracle_sql(60, 12))
 def q_chunk_hybrid(spark, sf_dir):
-    return chunking.chunk_hybrid(_t(spark, sf_dir, "documents"), 500, 50)
+    """Token budget 60 / overlap 12 (not the reference's 500/50
+    character defaults): small enough that the testdata actually
+    exercises the flush and carry paths the oracle replays — at 500
+    tokens nearly every document packs into a single chunk and the
+    stateful loop goes untested."""
+    return chunking.chunk_hybrid(_t(spark, sf_dir, "documents"), 60, 12)
 
 
 @_register("knn_batch_ivf", None)
@@ -3214,10 +3303,33 @@ def q_multimodal_resize_real(spark, sf_dir):
     )
 
 
-@_register("frame_sample_plan", None)
+@_register(
+    "frame_sample_plan",
+    """
+    WITH probe AS (
+      SELECT doc_id AS asset_id,
+             1000 + ((
+                  (strpos('0123456789abcdef', substr(sha256(text), 5, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(sha256(text), 6, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(sha256(text), 7, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(sha256(text), 8, 1)) - 1)
+             ) % 60000) AS dur
+      FROM documents WHERE doc_id < 60 AND doc_id % 3 = 2
+    )
+    SELECT asset_id, CAST(f AS INT) AS frame_no,
+           CAST(f * 5000 AS BIGINT) AS ts_ms
+    FROM (SELECT asset_id,
+                 unnest(generate_series(0,
+                    greatest(CAST(trunc(dur / 5000.0) AS INT), 1) - 1)) AS f
+          FROM probe)
+    """,
+)
 def q_frame_sample_plan(spark, sf_dir):
+    """Frame-sampling plan value-checked: the oracle replays the
+    sha-derived fake probe duration (same hex arithmetic as the resize
+    oracles) and the per-asset frame grid."""
     assets = multimodal.documents_as_assets(
-        _t(spark, sf_dir, "documents").limit(60)
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     )
     return multimodal.frame_sample_plan(assets, every_ms=5000)
 
