@@ -111,3 +111,95 @@ def test_pii_redaction_never_leaves_full_matches(text):
     # (e.g. 'a@b<IP>c' fragments); the anchored numeric kinds must not
     for kind in ("IP", "SSN"):
         assert not re.search(PII_PATTERNS[kind], once), (text, once)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    units=st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Po", "Zs")),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    budget=st.integers(min_value=5, max_value=80),
+)
+def test_greedy_pack_tokens_properties(units, budget):
+    """Token packer invariants for any unit list: every chunk within
+    budget unless it is a single oversized unit; all units appear in
+    order; n_tokens is the exact count of the packed content."""
+    from data_pipeline2_spark.operators.chunking import (
+        _bpe_token_count,
+        _greedy_pack_tokens,
+    )
+
+    overlap = budget // 4
+    out = _greedy_pack_tokens(units, budget, overlap)
+    assert out, "at least one chunk"
+    assert [p for p, _, _ in out] == list(range(len(out)))
+    for _, content, n_tok in out:
+        assert n_tok == _bpe_token_count(content)
+        if n_tok > budget:
+            # only a lone oversized unit may exceed the budget
+            assert content in units
+    # order-preserving coverage: each unit (non-empty) appears in the
+    # concatenation, in order (carry may duplicate, never reorder)
+    joined = " ".join(c for _, c, _ in out)
+    pos = 0
+    for u in units:
+        if u.strip():
+            found = joined.find(u, pos)
+            assert found >= 0, (u, joined)
+            pos = found
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    nch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_codec_roundtrip_property(w, h, nch, seed):
+    """encode→probe→decode is lossless for every 8-bit channel layout."""
+    import numpy as np
+
+    from data_pipeline2_spark.functions.imagecodec import (
+        decode_png,
+        encode_png,
+        probe_image,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    arr = rng.randint(0, 256, (h, w, nch)).astype(np.uint8)
+    png = encode_png(arr)
+    info = probe_image(png)
+    assert (info["width"], info["height"]) == (w, h)
+    back = decode_png(png)
+    assert back.shape == (h, w, nch)
+    assert (back == arr).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=50),
+    h=st.integers(min_value=1, max_value=50),
+    tw=st.integers(min_value=1, max_value=50),
+    th=st.integers(min_value=1, max_value=50),
+)
+def test_resize_nearest_properties(w, h, tw, th):
+    """Nearest resize: exact target shape; every output pixel is some
+    input pixel; identity when target == source."""
+    import numpy as np
+
+    from data_pipeline2_spark.functions.imagecodec import resize_nearest
+
+    arr = (np.arange(h * w * 3).reshape(h, w, 3) % 251).astype(np.uint8)
+    out = resize_nearest(arr, tw, th)
+    assert out.shape == (th, tw, 3)
+    flat_in = {tuple(px) for px in arr.reshape(-1, 3)}
+    assert all(tuple(px) in flat_in for px in out.reshape(-1, 3))
+    if (tw, th) == (w, h):
+        assert (out == arr).all()
