@@ -93,3 +93,53 @@ def stratified_sample(
     return df.filter(
         F.substring(_hash_key(key, salt), 1, 2) < F.lit(_threshold(rate_pct))
     )
+
+
+def mix_by_temperature(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    temperature: float = 0.5,
+    target_frac: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling — the pretraining data-mix
+    knob (multinomial sampling with q_g ∝ p_g^T): natural group shares
+    p_g are re-weighted by exponent T and the corpus downsampled to
+    ~target_frac with per-group acceptance min(1, target·N·q_g / n_g).
+    T < 1 upsamples rare groups toward uniform; T = 1 keeps the natural
+    mix (reduces to plain sampling); T = 0 is exactly uniform-by-group.
+
+    Deterministic: acceptance compares the first 8 md5 hex chars of the
+    salted key (parsed as a 32-bit integer) against floor(rate·2^32) —
+    stable under retries/speculation, and SQL-replayable. Group rates
+    come from a tiny per-group aggregate broadcast back onto the corpus:
+    one scan for counts, one for the filter; the corpus never shuffles.
+    """
+    n_total = F.sum("n").over(Window.partitionBy())
+    qs = F.pow(F.col("n") / n_total, F.lit(float(temperature)))
+    q_norm = qs / F.sum(qs).over(Window.partitionBy())
+    rate = F.least(
+        F.lit(1.0), F.lit(float(target_frac)) * n_total * q_norm / F.col("n")
+    )
+    # round before the floor: the Σq^T reduction is order-sensitive in
+    # the last ulp across engines, and floor(rate·2^32) would amplify a
+    # 1-ulp wobble into an off-by-one threshold
+    rates = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            group_col,
+            F.floor(F.round(rate, 12) * F.lit(float(1 << 32)))
+            .cast("long")
+            .alias("__thr"),
+        )
+    )
+    h32 = F.conv(
+        F.substring(_hash_key(F.col(key_col), salt), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(h32 < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -2172,6 +2172,58 @@ def q_dataset_mix(spark, sf_dir):
     )
 
 
+def _h32_sql(key: str, salt: str) -> str:
+    """First 8 md5 hex chars of salt|key as a BIGINT (DuckDB has no
+    conv(); positional strpos over each nibble)."""
+    md5 = f"md5(concat_ws('|', '{salt}', {key}::VARCHAR))"
+    terms = " + ".join(
+        f"CAST((strpos('0123456789abcdef', substr({md5}, {i + 1}, 1)) - 1) "
+        f"AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+@_register(
+    "dataset_mix_temperature",
+    f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), qs AS (
+      SELECT lang, n,
+             pow(n / (SELECT sum(n) FROM counts), 0.5) AS q
+      FROM counts
+    ), rates AS (
+      SELECT lang, n,
+             CAST(floor(round(least(1.0,
+                 0.5 * (SELECT sum(n) FROM counts)
+                     * (q / (SELECT sum(q) FROM qs)) / n),
+               12) * 4294967296.0) AS BIGINT) AS thr
+      FROM qs
+    )
+    SELECT d.lang, count(*) AS kept
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {_h32_sql('d.doc_id', 'tmix')} < r.thr
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def q_dataset_mix_temperature(spark, sf_dir):
+    """Temperature-flattened mixture sampling (the pretraining data-mix
+    knob, q_g ∝ p_g^T with T=0.5): rare languages upsample toward
+    uniform, the dominant one downsamples, overall volume ≈ target.
+    The oracle replays the per-group acceptance thresholds and the
+    md5-integer acceptance test exactly."""
+    from data_pipeline2_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.mix_by_temperature(
+        docs, "lang", "doc_id", temperature=0.5, target_frac=0.5
+    )
+    return (
+        out.groupBy("lang").agg(F.count(F.lit(1)).alias("kept")).orderBy("lang")
+    )
+
+
 @_register(
     "data_profile",
     """

@@ -185,3 +185,30 @@ def test_mad_outliers_robust_to_contamination(spark):
     df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
     got = sorted(r.event_id for r in mad_outliers(df, "value", ["event_type"], ["event_id"]).collect())
     assert got == [900, 901]
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """T=0.5 must sample rare groups at a HIGHER rate than dominant
+    ones (flattening), keep overall volume near the target fraction,
+    and reduce to plain uniform sampling at T=1."""
+    from data_pipeline2_spark.operators.sampling import mix_by_temperature
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    nat = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    out = mix_by_temperature(docs, "lang", "doc_id", 0.5, 0.5)
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    rates = {l: got.get(l, 0) / nat[l] for l in nat}
+    dominant = max(nat, key=nat.get)
+    rarest = min(nat, key=nat.get)
+    assert rates[rarest] > rates[dominant]
+    total_frac = sum(got.values()) / sum(nat.values())
+    assert 0.35 < total_frac < 0.65
+    # T=1: acceptance is target_frac for every group (natural mix kept)
+    flat = mix_by_temperature(docs, "lang", "doc_id", 1.0, 0.5)
+    fr = {r.lang: r.n for r in flat.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for l in nat:
+        assert abs(fr.get(l, 0) / nat[l] - 0.5) < 0.15, (l, fr.get(l, 0), nat[l])
