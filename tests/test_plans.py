@@ -165,3 +165,23 @@ def test_dedup_near_embedding_default_is_not_all_pairs(spark):
         "CartesianProduct" in exact_plan
         or "BroadcastNestedLoopJoin" in exact_plan
     )
+
+
+def test_conversion_fixture_scan_prunes_to_id_column(spark):
+    """The binary-conversion driver query derives payloads from ids —
+    its parquet scan must read ONLY doc_id, never drag text/payload
+    columns into the mapInPandas stage."""
+    plan = plan_of(QUERIES["docling_convert"](spark, SF))
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in scan_line
+    assert "text" not in scan_line and "lang" not in scan_line
+
+
+def test_multimodal_meta_never_reads_payload_bytes(spark):
+    """Metadata-only multimodal queries must not deserialize payloads
+    beyond the projected columns: the scan reads only what asset_meta
+    needs (doc_id + text for the derived fixture payload), and the
+    real-decode query's scan reads only doc_id."""
+    plan = plan_of(QUERIES["multimodal_decode"](spark, SF))
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in scan_line and "text" not in scan_line
