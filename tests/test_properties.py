@@ -203,3 +203,35 @@ def test_resize_nearest_properties(w, h, tw, th):
     assert all(tuple(px) in flat_in for px in out.reshape(-1, 3))
     if (tw, th) == (w, h):
         assert (out == arr).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.binary(min_size=0, max_size=120))
+def test_media_probes_never_crash_on_garbage(data):
+    """At corpus scale corrupt/truncated media is certain: probes must
+    classify (dict) or decline (None) arbitrary bytes, never raise —
+    an executor-killing exception on one bad asset fails the stage."""
+    from data_pipeline2_spark.functions.imagecodec import probe_image, probe_wav
+
+    for fn in (probe_image, probe_wav):
+        out = fn(data)
+        assert out is None or isinstance(out, dict)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    aid=st.integers(min_value=0, max_value=500),
+    cut=st.integers(min_value=0, max_value=200),
+)
+def test_media_probes_never_crash_on_truncated_fixtures(aid, cut):
+    from data_pipeline2_spark.functions.imagecodec import (
+        make_asset,
+        probe_image,
+        probe_wav,
+    )
+
+    _, payload = make_asset(aid)
+    trunc = payload[:cut]
+    for fn in (probe_image, probe_wav):
+        out = fn(trunc)
+        assert out is None or isinstance(out, dict)
