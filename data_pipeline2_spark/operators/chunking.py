@@ -390,16 +390,18 @@ def _greedy_pack_tokens(
             out.append((pos, " ".join(cur), cur_tok))
             pos += 1
             keep: list[str] = []
+            keep_counts: list[int] = []
             keep_tok = 0
             for v, vt in zip(reversed(cur), reversed(counts)):
                 if keep_tok + vt > overlap:
                     break
                 keep.insert(0, v)
+                keep_counts.insert(0, vt)
                 keep_tok += vt
             if keep_tok + ut > budget:
-                keep, keep_tok = [], 0
+                keep, keep_counts, keep_tok = [], [], 0
             cur = keep + [u]
-            counts = [_bpe_token_count(v) for v in keep] + [ut]
+            counts = keep_counts + [ut]
             cur_tok = keep_tok + ut
         else:
             cur.append(u)
@@ -441,12 +443,22 @@ def chunk_hybrid(
 
     validate_chunk_config(chunk_size, chunk_overlap)
     sent_re = re.compile(SENTENCE_REGEX)
+    # leading run of terminated sentences; what remains is the trailing
+    # fragment without a terminator
+    lead_re = re.compile(r"^(?:[^.!?]+[.!?]+)*")
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for _, r in pdf.iterrows():
             text = r["__text"] or ""
             units = [s.strip() for s in sent_re.findall(text)]
+            # HybridChunker never drops text: a trailing fragment with no
+            # sentence terminator becomes the final unit (chunk_sentence
+            # keeps the reference packer's drop semantics; this operator
+            # models docling's chunker, which is lossless)
+            tail = lead_re.sub("", text, count=1).strip()
+            if units and tail:
+                units.append(tail)
             if not units:
                 units = [w for w in text.split() if w]
             if not units:

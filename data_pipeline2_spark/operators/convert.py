@@ -133,17 +133,22 @@ def convert_documents(
             ):
                 payload = bytes(content or b"")
                 fn = table.get(mime)
+                err = ""
                 if fn is not None:
                     if lenient:
                         # skip-and-placeholder on converter failure
                         # (image-only PDF, corrupt container, ...) — the
                         # per-item analog of the reference's
-                        # skip-and-continue (embedding_service.py:206-212)
+                        # skip-and-continue (embedding_service.py:206-212).
+                        # The error class is recorded in the placeholder
+                        # so a SYSTEMATIC converter bug shows up as a
+                        # groupable error signature, not silent stubbing.
                         try:
                             out.append((doc_id, mime, fn(payload), mime))
                             continue
-                        except Exception:
+                        except Exception as exc:
                             fn = None
+                            err = f" error:{type(exc).__name__}"
                     else:
                         out.append((doc_id, mime, fn(payload), mime))
                         continue
@@ -154,7 +159,7 @@ def convert_documents(
                             doc_id,
                             mime,
                             f"[unconverted {mime} payload sha256:{sha} "
-                            f"bytes:{len(payload)}]",
+                            f"bytes:{len(payload)}{err}]",
                             "stub",
                         )
                     )

@@ -566,16 +566,38 @@ def _near_embedding_lsh(
         signature_col,
     )
 
-    sigs = None
-    vec = F.col(vec_col)
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        tbl = embeddings.select(
-            F.col(id_col).alias("__id"),
-            F.lit(t).alias("__tbl"),
-            signature_col(vec, planes).alias("__sig"),
-        )
-        sigs = tbl if sigs is None else sigs.unionByName(tbl)
+    # dim mismatch must fail LOUDLY: zip_with pads the shorter side with
+    # nulls, every dot folds to NULL, and all vectors would share one
+    # all-'0' signature — an equi-join that degenerates to a full
+    # quadratic scan with no CartesianProduct in the plan to flag it
+    vec = F.when(
+        F.assert_true(
+            F.size(F.col(vec_col)) == dim,
+            f"dedup_near_embedding: embedding dim != configured dim={dim}",
+        ).isNull(),
+        F.col(vec_col),
+    )
+    # all tables' signatures in ONE projection + inline explode: the
+    # corpus is scanned once for candidate generation, not n_tables times
+    table_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                signature_col(vec, _hyperplanes(dim, n_planes, seed + t)).alias(
+                    "sig"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    sigs = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.explode(table_sigs).alias("__ts"),
+    ).select(
+        "__id",
+        F.col("__ts.tbl").alias("__tbl"),
+        F.col("__ts.sig").alias("__sig"),
+    )
     cand = (
         sigs.alias("sa")
         .join(

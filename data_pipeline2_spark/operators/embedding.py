@@ -173,6 +173,15 @@ class MockHTTPSession:
             return {"embeddings": [vec]}
         return {"data": [{"embedding": vec}]}
 
+    def finish_item(self, text: str) -> None:
+        """End-of-retry-cycle hook (called by embed_with_retry): reset
+        the scripted counter so a LATER occurrence of the same text
+        replays the same failure script — retry state is per item, not
+        per distinct string (two identical docs each retry from zero,
+        and scripted exhaustion stays exhaustion regardless of
+        partitioning)."""
+        self.attempts.pop(text, None)
+
 
 class NomicProvider:
     """Payload/response contract of the reference's Nomic provider:
@@ -228,15 +237,22 @@ def embed_with_retry(
     `sleep` is injectable: real transports pass time.sleep; tests pass
     a recorder; UDFs default to None so deterministic mock providers
     never stall an executor core."""
-    for attempt in range(1, max_attempts + 1):
-        try:
-            return provider.embed(session, text)
-        except TransientProviderError:
-            if attempt == max_attempts:
-                return None
-            if sleep is not None:
-                sleep(min(backoff_max, backoff_base * 2 ** (attempt - 1)))
-    return None
+    try:
+        for attempt in range(1, max_attempts + 1):
+            try:
+                return provider.embed(session, text)
+            except TransientProviderError:
+                if attempt == max_attempts:
+                    return None
+                if sleep is not None:
+                    sleep(min(backoff_max, backoff_base * 2 ** (attempt - 1)))
+        return None
+    finally:
+        # item-scoped transport state (mock sessions script failures per
+        # item; real sessions don't implement the hook)
+        fin = getattr(session, "finish_item", None)
+        if fin is not None:
+            fin(text)
 
 
 def make_provider_embedder(

@@ -125,11 +125,15 @@ def mix_by_temperature(
     # round before the floor: the Σq^T reduction is order-sensitive in
     # the last ulp across engines, and floor(rate·2^32) would amplify a
     # 1-ulp wobble into an off-by-one threshold
+    # NULL groups are a real group, not rows to lose: an equi-join on the
+    # raw column would drop every NULL-group row silently. Join on a
+    # null-coalesced shadow key instead.
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00__null__"))
     rates = (
-        df.groupBy(group_col)
+        df.groupBy(grp.alias("__grp"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            group_col,
+            "__grp",
             F.floor(F.round(rate, 12) * F.lit(float(1 << 32)))
             .cast("long")
             .alias("__thr"),
@@ -139,7 +143,8 @@ def mix_by_temperature(
         F.substring(_hash_key(F.col(key_col), salt), 1, 8), 16, 10
     ).cast("long")
     return (
-        df.join(F.broadcast(rates), group_col)
+        df.withColumn("__grp", grp)
+        .join(F.broadcast(rates), "__grp")
         .filter(h32 < F.col("__thr"))
-        .drop("__thr")
+        .drop("__thr", "__grp")
     )

@@ -48,7 +48,12 @@ def knn_cosine(
     a ONE-ROW DataFrame whose first column is the vector — the scalar-
     subquery parameter pattern: the row broadcasts into the plan via a
     1-row cross join, so parameterizing by data (e.g. "the embedding of
-    doc 0") costs zero extra driver-side Spark jobs.
+    doc 0") costs zero extra driver-side Spark jobs. NOTE the implied
+    semantics: an EMPTY query DataFrame yields an empty result (cross
+    join with nothing), not an error — callers that must distinguish
+    "no such query id" from "no hits" should validate the query side
+    themselves (checking here would cost the extra job this path
+    exists to avoid).
 
     → (vec_id, score) ordered by score desc, id asc.
     """

@@ -3057,16 +3057,22 @@ def _hybrid_oracle_sql(budget: int = 60, overlap: int = 12) -> str:
                  '[a-z]{{1,4}}|[0-9]+|[^a-z0-9\s]')) AS t
       FROM (
         SELECT doc_id,
-          CASE WHEN len(regexp_extract_all(text, '[^.!?]+[.!?]+')) > 0
-               THEN list_transform(regexp_extract_all(text, '[^.!?]+[.!?]+'),
-                                   s -> trim(s))
+          CASE WHEN len(sents) > 0 THEN
+                 CASE WHEN len(tail) > 0 THEN list_append(sents, tail)
+                      ELSE sents END
                WHEN len(list_filter(regexp_split_to_array(coalesce(text, ''),
                         '\s+'), w -> w <> '')) > 0
                THEN list_filter(regexp_split_to_array(text, '\s+'),
                                 w -> w <> '')
                ELSE ['']
           END AS us
-        FROM documents
+        FROM (
+          SELECT doc_id, text,
+                 list_transform(regexp_extract_all(text, '[^.!?]+[.!?]+'),
+                                s -> trim(s)) AS sents,
+                 trim(regexp_replace(text, '^([^.!?]+[.!?]+)*', '')) AS tail
+          FROM documents
+        )
       ), LATERAL (SELECT unnest(us) AS unit,
                          generate_subscripts(us, 1) AS idx) u
     ), pref AS (
@@ -4130,6 +4136,13 @@ def q_kmeans_embeddings(spark, sf_dir):
 # lifecycle, writers, multimodal) — and park the 50 keys already green in
 # CORRECTNESS_r01.json at the back. Registration order in this module is
 # unchanged; only the export order differs.
+#
+# Trade-off, made deliberately: q5/q8 changed implementation this round
+# (in-plan parameter resolution) yet stay parked at the back — re-checking
+# them would spend 2 of the driver's ~50 slots that otherwise buy first
+# green rows for never-verified operators. Their regression cover is
+# tests/test_oracle_parity.py, which runs the IDENTICAL value-hash check
+# at the same scale factor on every round.
 
 _VERIFIED_R01 = {
     "filter_term", "point_lookup_doc", "point_lookup_job", "project_status",

@@ -86,11 +86,11 @@ def _parquet_ts_unit(path: str, col: str) -> str:
     except Exception as exc:
         import warnings
 
-        unit = "ns"
+        unit = "ns?"  # fallback marker: read-as-long path + runtime guard
         warnings.warn(
             f"could not sniff parquet time unit for {path} col={col} "
             f"({type(exc).__name__}: {exc}); defaulting to 'ns' "
-            "(read-as-long + convert)",
+            "(read-as-long + convert, with a runtime plausibility guard)",
             stacklevel=2,
         )
     _TS_UNIT_CACHE[key] = unit
@@ -151,11 +151,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass
     schema = TABLE_SCHEMAS.get(name)
     path = table_path(sf_dir, name)
-    nanos_cols = [
-        c
-        for c in _TS_UNIT_COLS.get(name, [])
-        if _parquet_ts_unit(path, c) == "ns"
-    ]
+    units = {c: _parquet_ts_unit(path, c) for c in _TS_UNIT_COLS.get(name, [])}
+    nanos_cols = [c for c, u in units.items() if u in ("ns", "ns?")]
     if schema is not None and nanos_cols:
         schema = StructType(
             [
@@ -173,7 +170,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return hit
     df = reader.parquet(path)
     for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        converted = F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        if units.get(c) == "ns?":
+            # fallback unit (footer unreadable): if the file was actually
+            # µs-encoded, div 1000 collapses everything to ~1970 — fail
+            # the scan loudly instead of returning silently-wrong windows
+            guard = F.assert_true(
+                converted.isNull()
+                | (
+                    (converted >= F.lit("1990-01-01").cast("timestamp"))
+                    & (converted < F.lit("2200-01-01").cast("timestamp"))
+                ),
+                f"{name}.{c}: ns-fallback produced an implausible "
+                "timestamp — the parquet is probably µs-encoded; fix the "
+                "footer sniff (see sources/parquet._parquet_ts_unit)",
+            )
+            converted = F.when(guard.isNull(), converted)
+        df = df.withColumn(c, converted)
     if _cache_enabled():
         from pyspark import StorageLevel
 

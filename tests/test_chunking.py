@@ -170,6 +170,20 @@ def test_hybrid_overlap_carries_trailing_sentences(spark):
             assert s in joined
 
 
+def test_hybrid_keeps_trailing_unterminated_fragment(spark):
+    """HybridChunker is lossless: text after the last sentence
+    terminator must land in a chunk, not vanish (chunk_sentence keeps
+    the reference packer's drop semantics; hybrid must not)."""
+    docs = spark.createDataFrame(
+        [(1, "First sentence here. trailing fragment with no period")],
+        "doc_id long, text string",
+    )
+    out = chunking.chunk_hybrid(docs, 100, 0).collect()
+    joined = " ".join(r.content for r in out)
+    assert "trailing fragment with no period" in joined
+    assert "First sentence here." in joined
+
+
 def test_hybrid_deterministic(spark, docs):
     a = chunking.chunk_hybrid(docs, 40, 10).orderBy("doc_id", "pos").collect()
     b = chunking.chunk_hybrid(docs, 40, 10).orderBy("doc_id", "pos").collect()

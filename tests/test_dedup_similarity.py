@@ -441,3 +441,12 @@ def test_near_embedding_lsh_subset_of_exact_with_full_dup_recall(spark):
         (p for p in e if p[1] - p[0] == 1_000_000), None
     )
     assert dup_pair is not None and dup_pair in a
+
+
+def test_near_embedding_lsh_wrong_dim_fails_loudly(spark):
+    """A dim mismatch must raise at execution, not silently degrade to
+    one shared signature bucket (a hidden quadratic scan)."""
+    rows = [(i, [float(i), 1.0, 0.0]) for i in range(6)]  # 3-dim vectors
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="dim"):
+        dedup.dedup_near_embedding(emb, threshold=0.5, dim=64).collect()

@@ -86,7 +86,7 @@ def test_retry_then_succeed_with_backoff():
         embedding.NomicProvider(), session, "hello", sleep=sleeps.append
     )
     assert vec == embedding.hash_embed_one("hello")
-    assert session.attempts["hello"] == 3
+    assert len(session.requests) == 3  # two failures + the success
     assert sleeps == [4.0, 8.0]
 
 
@@ -97,8 +97,23 @@ def test_retry_exhausted_returns_none():
         embedding.GraniteProvider(), session, "doomed", sleep=sleeps.append
     )
     assert vec is None
-    assert session.attempts["doomed"] == 3
+    assert len(session.requests) == 3
     assert sleeps == [4.0, 8.0]  # no sleep after the final failure
+
+
+def test_retry_state_is_per_item_not_per_text():
+    """Two items with IDENTICAL text must each replay the same scripted
+    failure plan — a shared per-text counter would let the second
+    occurrence of a permanently-failing text succeed (and make
+    success/drop counts partition-dependent)."""
+    session = embedding.MockHTTPSession(fail_plan=lambda t: 3)
+    p = embedding.NomicProvider()
+    assert embedding.embed_with_retry(p, session, "same text") is None
+    assert embedding.embed_with_retry(p, session, "same text") is None
+    flaky = embedding.MockHTTPSession(fail_plan=lambda t: 2)
+    v1 = embedding.embed_with_retry(p, flaky, "same text")
+    v2 = embedding.embed_with_retry(p, flaky, "same text")
+    assert v1 == v2 == embedding.hash_embed_one("same text")
 
 
 def test_provider_payload_contracts():
