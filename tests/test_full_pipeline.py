@@ -231,3 +231,29 @@ def test_convert_encrypted_pdf_still_raises(spark):
     )
     with _pytest.raises(Exception, match="NotImplementedError|full PDF stack"):
         conv.convert_documents(df).collect()
+
+
+def test_lenient_conversion_stubs_corrupt_containers_with_error_class(spark):
+    """Corrupt container bytes must become placeholder rows recording
+    the error class (groupable skip-and-continue), never a batch
+    failure — and valid rows in the same batch still convert."""
+    from data_pipeline2_spark.functions.docformats import make_docx
+    from data_pipeline2_spark.operators import convert as conv
+
+    good = make_docx(1)
+    rows = [
+        (1, conv.MIME_DOCX, bytearray(good)),
+        (2, conv.MIME_DOCX, bytearray(good[: len(good) // 2])),  # truncated zip
+        (3, "application/pdf", bytearray(b"%PDF-1.4 garbage no streams")),
+        (4, conv.MIME_XLSX, bytearray(b"PK\x03\x04 not really a zip")),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, content_type string, content binary"
+    )
+    out = conv.convert_documents(df, lenient=True).toPandas()
+    by_id = dict(zip(out.doc_id, out.text))
+    conv_by_id = dict(zip(out.doc_id, out.converter))
+    assert by_id[1].startswith("# Document 1")
+    for bad in (2, 3, 4):
+        assert conv_by_id[bad] == "stub"
+        assert "error:" in by_id[bad], by_id[bad]
