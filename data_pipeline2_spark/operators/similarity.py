@@ -665,6 +665,40 @@ def kmeans(
     never O(rows). Fixed iteration count keeps it oracle-replayable
     (the DuckDB SQL unrolls the same rounds as CTEs).
     """
+    cents, assign = _kmeans_trajectory(embeddings, k, n_iter, id_col, vec_col)
+    final = assign(cents)
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("dist"), 8).cast("decimal(25,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("inertia"),
+        )
+        .select(F.col("cluster").cast("int").alias("cluster"), "n", "inertia")
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_trajectory(
+    embeddings: DataFrame,
+    k: int,
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared deterministic Lloyd's loop → (final centroids, assign fn).
+
+    Init = k lowest-id vectors rounded to 6 places; each round assigns
+    by ROUNDED squared-L2 argmin and recomputes decimal-exact rounded
+    means — every step is engine-portable, so the DuckDB oracle can
+    unroll the identical trajectory (registry._kmeans_sql). Centroids
+    collect to the driver (k×dim doubles) and re-broadcast per round,
+    the MLlib iteration pattern; all heavy work stays distributed.
+    """
     spark = embeddings.sparkSession
 
     init = (
@@ -719,18 +753,76 @@ def kmeans(
         )
         cents = sorted((r["cluster"], list(r["cvec"])) for r in means)
 
-    final = assign(cents)
-    return (
-        final.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.round(F.col("dist"), 8).cast("decimal(25,10)")).cast(
-                    "double"
-                ),
-                6,
-            ).alias("inertia"),
+    return cents, assign
+
+
+def knn_batch_ivf_exact(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF kNN with the FULLY DETERMINISTIC distributed k-means fit
+    (rounded-decimal Lloyd's, _kmeans_trajectory) instead of the
+    numpy sampled fit — every step is engine-portable, so this ANN
+    variant is value-checkable against a SQL oracle end-to-end.
+
+    Same probe semantics as knn_batch_ivf: each corpus vector lives in
+    its rounded-L2-argmin cell; each query probes its n_probe nearest
+    cells and exact-rescoring runs only inside them. A vector belongs
+    to exactly one cell, so no (qid, vec_id) pair can duplicate.
+    """
+    cents, _ = _kmeans_trajectory(embeddings, n_clusters, n_iter, id_col, vec_col)
+    cdf = embeddings.sparkSession.createDataFrame(
+        cents, "cid int, cvec array<double>"
+    )
+
+    def nearest(df, key, vcol, top):
+        scored = df.select(
+            F.col(key).alias("__key"),
+            F.transform(F.col(vcol), lambda x: x.cast("double")).alias("__v"),
+        ).crossJoin(F.broadcast(cdf)).withColumn(
+            "__d", F.round(_sq_dist(F.col("__v"), F.col("cvec")), 6)
         )
-        .select(F.col("cluster").cast("int").alias("cluster"), "n", "inertia")
-        .orderBy("cluster")
+        w = Window.partitionBy("__key").orderBy("__d", "cid")
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top)
+            .select("__key", F.col("cid").alias("__cell"))
+        )
+
+    cells = nearest(embeddings, id_col, vec_col, 1).withColumnRenamed(
+        "__key", id_col
+    )
+    probes = nearest(queries, qid_col, qvec_col, n_probe).withColumnRenamed(
+        "__key", qid_col
+    )
+    scored = (
+        embeddings.join(cells, id_col)
+        .join(probes, "__cell")
+        .join(
+            F.broadcast(
+                queries.select(F.col(qid_col), F.col(qvec_col))
+            ),
+            qid_col,
+        )
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(qvec_col)), SCORE_ROUND
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "score")
     )

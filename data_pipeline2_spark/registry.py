@@ -4066,10 +4066,11 @@ def q_hard_negatives(spark, sf_dir):
     return similarity.hard_negatives(emb, queries, k=5)
 
 
-def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
-    """Unrolled Lloyd's iterations as CTEs — same init (k lowest ids,
-    rounded), same rounded-distance argmin, same decimal-exact rounded
-    means as operators/similarity.kmeans, so both engines walk an
+def _kmeans_cte_parts(k: int, n_iter: int, dim: int) -> tuple[list[str], str]:
+    """Shared unrolled Lloyd's CTE chain → (parts, final centroid CTE
+    name). Same init (k lowest ids, rounded), same rounded-distance
+    argmin, same decimal-exact rounded means as
+    operators/similarity._kmeans_trajectory, so both engines walk an
     identical centroid trajectory."""
     sq = (
         "list_aggregate(list_transform(generate_series(1, len({v})), "
@@ -4110,6 +4111,11 @@ def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
         parts.append(recompute(f"a{it}", f"c{it}"))
         prev = f"c{it}"
     parts.append(assign(prev, "af"))
+    return parts, prev
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    parts, _ = _kmeans_cte_parts(k, n_iter, dim)
     return (
         "WITH "
         + ",\n".join(parts)
@@ -4119,6 +4125,64 @@ def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
              AS inertia
     FROM af GROUP BY cluster
     """
+    )
+
+
+def _ivf_exact_sql(
+    k: int = 3, n_clusters: int = 8, n_iter: int = 2, n_probe: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of knn_batch_ivf_exact: identical centroid
+    trajectory (shared CTE chain), rounded-L2 cell assignment for the
+    corpus (the `af` CTE), n_probe nearest cells per query, exact
+    cosine re-score inside probed cells only."""
+    parts, cent = _kmeans_cte_parts(n_clusters, n_iter, dim)
+    sq = (
+        "list_aggregate(list_transform(generate_series(1, len({v})), "
+        "i -> ({v}[i]::DOUBLE - {c}[i]) * ({v}[i]::DOUBLE - {c}[i])), 'sum')"
+    )
+    d = sq.format(v="e.embedding", c="c.cvec")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+    probes AS (
+      SELECT qid, cluster FROM (
+        SELECT e.vec_id AS qid, c.cid AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({d}, 6), c.cid) AS rn
+        FROM embeddings e CROSS JOIN {cent} c WHERE e.vec_id < 5)
+      WHERE rn <= {n_probe}
+    ), scored AS (
+      SELECT p.qid, s.vec_id,
+             round({_cos_sql('s.embedding', 'q.embedding')}, 6) AS score
+      FROM probes p
+      JOIN af s ON s.cluster = p.cluster
+      JOIN embeddings q ON q.vec_id = p.qid
+    ), r AS (
+      SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)
+               AS rank
+      FROM scored)
+    SELECT qid, CAST(rank AS INT) AS rank, vec_id, score
+    FROM r WHERE rank <= {k}
+    """
+    )
+
+
+@_register("knn_batch_ivf_exact", _ivf_exact_sql())
+def q_knn_batch_ivf_exact(spark, sf_dir):
+    """The IVF ANN pattern with a value oracle end-to-end: determinstic
+    distributed k-means fit, cell assignment, n_probe probing and
+    in-cell exact re-scoring are all replayed in SQL — the whole
+    inverted-file search loop is hash-checked, not just row-counted
+    (the numpy-fit knn_batch_ivf stays the production scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.knn_batch_ivf_exact(
+        emb, queries, k=3, n_clusters=8, n_iter=2, n_probe=2
     )
 
 

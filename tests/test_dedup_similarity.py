@@ -450,3 +450,27 @@ def test_near_embedding_lsh_wrong_dim_fails_loudly(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(Exception, match="dim"):
         dedup.dedup_near_embedding(emb, threshold=0.5, dim=64).collect()
+
+
+def test_ivf_exact_fit_self_recall_and_probe_consistency(spark):
+    """The oracle-checkable IVF: every query's own vector lives in its
+    nearest cell, so rank 1 must be the query itself with score 1.0;
+    results are a subset of the exact brute-force ranking."""
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = similarity.knn_batch_ivf_exact(
+        emb, queries, k=3, n_clusters=8, n_iter=2, n_probe=2
+    ).collect()
+    top1 = {r.qid: (r.vec_id, r.score) for r in got if r.rank == 1}
+    for qid, (vid, score) in top1.items():
+        assert vid == qid and abs(score - 1.0) < 1e-6
+    exact = similarity.knn_batch(emb, queries, k=50).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    for r in got:
+        assert r.vec_id in exact_sets[r.qid]
