@@ -153,7 +153,7 @@ def test_cosine_zero_vector_is_null_not_nan(spark):
         (3, [1.0, 0.0, 0.0], 0),
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
-    pairs = dedup_near_embedding(emb, threshold=0.9).toPandas()
+    pairs = dedup_near_embedding(emb, threshold=0.9, dim=3).toPandas()
     found = set(zip(pairs.id_a, pairs.id_b))
     assert found == {(1, 3)}  # zero vector never reported as a near-dup
 
