@@ -64,10 +64,12 @@ def main():
         for name, df in load_tables(spark, sf_dir).items():
             df.count()
 
-    # best-of-2 per query: one repetition removes scheduler jitter from
-    # the steady-state number without hiding real cost (every run is a
-    # full re-execution — only the table cache persists between runs).
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # best-of-3 per query: repetitions remove scheduler jitter from the
+    # steady-state number without hiding real cost (every run is a full
+    # re-execution — only the table cache persists between runs).
+    # Observed run-to-run spread at sf0.1 is ±30% with best-of-2 when
+    # the JVM is freshly loaded; a third rep tightens it materially.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap[name]
