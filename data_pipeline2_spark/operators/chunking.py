@@ -443,20 +443,21 @@ def chunk_hybrid(
 
     validate_chunk_config(chunk_size, chunk_overlap)
     sent_re = re.compile(SENTENCE_REGEX)
-    # leading run of terminated sentences; what remains is the trailing
-    # fragment without a terminator
-    lead_re = re.compile(r"^(?:[^.!?]+[.!?]+)*")
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for _, r in pdf.iterrows():
             text = r["__text"] or ""
+            ends = [m.end() for m in sent_re.finditer(text)]
             units = [s.strip() for s in sent_re.findall(text)]
-            # HybridChunker never drops text: a trailing fragment with no
-            # sentence terminator becomes the final unit (chunk_sentence
+            # HybridChunker never drops text: whatever follows the LAST
+            # sentence match becomes the final unit (chunk_sentence
             # keeps the reference packer's drop semantics; this operator
-            # models docling's chunker, which is lossless)
-            tail = lead_re.sub("", text, count=1).strip()
+            # models docling's chunker, which is lossless). Anchoring on
+            # the last match end — not a leading-run regex — so text
+            # starting with a bare terminator can't re-append the whole
+            # document as a duplicate unit.
+            tail = text[ends[-1]:].strip() if ends else ""
             if units and tail:
                 units.append(tail)
             if not units:

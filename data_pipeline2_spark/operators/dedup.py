@@ -494,8 +494,10 @@ def dedup_near_embedding(
       (1-θ/π)^n_planes per table) — the standard ANN trade, same as
       knn_batch_lsh. Exact duplicates (identical vectors) always
       collide, so recall on true duplicates is 1.0. `dim` must match
-      the embedding dimensionality: shorter vectors degrade to one
-      shared bucket (correct output, quadratic within that bucket).
+      the embedding dimensionality — a mismatch fails the job with an
+      in-plan assertion (silently it would collapse every vector into
+      one shared bucket: a hidden quadratic scan); NULL embeddings are
+      tolerated and drop out in verification.
     - `exact=True` (no group): full all-pairs cross join. O(N²) — only
       for bounded inputs / recall ground truth.
 
@@ -569,10 +571,13 @@ def _near_embedding_lsh(
     # dim mismatch must fail LOUDLY: zip_with pads the shorter side with
     # nulls, every dot folds to NULL, and all vectors would share one
     # all-'0' signature — an equi-join that degenerates to a full
-    # quadratic scan with no CartesianProduct in the plan to flag it
+    # quadratic scan with no CartesianProduct in the plan to flag it.
+    # NULL embeddings pass the guard (they drop out in verification,
+    # same as the exact paths) — only a present-but-wrong-width vector
+    # is a configuration error.
     vec = F.when(
         F.assert_true(
-            F.size(F.col(vec_col)) == dim,
+            F.col(vec_col).isNull() | (F.size(F.col(vec_col)) == dim),
             f"dedup_near_embedding: embedding dim != configured dim={dim}",
         ).isNull(),
         F.col(vec_col),

@@ -778,9 +778,17 @@ def knn_batch_ivf_exact(
     cells and exact-rescoring runs only inside them. A vector belongs
     to exactly one cell, so no (qid, vec_id) pair can duplicate.
     """
-    cents, _ = _kmeans_trajectory(embeddings, n_clusters, n_iter, id_col, vec_col)
+    cents, assign = _kmeans_trajectory(
+        embeddings, n_clusters, n_iter, id_col, vec_col
+    )
     cdf = embeddings.sparkSession.createDataFrame(
         cents, "cid int, cvec array<double>"
+    )
+    # corpus cells come from the SAME assign closure the fit used —
+    # one rounded-argmin implementation on the Spark side, mirrored once
+    # in SQL (registry._kmeans_cte_parts)
+    cells = assign(cents).select(
+        F.col("_id").alias(id_col), F.col("cluster").alias("__cell")
     )
 
     def nearest(df, key, vcol, top):
@@ -797,9 +805,6 @@ def knn_batch_ivf_exact(
             .select("__key", F.col("cid").alias("__cell"))
         )
 
-    cells = nearest(embeddings, id_col, vec_col, 1).withColumnRenamed(
-        "__key", id_col
-    )
     probes = nearest(queries, qid_col, qvec_col, n_probe).withColumnRenamed(
         "__key", qid_col
     )

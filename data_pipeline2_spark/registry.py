@@ -2202,7 +2202,7 @@ def _h32_sql(key: str, salt: str) -> str:
       FROM qs
     )
     SELECT d.lang, count(*) AS kept
-    FROM documents d JOIN rates r ON d.lang = r.lang
+    FROM documents d JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
     WHERE {_h32_sql('d.doc_id', 'tmix')} < r.thr
     GROUP BY d.lang ORDER BY d.lang
     """,
@@ -3067,10 +3067,16 @@ def _hybrid_oracle_sql(budget: int = 60, overlap: int = 12) -> str:
                ELSE ['']
           END AS us
         FROM (
+          -- tail = text after the LAST sentence match; every match ends
+          -- on a terminator run, so greedy '.*[.!?]' (dotall) lands on
+          -- the same boundary; trim's explicit char set mirrors
+          -- Python str.strip()
           SELECT doc_id, text,
                  list_transform(regexp_extract_all(text, '[^.!?]+[.!?]+'),
                                 s -> trim(s)) AS sents,
-                 trim(regexp_replace(text, '^([^.!?]+[.!?]+)*', '')) AS tail
+                 trim(regexp_replace(text, '.*[.!?]', '', 's'),
+                      ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)
+                 ) AS tail
           FROM documents
         )
       ), LATERAL (SELECT unnest(us) AS unit,

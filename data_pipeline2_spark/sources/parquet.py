@@ -173,17 +173,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         converted = F.timestamp_micros(F.expr(f"`{c}` div 1000"))
         if units.get(c) == "ns?":
             # fallback unit (footer unreadable): if the file was actually
-            # µs-encoded, div 1000 collapses everything to ~1970 — fail
-            # the scan loudly instead of returning silently-wrong windows
+            # µs-encoded, div 1000 collapses EVERYTHING into early 1970
+            # (any µs date < 2100 lands before ~1970-03) — fail the scan
+            # loudly instead of returning silently-wrong windows. The
+            # band is only the collapse signature, so legitimate
+            # historical ns data passes; a corpus of epoch-0 sentinel
+            # rows under a failed sniff would false-positive, which is
+            # the right side to err on.
             guard = F.assert_true(
                 converted.isNull()
-                | (
-                    (converted >= F.lit("1990-01-01").cast("timestamp"))
-                    & (converted < F.lit("2200-01-01").cast("timestamp"))
-                ),
-                f"{name}.{c}: ns-fallback produced an implausible "
-                "timestamp — the parquet is probably µs-encoded; fix the "
-                "footer sniff (see sources/parquet._parquet_ts_unit)",
+                | (converted >= F.lit("1971-01-01").cast("timestamp")),
+                f"{name}.{c}: ns-fallback produced a ~1970 timestamp — "
+                "the parquet is probably µs-encoded; fix the footer "
+                "sniff (see sources/parquet._parquet_ts_unit)",
             )
             converted = F.when(guard.isNull(), converted)
         df = df.withColumn(c, converted)

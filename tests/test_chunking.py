@@ -238,3 +238,16 @@ def test_sentence_udtf_lateral_join(spark):
         .collect()
     )
     assert [c.s.strip() for c in cat] == ["One.", "Two!", "Three?"]
+
+
+def test_hybrid_leading_terminator_no_duplication(spark):
+    """Text starting with a bare terminator must not re-append the whole
+    document as a phantom tail unit (each sentence packed exactly once
+    when overlap=0)."""
+    docs = spark.createDataFrame(
+        [(1, "! Hello there. Bye bye now.")], "doc_id long, text string"
+    )
+    out = chunking.chunk_hybrid(docs, 100, 0).collect()
+    joined = " ".join(r.content for r in out)
+    assert joined.count("Hello there.") == 1
+    assert joined.count("Bye bye now.") == 1
