@@ -4214,6 +4214,39 @@ def q_kmeans_embeddings(spark, sf_dir):
 # tests/test_oracle_parity.py, which runs the IDENTICAL value-hash check
 # at the same scale factor on every round.
 
+def _driver_verified_keys() -> set:
+    """Keys with a green driver row in ANY prior round's
+    CORRECTNESS_r*.json — read at export time so the ordering
+    self-maintains: newly verified keys fall to the back next round
+    and the priority window automatically fills with what remains.
+    Falls back to the static round-1 set when no files are readable."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: set = set()
+    found = False
+    for f in sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(f) as fh:
+                data = _json.load(fh)
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        found = True
+        for k, v in data.items():
+            if not isinstance(v, dict) or v.get("err"):
+                continue
+            rows_ok = v.get("rows_match") is True
+            schema_ok = v.get("schema_match") in (True, None)
+            hash_ok = v.get("hash_match") in (True, None)  # None: rows-only
+            if rows_ok and schema_ok and hash_ok:
+                out.add(k)
+    return out if found else set(_VERIFIED_R01)
+
+
 _VERIFIED_R01 = {
     "filter_term", "point_lookup_doc", "point_lookup_job", "project_status",
     "fulltext_match", "metadata_filter", "q1_pricing_summary",
@@ -4261,14 +4294,21 @@ _PRIORITY = [
 
 
 def _driver_order() -> list[QuerySpec]:
+    verified = _driver_verified_keys()
     by_name = {q.name: q for q in _QUERIES}
-    ordered = [by_name[n] for n in _PRIORITY if n in by_name]
-    taken = set(_PRIORITY)
+    ordered = [
+        by_name[n] for n in _PRIORITY if n in by_name and n not in verified
+    ]
+    taken = {q.name for q in ordered}
     ordered += [
         q for q in _QUERIES
-        if q.name not in taken and q.name not in _VERIFIED_R01
+        if q.name not in taken and q.name not in verified
     ]
-    ordered += [q for q in _QUERIES if q.name in _VERIFIED_R01]
+    ordered += [
+        q
+        for q in _QUERIES
+        if q.name in verified and q.name not in {o.name for o in ordered}
+    ]
     assert len(ordered) == len(_QUERIES)
     return ordered
 
