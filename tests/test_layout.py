@@ -156,3 +156,40 @@ def test_ivf_cell_partitioned_layout_prunes(spark, outdir):
     # probed-cell rows == the cells the full IVF operator would score
     assert probed.count() == clustered.filter(
         F.col("cell").isin(probe_cells)).count()
+
+
+def test_registry_export_order_self_maintains(tmp_path, monkeypatch):
+    """The driver verifies the FIRST ~50 queries() keys: unverified keys
+    must lead, keys green in any CORRECTNESS_r*.json must trail, and a
+    new round file must reorder automatically (no code change)."""
+    import json
+
+    from data_pipeline2_spark import registry
+
+    qs = list(registry.queries())
+    verified = registry._driver_verified_keys()
+    assert len(qs) == len(set(qs))  # no duplicates
+    assert not (set(qs[:50]) & verified), "verified key inside the window"
+    n_unverified = len(qs) - len(verified & set(qs))
+    assert all(k in verified for k in qs[n_unverified:])
+
+    # simulate the next round's file: promoted keys leave the window
+    promoted = qs[:3]
+    extra = {
+        k: {"rows_match": True, "schema_match": True,
+            "hash_match": True, "err": None}
+        for k in promoted
+    }
+    marker = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(registry.__file__))),
+        "CORRECTNESS_r97.json",
+    )
+    try:
+        with open(marker, "w") as fh:
+            json.dump(extra, fh)
+        qs2 = list(registry.queries())
+        assert not (set(promoted) & set(qs2[:50]))
+        assert set(qs2) == set(qs)
+    finally:
+        os.remove(marker)
+    assert list(registry.queries()) == qs  # cleanup restores the order
