@@ -2284,14 +2284,33 @@ def q_count_distinct_users(spark, sf_dir):
     )
 
 
-@_register("approx_count_distinct", None)
+@_register(
+    "approx_count_distinct",
+    """
+    SELECT event_type, true AS within_tol
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def q_approx_count_distinct(spark, sf_dir):
-    # HLL++ sketch — approximate by design, so rows-only (the exact
-    # variant count_distinct_users carries the oracle); at 100 TB this
-    # is the one you actually run: no exact-distinct shuffle explosion.
+    # HLL++ sketch — approximate by design, so the oracle checks the
+    # error BOUND, not the estimate: Spark emits
+    # abs(approx-exact)/exact <= 0.05 per group (rsd=0.02 gives ~2.5x
+    # headroom), DuckDB emits `true` — hash-matchable. The exact
+    # count_distinct here is the verification harness only; at 100 TB
+    # you run the approx path alone (no exact-distinct shuffle
+    # explosion) — the sketch's error contract is what this row proves.
     evt = _t(spark, sf_dir, "events")
-    return evt.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    exact = F.count_distinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    return (
+        evt.groupBy("event_type")
+        .agg(
+            (
+                (F.abs(approx.cast("double") - exact.cast("double"))
+                 / exact.cast("double")) <= F.lit(0.05)
+            ).alias("within_tol")
+        )
+        .orderBy("event_type")
     )
 
 
@@ -2866,13 +2885,29 @@ def q_embed_metrics(spark, sf_dir):
 # (non-SQL-expressible: pandas-UDF seams, LSH approx, streaming-native)
 
 
-@_register("embed_batch", None)
+@_register(
+    "embed_batch",
+    """
+    SELECT CAST(sum(greatest(CAST(ceil(length(text)/100.0) AS BIGINT), 1))
+                AS BIGINT) AS total_rows,
+           true AS batches_cover_rows,
+           true AS max_batch_le_cap
+    FROM documents
+    """,
+)
 def q_embed_batch(spark, sf_dir):
     # Arrow batching made visible: mapInPandas over the chunk stream,
     # emitting one row per Arrow batch with its size — the engine analog
-    # of the reference's batch_size=32 fan-out (embedding_service.py:197-204)
+    # of the reference's batch_size=32 fan-out (embedding_service.py:197-204).
+    # Raw batch counts depend on Arrow batching, so the oracle checks the
+    # DETERMINISTIC invariants instead: exact total rows (no row lost or
+    # duplicated across batches), enough batches to cover the rows, and
+    # every batch within spark.sql.execution.arrow.maxRecordsPerBatch.
     import pandas as pd
 
+    cap = int(
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    )
     docs = _t(spark, sf_dir, "documents")
     chunks = chunking.chunk_fixed(docs, 100).select("content")
 
@@ -2882,9 +2917,12 @@ def q_embed_batch(spark, sf_dir):
 
     sizes = chunks.mapInPandas(batch_sizes, "batch_rows long")
     return sizes.groupBy().agg(
-        F.count(F.lit(1)).alias("n_batches"),
         F.sum("batch_rows").alias("total_rows"),
-        F.max("batch_rows").alias("max_batch"),
+        (
+            F.count(F.lit(1))
+            >= F.ceil(F.sum("batch_rows") / F.lit(float(cap)))
+        ).alias("batches_cover_rows"),
+        (F.max("batch_rows") <= F.lit(cap)).alias("max_batch_le_cap"),
     )
 
 
@@ -3470,13 +3508,38 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
-@_register("multimodal_features", None)
+@_register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS asset_id,
+           list_extract(['image','audio','video'],
+                        CAST((doc_id % 3) + 1 AS INT)) AS modality,
+           CAST(64 AS INT) AS dim,
+           true AS unit_norm_ok
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark, sf_dir):
-    """Deterministic fake feature vectors (unit-norm float32) over every
-    asset — rows-only: float32 little-endian expansion isn't reasonably
-    SQL-expressible; determinism + norm are pytest-checked instead."""
+    """Feature extraction seam, driver-checkable: the raw array<float>
+    vector crashes pandas canonicalizers (unhashable list), so the
+    driver row carries SCALAR invariants — per-asset dimension and the
+    unit-norm contract (|l2²−1| < 1e-3, float32 tolerance) — which the
+    oracle reproduces structurally. Exact vector values + determinism
+    stay pytest-covered (tests/test_dedup_similarity.py); the vector
+    API itself is multimodal.extract_features."""
     assets = multimodal.documents_as_assets(_t(spark, sf_dir, "documents"))
-    return multimodal.extract_features(assets, dim=64, fake=True)
+    feats = multimodal.extract_features(assets, dim=64, fake=True)
+    sq = F.aggregate(
+        "feature",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return feats.select(
+        "asset_id",
+        "modality",
+        F.size("feature").alias("dim"),
+        (F.abs(sq - F.lit(1.0)) < F.lit(1e-3)).alias("unit_norm_ok"),
+    )
 
 
 
@@ -4247,6 +4310,16 @@ def _driver_verified_keys() -> set:
     return out if found else set(_VERIFIED_R01)
 
 
+# Keys deliberately parked BEHIND the driver's ~50-key window even though
+# they lack a green row: their output is non-deterministic by design
+# (driver-side sampled k-means fit → cell assignment varies with Arrow
+# batching), so a driver slot spent on them can never go green. Their
+# verification proxy is `knn_batch_ivf_exact` (identical probe semantics,
+# deterministic centroid seed, oracled) + pytest recall checks in
+# tests/test_dedup_similarity.py. VERDICT r2 item 1c prescribed exactly
+# this demotion.
+_DEMOTED = frozenset({"knn_batch_ivf"})
+
 _VERIFIED_R01 = {
     "filter_term", "point_lookup_doc", "point_lookup_job", "project_status",
     "fulltext_match", "metadata_filter", "q1_pricing_summary",
@@ -4294,20 +4367,20 @@ _PRIORITY = [
 
 
 def _driver_order() -> list[QuerySpec]:
-    verified = _driver_verified_keys()
+    parked = _driver_verified_keys() | _DEMOTED
     by_name = {q.name: q for q in _QUERIES}
     ordered = [
-        by_name[n] for n in _PRIORITY if n in by_name and n not in verified
+        by_name[n] for n in _PRIORITY if n in by_name and n not in parked
     ]
     taken = {q.name for q in ordered}
     ordered += [
         q for q in _QUERIES
-        if q.name not in taken and q.name not in verified
+        if q.name not in taken and q.name not in parked
     ]
     ordered += [
         q
         for q in _QUERIES
-        if q.name in verified and q.name not in {o.name for o in ordered}
+        if q.name in parked and q.name not in {o.name for o in ordered}
     ]
     assert len(ordered) == len(_QUERIES)
     return ordered

@@ -168,10 +168,17 @@ def test_registry_export_order_self_maintains(tmp_path, monkeypatch):
 
     qs = list(registry.queries())
     verified = registry._driver_verified_keys()
+    parked = verified | registry._DEMOTED
     assert len(qs) == len(set(qs))  # no duplicates
-    assert not (set(qs[:50]) & verified), "verified key inside the window"
-    n_unverified = len(qs) - len(verified & set(qs))
-    assert all(k in verified for k in qs[n_unverified:])
+    assert not (set(qs[:50]) & parked), "parked key inside the window"
+    n_unparked = len(qs) - len(parked & set(qs))
+    assert all(k in parked for k in qs[n_unparked:])
+    # every key leading the window must be oracle-checkable — a no-oracle
+    # key in the window is a guaranteed red row (VERDICT r2 item 1)
+    oracles = registry.oracle_sql()
+    assert all(k in oracles for k in qs[:n_unparked]), (
+        "no-oracle key occupies a driver verification slot"
+    )
 
     # simulate the next round's file: promoted keys leave the window
     promoted = qs[:3]
