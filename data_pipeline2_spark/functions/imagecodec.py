@@ -6,9 +6,11 @@ parseable with struct + zlib + numpy:
 - header PROBES (dimensions / mode / duration) for PNG, JPEG, GIF, BMP
   and WAV — byte-exact parsing of the public container specs;
 - a REAL PNG codec: decode (all five scanline filters, 8-bit
-  gray/LA/RGB/RGBA, non-interlaced), nearest-neighbor resize, encode.
-  Palette/16-bit/interlaced PNGs and non-PNG pixel work raise
-  NotImplementedError — those genuinely need external codecs.
+  gray/LA/RGB/RGBA plus palette colortype 3 at depths 1/2/4/8 with
+  PLTE + tRNS, non-interlaced), nearest-neighbor resize, encode
+  (truecolor and 8-bit palette). 16-bit/interlaced PNGs and non-PNG
+  pixel work raise NotImplementedError — those genuinely need
+  external codecs.
 
 This is the real implementation behind operators/multimodal.py's seams
 (reference ingests arbitrary binary uploads, document_processor.py:47-74);
@@ -108,10 +110,12 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 def decode_png(payload: bytes):
     """PNG → numpy uint8 array of shape (h, w, channels).
 
-    Supports 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced (the
-    output space of encode_png and of virtually every ML-pipeline PNG).
-    Palette, 16-bit and interlaced images raise NotImplementedError —
-    a full codec dependency is required for those.
+    Supports 8-bit gray / gray+alpha / RGB / RGBA plus PALETTE images
+    (colortype 3, bit depth 1/2/4/8, PLTE + optional tRNS — resolved to
+    RGB/RGBA), non-interlaced. 16-bit and interlaced images raise
+    NotImplementedError — those genuinely need a full codec library.
+    Corrupt structures (bad PLTE length, out-of-range palette index,
+    size mismatch) raise ValueError, never return garbage pixels.
     """
     import numpy as np
 
@@ -119,26 +123,36 @@ def decode_png(payload: bytes):
     if not info or info["format"] != "png":
         raise ValueError("not a PNG payload")
     w, h, depth = info["width"], info["height"], info["depth"]
-    ctype = {v: k for k, v in _PNG_MODES.items()}[info["mode"]]
+    ctype = {v: k for k, v in _PNG_MODES.items()}.get(info["mode"])
     interlace = payload[28]
-    if depth != 8 or ctype not in _CHANNELS or interlace != 0:
+    if interlace != 0:
+        raise NotImplementedError("interlaced PNG needs a full codec library")
+    if ctype == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"corrupt PNG: palette bit depth {depth}")
+        bpp, stride = 1, (w * depth + 7) // 8
+    elif depth == 8 and ctype in _CHANNELS:
+        bpp = _CHANNELS[ctype]
+        stride = w * bpp
+    else:
         raise NotImplementedError(
-            f"PNG depth={depth} colortype={ctype} interlace={interlace} "
-            "needs a full codec library"
+            f"PNG depth={depth} colortype={ctype} needs a full codec library"
         )
-    nch = _CHANNELS[ctype]
-    # walk chunks, concatenate IDAT
-    i, idat = 8, []
+    # walk chunks: concatenate IDAT, pick up PLTE/tRNS for palette images
+    i, idat, plte, trns = 8, [], None, None
     while i + 8 <= len(payload):
         clen = struct.unpack(">I", payload[i : i + 4])[0]
         cid = payload[i + 4 : i + 8]
         if cid == b"IDAT":
             idat.append(payload[i + 8 : i + 8 + clen])
+        elif cid == b"PLTE":
+            plte = payload[i + 8 : i + 8 + clen]
+        elif cid == b"tRNS":
+            trns = payload[i + 8 : i + 8 + clen]
         elif cid == b"IEND":
             break
         i += 12 + clen  # len + id + data + crc
     raw = zlib.decompress(b"".join(idat))
-    stride = w * nch
     if len(raw) != h * (stride + 1):
         raise ValueError("corrupt PNG: decompressed size mismatch")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
@@ -152,19 +166,19 @@ def decode_png(payload: bytes):
         if f == 0:
             pass
         elif f == 1:  # Sub — sequential in x, vectorize per channel offset
-            for x in range(nch, stride):
-                line[x] = (line[x] + line[x - nch]) & 0xFF
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
         elif f == 2:  # Up
             line = (line + prev) & 0xFF
         elif f == 3:  # Average
             for x in range(stride):
-                a = line[x - nch] if x >= nch else 0
+                a = line[x - bpp] if x >= bpp else 0
                 line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             for x in range(stride):
-                a = int(line[x - nch]) if x >= nch else 0
+                a = int(line[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - nch]) if x >= nch else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -172,7 +186,47 @@ def decode_png(payload: bytes):
         else:
             raise ValueError(f"invalid PNG filter {f}")
         out[y] = line.astype(np.uint8)
-    return out.reshape(h, w, nch)
+    if ctype != 3:
+        return out.reshape(h, w, bpp)
+    return _apply_palette(out, w, h, depth, plte, trns)
+
+
+def _apply_palette(scan, w: int, h: int, depth: int, plte, trns):
+    """Defiltered palette scanlines → RGB/RGBA via PLTE (+ tRNS alpha).
+
+    PLTE must exist, hold 1-256 RGB triples, and cover every index the
+    image uses — anything else is ValueError (the property-tested
+    garbage-PLTE contract: valid pixels or a loud error, never an
+    IndexError or silent wraparound).
+    """
+    import numpy as np
+
+    if plte is None or len(plte) == 0:
+        raise ValueError("corrupt PNG: palette image without PLTE")
+    if len(plte) % 3 or len(plte) > 256 * 3:
+        raise ValueError(f"corrupt PNG: PLTE length {len(plte)}")
+    palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    if depth == 8:
+        idx = scan.reshape(h, -1)[:, :w]
+    else:
+        # unpack MSB-first bit groups of `depth` bits, then trim to width
+        bits = np.unpackbits(scan, axis=1)
+        idx = bits.reshape(h, -1, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        idx = (idx * weights).sum(axis=2)[:, :w].astype(np.uint8)
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError(
+            f"corrupt PNG: palette index {int(idx.max())} >= "
+            f"palette size {len(palette)}"
+        )
+    rgb = palette[idx]
+    if trns is None:
+        return rgb
+    if len(trns) > len(palette):
+        raise ValueError("corrupt PNG: tRNS longer than PLTE")
+    alpha_lut = np.full(len(palette), 255, dtype=np.uint8)
+    alpha_lut[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+    return np.concatenate([rgb, alpha_lut[idx][:, :, None]], axis=2)
 
 
 def encode_png(arr) -> bytes:
@@ -210,6 +264,40 @@ def encode_png(arr) -> bytes:
     )
 
 
+def encode_png_palette(indices, palette, trns: bytes | None = None) -> bytes:
+    """(h, w) uint8 index array + (n, 3) palette → 8-bit palette PNG
+    (PLTE + optional tRNS, filter 0, one IDAT). Deterministic like
+    encode_png; the inverse of decode_png's colortype-3 path."""
+    import numpy as np
+
+    indices = np.ascontiguousarray(indices, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    if indices.ndim != 2:
+        raise ValueError("indices must be (h, w)")
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= len(palette) <= 256:
+        raise ValueError("palette must be (n, 3) with 1 <= n <= 256")
+    if int(indices.max(initial=0)) >= len(palette):
+        raise ValueError("index exceeds palette size")
+    h, w = indices.shape
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + cid
+            + data
+            + struct.pack(">I", zlib.crc32(cid + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    scan = np.concatenate([np.zeros((h, 1), np.uint8), indices], axis=1)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette.tobytes())
+    if trns is not None:
+        if len(trns) > len(palette):
+            raise ValueError("tRNS longer than palette")
+        out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6)) + chunk(b"IEND", b"")
+
+
 def resize_nearest(arr, target_w: int, target_h: int):
     """Nearest-neighbor resize via numpy index sampling (the real pixel
     work for the resize operator — no external library involved)."""
@@ -235,6 +323,39 @@ def fixture_dims(asset_id: int) -> tuple[int, int]:
 
 def fixture_duration_ms(asset_id: int) -> int:
     return 500 + (asset_id % 41) * 250
+
+
+def make_palette_asset(asset_id: int) -> bytes:
+    """Deterministic REAL 8-bit palette PNG for `asset_id`: palette size
+    n = 2 + id%15, index(x, y) = (x + 3y + id) % n, palette entry i =
+    ((i*37+id)%256, (i*59+id*7)%256, (i*83+id*13)%256); ids divisible
+    by 3 carry a tRNS chunk (alpha_i = (i*29+id)%256). Every value is
+    a closed-form function of the id so a SQL oracle can recompute
+    decoded-pixel sums while the engine re-reads them from the bytes —
+    a PLTE/tRNS/defilter bug becomes a value mismatch."""
+    import numpy as np
+
+    w, h = fixture_dims(asset_id)
+    n = 2 + asset_id % 15
+    yy, xx = np.mgrid[0:h, 0:w]
+    idx = ((xx + 3 * yy + asset_id) % n).astype(np.uint8)
+    pal = np.array(
+        [
+            [
+                (i * 37 + asset_id) % 256,
+                (i * 59 + asset_id * 7) % 256,
+                (i * 83 + asset_id * 13) % 256,
+            ]
+            for i in range(n)
+        ],
+        dtype=np.uint8,
+    )
+    trns = (
+        bytes((i * 29 + asset_id) % 256 for i in range(n))
+        if asset_id % 3 == 0
+        else None
+    )
+    return encode_png_palette(idx, pal, trns)
 
 
 def make_asset(asset_id: int) -> tuple[str, bytes]:

@@ -366,7 +366,7 @@ def _bpe_token_count(text: str) -> int:
 
 
 def _greedy_pack_tokens(
-    units: list[str], budget: int, overlap: int
+    units: list[str], budget: int, overlap: int, count_fn=None
 ) -> list[tuple[int, str, int]]:
     """Greedy token-budget packing with trailing-unit overlap carry →
     [(pos, content, n_tokens)].
@@ -378,14 +378,20 @@ def _greedy_pack_tokens(
     token count). Overlap keeps trailing whole units totaling <=
     `overlap` tokens — dropped entirely when carrying them would
     overflow the next chunk.
+
+    `count_fn` (str -> int) is the tokenizer seam; chunk counts are the
+    SUM of per-unit counts, exact whenever no token spans the joining
+    whitespace (true of the default estimator and of word/BPE-family
+    tokenizers).
     """
+    count_fn = count_fn or _bpe_token_count
     out: list[tuple[int, str, int]] = []
     cur: list[str] = []
     cur_tok = 0
     pos = 0
     counts: list[int] = []
     for u in units:
-        ut = _bpe_token_count(u)
+        ut = count_fn(u)
         if cur and cur_tok + ut > budget:
             out.append((pos, " ".join(cur), cur_tok))
             pos += 1
@@ -423,17 +429,25 @@ def chunk_hybrid(
     chunk_overlap: int = DEFAULT_CHUNK_OVERLAP,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_count=None,
 ) -> DataFrame:
     """Tokenizer-aware hybrid chunking: sentence units greedily packed
     into a TOKEN budget (not characters), with token-bounded overlap.
 
     Mirrors docling's HybridChunker semantics (docling_service.py:
     212-236 — tokenizer-counted packing with chunk_overlap carry,
-    tokenizer BAAI/bge-small-en-v1.5 per config/settings.py:50). The
-    exact HF tokenizer is a non-deterministic external dependency, so
-    the engine uses its deterministic BPE-ish estimator (same regex
-    family as the token_count_bpe operator); a real tokenizer plugs
-    into the same applyInPandas seam by swapping _bpe_token_count.
+    tokenizer BAAI/bge-small-en-v1.5 per config/settings.py:50).
+
+    `token_count` (str -> int, picklable) is the tokenizer seam: pass a
+    real tokenizer's count — e.g.
+    ``lambda s: len(hf_tok(s)["input_ids"])`` — to get exact context-
+    window budgets for a specific model. The callable ships to
+    executors via cloudpickle, so it must be self-contained (load the
+    tokenizer inside the closure, not from driver globals). Default is
+    the engine's deterministic BPE-ish estimator (same regex family as
+    token_count_bpe) — the HF tokenizer itself is a non-deterministic
+    external dependency, so the oracled registry key stays on the
+    default.
 
     `chunk_size`/`chunk_overlap` are budgets in TOKENS here — the unit
     the reference's HybridChunker uses — unlike the character budgets
@@ -443,6 +457,7 @@ def chunk_hybrid(
 
     validate_chunk_config(chunk_size, chunk_overlap)
     sent_re = re.compile(SENTENCE_REGEX)
+    count_fn = token_count or _bpe_token_count
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -465,7 +480,7 @@ def chunk_hybrid(
             if not units:
                 units = [""]
             for pos, content, n_tok in _greedy_pack_tokens(
-                units, chunk_size, chunk_overlap
+                units, chunk_size, chunk_overlap, count_fn
             ):
                 rows.append(
                     (r["doc_id"], pos, f"{r['doc_id']}-{pos}", content, n_tok)

@@ -64,6 +64,79 @@ def real_assets(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).mapInPandas(gen, ASSET_SCHEMA)
 
 
+def palette_assets(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL palette-PNG fixtures (PLTE + optional tRNS),
+    one per document id (functions/imagecodec.make_palette_asset)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_pipeline2_spark.functions.imagecodec import make_palette_asset
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["image"] * len(pdf),
+                    "format": ["png"] * len(pdf),
+                    "payload": [make_palette_asset(int(a)) for a in pdf["asset_id"]],
+                }
+            )
+
+    return documents.select(
+        F.col(id_col).cast("long").alias("asset_id")
+    ).mapInPandas(gen, ASSET_SCHEMA)
+
+
+PALETTE_STATS_SCHEMA = (
+    "asset_id long, width int, height int, has_alpha boolean, "
+    "red_sum long, alpha_sum long"
+)
+
+
+def decode_palette_stats(assets: DataFrame) -> DataFrame:
+    """REAL palette decode, reduced to driver-hashable scalars: each
+    payload goes through decode_png's colortype-3 path (PLTE lookup,
+    tRNS alpha, defilter) and emits decoded-pixel sums — dims come from
+    the decoded array's shape, not the header, so the whole pixel chain
+    must be right for an oracle recomputing the sums in closed form to
+    hash-match. Opaque images count alpha as 255 per pixel."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_pipeline2_spark.functions.imagecodec import decode_png
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = decode_png(bytes(payload))
+                h, w, nch = arr.shape
+                has_alpha = nch == 4
+                alpha_sum = (
+                    int(arr[:, :, 3].astype("int64").sum())
+                    if has_alpha
+                    else 255 * w * h
+                )
+                rows.append(
+                    (
+                        int(aid),
+                        w,
+                        h,
+                        has_alpha,
+                        int(arr[:, :, 0].astype("int64").sum()),
+                        alpha_sum,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "has_alpha",
+                    "red_sum", "alpha_sum",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        stats, PALETTE_STATS_SCHEMA
+    )
+
+
 def documents_as_assets(documents: DataFrame) -> DataFrame:
     """Derive a deterministic assets table from the documents corpus
     (text bytes stand in for media payloads — the container has no

@@ -4260,6 +4260,50 @@ def q_kmeans_embeddings(spark, sf_dir):
     return similarity.kmeans(_t(spark, sf_dir, "embeddings"), k=8, n_iter=2)
 
 
+# Keys below register AFTER the round-3 backlog on purpose: the driver
+# verifies ~50 keys per round in export order, and the 50 keys above
+# exhaust round 3's window — new operators queue here for round 4
+# rather than pushing a backlog key out of its slot.
+
+
+@_register(
+    "multimodal_decode_palette",
+    """
+    WITH dims AS (
+      SELECT doc_id AS asset_id,
+             CAST(16 + doc_id % 97 AS INT) AS w,
+             CAST(16 + doc_id % 53 AS INT) AS h,
+             2 + doc_id % 15 AS n
+      FROM documents WHERE doc_id < 120
+    ), px AS (
+      SELECT asset_id, w, h, n,
+             ((p % w) + 3 * (p // w) + asset_id) % n AS i
+      FROM (SELECT asset_id, w, h, n,
+                   unnest(generate_series(0, w*h - 1)) AS p
+            FROM dims)
+    )
+    SELECT asset_id,
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           (asset_id % 3 = 0) AS has_alpha,
+           CAST(sum((i*37 + asset_id) % 256) AS BIGINT) AS red_sum,
+           CAST(sum(CASE WHEN asset_id % 3 = 0
+                         THEN (i*29 + asset_id) % 256
+                         ELSE 255 END) AS BIGINT) AS alpha_sum
+    FROM px
+    GROUP BY asset_id
+    """,
+)
+def q_multimodal_decode_palette(spark, sf_dir):
+    """Palette-PNG decode (VERDICT r2 item 6), value-checked end-to-end:
+    real PLTE/tRNS PNG bytes per asset (imagecodec.make_palette_asset),
+    decoded through decode_png's colortype-3 path, reduced to pixel
+    sums the oracle recomputes in closed form — a palette-lookup,
+    alpha, or defilter bug is a hash mismatch, not a silent artifact."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return multimodal.decode_palette_stats(multimodal.palette_assets(docs))
+
+
 # ---------------------------------------------------------------- export
 
 # Driver-facing ordering. The correctness driver verifies keys in dict

@@ -205,6 +205,133 @@ def test_resize_nearest_properties(w, h, tw, th):
         assert (out == arr).all()
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    aid=st.integers(min_value=0, max_value=500),
+    depth=st.sampled_from([1, 2, 4, 8]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_palette_roundtrip_property(aid, depth, seed):
+    """Palette encode→decode resolves PLTE (+ tRNS) exactly; the
+    fixture generator's closed forms match the decoded pixels. Sub-byte
+    depths exercise the bit-unpacking path via hand-packed scanlines."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_pipeline2_spark.functions.imagecodec import (
+        decode_png,
+        encode_png_palette,
+        make_palette_asset,
+    )
+
+    # 8-bit generator fixture: closed-form pixel identity
+    arr = decode_png(make_palette_asset(aid))
+    w, h = 16 + aid % 97, 16 + aid % 53
+    n = 2 + aid % 15
+    yy, xx = np.mgrid[0:h, 0:w]
+    idx = (xx + 3 * yy + aid) % n
+    assert arr.shape[:2] == (h, w)
+    assert (arr[:, :, 0] == (idx * 37 + aid) % 256).all()
+    if aid % 3 == 0:
+        assert arr.shape[2] == 4
+        assert (arr[:, :, 3] == (idx * 29 + aid) % 256).all()
+    else:
+        assert arr.shape[2] == 3
+
+    # random palette at the given depth (hand-packed for sub-byte)
+    rng = np.random.RandomState(seed % (2**31))
+    npal = rng.randint(1, min(2**depth, 256) + 1)
+    pw, ph = rng.randint(1, 20), rng.randint(1, 20)
+    indices = rng.randint(0, npal, (ph, pw)).astype(np.uint8)
+    pal = rng.randint(0, 256, (npal, 3)).astype(np.uint8)
+    if depth == 8:
+        png = encode_png_palette(indices, pal)
+    else:
+        per_byte = 8 // depth
+        stride = (pw * depth + 7) // 8
+        scan = bytearray()
+        for y in range(ph):
+            scan.append(0)
+            row = np.zeros(stride * per_byte, np.uint8)
+            row[:pw] = indices[y]
+            packed = np.zeros(stride, np.uint8)
+            for k in range(per_byte):
+                packed |= row[k::per_byte][:stride] << (8 - depth * (k + 1))
+            scan.extend(packed.tobytes())
+
+        def chunk(cid, data):
+            return (
+                struct.pack(">I", len(data)) + cid + data
+                + struct.pack(">I", zlib.crc32(cid + data) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", pw, ph, depth, 3, 0, 0, 0))
+            + chunk(b"PLTE", pal.tobytes())
+            + chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + chunk(b"IEND", b"")
+        )
+    back = decode_png(png)
+    assert back.shape == (ph, pw, 3)
+    assert (back == pal[indices]).all()
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    aid=st.integers(min_value=0, max_value=300),
+    plte=st.binary(min_size=0, max_size=32),
+    drop_plte=st.booleans(),
+)
+def test_png_palette_garbage_plte_contract(aid, plte, drop_plte):
+    """Garbage PLTE chunks (wrong length, too small for the indices in
+    use, or absent) must raise ValueError — never IndexError, silent
+    wraparound, or wrong-shaped output. A valid-by-luck PLTE must still
+    decode to exactly its own colors."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_pipeline2_spark.functions.imagecodec import (
+        decode_png,
+        make_palette_asset,
+    )
+
+    png = make_palette_asset(aid)
+    i = png.index(b"PLTE") - 4
+    clen = struct.unpack(">I", png[i : i + 4])[0]
+
+    def chunk(cid, data):
+        return (
+            struct.pack(">I", len(data)) + cid + data
+            + struct.pack(">I", zlib.crc32(cid + data) & 0xFFFFFFFF)
+        )
+
+    repl = b"" if drop_plte else chunk(b"PLTE", plte)
+    mutated = png[:i] + repl + png[i + 12 + clen :]
+    n_used = 2 + aid % 15  # indices 0..n_used-1 all appear in the fixture
+    try:
+        arr = decode_png(mutated)
+    except ValueError:
+        # acceptable iff the PLTE was actually unusable (absent, empty,
+        # not a triple multiple, or too small for the indices/tRNS)
+        assert drop_plte or len(plte) == 0 or len(plte) % 3 or (
+            len(plte) // 3 < n_used
+        )
+        return
+    # decoded: the PLTE must have been structurally valid and large enough
+    assert not drop_plte and len(plte) % 3 == 0 and len(plte) // 3 >= n_used
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    w, h = 16 + aid % 97, 16 + aid % 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    idx = (xx + 3 * yy + aid) % n_used
+    assert arr.shape[:2] == (h, w)
+    assert (arr[:, :, :3] == pal[idx]).all()
+
+
 @settings(max_examples=150, deadline=None)
 @given(data=st.binary(min_size=0, max_size=120))
 def test_media_probes_never_crash_on_garbage(data):
