@@ -565,3 +565,226 @@ def join_range(
         )
         .drop("__bucket")
     )
+
+
+# --------------------------------------------------- derived PARTSUPP
+# The testdata ships no partsupp table (COVERAGE.md §"TPC-H gaps"), so
+# the q2/q11/q16/q20 family runs over a DETERMINISTIC derivation that
+# the engine and the SQL oracle both materialize identically from the
+# part/supplier tables: 4 suppliers per part via the dbgen assignment
+# formula (TPC-H spec §4.2.3, 0-based keys), integer availability and
+# integer-CENTS supply cost (no float arithmetic anywhere in the
+# derivation, so cross-engine sums are exact). Reference parity: the
+# reference's TPC-H-family joins (BASELINE.md) cover q2/q11/q16/q20
+# only where partsupp exists; this derivation keeps the join surface
+# complete without synthesizing new testdata files.
+
+
+def derived_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_cents) —
+    4 rows per part. The supplier count S enters as a broadcast
+    single-row aggregate (scalar-subquery pattern, no collect), so the
+    same plan works when supplier is a table of any size."""
+    s_count = supplier.agg(F.count(F.lit(1)).alias("__S"))
+    return (
+        part.select("p_partkey")
+        .crossJoin(F.broadcast(s_count))
+        .withColumn("__i", F.explode(F.array(*[F.lit(i) for i in range(4)])))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.expr(
+                "pmod(p_partkey + __i * (__S div 4 + p_partkey div __S), __S)"
+            ).cast("long").alias("ps_suppkey"),
+            (
+                F.pmod(F.col("p_partkey") * 7 + F.col("__i") * 11, F.lit(9998))
+                + 1
+            ).cast("long").alias("ps_availqty"),
+            (
+                F.pmod(F.col("p_partkey") * 13 + F.col("__i") * 17, F.lit(99900))
+                + 100
+            ).cast("long").alias("ps_supplycost_cents"),
+        )
+    )
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    size: int | None = None,
+    ptype: str = "STANDARD",
+) -> DataFrame:
+    """TPC-H Q2-shaped: for each qualifying part, the supplier(s) in a
+    region offering the minimum supply cost.
+
+    Adapted to the testdata: p_type is a single word (equality, not
+    LIKE '%BRASS'), and the output keeps the columns the schema has
+    (no s_address/s_phone/s_comment). `size=None` skips the p_size
+    equality (the default: the synthetic part table is small enough
+    that both filters together leave almost nothing to verify). The
+    per-part minimum joins back via a per-key aggregate (exact integer
+    cents — double-equality hazards don't exist here); all dimension
+    joins broadcast."""
+    ps = derived_partsupp(part, supplier)
+    p = part.filter(F.col("p_type") == ptype)
+    if size is not None:
+        p = p.filter(F.col("p_size") == size)
+    p = p.select("p_partkey", "p_type")
+    eu = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(
+                region.filter(F.col("r_name") == region_name)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    mincost = cand.groupBy(F.col("ps_partkey").alias("__pk")).agg(
+        F.min("ps_supplycost_cents").alias("__min_cents")
+    )
+    return (
+        cand.join(
+            mincost,
+            (F.col("ps_partkey") == F.col("__pk"))
+            & (F.col("ps_supplycost_cents") == F.col("__min_cents")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            F.col("ps_supplycost_cents").alias("supplycost_cents"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def important_stock(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_7",
+) -> DataFrame:
+    """TPC-H Q11-shaped: parts whose stock value at one nation's
+    suppliers exceeds 1/10000 of that nation's total stock value.
+
+    All value arithmetic is integer cents (availqty × cost_cents sums
+    as BIGINT — exact, order-independent), and the threshold compare
+    is integer-exact: part_value × 10000 > total. The national total
+    enters as a broadcast single-row aggregate (no collect)."""
+    ps = derived_partsupp(part, supplier)
+    supp_n = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    values = (
+        ps.join(F.broadcast(supp_n), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents") * F.col("ps_availqty")
+            ).alias("value_cents")
+        )
+    )
+    total = values.agg(F.sum("value_cents").alias("__total_cents"))
+    return (
+        values.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 10000 > F.col("__total_cents"))
+        .select("ps_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "ps_partkey")
+    )
+
+
+def parts_supplier_relationship(
+    part: DataFrame,
+    supplier: DataFrame,
+    excl_brand: str = "Brand#9",
+    excl_type: str = "PROMO",
+    sizes: tuple = (1, 3, 9, 15, 23, 33, 41, 49),
+) -> DataFrame:
+    """TPC-H Q16-shaped: distinct supplier count per (brand, type,
+    size) for non-excluded parts, skipping flagged suppliers.
+
+    Adapted: the spec excludes suppliers whose s_comment matches
+    '%Customer%Complaints%'; the testdata has no s_comment column, so
+    the flagged set is s_acctbal < 0 (the schema's only supplier
+    quality signal) — documented in COVERAGE.md. The exclusion is a
+    broadcast anti-join; the distinct count shuffles once on the
+    3-column group key."""
+    p = part.filter(
+        (F.col("p_brand") != excl_brand)
+        & (F.col("p_type") != excl_type)
+        & F.col("p_size").isin(list(sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = derived_partsupp(part, supplier)
+    return (
+        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(flagged),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def potential_promotion(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    name_prefix: str = "red",
+    nation_name: str = "NATION_3",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q20-shaped: suppliers in one nation whose available stock
+    of name-matched parts exceeds half of what they shipped in a year.
+
+    The heavy side (lineitem) is filtered by the broadcast part dim
+    BEFORE its (partkey, suppkey) aggregate; quantities are
+    integer-valued doubles, so the sum is exact in either engine. The
+    half-of-shipped compare stays integral: 2 × availqty > sum_qty."""
+    red = part.filter(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey"
+    )
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+    )
+    ps = derived_partsupp(part, supplier)
+    qualifying = ps.join(
+        shipped,
+        (F.col("ps_partkey") == F.col("l_partkey"))
+        & (F.col("ps_suppkey") == F.col("l_suppkey")),
+    ).filter(F.col("ps_availqty") * 2 > F.col("__qty"))
+    supp_n = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        qualifying.select("ps_suppkey")
+        .distinct()
+        .join(F.broadcast(supp_n), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -4304,6 +4304,154 @@ def q_multimodal_decode_palette(spark, sf_dir):
     return multimodal.decode_palette_stats(multimodal.palette_assets(docs))
 
 
+# ---- TPC-H q2/q11/q16/q20 over the DERIVED partsupp (joins.py) ----
+# The testdata ships no partsupp file; both engines materialize the
+# identical deterministic derivation (dbgen's 4-suppliers-per-part
+# assignment, integer-cents costs), so these four formerly-blocked
+# joins get full value-hash verification. q21/q12 stay blocked: they
+# need l_receiptdate/l_commitdate/l_shipmode columns the testdata
+# lineitem genuinely lacks (COVERAGE.md §TPC-H gaps).
+
+_PARTSUPP_CTE = """
+    ps AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + i * (S // 4 + p_partkey // S)) % S AS ps_suppkey,
+             (p_partkey * 7 + i * 11) % 9998 + 1 AS ps_availqty,
+             (p_partkey * 13 + i * 17) % 99900 + 100 AS ps_supplycost_cents
+      FROM part
+      CROSS JOIN (SELECT count(*) AS S FROM supplier)
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+    )
+"""
+
+
+@_register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT * FROM ps
+      JOIN (SELECT p_partkey, p_type FROM part
+            WHERE p_type = 'STANDARD') p
+        ON ps_partkey = p_partkey
+      JOIN eu ON ps_suppkey = s_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           ps_supplycost_cents AS supplycost_cents
+    FROM cand
+    WHERE ps_supplycost_cents = (
+      SELECT min(c2.ps_supplycost_cents) FROM cand c2
+      WHERE c2.ps_partkey = cand.ps_partkey
+    )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_q2_min_cost_supplier(spark, sf_dir):
+    return joins.min_cost_supplier(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@_register(
+    "q11_important_stock",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    sn AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+    ),
+    v AS (
+      SELECT ps_partkey,
+             CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT)
+               AS value_cents
+      FROM ps JOIN sn ON ps_suppkey = s_suppkey
+      GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, value_cents
+    FROM v CROSS JOIN (
+      SELECT CAST(sum(value_cents) AS BIGINT) AS total FROM v
+    ) t
+    WHERE value_cents * 10000 > total
+    ORDER BY value_cents DESC, ps_partkey
+    """,
+)
+def q_q11_important_stock(spark, sf_dir):
+    return joins.important_stock(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@_register(
+    "q16_parts_supplier",
+    f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part ON ps_partkey = p_partkey
+    WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+      AND p_size IN (1, 3, 9, 15, 23, 33, 41, 49)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_q16_parts_supplier(spark, sf_dir):
+    return joins.parts_supplier_relationship(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier")
+    )
+
+
+@_register(
+    "q20_potential_promotion",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    q AS (
+      SELECT DISTINCT ps_suppkey
+      FROM ps JOIN shipped
+        ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      WHERE ps_availqty * 2 > qty
+    )
+    SELECT s_suppkey, s_name
+    FROM q
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    ORDER BY s_suppkey
+    """,
+)
+def q_q20_potential_promotion(spark, sf_dir):
+    return joins.potential_promotion(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
 # ---------------------------------------------------------------- export
 
 # Driver-facing ordering. The correctness driver verifies keys in dict
