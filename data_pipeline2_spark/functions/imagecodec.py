@@ -309,6 +309,219 @@ def resize_nearest(arr, target_w: int, target_h: int):
     return arr[ys][:, xs]
 
 
+# ------------------------------------------------------------- GIF codec
+
+
+def decode_gif(payload: bytes):
+    """First frame of a GIF → numpy uint8 array (h, w, 3) or (h, w, 4)
+    when the frame declares a transparent index.
+
+    Real LZW decompression (variable-width codes, clear/EOI handling,
+    12-bit dictionary cap) + global/local color table resolution +
+    interlace pass reordering — pure stdlib/numpy, same stance as the
+    PNG codec. Corrupt streams raise ValueError."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        raise ValueError("not a GIF payload")
+    packed = payload[10]
+    gct = None
+    i = 13
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[i : i + 3 * n], np.uint8).reshape(-1, 3)
+        if len(gct) < n:
+            raise ValueError("corrupt GIF: truncated global color table")
+        i += 3 * n
+    transparent = None
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x21:  # extension
+            if i + 2 > len(payload):
+                raise ValueError("corrupt GIF: truncated extension")
+            label = payload[i + 1]
+            i += 2
+            if label == 0xF9 and i < len(payload) and payload[i] >= 4:
+                if payload[i + 1] & 0x01:  # transparency flag
+                    transparent = payload[i + 4]
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1  # block terminator
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > len(payload):
+                raise ValueError("corrupt GIF: truncated image descriptor")
+            w, h = struct.unpack("<HH", payload[i + 5 : i + 9])
+            ipacked = payload[i + 9]
+            i += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(
+                    payload[i : i + 3 * n], np.uint8
+                ).reshape(-1, 3)
+                if len(pal) < n:
+                    raise ValueError("corrupt GIF: truncated local color table")
+                i += 3 * n
+            if pal is None:
+                raise ValueError("corrupt GIF: no color table")
+            if i >= len(payload):
+                raise ValueError("corrupt GIF: missing LZW data")
+            min_code = payload[i]
+            i += 1
+            data = bytearray()
+            while i < len(payload) and payload[i] != 0:
+                sz = payload[i]
+                data += payload[i + 1 : i + 1 + sz]
+                i += 1 + sz
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            if (ipacked & 0x40) and h > 1:  # interlaced: reorder rows
+                rows = np.zeros(h, np.int64)
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                rows[np.array(order)] = np.arange(h)
+                idx = idx.reshape(h, w)[rows].reshape(-1)
+            idx = idx.reshape(h, w)
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError(
+                    f"corrupt GIF: index {int(idx.max())} >= palette "
+                    f"size {len(pal)}"
+                )
+            rgb = pal[idx]
+            if transparent is None:
+                return rgb
+            alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+            return np.concatenate([rgb, alpha[:, :, None]], axis=2)
+        elif b == 0x3B:  # trailer before any image
+            raise ValueError("corrupt GIF: no image data")
+        else:
+            raise ValueError(f"corrupt GIF: unknown block 0x{b:02x}")
+    raise ValueError("corrupt GIF: no image data")
+
+
+def _lzw_decode(data: bytes, min_code: int, expected: int):
+    """GIF-flavor LZW → numpy uint8 index array of length `expected`."""
+    import numpy as np
+
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"corrupt GIF: LZW min code size {min_code}")
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    base = [(c,) for c in range(clear)] + [None, None]
+    table = list(base)
+    width = min_code + 1
+    out: list[int] = []
+    prev: tuple | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                nbits = 0
+                acc = 0
+                break
+            if prev is None:
+                if code >= len(table) or table[code] is None:
+                    raise ValueError("corrupt GIF: bad initial LZW code")
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(prev + (entry[0],))
+            elif code == len(table):
+                entry = prev + (prev[0],)
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF: LZW code out of range")
+            out.extend(entry)
+            if len(out) >= expected:
+                return np.array(out[:expected], np.uint8)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    if len(out) < expected:
+        raise ValueError(
+            f"corrupt GIF: LZW stream ended at {len(out)}/{expected} pixels"
+        )
+    return np.array(out[:expected], np.uint8)
+
+
+def encode_gif(indices, palette, transparent: int | None = None) -> bytes:
+    """(h, w) uint8 indices + (n, 3) palette → single-frame GIF89a.
+
+    Emits literal LZW codes with a clear code before each symbol run
+    (the classic no-compression GIF writer) — deterministic bytes,
+    decodable by any GIF reader including decode_gif."""
+    import numpy as np
+
+    indices = np.ascontiguousarray(indices, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    if indices.ndim != 2:
+        raise ValueError("indices must be (h, w)")
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= len(palette) <= 256:
+        raise ValueError("palette must be (n, 3) with 1 <= n <= 256")
+    if int(indices.max(initial=0)) >= len(palette):
+        raise ValueError("index exceeds palette size")
+    h, w = indices.shape
+    # color table size: next power of two >= max(2, n), min exponent 1
+    exp = 1
+    while (2 << exp) < len(palette):
+        exp += 1
+    n_slots = 2 << exp
+    pal_bytes = palette.tobytes() + b"\x00" * (3 * (n_slots - len(palette)))
+    min_code = max(2, exp + 1)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+
+    bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    # after a clear the table holds clear+2 codes; emitting a literal
+    # grows it by one — re-clear before the table forces a width bump
+    budget = (1 << width) - clear - 3
+    for v in indices.reshape(-1):
+        if budget == 0:
+            emit(clear)
+            budget = (1 << width) - clear - 3
+        emit(int(v))
+        budget -= 1
+    emit(eoi)
+    if nbits:
+        bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h) + bytes([0xF0 | exp, 0, 0]) + pal_bytes
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent & 0xFF, 0])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([min_code])
+    for j in range(0, len(bits), 255):
+        block = bits[j : j + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 # ----------------------------------------------------- fixture generator
 
 # dims/duration are pure functions of asset_id so a SQL oracle can
@@ -356,6 +569,34 @@ def make_palette_asset(asset_id: int) -> bytes:
         else None
     )
     return encode_png_palette(idx, pal, trns)
+
+
+def make_gif_asset(asset_id: int) -> bytes:
+    """Deterministic REAL single-frame GIF for `asset_id`: color table
+    size n = 2 + id%15, index(x, y) = (2x + y + id) % n, palette entry
+    i = ((i*41+id)%256, (i*61+id*5)%256, (i*89+id*11)%256); ids
+    divisible by 4 mark index id%n transparent. Closed-form like
+    make_palette_asset so a SQL oracle can recompute decoded-pixel
+    sums while the engine runs the real LZW decode."""
+    import numpy as np
+
+    w, h = fixture_dims(asset_id)
+    n = 2 + asset_id % 15
+    yy, xx = np.mgrid[0:h, 0:w]
+    idx = ((2 * xx + yy + asset_id) % n).astype(np.uint8)
+    pal = np.array(
+        [
+            [
+                (i * 41 + asset_id) % 256,
+                (i * 61 + asset_id * 5) % 256,
+                (i * 89 + asset_id * 11) % 256,
+            ]
+            for i in range(n)
+        ],
+        dtype=np.uint8,
+    )
+    tr = asset_id % n if asset_id % 4 == 0 else None
+    return encode_gif(idx, pal, tr)
 
 
 def make_asset(asset_id: int) -> tuple[str, bytes]:

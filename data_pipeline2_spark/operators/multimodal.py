@@ -86,27 +86,57 @@ def palette_assets(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).mapInPandas(gen, ASSET_SCHEMA)
 
 
+def gif_assets(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL single-frame GIF fixtures (LZW-encoded, some
+    with a transparent index), one per document id
+    (functions/imagecodec.make_gif_asset)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_pipeline2_spark.functions.imagecodec import make_gif_asset
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["image"] * len(pdf),
+                    "format": ["gif"] * len(pdf),
+                    "payload": [make_gif_asset(int(a)) for a in pdf["asset_id"]],
+                }
+            )
+
+    return documents.select(
+        F.col(id_col).cast("long").alias("asset_id")
+    ).mapInPandas(gen, ASSET_SCHEMA)
+
+
 PALETTE_STATS_SCHEMA = (
     "asset_id long, width int, height int, has_alpha boolean, "
     "red_sum long, alpha_sum long"
 )
 
 
-def decode_palette_stats(assets: DataFrame) -> DataFrame:
-    """REAL palette decode, reduced to driver-hashable scalars: each
-    payload goes through decode_png's colortype-3 path (PLTE lookup,
-    tRNS alpha, defilter) and emits decoded-pixel sums — dims come from
-    the decoded array's shape, not the header, so the whole pixel chain
-    must be right for an oracle recomputing the sums in closed form to
-    hash-match. Opaque images count alpha as 255 per pixel."""
+def decode_palette_stats(assets: DataFrame, codec: str = "png") -> DataFrame:
+    """REAL paletted-image decode, reduced to driver-hashable scalars:
+    each payload goes through the full pixel chain — PNG colortype-3
+    (PLTE lookup, tRNS alpha, defilter) or GIF (LZW decompression,
+    color-table lookup, transparency) — and emits decoded-pixel sums.
+    Dims come from the decoded array's shape, not the header, so the
+    whole chain must be right for an oracle recomputing the sums in
+    closed form to hash-match. Opaque images count alpha as 255/pixel."""
+    if codec not in ("png", "gif"):
+        raise ValueError(f"unsupported palette codec {codec!r}")
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from data_pipeline2_spark.functions.imagecodec import decode_png
+        from data_pipeline2_spark.functions.imagecodec import (
+            decode_gif,
+            decode_png,
+        )
 
+        decode = decode_png if codec == "png" else decode_gif
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                arr = decode_png(bytes(payload))
+                arr = decode(bytes(payload))
                 h, w, nch = arr.shape
                 has_alpha = nch == 4
                 alpha_sum = (

@@ -332,6 +332,162 @@ def test_png_palette_garbage_plte_contract(aid, plte, drop_plte):
     assert (arr[:, :, :3] == pal[idx]).all()
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    aid=st.integers(min_value=0, max_value=500),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_codec_roundtrip_property(aid, seed):
+    """encode_gif→decode_gif is lossless (palette colors + transparent
+    index), and the closed-form fixture generator matches its decoded
+    pixels exactly."""
+    import numpy as np
+
+    from data_pipeline2_spark.functions.imagecodec import (
+        decode_gif,
+        encode_gif,
+        make_gif_asset,
+        probe_image,
+    )
+
+    # fixture: closed-form pixel identity
+    arr = decode_gif(make_gif_asset(aid))
+    w, h = 16 + aid % 97, 16 + aid % 53
+    n = 2 + aid % 15
+    yy, xx = np.mgrid[0:h, 0:w]
+    idx = (2 * xx + yy + aid) % n
+    assert arr.shape[:2] == (h, w)
+    assert (arr[:, :, 0] == (idx * 41 + aid) % 256).all()
+    if aid % 4 == 0:
+        assert arr.shape[2] == 4
+        assert (arr[:, :, 3] == np.where(idx == aid % n, 0, 255)).all()
+    else:
+        assert arr.shape[2] == 3
+
+    # random image roundtrip
+    rng = np.random.RandomState(seed % (2**31))
+    npal = rng.randint(1, 257)
+    gw, gh = rng.randint(1, 30), rng.randint(1, 30)
+    indices = rng.randint(0, npal, (gh, gw)).astype(np.uint8)
+    pal = rng.randint(0, 256, (npal, 3)).astype(np.uint8)
+    gif = encode_gif(indices, pal)
+    assert probe_image(gif)["width"] == gw
+    back = decode_gif(gif)
+    assert back.shape == (gh, gw, 3)
+    assert (back == pal[indices]).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    min_code=st.integers(min_value=2, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_lzw_decode_handles_real_compression(w, h, min_code, seed):
+    """decode_gif's LZW path against a REAL compressing encoder (the
+    textbook GIF-LZW compressor, built here in the test): dictionary
+    growth, the code==len(table) self-reference case, and width bumps
+    all get exercised — encode_gif alone only emits literals."""
+    import struct
+
+    import numpy as np
+
+    from data_pipeline2_spark.functions.imagecodec import decode_gif
+
+    rng = np.random.RandomState(seed % (2**31))
+    ncolors = 1 << min_code
+    # low-entropy data: long runs force dictionary reuse and growth
+    base = rng.randint(0, ncolors, max(1, w * h // 7) + 1)
+    indices = np.repeat(base, 7)[: w * h].astype(np.uint8).reshape(h, w)
+
+    clear, eoi = ncolors, ncolors + 1
+    table = {(c,): c for c in range(ncolors)}
+    next_code = eoi + 1
+    width = min_code + 1
+    bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code, cw):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    seq: tuple = ()
+    for v in indices.reshape(-1).tolist():
+        cand = seq + (v,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        # width sync: the decoder creates entry k while reading emission
+        # k+1, and bumps once its table reaches 2^width — which happens
+        # exactly when the encoder has just assigned code 2^width
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code >= (1 << 12) - 1:
+            emit(clear, width)
+            table = {(c,): c for c in range(ncolors)}
+            next_code = eoi + 1
+            width = min_code + 1
+        seq = (v,)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if nbits:
+        bits.append(acc & 0xFF)
+
+    pal = rng.randint(0, 256, (ncolors, 3)).astype(np.uint8)
+    exp = min_code - 1 if min_code > 1 else 1
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HH", w, h) + bytes([0xF0 | exp, 0, 0]) + pal.tobytes()
+    gif += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    gif += bytes([min_code])
+    for j in range(0, len(bits), 255):
+        block = bits[j : j + 255]
+        gif += bytes([len(block)]) + block
+    gif += b"\x00\x3b"
+
+    back = decode_gif(bytes(gif))
+    assert back.shape == (h, w, 3)
+    assert (back == pal[indices]).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    aid=st.integers(min_value=0, max_value=300),
+    cut=st.integers(min_value=0, max_value=4000),
+    flip=st.integers(min_value=0, max_value=4000),
+)
+def test_gif_decode_never_crashes_unstructured(aid, cut, flip):
+    """Truncated or bit-flipped GIFs: decode_gif returns a valid array
+    or raises ValueError — never IndexError/struct.error/infinite
+    output (executor-safety contract, same as the probes)."""
+    import numpy as np
+
+    from data_pipeline2_spark.functions.imagecodec import (
+        decode_gif,
+        make_gif_asset,
+    )
+
+    payload = bytearray(make_gif_asset(aid))
+    payload = payload[: max(6, len(payload) - cut % max(1, len(payload)))]
+    if payload and flip < len(payload):
+        payload[flip] ^= 0xFF
+    try:
+        arr = decode_gif(bytes(payload))
+        assert arr.ndim == 3 and arr.dtype == np.uint8
+    except ValueError:
+        pass
+
+
 @settings(max_examples=150, deadline=None)
 @given(data=st.binary(min_size=0, max_size=120))
 def test_media_probes_never_crash_on_garbage(data):
