@@ -5,6 +5,9 @@ parseable with struct + zlib + numpy:
 
 - header PROBES (dimensions / mode / duration) for PNG, JPEG, GIF, BMP
   and WAV — byte-exact parsing of the public container specs;
+- REAL sample/pixel decodes beyond the probes: GIF (variable-width LZW,
+  color tables, transparency, interlace) and WAV PCM (8/16-bit,
+  multi-channel) — see decode_gif / decode_wav_pcm;
 - a REAL PNG codec: decode (all five scanline filters, 8-bit
   gray/LA/RGB/RGBA plus palette colortype 3 at depths 1/2/4/8 with
   PLTE + tRNS, non-interlaced), nearest-neighbor resize, encode
@@ -307,6 +310,74 @@ def resize_nearest(arr, target_w: int, target_h: int):
     ys = np.minimum((np.arange(target_h) * h) // target_h, h - 1)
     xs = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
     return arr[ys][:, xs]
+
+
+# ------------------------------------------------------- WAV PCM codec
+
+
+def decode_wav_pcm(payload: bytes):
+    """RIFF/WAVE PCM → (samples ndarray, sample_rate, channels).
+
+    Real sample decode, not just the header probe: 8-bit unsigned or
+    16-bit signed little-endian PCM, any channel count (samples come
+    back shaped (n_frames, channels)). Compressed/float formats raise
+    NotImplementedError; corrupt containers raise ValueError."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        body = payload[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("corrupt WAV: short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("corrupt WAV: missing fmt or data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"WAV audio format {audio_format} needs a codec library "
+            "(only uncompressed PCM is supported)"
+        )
+    if channels < 1:
+        raise ValueError("corrupt WAV: zero channels")
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8)
+    elif bits == 16:
+        samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM needs a codec library")
+    n_frames = len(samples) // channels
+    return samples[: n_frames * channels].reshape(n_frames, channels), rate, channels
+
+
+def make_wav_pcm_asset(asset_id: int) -> bytes:
+    """Deterministic REAL 8-bit PCM WAV for `asset_id`: a square wave at
+    1000 Hz sample rate with period p = 8 + id%32 samples, levels
+    high = 200 + id%56 / low = id%100, n = 500 + (id%41)*250 samples.
+    Sum, sum-of-squares and level-transition counts all have integer
+    closed forms, so a SQL oracle verifies the real byte-level PCM
+    decode end-to-end."""
+    import numpy as np
+
+    n = 500 + (asset_id % 41) * 250
+    p = 8 + asset_id % 32
+    high = 200 + asset_id % 56
+    low = asset_id % 100
+    t = np.arange(n)
+    samples = np.where((t // p) % 2 == 0, high, low).astype(np.uint8)
+    rate = 1000
+    fmt_chunk = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+    data = b"data" + struct.pack("<I", n) + samples.tobytes()
+    body = b"WAVE" + fmt_chunk + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # ------------------------------------------------------------- GIF codec

@@ -648,15 +648,17 @@ def min_cost_supplier(
         ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
         .join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey"))
     )
-    mincost = cand.groupBy(F.col("ps_partkey").alias("__pk")).agg(
-        F.min("ps_supplycost_cents").alias("__min_cents")
-    )
+    # per-part minimum as a window, not an agg + self-join: one hash
+    # exchange on ps_partkey instead of shuffling the fact side twice
+    # into a SortMergeJoin (plan-asserted in tests/test_plans.py)
+    from pyspark.sql.window import Window
+
+    min_w = Window.partitionBy("ps_partkey")
     return (
-        cand.join(
-            mincost,
-            (F.col("ps_partkey") == F.col("__pk"))
-            & (F.col("ps_supplycost_cents") == F.col("__min_cents")),
+        cand.withColumn(
+            "__min_cents", F.min("ps_supplycost_cents").over(min_w)
         )
+        .filter(F.col("ps_supplycost_cents") == F.col("__min_cents"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
             F.col("ps_supplycost_cents").alias("supplycost_cents"),

@@ -167,6 +167,57 @@ def decode_palette_stats(assets: DataFrame, codec: str = "png") -> DataFrame:
     )
 
 
+AUDIO_STATS_SCHEMA = (
+    "asset_id long, n_samples long, sample_rate int, channels int, "
+    "sum_samples long, sum_squares long, transitions long"
+)
+
+
+def audio_pcm_stats(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL WAV PCM decode reduced to integer invariants: generate a
+    deterministic square-wave WAV per id (imagecodec.make_wav_pcm_asset),
+    decode the actual sample bytes (decode_wav_pcm — RIFF walk, PCM
+    width handling), and emit sums/sum-of-squares/level-transition
+    counts. All integers, so a closed-form SQL oracle is exact — the
+    RMS-energy / zero-crossing-rate building blocks of audio curation,
+    verified at the byte level."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_pipeline2_spark.functions.imagecodec import (
+            decode_wav_pcm,
+            make_wav_pcm_asset,
+        )
+
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                aid = int(aid)
+                samples, rate, channels = decode_wav_pcm(make_wav_pcm_asset(aid))
+                mono = samples[:, 0].astype("int64")
+                rows.append(
+                    (
+                        aid,
+                        len(mono),
+                        rate,
+                        channels,
+                        int(mono.sum()),
+                        int((mono * mono).sum()),
+                        int((mono[1:] != mono[:-1]).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_samples", "sample_rate", "channels",
+                    "sum_samples", "sum_squares", "transitions",
+                ],
+            )
+
+    return documents.select(
+        F.col(id_col).cast("long").alias("asset_id")
+    ).mapInPandas(stats, AUDIO_STATS_SCHEMA)
+
+
 def documents_as_assets(documents: DataFrame) -> DataFrame:
     """Derive a deterministic assets table from the documents corpus
     (text bytes stand in for media payloads — the container has no

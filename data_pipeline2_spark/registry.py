@@ -4345,6 +4345,39 @@ def q_multimodal_decode_gif(spark, sf_dir):
     )
 
 
+@_register(
+    "multimodal_audio_features",
+    """
+    WITH params AS (
+      SELECT doc_id AS asset_id,
+             500 + (doc_id % 41) * 250 AS n,
+             8 + doc_id % 32 AS p,
+             200 + doc_id % 56 AS high,
+             doc_id % 100 AS low
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT asset_id,
+           n AS n_samples,
+           CAST(1000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           ch * high + (n - ch) * low AS sum_samples,
+           ch * high * high + (n - ch) * low * low AS sum_squares,
+           (n - 1) // p AS transitions
+    FROM (
+      SELECT *, (n // (2*p)) * p + least(n % (2*p), p) AS ch FROM params
+    )
+    """,
+)
+def q_multimodal_audio_features(spark, sf_dir):
+    """REAL WAV PCM sample decode (not just the header probe): the
+    engine re-reads the square-wave bytes it wrote and reduces them to
+    integer energy/transition invariants; the oracle computes the same
+    quantities in closed form from the generator parameters — a RIFF
+    walk, PCM width, or sample-order bug is a hash mismatch."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return multimodal.audio_pcm_stats(docs)
+
+
 # ---- TPC-H q2/q11/q16/q20 over the DERIVED partsupp (joins.py) ----
 # The testdata ships no partsupp file; both engines materialize the
 # identical deterministic derivation (dbgen's 4-suppliers-per-part

@@ -185,3 +185,40 @@ def test_multimodal_meta_never_reads_payload_bytes(spark):
     plan = plan_of(QUERIES["multimodal_decode"](spark, SF))
     scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "doc_id" in scan_line and "text" not in scan_line
+
+
+def test_partsupp_family_broadcasts_all_dims(spark):
+    """Derived-partsupp TPC-H family (q2/q11/q16/q20): partsupp is the
+    only fact-sized side — every dimension (part filter, supplier,
+    nation, region, the supplier-count scalar, the national total)
+    must broadcast; a SortMergeJoin anywhere means a dim shuffled at
+    fact scale."""
+    for key in (
+        "q2_min_cost_supplier",
+        "q16_parts_supplier",
+        "q20_potential_promotion",
+    ):
+        plan = plan_of(QUERIES[key](spark, SF))
+        assert "SortMergeJoin" not in plan, f"{key} shuffled a join:\n{plan}"
+        assert "BroadcastExchange" in plan, key
+
+
+def test_q11_single_fact_aggregation(spark):
+    """q11: the per-part value aggregate is the ONLY hash shuffle; the
+    grand total re-enters as a broadcast single-row aggregate, never a
+    second scan-sized exchange."""
+    plan = plan_of(QUERIES["q11_important_stock"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_palette_and_gif_decode_scan_only_ids(spark):
+    """Pixel-decode fixture queries derive payloads from ids: their
+    parquet scans must read ONLY doc_id — dragging text into the
+    mapInPandas stage would ship the whole corpus through Arrow."""
+    for key in ("multimodal_decode_palette", "multimodal_decode_gif"):
+        plan = plan_of(QUERIES[key](spark, SF))
+        scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "doc_id" in scan_line, key
+        assert "text" not in scan_line, key

@@ -488,6 +488,72 @@ def test_gif_decode_never_crashes_unstructured(aid, cut, flip):
         pass
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    aid=st.integers(min_value=0, max_value=500),
+    bits=st.sampled_from([8, 16]),
+    channels=st.integers(min_value=1, max_value=4),
+    n=st.integers(min_value=0, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_pcm_decode_roundtrip(aid, bits, channels, n, seed):
+    """decode_wav_pcm recovers exact samples for 8/16-bit PCM at any
+    channel count, and the square-wave fixture matches its closed
+    forms (sum / sum-of-squares / transitions)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from data_pipeline2_spark.functions.imagecodec import (
+        decode_wav_pcm,
+        make_wav_pcm_asset,
+    )
+
+    # fixture closed forms
+    samples, rate, ch = decode_wav_pcm(make_wav_pcm_asset(aid))
+    assert (rate, ch) == (1000, 1)
+    mono = samples[:, 0].astype(np.int64)
+    N = 500 + (aid % 41) * 250
+    p = 8 + aid % 32
+    high, low = 200 + aid % 56, aid % 100
+    q, r = divmod(N, 2 * p)
+    chigh = q * p + min(r, p)
+    assert len(mono) == N
+    assert int(mono.sum()) == chigh * high + (N - chigh) * low
+    assert int((mono[1:] != mono[:-1]).sum()) == (N - 1) // p
+
+    # arbitrary PCM roundtrip
+    rng = np.random.RandomState(seed % (2**31))
+    if bits == 8:
+        data = rng.randint(0, 256, n * channels).astype(np.uint8).tobytes()
+    else:
+        data = rng.randint(-32768, 32768, n * channels).astype("<i2").tobytes()
+    rate2 = int(rng.randint(1, 96000))
+    block = channels * bits // 8
+    fmt = b"fmt " + _struct.pack(
+        "<IHHIIHH", 16, 1, channels, rate2, rate2 * block, block, bits
+    )
+    body = b"WAVE" + fmt + b"data" + _struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + _struct.pack("<I", len(body)) + body
+    out, orate, och = decode_wav_pcm(wav)
+    assert (orate, och) == (rate2, channels)
+    assert out.shape == (n, channels)
+    want = np.frombuffer(data, dtype=np.uint8 if bits == 8 else "<i2")
+    assert (out.reshape(-1) == want[: n * channels]).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_wav_pcm_decode_never_crashes_on_garbage(data):
+    from data_pipeline2_spark.functions.imagecodec import decode_wav_pcm
+
+    try:
+        out, rate, ch = decode_wav_pcm(b"RIFF\x00\x00\x00\x00WAVE" + data)
+        assert ch >= 1 and out.ndim == 2
+    except (ValueError, NotImplementedError):
+        pass
+
+
 @settings(max_examples=150, deadline=None)
 @given(data=st.binary(min_size=0, max_size=120))
 def test_media_probes_never_crash_on_garbage(data):
