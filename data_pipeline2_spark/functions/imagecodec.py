@@ -8,12 +8,13 @@ parseable with struct + zlib + numpy:
 - REAL sample/pixel decodes beyond the probes: GIF (variable-width LZW,
   color tables, transparency, interlace) and WAV PCM (8/16-bit,
   multi-channel) — see decode_gif / decode_wav_pcm;
-- a REAL PNG codec: decode (all five scanline filters, 8-bit
+- a REAL PNG codec: decode (all five scanline filters, 8- and 16-bit
   gray/LA/RGB/RGBA plus palette colortype 3 at depths 1/2/4/8 with
-  PLTE + tRNS, non-interlaced), nearest-neighbor resize, encode
-  (truecolor and 8-bit palette). 16-bit/interlaced PNGs and non-PNG
-  pixel work raise NotImplementedError — those genuinely need
-  external codecs.
+  PLTE + tRNS, both interlace methods — none and Adam7),
+  nearest-neighbor resize, encode (truecolor and 8-bit palette).
+  Sub-8-bit non-palette grayscale raises NotImplementedError — the
+  one remaining PNG seam. Baseline JPEG pixel decode/encode lives in
+  functions/jpegcodec.py.
 
 This is the real implementation behind operators/multimodal.py's seams
 (reference ingests arbitrary binary uploads, document_processor.py:47-74);
@@ -110,59 +111,24 @@ def probe_wav(payload: bytes) -> dict | None:
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def decode_png(payload: bytes):
-    """PNG → numpy uint8 array of shape (h, w, channels).
+# Adam7 interlace passes: (xstart, ystart, xstep, ystep)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Supports 8-bit gray / gray+alpha / RGB / RGBA plus PALETTE images
-    (colortype 3, bit depth 1/2/4/8, PLTE + optional tRNS — resolved to
-    RGB/RGBA), non-interlaced. 16-bit and interlaced images raise
-    NotImplementedError — those genuinely need a full codec library.
-    Corrupt structures (bad PLTE length, out-of-range palette index,
-    size mismatch) raise ValueError, never return garbage pixels.
-    """
+
+def _defilter(sub, ph: int, stride: int, bpp: int):
+    """Reverse PNG scanline filters over `ph` rows of `stride` bytes
+    (`bpp` = bytes per complete pixel, per the spec — filters operate on
+    bytes, so 16-bit images just use a doubled bpp)."""
     import numpy as np
 
-    info = probe_image(payload)
-    if not info or info["format"] != "png":
-        raise ValueError("not a PNG payload")
-    w, h, depth = info["width"], info["height"], info["depth"]
-    ctype = {v: k for k, v in _PNG_MODES.items()}.get(info["mode"])
-    interlace = payload[28]
-    if interlace != 0:
-        raise NotImplementedError("interlaced PNG needs a full codec library")
-    if ctype == 3:
-        if depth not in (1, 2, 4, 8):
-            raise ValueError(f"corrupt PNG: palette bit depth {depth}")
-        bpp, stride = 1, (w * depth + 7) // 8
-    elif depth == 8 and ctype in _CHANNELS:
-        bpp = _CHANNELS[ctype]
-        stride = w * bpp
-    else:
-        raise NotImplementedError(
-            f"PNG depth={depth} colortype={ctype} needs a full codec library"
-        )
-    # walk chunks: concatenate IDAT, pick up PLTE/tRNS for palette images
-    i, idat, plte, trns = 8, [], None, None
-    while i + 8 <= len(payload):
-        clen = struct.unpack(">I", payload[i : i + 4])[0]
-        cid = payload[i + 4 : i + 8]
-        if cid == b"IDAT":
-            idat.append(payload[i + 8 : i + 8 + clen])
-        elif cid == b"PLTE":
-            plte = payload[i + 8 : i + 8 + clen]
-        elif cid == b"tRNS":
-            trns = payload[i + 8 : i + 8 + clen]
-        elif cid == b"IEND":
-            break
-        i += 12 + clen  # len + id + data + crc
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("corrupt PNG: decompressed size mismatch")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    raw = np.frombuffer(sub, dtype=np.uint8).reshape(ph, stride + 1)
     filters = raw[:, 0]
     data = raw[:, 1:].astype(np.int32)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for y in range(h):
+    out = np.zeros((ph, stride), dtype=np.uint8)
+    for y in range(ph):
         line = data[y].copy()
         f = filters[y]
         prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
@@ -189,13 +155,110 @@ def decode_png(payload: bytes):
         else:
             raise ValueError(f"invalid PNG filter {f}")
         out[y] = line.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes):
+    """PNG → numpy array of shape (h, w, channels): uint8 for 8-bit
+    (and palette) images, uint16 for 16-bit images.
+
+    Supports gray / gray+alpha / RGB / RGBA at bit depth 8 and 16,
+    PALETTE images (colortype 3, depth 1/2/4/8, PLTE + optional tRNS —
+    resolved to RGB/RGBA), and BOTH interlace methods (none and Adam7 —
+    per-pass defilter + scatter). Sub-8-bit grayscale (non-palette)
+    raises NotImplementedError — the one remaining seam. Corrupt
+    structures (bad PLTE length, out-of-range palette index, size
+    mismatch) raise ValueError, never return garbage pixels.
+    """
+    import numpy as np
+
+    info = probe_image(payload)
+    if not info or info["format"] != "png":
+        raise ValueError("not a PNG payload")
+    w, h, depth = info["width"], info["height"], info["depth"]
+    ctype = {v: k for k, v in _PNG_MODES.items()}.get(info["mode"])
+    interlace = payload[28]
+    if interlace not in (0, 1):
+        raise ValueError(f"corrupt PNG: interlace method {interlace}")
+    if ctype == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"corrupt PNG: palette bit depth {depth}")
+        nch = 1
+    elif ctype in _CHANNELS and depth in (8, 16):
+        nch = _CHANNELS[ctype]
+    else:
+        raise NotImplementedError(
+            f"PNG depth={depth} colortype={ctype} needs a full codec library"
+        )
+    # walk chunks: concatenate IDAT, pick up PLTE/tRNS for palette images
+    i, idat, plte, trns = 8, [], None, None
+    while i + 8 <= len(payload):
+        clen = struct.unpack(">I", payload[i : i + 4])[0]
+        cid = payload[i + 4 : i + 8]
+        if cid == b"IDAT":
+            idat.append(payload[i + 8 : i + 8 + clen])
+        elif cid == b"PLTE":
+            plte = payload[i + 8 : i + 8 + clen]
+        elif cid == b"tRNS":
+            trns = payload[i + 8 : i + 8 + clen]
+        elif cid == b"IEND":
+            break
+        i += 12 + clen  # len + id + data + crc
+    raw = zlib.decompress(b"".join(idat))
+    sample_bytes = 2 if depth == 16 else 1
+
+    def pass_pixels(sub, pw: int, ph: int):
+        """Defiltered pass → (ph, pw) palette indices or (ph, pw, nch)
+        samples (uint8 or uint16)."""
+        if ctype == 3 and depth < 8:
+            scan = _defilter(sub, ph, (pw * depth + 7) // 8, 1)
+            bits = np.unpackbits(scan, axis=1)
+            grouped = bits.reshape(ph, -1, depth)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            return (grouped * weights).sum(axis=2)[:, :pw].astype(np.uint8)
+        stride = pw * nch * sample_bytes
+        scan = _defilter(sub, ph, stride, nch * sample_bytes)
+        if ctype == 3:
+            return scan.reshape(ph, -1)[:, :pw]
+        if depth == 16:
+            pairs = scan.reshape(ph, pw, nch, 2).astype(np.uint16)
+            return (pairs[..., 0] << 8) | pairs[..., 1]
+        return scan.reshape(ph, pw, nch)
+
+    def pass_bytes(pw: int, ph: int) -> int:
+        if pw == 0 or ph == 0:
+            return 0
+        if ctype == 3 and depth < 8:
+            return ph * (1 + (pw * depth + 7) // 8)
+        return ph * (1 + pw * nch * sample_bytes)
+
+    if ctype == 3:
+        img = np.zeros((h, w), dtype=np.uint8)
+    else:
+        img = np.zeros((h, w, nch), dtype=np.uint16 if depth == 16 else np.uint8)
+
+    passes = [(0, 0, 1, 1)] if interlace == 0 else _ADAM7
+    offset = 0
+    for xs, ys, xstep, ystep in passes:
+        pw = max(0, (w - xs + xstep - 1) // xstep)
+        ph = max(0, (h - ys + ystep - 1) // ystep)
+        need = pass_bytes(pw, ph)
+        if need == 0:
+            continue
+        sub = raw[offset : offset + need]
+        if len(sub) != need:
+            raise ValueError("corrupt PNG: decompressed size mismatch")
+        img[ys::ystep, xs::xstep] = pass_pixels(sub, pw, ph)
+        offset += need
+    if offset != len(raw):
+        raise ValueError("corrupt PNG: decompressed size mismatch")
     if ctype != 3:
-        return out.reshape(h, w, bpp)
-    return _apply_palette(out, w, h, depth, plte, trns)
+        return img
+    return _apply_palette_indices(img, plte, trns)
 
 
-def _apply_palette(scan, w: int, h: int, depth: int, plte, trns):
-    """Defiltered palette scanlines → RGB/RGBA via PLTE (+ tRNS alpha).
+def _apply_palette_indices(idx, plte, trns):
+    """(h, w) palette indices → RGB/RGBA via PLTE (+ tRNS alpha).
 
     PLTE must exist, hold 1-256 RGB triples, and cover every index the
     image uses — anything else is ValueError (the property-tested
@@ -209,14 +272,6 @@ def _apply_palette(scan, w: int, h: int, depth: int, plte, trns):
     if len(plte) % 3 or len(plte) > 256 * 3:
         raise ValueError(f"corrupt PNG: PLTE length {len(plte)}")
     palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-    if depth == 8:
-        idx = scan.reshape(h, -1)[:, :w]
-    else:
-        # unpack MSB-first bit groups of `depth` bits, then trim to width
-        bits = np.unpackbits(scan, axis=1)
-        idx = bits.reshape(h, -1, depth)
-        weights = 1 << np.arange(depth - 1, -1, -1)
-        idx = (idx * weights).sum(axis=2)[:, :w].astype(np.uint8)
     if int(idx.max(initial=0)) >= len(palette):
         raise ValueError(
             f"corrupt PNG: palette index {int(idx.max())} >= "
