@@ -9,6 +9,8 @@ linearly with the corpus and never shuffle document text.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -342,6 +344,140 @@ def decontaminate(
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contamination"),
+            (F.col("n_hit") / F.col("n_grams") >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def build_gram_bloom(
+    grams: DataFrame,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+    col: str = "shingle",
+):
+    """Bloom filter over a gram set → broadcast packed bit bytes.
+
+    Positions are computed JVM-side (k seeded xxhash64 % m per gram —
+    cheap codegen'd intrinsics, no Python in the scan); only the
+    DISTINCT positions come back to build the bit array, a bounded
+    driver artifact like the IVF k-means fit (operators/similarity.py):
+    m/8 bytes regardless of gram count — 2^20 bits is 128 KiB where the
+    gram strings themselves could be gigabytes. That asymmetry is the
+    whole point: when the eval/benchmark set outgrows a broadcast of
+    its grams, the bloom BITS still broadcast for free.
+    """
+    import numpy as np
+
+    if m_bits < 8 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two >= 8, got {m_bits}")
+    if not 1 <= k_hashes <= 16:
+        raise ValueError(f"k_hashes must be in 1..16, got {k_hashes}")
+    positions = (
+        grams.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.lit(seed), F.col(col)), F.lit(m_bits)
+                        )
+                        for seed in range(k_hashes)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .toPandas()["p"]
+        .to_numpy()
+    )
+    bits = np.zeros(m_bits, dtype=bool)
+    if len(positions):
+        bits[positions] = True
+    spark = grams.sparkSession
+    return spark.sparkContext.broadcast(np.packbits(bits).tobytes())
+
+
+def _bloom_positions_col(m_bits: int, k_hashes: int, col: str = "shingle"):
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(seed), F.col(col)), F.lit(m_bits))
+            for seed in range(k_hashes)
+        ]
+    )
+
+
+def _bloom_maybe_udf(bits_bcast):
+    """Vectorized membership test: one numpy gather per Arrow batch."""
+    import numpy as np
+
+    @F.pandas_udf("boolean")
+    def maybe(pos: pd.Series) -> pd.Series:
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        bits = np.frombuffer(bits_bcast.value, dtype=np.uint8)
+        mat = np.stack(pos.to_numpy()).astype(np.int64)
+        hit = (bits[mat >> 3] & (1 << (7 - (mat & 7))).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=1))
+
+    return maybe
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    threshold: float = 0.1,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """`decontaminate` for eval sets too large to broadcast as grams:
+    bloom-bits prefilter + exact verify. Output is IDENTICAL to the
+    exact path (same schema, same values) — bloom false positives only
+    cost verify work, never correctness, and false negatives are
+    impossible (every true hit sets its own bits).
+
+    Scale shape: corpus grams are probed map-side against the broadcast
+    bit array (one vectorized numpy gather per Arrow batch); only
+    survivors (true hits + ~fp-rate of the corpus) enter the exact
+    verify join, so the shuffle ships a sliver of the gram stream. The
+    verify join deliberately takes NO broadcast hint — this variant
+    exists precisely for eval sets past the broadcast threshold.
+    """
+    from data_pipeline2_spark.operators.dedup import doc_shingles
+
+    eval_grams = (
+        doc_shingles(eval_set, n, id_col, text_col, distinct=False)
+        .select("shingle")
+        .distinct()
+    )
+    bits = build_gram_bloom(eval_grams, m_bits, k_hashes)
+    corpus_grams = doc_shingles(corpus, n, id_col, text_col, distinct=True)
+    totals = corpus_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    survivors = corpus_grams.filter(
+        _bloom_maybe_udf(bits)(_bloom_positions_col(m_bits, k_hashes))
+    )
+    hits = (
+        survivors.join(eval_grams.withColumn("__hit", F.lit(1)), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(F.count("__hit").alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
         )
         .select(
             "doc_id",

@@ -1782,9 +1782,7 @@ def q_repetition_ratio(spark, sf_dir):
     return textanalysis.repetition_ratio(_t(spark, sf_dir, "documents"))
 
 
-@_register(
-    "decontaminate",
-    r"""
+_DECONTAM_SQL = r"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
       FROM documents WHERE len(trim(text)) > 0
@@ -1805,13 +1803,28 @@ def q_repetition_ratio(spark, sf_dir):
            (count(eg.g) / CAST(count(*) AS DOUBLE)) >= 0.1 AS contaminated
     FROM cg LEFT JOIN eg ON cg.g = eg.g
     GROUP BY cg.doc_id
-    """,
-)
+    """
+
+
+@_register("decontaminate", _DECONTAM_SQL)
 def q_decontaminate(spark, sf_dir):
     """Eval set = doc_id < 20 (stands in for a benchmark suite); corpus
     = the rest. 5-gram overlap fraction per corpus doc."""
     docs = _t(spark, sf_dir, "documents")
     return textanalysis.decontaminate(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
+    )
+
+
+@_register("decontaminate_bloom", _DECONTAM_SQL)
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefilter decontamination — the scale path for eval sets
+    past the broadcast threshold. Same oracle as `decontaminate`
+    because the output is exactly equal by construction: the bloom can
+    only admit false positives into the exact-verify join, never drop
+    a true hit (operators/textanalysis.py:decontaminate_bloom)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textanalysis.decontaminate_bloom(
         docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
     )
 

@@ -138,3 +138,110 @@ def test_semantic_decontamination_flags_planted_copy(spark):
     assert out[100].contaminated and out[100].nearest_eval_id == 0
     assert out[100].max_sim == 1.0
     assert not out[101].contaminated
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def _decontam_fixture(spark):
+    eval_set = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+        ],
+    )
+    corpus = _docs(
+        spark,
+        [
+            # full containment of an eval 5-gram window
+            (10, "well the quick brown fox jumps over the fence"),
+            # no overlap at all
+            (11, "completely unrelated text about spark shuffles here"),
+            # exact duplicate of an eval doc
+            (12, "pack my box with five dozen liquor jugs"),
+            # too short for 5-grams -> no row
+            (13, "too short"),
+        ],
+    )
+    return corpus, eval_set
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    corpus, eval_set = _decontam_fixture(spark)
+    exact = {
+        r["doc_id"]: r.asDict()
+        for r in textanalysis.decontaminate(corpus, eval_set).collect()
+    }
+    bloom = {
+        r["doc_id"]: r.asDict()
+        for r in textanalysis.decontaminate_bloom(corpus, eval_set).collect()
+    }
+    assert exact == bloom
+    assert bloom[12]["contaminated"] is True
+    assert bloom[11]["n_hit"] == 0
+    assert 13 not in bloom
+
+
+def test_decontaminate_bloom_exact_even_with_tiny_filter(spark):
+    """m_bits=64 forces a huge false-positive rate; the exact verify
+    join must still produce identical results — the bloom can only
+    admit extra candidates, never drop a true hit."""
+    corpus, eval_set = _decontam_fixture(spark)
+    exact = sorted(
+        map(tuple, textanalysis.decontaminate(corpus, eval_set).collect())
+    )
+    bloom = sorted(
+        map(
+            tuple,
+            textanalysis.decontaminate_bloom(
+                corpus, eval_set, m_bits=64, k_hashes=2
+            ).collect(),
+        )
+    )
+    assert exact == bloom
+
+
+def test_decontaminate_bloom_empty_eval_set(spark):
+    corpus, eval_set = _decontam_fixture(spark)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in textanalysis.decontaminate_bloom(
+            corpus, eval_set.filter("doc_id < 0")
+        ).collect()
+    }
+    assert set(out) == {10, 11, 12}
+    assert all(v["n_hit"] == 0 and not v["contaminated"] for v in out.values())
+
+
+def test_bloom_filter_no_false_negatives_property(spark):
+    """Every inserted gram must test positive (bloom contract)."""
+    from pyspark.sql import functions as F
+
+    grams = spark.range(200).select(
+        F.concat(F.lit("gram_"), F.col("id")).alias("shingle")
+    )
+    bits = textanalysis.build_gram_bloom(grams, m_bits=1 << 12, k_hashes=4)
+    probe = grams.withColumn(
+        "maybe",
+        textanalysis._bloom_maybe_udf(bits)(
+            textanalysis._bloom_positions_col(1 << 12, 4)
+        ),
+    )
+    assert probe.filter("NOT maybe").count() == 0
+
+
+def test_build_gram_bloom_validates_params(spark):
+    import pytest
+
+    grams = spark.range(1).select(F_lit_shingle())
+    with pytest.raises(ValueError, match="power of two"):
+        textanalysis.build_gram_bloom(grams, m_bits=1000)
+    with pytest.raises(ValueError, match="k_hashes"):
+        textanalysis.build_gram_bloom(grams, k_hashes=0)
+
+
+def F_lit_shingle():
+    from pyspark.sql import functions as F
+
+    return F.lit("x").alias("shingle")
