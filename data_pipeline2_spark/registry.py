@@ -2491,6 +2491,48 @@ def q_events_transitions(spark, sf_dir):
     return lifecycle.event_transitions(_t(spark, sf_dir, "events"))
 
 
+_ATTRIBUTION_PAIRS_SQL = """
+    SELECT c.user_id,
+           c.event_id AS cause_id,
+           e.event_id AS effect_id,
+           CAST(epoch_us(e.ts) - epoch_us(c.ts) AS BIGINT) AS delay_us
+    FROM events c
+    JOIN events e
+      ON c.user_id = e.user_id
+     AND e.ts > c.ts
+     AND e.ts <= c.ts + INTERVAL 12 HOUR
+    WHERE c.event_type = 'view' AND e.event_type = 'click'
+    """
+
+
+@_register("events_attribution", _ATTRIBUTION_PAIRS_SQL)
+def q_events_attribution(spark, sf_dir):
+    """View→click interval self-join (all in-window pairs). The same
+    DataFrame expression runs as a STREAM-STREAM interval join when
+    both sides are watermarked (streaming/events.py:attribution_pairs;
+    stream/batch parity in tests/test_streaming.py) — the range bound
+    is what lets Spark evict join state past watermark + max_delay."""
+    return ev.attribution_pairs(_t(spark, sf_dir, "events"), max_delay="12 hours")
+
+
+@_register(
+    "events_attribution_last",
+    f"""
+    WITH pairs AS ({_ATTRIBUTION_PAIRS_SQL})
+    SELECT user_id, cause_id, effect_id, delay_us
+    FROM (SELECT *, row_number() OVER (PARTITION BY effect_id
+                                       ORDER BY delay_us ASC, cause_id DESC)
+                    AS rn
+          FROM pairs)
+    WHERE rn = 1
+    """,
+)
+def q_events_attribution_last(spark, sf_dir):
+    """Last-touch attribution: each click credited to its latest
+    in-window view (deterministic tie-break on cause_id)."""
+    return ev.attribution_last_touch(_t(spark, sf_dir, "events"), max_delay="12 hours")
+
+
 @_register(
     "scd2_history",
     """

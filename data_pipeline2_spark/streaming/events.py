@@ -315,3 +315,84 @@ def trending_topk(
         .filter(F.col("rank") <= k)
         .select("window_start", "rank", key_col, "total")
     )
+
+
+def attribution_pairs(
+    events: DataFrame,
+    key: str = "user_id",
+    cause: str = "view",
+    effect: str = "click",
+    max_delay: str = "10 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Cause→effect interval join (ad-attribution shape): every effect
+    event paired with each same-key cause event that strictly precedes
+    it by at most `max_delay` → (user_id, cause_id, effect_id, delay_us).
+
+    One function, two modes:
+    - batch `events`: a plain self-join with a range predicate (the
+      oracle-checkable path);
+    - streaming `events` (pass `watermark`): a STREAM-STREAM interval
+      join — both derived sides watermarked, and the range condition is
+      exactly what lets Spark bound the join state: a cause older than
+      (watermark + max_delay) can never match a future effect, so its
+      state is evicted. An equi-join without the time bound would grow
+      state forever on an unbounded stream.
+    """
+    c = events.filter(F.col("event_type") == cause)
+    e = events.filter(F.col("event_type") == effect)
+    if watermark is not None:
+        c = c.withWatermark("ts", watermark)
+        e = e.withWatermark("ts", watermark)
+    c = c.select(
+        F.col(key).alias("__k"),
+        F.col("ts").alias("cause_ts"),
+        F.col("event_id").alias("cause_id"),
+    )
+    e = e.select(
+        F.col(key).alias("__ek"),
+        F.col("ts").alias("effect_ts"),
+        F.col("event_id").alias("effect_id"),
+    )
+    cond = (
+        (F.col("__k") == F.col("__ek"))
+        & (F.col("effect_ts") > F.col("cause_ts"))
+        & (
+            F.col("effect_ts")
+            <= F.col("cause_ts") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return c.join(e, cond, "inner").select(
+        F.col("__k").alias(key),
+        "cause_id",
+        "effect_id",
+        (
+            F.unix_micros(F.col("effect_ts")) - F.unix_micros(F.col("cause_ts"))
+        ).alias("delay_us"),
+    )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    key: str = "user_id",
+    cause: str = "view",
+    effect: str = "click",
+    max_delay: str = "10 minutes",
+) -> DataFrame:
+    """Last-touch attribution: each effect credited to its LATEST
+    in-window cause (ties broken by highest cause_id, deterministic) →
+    (user_id, cause_id, effect_id, delay_us). Batch-only — the ranking
+    window after a stream-stream join would need its own output-mode
+    gymnastics; streaming callers take attribution_pairs and reduce
+    downstream."""
+    from pyspark.sql import Window
+
+    pairs = attribution_pairs(events, key, cause, effect, max_delay)
+    w = Window.partitionBy("effect_id").orderBy(
+        F.col("delay_us").asc(), F.col("cause_id").desc()
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

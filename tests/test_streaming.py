@@ -246,3 +246,76 @@ def test_queue_process_priority_ordering(spark, tmpdir):
     q2.awaitTermination(120)
     fifo = spark.read.parquet(out2).orderBy("process_seq").collect()
     assert [r.event_id for r in fifo] == [1, 2, 3, 4, 5]
+
+
+def test_stream_stream_attribution_parity(spark, tmpdir):
+    """The attribution interval join run as a genuine STREAM-STREAM
+    join (both sides watermarked, append mode) must emit exactly the
+    batch self-join's pairs."""
+    src = os.path.join(tmpdir, "src")
+    rows = [
+        # user 1: view at :00, clicks at :05 (in window) and :20 (out)
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:05:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 00:20:00", 1, "click", 1.0, "{}"),
+        # user 2: two views before one click -> two pairs
+        (4, "2024-01-01 01:00:00", 2, "view", 1.0, "{}"),
+        (5, "2024-01-01 01:04:00", 2, "view", 1.0, "{}"),
+        (6, "2024-01-01 01:08:00", 2, "click", 1.0, "{}"),
+        # user 3: click BEFORE the view -> no pair (strict ordering)
+        (7, "2024-01-01 02:00:00", 3, "click", 1.0, "{}"),
+        (8, "2024-01-01 02:01:00", 3, "view", 1.0, "{}"),
+    ]
+    batch_df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch_df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    batch = sorted(
+        (r.user_id, r.cause_id, r.effect_id, r.delay_us)
+        for r in ev.attribution_pairs(batch_df).collect()
+    )
+    assert batch == [
+        (1, 1, 2, 300_000_000),
+        (2, 4, 6, 480_000_000),
+        (2, 5, 6, 240_000_000),
+    ]
+
+    stream = ev.read_events_stream(spark, src)
+    joined = ev.attribution_pairs(stream, watermark="1 hour")
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attribution_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.cause_id, r.effect_id, r.delay_us)
+        for r in spark.sql("select * from attribution_parity").collect()
+    )
+    assert got == batch
+
+
+def test_attribution_last_touch_picks_latest_cause(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:04:00", 1, "view", 1.0, "{}"),
+        (3, "2024-01-01 00:08:00", 1, "click", 1.0, "{}"),
+        (4, "2024-01-01 00:09:00", 1, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(
+        (r.effect_id, r.cause_id)
+        for r in ev.attribution_last_touch(df).collect()
+    )
+    # both clicks credit the LATEST view (event 2), not the first
+    assert got == [(3, 2), (4, 2)]
