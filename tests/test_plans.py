@@ -222,3 +222,55 @@ def test_palette_and_gif_decode_scan_only_ids(spark):
         scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
         assert "doc_id" in scan_line, key
         assert "text" not in scan_line, key
+
+
+def test_decontaminate_bloom_probe_is_vectorized_and_prejoin(spark):
+    """The bloom probe must compile to ONE ArrowEvalPython (vectorized
+    batch probe, not per-row Python), sitting BELOW the exact-verify
+    join so only survivors enter it. No hint forces a broadcast: at
+    test scale Catalyst may still broadcast the small eval side — the
+    point is the plan stays a hash join either way and the probe
+    filter runs first (deeper in the printed tree = later in string)."""
+    plan = plan_of(QUERIES["decontaminate_bloom"](spark, SF))
+    # 1 probe on the corpus-gram side; InferFiltersFromConstraints may
+    # legally clone it onto the eval side too (join-key constraint —
+    # true members always pass the bloom, so semantics are unchanged)
+    assert 1 <= plan.count("ArrowEvalPython") <= 2
+    assert "CartesianProduct" not in plan
+    # the verify join appears ABOVE (before, in tree print order) the
+    # bloom probe: survivors feed the join, not the other way round
+    join_pos = min(
+        (plan.find(j) for j in ("SortMergeJoin", "ShuffledHashJoin",
+                                "BroadcastHashJoin") if plan.find(j) >= 0),
+        default=-1,
+    )
+    assert 0 <= join_pos < plan.find("ArrowEvalPython")
+
+
+def test_attribution_join_is_equi_keyed_not_cartesian(spark):
+    """The interval self-join must keep user_id as the hash-join key
+    with the time bound as a residual condition — never
+    BroadcastNestedLoop / CartesianProduct (quadratic in events). The
+    event_type filters must reach the parquet scan."""
+    plan = plan_of(QUERIES["events_attribution"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_attribution_last_touch_single_extra_shuffle(spark):
+    """Ranking per effect_id adds at most one exchange beyond the
+    join's own key shuffles."""
+    plan = plan_of(QUERIES["events_attribution_last"](spark, SF))
+    assert plan.count("Exchange") <= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_jpeg_decode_scan_only_ids(spark):
+    """Fixture generation + decode must prune the documents scan to the
+    id column — payload synthesis happens in the UDF, and text/meta
+    columns never load."""
+    plan = plan_of(QUERIES["multimodal_decode_jpeg"](spark, SF))
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
