@@ -16,6 +16,8 @@ index for brute force).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 
@@ -830,4 +832,171 @@ def knn_batch_ivf_exact(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(qid_col, "rank", id_col, "score")
+    )
+
+
+# ------------------------------------------------------------ product
+# quantization (the FAISS IVF-PQ storage half: m sub-codebooks of
+# n_codes entries each compress a dim-float vector to m small ints)
+
+
+def pq_fit(
+    embeddings: DataFrame,
+    m_subvectors: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    sample_cap: int = 4096,
+    max_iter: int = 15,
+) -> list:
+    """Product-quantization codebooks: m_subvectors codebooks of
+    n_codes x (dim/m) centroids, fit with plain (euclidean) k-means on
+    a deterministic hash-ordered sample — the same bounded driver-side
+    pattern as `_kmeans_fit_sample` (FAISS trains on a sample too).
+
+    Entry 0 of every codebook is overwritten with the subspace SAMPLE
+    MEAN after fitting: the encoder argmins over all entries, so every
+    vector's reconstruction error is then provably <= its error against
+    the mean-only (k=1) baseline — the invariant the driver oracle
+    checks without having to replay k-means in SQL.
+    """
+    sample = (
+        embeddings.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(sample_cap)
+        .toPandas()
+    )
+    x = np.array([np.asarray(v, dtype=np.float64) for v in sample["v"]])
+    if x.ndim != 2 or x.shape[0] == 0:
+        raise ValueError("pq_fit: empty or ragged embedding sample")
+    dim = x.shape[1]
+    if dim % m_subvectors:
+        raise ValueError(
+            f"pq_fit: dim {dim} not divisible by m_subvectors {m_subvectors}"
+        )
+    d_sub = dim // m_subvectors
+    sub = x.reshape(len(x), m_subvectors, d_sub)
+    books = []
+    for j in range(m_subvectors):
+        xs = sub[:, j, :]
+        k = min(n_codes, len(xs))
+        cent = xs[:k].copy()  # hash order = deterministic init
+        for _ in range(max_iter):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            new = np.zeros_like(cent)
+            for c in range(k):
+                members = xs[assign == c]
+                new[c] = (
+                    members.mean(axis=0)
+                    if len(members)
+                    else xs[np.argmax(d2.min(axis=1))]
+                )
+            if np.allclose(new, cent, atol=1e-12):
+                cent = new
+                break
+            cent = new
+        cent[0] = xs.mean(axis=0)  # the oracle-checkable k=1 baseline
+        books.append([list(map(float, c)) for c in cent])
+    return books
+
+
+def _pq_batch(x, books):
+    """(b, dim) float64 batch -> (codes (b, m), pq_err, mean_err)."""
+    b = x.shape[0]
+    m = len(books)
+    d_sub = x.shape[1] // m
+    sub = x.reshape(b, m, d_sub)
+    codes = np.zeros((b, m), dtype=np.int32)
+    pq_err = np.zeros(b)
+    mean_err = np.zeros(b)
+    for j, book in enumerate(books):
+        cent = np.asarray(book)
+        d2 = ((sub[:, j, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+        pq_err += d2[np.arange(b), codes[:, j]]
+        mean_err += d2[:, 0]
+    return codes, pq_err, mean_err
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, codes array<int>): dim floats compressed to m ints.
+    Codebooks broadcast in the UDF closure (m·n_codes·d_sub floats —
+    KBs); encoding is one numpy distance matrix per Arrow batch,
+    map-only, no shuffle."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(x) == 0:
+                continue
+            codes, _, _ = _pq_batch(x, codebooks)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col], "codes": list(map(list, codes))}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        enc, "vec_id long, codes array<int>"
+    )
+
+
+def pq_reconstruct_stats(
+    embeddings: DataFrame,
+    m_subvectors: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Driver-hashable PQ invariants: → (vec_id, dim, m, n_codes,
+    codes_valid, within_mean_bound).
+
+    `within_mean_bound` is the argmin guarantee made checkable: with
+    codebook entry 0 pinned to the subspace mean, min-over-codes error
+    <= entry-0 error BY CONSTRUCTION — both sides computed in the same
+    numpy pass, so the comparison is float-exact. A broken encoder
+    (wrong reshape, wrong argmin axis, codebook row/col swap) flips it
+    to false and the oracle (which emits constant true) hash-mismatches.
+    """
+    books = pq_fit(
+        embeddings, m_subvectors, n_codes, id_col, vec_col, seed
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(x) == 0:
+                continue
+            codes, pq_err, mean_err = _pq_batch(x, books)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "dim": np.full(len(x), x.shape[1], dtype=np.int32),
+                    "m": np.full(len(x), len(books), dtype=np.int32),
+                    "n_codes": np.full(len(x), n_codes, dtype=np.int32),
+                    "codes_valid": [
+                        bool((c >= 0).all() and (c < n_codes).all())
+                        for c in codes
+                    ],
+                    "within_mean_bound": list(pq_err <= mean_err),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        stats,
+        "vec_id long, dim int, m int, n_codes int, "
+        "codes_valid boolean, within_mean_bound boolean",
     )

@@ -4163,6 +4163,32 @@ def q_embedding_quantize(spark, sf_dir):
 
 
 @_register(
+    "pq_quantize",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(4 AS INT) AS m,
+           CAST(16 AS INT) AS n_codes,
+           true AS codes_valid,
+           true AS within_mean_bound
+    FROM embeddings
+    """,
+)
+def q_pq_quantize(spark, sf_dir):
+    """Product quantization (FAISS-style m sub-codebooks) verified via
+    the invariant-oracle pattern (same trick as approx_count_distinct):
+    k-means codes aren't SQL-replayable, so codebook entry 0 is pinned
+    to the subspace mean and the engine emits the argmin guarantee
+    `min-over-codes error <= mean-code error` as a boolean computed in
+    one numpy pass (float-exact by construction). The oracle emits
+    constant true; any encoder bug — reshape, argmin axis, codebook
+    orientation — flips rows to false and hash-mismatches. Code VALUES
+    are value-tested in pytest (exact reconstruction on synthetic
+    on-codebook data)."""
+    return similarity.pq_reconstruct_stats(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
     "hard_negatives",
     f"""
     WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv

@@ -474,3 +474,76 @@ def test_ivf_exact_fit_self_recall_and_probe_consistency(spark):
         exact_sets.setdefault(r.qid, set()).add(r.vec_id)
     for r in got:
         assert r.vec_id in exact_sets[r.qid]
+
+
+def test_pq_exact_on_codebook_data(spark):
+    """Vectors whose subvectors are drawn from <= n_codes distinct
+    values reconstruct EXACTLY: k-means converges to those values and
+    every argmin distance is 0."""
+    import numpy as np
+
+    from data_pipeline2_spark.operators.similarity import (
+        _pq_batch,
+        pq_encode,
+        pq_fit,
+    )
+
+    rng = np.random.RandomState(0)
+    # 4 subspaces of dim 2; each subspace uses 3 distinct prototype rows
+    protos = rng.randn(4, 3, 2).round(3)
+    rows = []
+    for i in range(60):
+        vec = np.concatenate([protos[j, (i + j) % 3] for j in range(4)])
+        rows.append((i, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_fit(emb, m_subvectors=4, n_codes=8, max_iter=40)
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    codes, pq_err, mean_err = _pq_batch(x, books)
+    # exact up to float32 storage of the embedding column (the sample
+    # comes back as float32-rounded values, the probe x is float64)
+    assert pq_err.max() < 1e-12
+    assert (pq_err <= mean_err).all()
+    got = pq_encode(emb, books).collect()
+    assert len(got) == 60
+    assert all(0 <= c < 8 for r in got for c in r["codes"])
+    assert all(len(r["codes"]) == 4 for r in got)
+
+
+def test_pq_error_shrinks_with_more_codes(spark):
+    import numpy as np
+
+    from data_pipeline2_spark.operators.similarity import _pq_batch, pq_fit
+
+    rng = np.random.RandomState(1)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    errs = {}
+    for k in (2, 8, 32):
+        books = pq_fit(emb, m_subvectors=4, n_codes=k, max_iter=25)
+        _, pq_err, _ = _pq_batch(x, books)
+        errs[k] = pq_err.mean()
+    assert errs[32] < errs[8] < errs[2]
+
+
+def test_pq_stats_invariants_on_real_table(spark):
+    from data_pipeline2_spark.operators.similarity import pq_reconstruct_stats
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = pq_reconstruct_stats(emb).collect()
+    assert len(out) == emb.count()
+    assert all(r["codes_valid"] and r["within_mean_bound"] for r in out)
+    assert all(r["dim"] == 64 and r["m"] == 4 for r in out)
+
+
+def test_pq_fit_rejects_indivisible_dim(spark):
+    import pytest
+
+    from data_pipeline2_spark.operators.similarity import pq_fit
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(emb, m_subvectors=2)
