@@ -849,6 +849,7 @@ def pq_fit(
     seed: int = 7,
     sample_cap: int = 4096,
     max_iter: int = 15,
+    normalize: bool = False,
 ) -> list:
     """Product-quantization codebooks: m_subvectors codebooks of
     n_codes x (dim/m) centroids, fit with plain (euclidean) k-means on
@@ -873,6 +874,8 @@ def pq_fit(
     x = np.array([np.asarray(v, dtype=np.float64) for v in sample["v"]])
     if x.ndim != 2 or x.shape[0] == 0:
         raise ValueError("pq_fit: empty or ragged embedding sample")
+    if normalize:
+        x = _l2_normalize_rows(x)
     dim = x.shape[1]
     if dim % m_subvectors:
         raise ValueError(
@@ -999,4 +1002,122 @@ def pq_reconstruct_stats(
         stats,
         "vec_id long, dim int, m int, n_codes int, "
         "codes_valid boolean, within_mean_bound boolean",
+    )
+
+
+def _l2_normalize_rows(x):
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return x / norms
+
+
+def knn_batch_pq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 50,
+    m_subvectors: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """ADC (asymmetric distance computation) kNN — the search half of
+    IVF-PQ: corpus vectors score against per-query LOOKUP TABLES over
+    the PQ codebooks (LUT[q][j][c] = <q_sub_j, codebook_j[c]>; ADC
+    score = sum_j LUT[q][j][code_j]) instead of full dot products, then
+    the top-`rerank` ADC candidates per query re-rank with EXACT cosine
+    → (qid, rank, vec_id, score).
+
+    Shape at scale:
+    - codebooks + query LUTs ride the UDF closure (KBs) — the corpus
+      never sees raw query vectors until re-rank;
+    - scoring is two numpy matmul/gathers per Arrow batch, map-only;
+    - each batch emits only its own top-`rerank` per query, so the
+      shuffle carries O(partitions · queries · rerank) candidate rows,
+      never the corpus;
+    - exact re-rank joins candidates back to embeddings on the id —
+      `rerank` rows per query of float vectors, a broadcast-size set.
+
+    Both sides L2-normalize, so ADC approximates cosine and the exact
+    re-rank IS cosine — recall gated in pytest (no SQL oracle: the
+    codebooks come from a k-means fit; `pq_quantize` carries the
+    driver-checkable invariant for the same encode path).
+    """
+    books = pq_fit(
+        embeddings, m_subvectors, n_codes, id_col, vec_col, normalize=True
+    )
+    q_pdf = queries.select(qid_col, qvec_col).toPandas()
+    if len(q_pdf) == 0:
+        raise ValueError("knn_batch_pq: empty query batch")
+    qx = _l2_normalize_rows(
+        np.array([np.asarray(v, dtype=np.float64) for v in q_pdf[qvec_col]])
+    )
+    qids = q_pdf[qid_col].to_numpy()
+    m = len(books)
+    d_sub = qx.shape[1] // m
+    # LUT[q, j, c] = <q_sub, codebook entry>
+    lut = np.stack(
+        [qx[:, j * d_sub : (j + 1) * d_sub] @ np.asarray(books[j]).T for j in range(m)],
+        axis=1,
+    )
+    top_c = rerank
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(x) == 0:
+                continue
+            codes, _, _ = _pq_batch(_l2_normalize_rows(x), books)
+            # adc[q, b] = sum_j lut[q, j, codes[b, j]]
+            adc = np.zeros((len(qids), len(x)))
+            for j in range(m):
+                adc += lut[:, j, codes[:, j]]
+            n_keep = min(top_c, len(x))
+            ids = pdf[id_col].to_numpy()
+            out_qid, out_vid, out_adc = [], [], []
+            for qi in range(len(qids)):
+                part = np.argpartition(-adc[qi], n_keep - 1)[:n_keep]
+                out_qid.extend([qids[qi]] * n_keep)
+                out_vid.extend(ids[part])
+                out_adc.extend(adc[qi, part])
+            yield pd.DataFrame(
+                {"qid": out_qid, "vec_id": out_vid, "adc": out_adc}
+            )
+
+    cand = embeddings.select(id_col, vec_col).mapInPandas(
+        score, "qid long, vec_id long, adc double"
+    )
+    w_adc = Window.partitionBy("qid").orderBy(F.desc("adc"), F.col("vec_id"))
+    shortlist = (
+        cand.withColumn("__rn", F.row_number().over(w_adc))
+        .filter(F.col("__rn") <= rerank)
+        .select("qid", "vec_id")
+    )
+    rescored = (
+        shortlist.join(embeddings.select(id_col, vec_col), "vec_id")
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(qid_col).alias("qid"), F.col(qvec_col).alias("__qv")
+                )
+            ),
+            "qid",
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("__qv")), SCORE_ROUND
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "score")
     )

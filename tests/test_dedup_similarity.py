@@ -547,3 +547,53 @@ def test_pq_fit_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         pq_fit(emb, m_subvectors=2)
+
+
+def test_knn_batch_pq_recall_and_self_match(spark):
+    """ADC shortlist + exact re-rank: recall@5 against exact knn_batch
+    rises with rerank depth, and each query (drawn from the corpus)
+    finds itself at rank 1 with cosine 1.0 after the exact re-rank."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators import similarity
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r.qid, r.vec_id)
+        for r in similarity.knn_batch(emb, q, k=5).collect()
+    }
+
+    def recall(rerank):
+        rows = similarity.knn_batch_pq(emb, q, k=5, rerank=rerank).collect()
+        got = {(r.qid, r.vec_id) for r in rows}
+        assert len(got) == len(exact)
+        tops = {r.qid: (r.vec_id, r.score) for r in rows if r.rank == 1}
+        for qid, (vid, score) in tops.items():
+            assert vid == qid and score == 1.0
+        return len(exact & got) / len(exact)
+
+    r50, r100 = recall(50), recall(100)
+    assert r50 >= 0.6
+    assert r100 >= 0.8
+    assert r100 >= r50
+
+
+def test_knn_batch_pq_rejects_empty_queries(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators import similarity
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="empty query batch"):
+        similarity.knn_batch_pq(
+            emb,
+            emb.filter(F.col("vec_id") < 0).select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+            ),
+        )
