@@ -31,6 +31,13 @@ import zlib
 
 # ---------------------------------------------------------------- probes
 
+# Decompression-bomb guard: decoders refuse frames past this pixel count
+# BEFORE allocating or inflating anything (a kilobyte-scale hostile file
+# can declare 65535x65535 and OOM an executor otherwise). 2^26 = 64 Mpix
+# covers any sane training asset; callers with legitimate larger media
+# should tile upstream.
+MAX_PIXELS = 1 << 26
+
 _PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
 _JPEG_SOF = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}  # SOFn markers
 
@@ -204,7 +211,12 @@ def decode_png(payload: bytes):
         elif cid == b"IEND":
             break
         i += 12 + clen  # len + id + data + crc
-    raw = zlib.decompress(b"".join(idat))
+    if w * h > MAX_PIXELS:
+        raise ValueError(f"corrupt PNG: {w}x{h} exceeds MAX_PIXELS")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG: bad IDAT stream ({exc})") from exc
     sample_bytes = 2 if depth == 16 else 1
 
     def pass_pixels(sub, pw: int, ph: int):
@@ -232,26 +244,29 @@ def decode_png(payload: bytes):
             return ph * (1 + (pw * depth + 7) // 8)
         return ph * (1 + pw * nch * sample_bytes)
 
+    passes = [(0, 0, 1, 1)] if interlace == 0 else _ADAM7
+    dims = []
+    for xs, ys, xstep, ystep in passes:
+        pw = max(0, (w - xs + xstep - 1) // xstep)
+        ph = max(0, (h - ys + ystep - 1) // ystep)
+        dims.append((pw, ph))
+    # validate the WHOLE stream length before allocating h*w output —
+    # corrupt dims must fail loudly, not drive a giant allocation
+    if len(raw) != sum(pass_bytes(pw, ph) for pw, ph in dims):
+        raise ValueError("corrupt PNG: decompressed size mismatch")
+
     if ctype == 3:
         img = np.zeros((h, w), dtype=np.uint8)
     else:
         img = np.zeros((h, w, nch), dtype=np.uint16 if depth == 16 else np.uint8)
 
-    passes = [(0, 0, 1, 1)] if interlace == 0 else _ADAM7
     offset = 0
-    for xs, ys, xstep, ystep in passes:
-        pw = max(0, (w - xs + xstep - 1) // xstep)
-        ph = max(0, (h - ys + ystep - 1) // ystep)
+    for (xs, ys, xstep, ystep), (pw, ph) in zip(passes, dims):
         need = pass_bytes(pw, ph)
         if need == 0:
             continue
-        sub = raw[offset : offset + need]
-        if len(sub) != need:
-            raise ValueError("corrupt PNG: decompressed size mismatch")
-        img[ys::ystep, xs::xstep] = pass_pixels(sub, pw, ph)
+        img[ys::ystep, xs::xstep] = pass_pixels(raw[offset : offset + need], pw, ph)
         offset += need
-    if offset != len(raw):
-        raise ValueError("corrupt PNG: decompressed size mismatch")
     if ctype != 3:
         return img
     return _apply_palette_indices(img, plte, trns)
@@ -467,7 +482,7 @@ def decode_gif(payload: bytes):
                 raise ValueError("corrupt GIF: truncated extension")
             label = payload[i + 1]
             i += 2
-            if label == 0xF9 and i < len(payload) and payload[i] >= 4:
+            if label == 0xF9 and i + 5 <= len(payload) and payload[i] >= 4:
                 if payload[i + 1] & 0x01:  # transparency flag
                     transparent = payload[i + 4]
             while i < len(payload) and payload[i] != 0:
@@ -477,6 +492,8 @@ def decode_gif(payload: bytes):
             if i + 10 > len(payload):
                 raise ValueError("corrupt GIF: truncated image descriptor")
             w, h = struct.unpack("<HH", payload[i + 5 : i + 9])
+            if w * h > MAX_PIXELS:
+                raise ValueError(f"corrupt GIF: {w}x{h} exceeds MAX_PIXELS")
             ipacked = payload[i + 9]
             i += 10
             pal = gct
@@ -554,9 +571,14 @@ def _lzw_decode(data: bytes, min_code: int, expected: int):
                 prev = None
                 continue
             if code == eoi:
-                nbits = 0
-                acc = 0
-                break
+                # EOI terminates the stream; any remaining sub-block
+                # bytes are padding, never pixels (decoding past EOI
+                # could silently fill a short frame with garbage).
+                if len(out) >= expected:  # only reachable at expected=0
+                    return np.array(out[:expected], np.uint8)
+                raise ValueError(
+                    f"corrupt GIF: LZW EOI at {len(out)}/{expected} pixels"
+                )
             if prev is None:
                 if code >= len(table) or table[code] is None:
                     raise ValueError("corrupt GIF: bad initial LZW code")

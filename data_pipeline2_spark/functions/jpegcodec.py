@@ -253,15 +253,25 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
+                if i + 17 > len(seg):
+                    raise ValueError("corrupt DHT: truncated table header")
                 tc, th = seg[i] >> 4, seg[i] & 0x0F
                 bits = list(seg[i + 1 : i + 17])
                 n = sum(bits)
+                if i + 17 + n > len(seg):
+                    raise ValueError("corrupt DHT: truncated value list")
                 vals = list(seg[i + 17 : i + 17 + n])
                 dec = _HuffDecoder(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = dec
                 i += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(seg) < 6:
+                raise ValueError("corrupt SOF: truncated header")
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if w * h > (1 << 26):
+                raise ValueError(f"corrupt JPEG: {w}x{h} exceeds MAX_PIXELS")
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("corrupt SOF: truncated component specs")
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision JPEG")
             if ncomp not in (1, 3):
@@ -277,11 +287,17 @@ def decode_jpeg(payload: bytes):
                 f"SOF{marker - 0xC0} (progressive/arithmetic/lossless) JPEG"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("corrupt DRI: truncated")
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
+            if len(seg) < 1:
+                raise ValueError("corrupt SOS: empty header")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("corrupt SOS: truncated component list")
             scan = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]

@@ -457,7 +457,8 @@ def chunk_hybrid(
 
     validate_chunk_config(chunk_size, chunk_overlap)
     sent_re = re.compile(SENTENCE_REGEX)
-    count_fn = token_count or _bpe_token_count
+    # default tokenizer resolves in ONE place: _greedy_pack_tokens
+    count_fn = token_count
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []

@@ -1067,7 +1067,7 @@ def knn_batch_pq(
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             x = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
             )
             if len(x) == 0:
                 continue
@@ -1077,7 +1077,7 @@ def knn_batch_pq(
             for j in range(m):
                 adc += lut[:, j, codes[:, j]]
             n_keep = min(top_c, len(x))
-            ids = pdf[id_col].to_numpy()
+            ids = pdf["__vid"].to_numpy()
             out_qid, out_vid, out_adc = [], [], []
             for qi in range(len(qids)):
                 part = np.argpartition(-adc[qi], n_keep - 1)[:n_keep]
@@ -1088,9 +1088,10 @@ def knn_batch_pq(
                 {"qid": out_qid, "vec_id": out_vid, "adc": out_adc}
             )
 
-    cand = embeddings.select(id_col, vec_col).mapInPandas(
-        score, "qid long, vec_id long, adc double"
+    corpus = embeddings.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec")
     )
+    cand = corpus.mapInPandas(score, "qid long, vec_id long, adc double")
     w_adc = Window.partitionBy("qid").orderBy(F.desc("adc"), F.col("vec_id"))
     shortlist = (
         cand.withColumn("__rn", F.row_number().over(w_adc))
@@ -1098,7 +1099,7 @@ def knn_batch_pq(
         .select("qid", "vec_id")
     )
     rescored = (
-        shortlist.join(embeddings.select(id_col, vec_col), "vec_id")
+        shortlist.join(corpus, F.col("vec_id") == F.col("__vid"))
         .join(
             F.broadcast(
                 queries.select(
@@ -1111,7 +1112,7 @@ def knn_batch_pq(
             "qid",
             "vec_id",
             F.round(
-                cosine_similarity(F.col(vec_col), F.col("__qv")), SCORE_ROUND
+                cosine_similarity(F.col("__vec"), F.col("__qv")), SCORE_ROUND
             ).alias("score"),
         )
     )
@@ -1119,5 +1120,10 @@ def knn_batch_pq(
     return (
         rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("qid", "rank", "vec_id", "score")
+        .select(
+            F.col("qid").alias(qid_col),
+            "rank",
+            F.col("vec_id").alias(id_col),
+            "score",
+        )
     )

@@ -597,3 +597,27 @@ def test_knn_batch_pq_rejects_empty_queries(spark):
                 F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
             ),
         )
+
+
+def test_knn_batch_pq_respects_custom_column_names(spark):
+    """Regression: id_col/qid_col were hardcoded to vec_id/qid in the
+    joins and output."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators import similarity
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vec")
+    )
+    q = emb.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("vec").alias("qv")
+    )
+    out = similarity.knn_batch_pq(
+        emb, q, k=3, rerank=20,
+        id_col="doc_id", vec_col="vec", qid_col="query_id", qvec_col="qv",
+    )
+    assert out.columns == ["query_id", "rank", "doc_id", "score"]
+    rows = out.collect()
+    assert len(rows) == 9
+    assert {r.query_id for r in rows} == {0, 1, 2}

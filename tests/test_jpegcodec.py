@@ -235,3 +235,47 @@ def test_property_roundtrip_any_dims(h, w, seed):
 
 def test_zigzag_is_a_permutation():
     assert sorted(ZIGZAG) == list(range(64))
+
+
+def _patch_segment(payload: bytes, marker: bytes, new_body: bytes) -> bytes:
+    """Replace a marker segment's body (and length) in a JPEG stream."""
+    i = payload.find(marker)
+    assert i >= 0
+    seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+    return (
+        payload[:i]
+        + marker
+        + struct.pack(">H", len(new_body) + 2)
+        + new_body
+        + payload[i + 2 + seglen :]
+    )
+
+
+def test_empty_sos_body_rejected():
+    payload = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(ValueError, match="SOS"):
+        decode_jpeg(_patch_segment(payload, b"\xff\xda", b""))
+
+
+def test_truncated_dht_rejected():
+    payload = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(ValueError, match="DHT"):
+        decode_jpeg(_patch_segment(payload, b"\xff\xc4", b"\x00\x01\x02"))
+
+
+def test_truncated_dri_rejected():
+    payload = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    i = payload.find(b"\xff\xc0")
+    # insert a truncated DRI before SOF
+    bad = payload[:i] + b"\xff\xdd\x00\x03\x01" + payload[i:]
+    with pytest.raises(ValueError, match="DRI"):
+        decode_jpeg(bytes(bad))
+
+
+def test_pixel_bomb_dimensions_rejected():
+    payload = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    i = payload.find(b"\xff\xc0")
+    # SOF h/w at offset +5/+7 -> 65535 x 65535
+    payload[i + 5 : i + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        decode_jpeg(bytes(payload))

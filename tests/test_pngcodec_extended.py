@@ -160,3 +160,38 @@ def test_sub8bit_gray_still_honest_seam():
     payload = _png(4, 1, 2, 0, 0, raw)
     with pytest.raises(NotImplementedError):
         decode_png(payload)
+
+
+def test_png_pixel_bomb_rejected_before_allocation():
+    """A bit-flipped IHDR height must fail the size check loudly, not
+    drive a giant allocation."""
+    rng = np.random.RandomState(12)
+    img = rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)
+    payload = bytearray(_png(4, 4, 8, 2, 0, b"".join(
+        b"\x00" + img[y].tobytes() for y in range(4))))
+    i = payload.find(b"IHDR")
+    payload[i + 8 : i + 12] = struct.pack(">I", 0xF8FF0000)  # huge height
+    with pytest.raises(ValueError):
+        decode_png(bytes(payload))
+
+
+def test_png_bad_idat_is_valueerror_not_zlib_error():
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(4))
+    payload = bytearray(_png(4, 4, 8, 2, 0, raw))
+    i = payload.find(b"IDAT")
+    payload[i + 6] ^= 0xFF  # corrupt the zlib stream
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(bytes(payload))
+
+
+def test_png_missing_idat_is_valueerror():
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(payload)

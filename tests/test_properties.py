@@ -584,3 +584,62 @@ def test_media_probes_never_crash_on_truncated_fixtures(aid, cut):
     for fn in (probe_image, probe_wav):
         out = fn(trunc)
         assert out is None or isinstance(out, dict)
+
+
+def test_gif_truncated_gce_is_valueerror_or_short():
+    """Truncated mid-GCE: the fixed bounds check must not IndexError."""
+    import pytest
+
+    from data_pipeline2_spark.functions.imagecodec import decode_gif
+
+    payload = (
+        b"GIF89a" + b"\x04\x00\x04\x00" + bytes([0x70, 0, 0])
+        + b"\x21\xf9\x04\x01"
+    )
+    with pytest.raises(ValueError):
+        decode_gif(payload)
+
+
+def test_gif_pixel_bomb_dimensions_rejected():
+    import struct
+
+    import pytest
+
+    from data_pipeline2_spark.functions.imagecodec import decode_gif
+
+    payload = (
+        b"GIF89a" + struct.pack("<HH", 65535, 65535) + bytes([0x70, 0, 0])
+        # image descriptor declaring 65535x65535, no color table bit
+        + b"\x2c" + b"\x00\x00\x00\x00" + struct.pack("<HH", 65535, 65535)
+        + b"\x80" + bytes(6)  # local color table (2 entries)
+        + b"\x02\x01\x00\x00\x3b"
+    )
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        decode_gif(payload)
+
+
+def test_gif_post_eoi_bytes_never_become_pixels():
+    """A stream whose LZW data hits EOI early must fail loudly even if
+    trailing bytes could decode into enough filler pixels."""
+    import pytest
+
+    from data_pipeline2_spark.functions.imagecodec import (
+        decode_gif,
+        encode_gif,
+    )
+    import numpy as np
+
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    payload = bytearray(encode_gif(idx, pal))
+    # find the LZW data sub-block and truncate pixels, keeping EOI +
+    # padding bytes: rewrite the block to CLEAR,<one pixel>,EOI,junk
+    # (simplest robust approach: re-encode a 1-pixel frame and splice
+    # its data into the 4x4 descriptor)
+    small = bytearray(encode_gif(np.zeros((1, 1), dtype=np.uint8), pal))
+    # descriptor of `small` claims 1x1; patch it to 4x4 so EOI comes
+    # 15 pixels early, with the trailer bytes still present after it
+    i = small.index(0x2C)
+    small[i + 5 : i + 9] = (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="EOI|ended"):
+        decode_gif(bytes(small))
