@@ -1127,3 +1127,140 @@ def knn_batch_pq(
             "score",
         )
     )
+
+
+def knn_batch_ivfpq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    rerank: int = 50,
+    m_subvectors: int = 4,
+    n_codes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF-PQ — the canonical billion-scale ANN composition, built from
+    the two halves already in this module:
+
+    1. IVF coarse stage (knn_batch_ivf machinery): corpus clustered by
+       broadcast centroids; each query probes its n_probe nearest cells
+       — touches n_probe/n_clusters of the data;
+    2. PQ fine stage (knn_batch_pq machinery): inside probed cells,
+       ADC lookup-table scores rank candidates without touching raw
+       floats; the top-`rerank` per query re-rank with exact cosine.
+
+    At 100 TB: the corpus is physically cell-partitioned (see
+    test_layout's IVF lake layout), so stage 1 is partition PRUNING,
+    stage 2 reads codes (m bytes/vector, ~100-200× smaller than the
+    float column), and only `rerank` full vectors per query are ever
+    fetched. Recall is n_probe × rerank tunable, pytest-gated like
+    knn_batch_pq (codebooks/k-means make it non-SQL-replayable; the
+    driver-checkable gates are `pq_quantize` and `knn_batch_ivf_exact`).
+    """
+    centroids = _kmeans_fit_sample(
+        embeddings, id_col, vec_col, n_clusters, seed
+    )
+    nearest_cells = _nearest_cells_udf(centroids)
+    e = embeddings.withColumn(
+        "__cell", F.element_at(nearest_cells(F.col(vec_col), F.lit(1)), 1)
+    )
+    probes = queries.select(
+        F.col(qid_col).alias("__pq_qid"),
+        F.explode(nearest_cells(F.col(qvec_col), F.lit(n_probe))).alias(
+            "__cell"
+        ),
+    )
+    # restrict the corpus to probed cells, tagging rows with the probing
+    # query so ADC scoring only pairs a vector with queries that probed
+    # its cell (a vector in two probed cells of different queries scores
+    # for each, never globally)
+    books = pq_fit(
+        embeddings, m_subvectors, n_codes, id_col, vec_col, normalize=True
+    )
+    q_pdf = queries.select(qid_col, qvec_col).toPandas()
+    if len(q_pdf) == 0:
+        raise ValueError("knn_batch_ivfpq: empty query batch")
+    qx = _l2_normalize_rows(
+        np.array([np.asarray(v, dtype=np.float64) for v in q_pdf[qvec_col]])
+    )
+    qid_to_row = {int(q): i for i, q in enumerate(q_pdf[qid_col])}
+    m = len(books)
+    d_sub = qx.shape[1] // m
+    lut = np.stack(
+        [qx[:, j * d_sub : (j + 1) * d_sub] @ np.asarray(books[j]).T for j in range(m)],
+        axis=1,
+    )
+
+    cell_rows = e.join(F.broadcast(probes), "__cell").select(
+        F.col("__pq_qid"),
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__vec"),
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
+            )
+            codes, _, _ = _pq_batch(_l2_normalize_rows(x), books)
+            qrows = np.array(
+                [qid_to_row[int(q)] for q in pdf["__pq_qid"]]
+            )
+            adc = np.zeros(len(x))
+            for j in range(m):
+                adc += lut[qrows, j, codes[:, j]]
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["__pq_qid"],
+                    "vec_id": pdf["__vid"],
+                    "adc": adc,
+                }
+            )
+
+    cand = cell_rows.mapInPandas(score, "qid long, vec_id long, adc double")
+    w_adc = Window.partitionBy("qid").orderBy(F.desc("adc"), F.col("vec_id"))
+    shortlist = (
+        cand.dropDuplicates(["qid", "vec_id"])
+        .withColumn("__rn", F.row_number().over(w_adc))
+        .filter(F.col("__rn") <= rerank)
+        .select("qid", "vec_id")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec")
+    )
+    rescored = (
+        shortlist.join(corpus, F.col("vec_id") == F.col("__vid"))
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(qid_col).alias("qid"), F.col(qvec_col).alias("__qv")
+                )
+            ),
+            "qid",
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("__vec"), F.col("__qv")), SCORE_ROUND
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(qid_col),
+            "rank",
+            F.col("vec_id").alias(id_col),
+            "score",
+        )
+    )

@@ -621,3 +621,58 @@ def test_knn_batch_pq_respects_custom_column_names(spark):
     rows = out.collect()
     assert len(rows) == 9
     assert {r.query_id for r in rows} == {0, 1, 2}
+
+
+def test_knn_batch_ivfpq_recall_rises_with_probes(spark):
+    """IVF-PQ composition: recall@5 vs exact grows with n_probe, and at
+    n_probe = n_clusters (no cell pruning) matches the pure-PQ path at
+    the same rerank depth."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators import similarity
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r.qid, r.vec_id)
+        for r in similarity.knn_batch(emb, q, k=5).collect()
+    }
+
+    def recall(n_probe, rerank):
+        got = {
+            (r.qid, r.vec_id)
+            for r in similarity.knn_batch_ivfpq(
+                emb, q, k=5, n_probe=n_probe, rerank=rerank
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_narrow = recall(2, 100)
+    r_all = recall(8, 100)  # n_probe == n_clusters: no pruning
+    pq_all = {
+        (r.qid, r.vec_id)
+        for r in similarity.knn_batch_pq(emb, q, k=5, rerank=100).collect()
+    }
+    assert r_all >= r_narrow
+    assert r_all >= 0.8
+    assert r_all == len(exact & pq_all) / len(exact)
+
+
+def test_knn_batch_ivfpq_rejects_empty_queries(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators import similarity
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="empty query batch"):
+        similarity.knn_batch_ivfpq(
+            emb,
+            emb.filter(F.col("vec_id") < 0).select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+            ),
+        )
