@@ -1,0 +1,126 @@
+"""Data-quality expectations — the Deequ/Great-Expectations-shaped
+constraint pass a pipeline runs before shipping a table downstream.
+
+Reference parity: the reference validates payloads per-row with
+Pydantic models at ingest (doc_pipeline/models/*.py); at lake scale
+validation becomes per-COLUMN aggregate constraints over the whole
+table. Every registered expectation compiles to an aggregate
+expression, so a suite of any size runs in ONE scan with map-side
+partial aggregation — adding checks never adds passes.
+
+→ (expectation, kind, violations, total, passed), one row per check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _viol_count(cond: Column) -> Column:
+    """Count of rows VIOLATING the row-level condition (nulls in the
+    condition itself count as violations — an unevaluable check fails
+    loudly rather than vacuously passing)."""
+    return F.count(F.lit(1)) - F.count(F.when(cond, F.lit(1)))
+
+
+def not_null(col: str):
+    return (f"not_null({col})", "not_null", _viol_count(F.col(col).isNotNull()))
+
+
+def unique(col: str):
+    """Violations = rows minus distinct non-null values: duplicates AND
+    nulls both violate (a unique key must also be present)."""
+    return (
+        f"unique({col})",
+        "unique",
+        F.count(F.lit(1)) - F.count_distinct(F.col(col)),
+    )
+
+
+def in_range(col: str, lo, hi):
+    return (
+        f"in_range({col},{lo},{hi})",
+        "in_range",
+        _viol_count(F.col(col).between(F.lit(lo), F.lit(hi))),
+    )
+
+
+def in_set(col: str, values: list):
+    vals = ",".join(str(v) for v in values)
+    return (
+        f"in_set({col},[{vals}])",
+        "in_set",
+        _viol_count(F.col(col).isin(values)),
+    )
+
+
+def max_null_fraction(col: str, frac: float):
+    """Violations = null count when the null FRACTION exceeds `frac`,
+    else 0 — so `passed` reflects the threshold while `violations`
+    still reports the magnitude when it trips."""
+    nulls = F.count(F.lit(1)) - F.count(F.col(col))
+    limit = F.count(F.lit(1)) * F.lit(float(frac))
+    return (
+        f"max_null_fraction({col},{frac})",
+        "max_null_fraction",
+        F.when(nulls > limit, nulls).otherwise(F.lit(0)),
+    )
+
+
+def row_count_between(lo: int, hi: int):
+    """Violations = |count - nearest bound| when outside [lo, hi]."""
+    n = F.count(F.lit(1))
+    return (
+        f"row_count_between({lo},{hi})",
+        "row_count_between",
+        F.when(n < lo, F.lit(lo) - n).otherwise(
+            F.when(n > hi, n - F.lit(hi)).otherwise(F.lit(0))
+        ),
+    )
+
+
+def check_expectations(df: DataFrame, checks: list) -> DataFrame:
+    """Run an expectation suite in ONE aggregation pass.
+
+    `checks` is a list of (name, kind, violation_count_expr) tuples
+    from the constructors above. The single agg computes every
+    violation count plus the total; the per-check rows come from an
+    unpivot (`stack`) of the one-row aggregate — no second scan, no
+    driver-side loop over the data.
+    """
+    if not checks:
+        raise ValueError("check_expectations: empty suite")
+    names = [c[0] for c in checks]
+    if len(set(names)) != len(names):
+        raise ValueError("check_expectations: duplicate expectation names")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__total"),
+        *[expr.cast("long").alias(f"__v{i}") for i, (_, _, expr) in enumerate(checks)],
+    )
+    pairs = []
+    for i, (name, kind, _) in enumerate(checks):
+        pairs += [F.lit(name), F.lit(kind), F.col(f"__v{i}")]
+    n = len(checks)
+    stacked = agg.select(
+        F.col("__total"),
+        F.expr(
+            f"stack({n}, "
+            + ", ".join(
+                f"{_sql_str(name)}, {_sql_str(kind)}, __v{i}"
+                for i, (name, kind, _) in enumerate(checks)
+            )
+            + ") as (expectation, kind, violations)"
+        ),
+    )
+    return stacked.select(
+        "expectation",
+        "kind",
+        "violations",
+        F.col("__total").alias("total"),
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"

@@ -2277,6 +2277,98 @@ def q_data_profile(spark, sf_dir):
 
 
 @_register(
+    "data_expectations",
+    """
+    WITH a AS (
+      SELECT count(*) AS total,
+             count(*) - count(o_custkey) AS v_notnull,
+             count(*) - count(DISTINCT o_orderkey) AS v_unique,
+             count(*) - count(CASE WHEN o_totalprice BETWEEN 0 AND 600000
+                                   THEN 1 END) AS v_range,
+             count(*) - count(CASE WHEN o_orderstatus IN ('O','F','P')
+                                   THEN 1 END) AS v_set,
+             CASE WHEN count(*) - count(o_custkey) > count(*) * 0.0
+                  THEN count(*) - count(o_custkey) ELSE 0 END AS v_nullfrac,
+             CASE WHEN count(*) < 1 THEN 1 - count(*)
+                  WHEN count(*) > 1000000000 THEN count(*) - 1000000000
+                  ELSE 0 END AS v_rows
+      FROM orders
+    )
+    SELECT e.expectation, e.kind, e.violations, a.total,
+           e.violations = 0 AS passed
+    FROM a, LATERAL (VALUES
+      ('not_null(o_custkey)', 'not_null', v_notnull),
+      ('unique(o_orderkey)', 'unique', v_unique),
+      ('in_range(o_totalprice,0,600000)', 'in_range', v_range),
+      ('in_set(o_orderstatus,[O,F,P])', 'in_set', v_set),
+      ('max_null_fraction(o_custkey,0.0)', 'max_null_fraction', v_nullfrac),
+      ('row_count_between(1,1000000000)', 'row_count_between', v_rows)
+    ) AS e(expectation, kind, violations)
+    """,
+)
+def q_data_expectations(spark, sf_dir):
+    """Deequ-style expectation suite over orders, the whole suite in ONE
+    aggregation pass (operators/expectations.py) — per-check violation
+    counts the oracle recomputes as plain SQL aggregates."""
+    from data_pipeline2_spark.operators import expectations as ex
+
+    orders = _t(spark, sf_dir, "orders")
+    return ex.check_expectations(
+        orders,
+        [
+            ex.not_null("o_custkey"),
+            ex.unique("o_orderkey"),
+            ex.in_range("o_totalprice", 0, 600000),
+            ex.in_set("o_orderstatus", ["O", "F", "P"]),
+            ex.max_null_fraction("o_custkey", 0.0),
+            ex.row_count_between(1, 1_000_000_000),
+        ],
+    )
+
+
+@_register(
+    "unpivot_metrics",
+    """
+    WITH m AS (
+      SELECT o_orderstatus,
+             round(sum(o_totalprice), 2) AS sum_price,
+             round(avg(o_totalprice), 4) AS avg_price,
+             CAST(count(*) AS DOUBLE) AS n_orders
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM m
+    UNION ALL
+    SELECT o_orderstatus, 'avg_price', avg_price FROM m
+    UNION ALL
+    SELECT o_orderstatus, 'n_orders', n_orders FROM m
+    """,
+)
+def q_unpivot_metrics(spark, sf_dir):
+    """Wide→long reshape via the native DataFrame.unpivot (melt):
+    per-status metrics unpivoted to (status, metric, value) rows — the
+    inverse of pivot_counts, one Generate node, no shuffle beyond the
+    aggregation's own. Decimal-exact sum/avg per the engine's
+    cross-engine float rules."""
+    from data_pipeline2_spark.operators.aggregates import exact_avg, exact_sum
+
+    wide = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(exact_sum(F.col("o_totalprice")), 2).alias("sum_price"),
+            F.round(exact_avg(F.col("o_totalprice")), 4).alias("avg_price"),
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+        )
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["sum_price", "avg_price", "n_orders"],
+        "metric",
+        "value",
+    )
+
+
+@_register(
     "count_distinct_users",
     """
     SELECT event_type,

@@ -1,0 +1,94 @@
+"""Expectation-suite semantics on constructed data (the testdata tables
+are clean, so violations need synthetic rows)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline2_spark.operators import expectations as ex
+
+
+def _df(spark):
+    rows = [
+        (1, 10.0, "O"),
+        (2, 20.0, "F"),
+        (2, -5.0, "X"),   # dup key, out-of-range, out-of-set
+        (None, 30.0, "O"),  # null key
+    ]
+    return spark.createDataFrame(rows, "k long, price double, status string")
+
+
+def test_each_kind_counts_violations(spark):
+    out = {
+        r["expectation"]: r.asDict()
+        for r in ex.check_expectations(
+            _df(spark),
+            [
+                ex.not_null("k"),
+                ex.unique("k"),
+                ex.in_range("price", 0, 100),
+                ex.in_set("status", ["O", "F"]),
+                ex.max_null_fraction("k", 0.5),
+                ex.row_count_between(1, 3),
+            ],
+        ).collect()
+    }
+    assert out["not_null(k)"]["violations"] == 1
+    # 4 rows, 2 distinct non-null values -> dup + null = 2 violations
+    assert out["unique(k)"]["violations"] == 2
+    assert out["in_range(price,0,100)"]["violations"] == 1
+    assert out["in_set(status,[O,F])"]["violations"] == 1
+    # null fraction 1/4 <= 0.5 -> passes
+    assert out["max_null_fraction(k,0.5)"]["passed"] is True
+    # 4 rows > hi=3 -> 1 violation
+    assert out["row_count_between(1,3)"]["violations"] == 1
+    assert all(r["total"] == 4 for r in out.values())
+    assert out["not_null(k)"]["passed"] is False
+
+
+def test_clean_table_passes_everything(spark):
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    out = ex.check_expectations(
+        orders,
+        [
+            ex.not_null("o_custkey"),
+            ex.unique("o_orderkey"),
+            ex.row_count_between(1, 10**9),
+        ],
+    ).collect()
+    assert all(r["passed"] for r in out)
+
+
+def test_single_scan_plan(spark):
+    """The whole suite must compile to ONE aggregate over one scan —
+    adding checks adds expressions, not passes."""
+    df = _df(spark)
+    plan = (
+        ex.check_expectations(
+            df, [ex.not_null("k"), ex.in_range("price", 0, 100)]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan") <= 1
+
+
+def test_null_in_condition_is_violation(spark):
+    """A null price makes in_range unevaluable -> counts as violation,
+    never a vacuous pass."""
+    df = spark.createDataFrame(
+        [(1, None)], "k long, price double"
+    )
+    out = ex.check_expectations(df, [ex.in_range("price", 0, 100)]).collect()
+    assert out[0]["violations"] == 1 and out[0]["passed"] is False
+
+
+def test_suite_validation(spark):
+    df = _df(spark)
+    with pytest.raises(ValueError, match="empty suite"):
+        ex.check_expectations(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        ex.check_expectations(df, [ex.not_null("k"), ex.not_null("k")])
