@@ -325,3 +325,60 @@ def mad_outliers(
         .filter(F.abs(F.col("robust_z")) > threshold)
         .select(*id_cols, *group_cols, value_col, "robust_z")
     )
+
+
+def approx_quantile_check(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[float],
+    accuracy: int = 1000,
+) -> DataFrame:
+    """percentile_approx verified by its own contract → (group, p,
+    approx_ok): the sketch guarantees the returned element's rank is
+    within n/accuracy of the target rank. The engine recomputes the
+    returned value's actual rank interval [count(<v), count(<=v)]/n and
+    emits whether it intersects [p - 1/accuracy, p + 1/accuracy] — a
+    boolean a SQL oracle can assert as constant true (the invariant-
+    oracle pattern shared with approx_count_distinct / pq_quantize).
+    The sketch VALUE itself is intentionally not hashed: it is
+    implementation-defined within the bound, exactly what the bound
+    check captures.
+
+    Both aggregation passes are map-side partial; the rank join
+    broadcasts |groups| x |ps| single values.
+    """
+    tol = 1.0 / accuracy + 1e-9
+    approx = (
+        df.groupBy(group_col)
+        .agg(
+            F.percentile_approx(
+                F.col(value_col), [float(p) for p in ps], accuracy
+            ).alias("__qs")
+        )
+        .select(
+            group_col,
+            F.posexplode("__qs").alias("__pi", "__qv"),
+        )
+    )
+    ranks = (
+        df.join(F.broadcast(approx), group_col)
+        .groupBy(group_col, "__pi", "__qv")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(F.col(value_col) < F.col("__qv"), 1)).alias("__lt"),
+            F.count(F.when(F.col(value_col) <= F.col("__qv"), 1)).alias("__le"),
+        )
+    )
+    p_expr = F.element_at(
+        F.array(*[F.lit(float(p)) for p in ps]), F.col("__pi") + 1
+    )
+    lo = F.col("__lt") / F.col("__n")
+    hi = F.col("__le") / F.col("__n")
+    return ranks.select(
+        F.col(group_col),
+        F.round(p_expr, 2).alias("p"),
+        (
+            (lo <= p_expr + F.lit(tol)) & (hi >= p_expr - F.lit(tol))
+        ).alias("approx_ok"),
+    )

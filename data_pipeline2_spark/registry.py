@@ -2327,6 +2327,28 @@ def q_data_expectations(spark, sf_dir):
 
 
 @_register(
+    "approx_quantiles",
+    """
+    SELECT event_type, p, true AS approx_ok
+    FROM (SELECT DISTINCT event_type FROM events),
+         (VALUES (0.50), (0.90), (0.99)) AS t(p)
+    """,
+)
+def q_approx_quantiles(spark, sf_dir):
+    """percentile_approx under its own rank-error contract (invariant
+    oracle, same pattern as approx_count_distinct): the engine verifies
+    each sketch output's true rank interval hits the target +- 1/acc
+    and emits the boolean; the oracle asserts constant true per
+    (event_type, p). A broken accuracy knob or rank-off-by-one flips
+    rows to false and hash-mismatches."""
+    from data_pipeline2_spark.operators.aggregates import approx_quantile_check
+
+    return approx_quantile_check(
+        _t(spark, sf_dir, "events"), "event_type", "value", [0.5, 0.9, 0.99]
+    )
+
+
+@_register(
     "unpivot_metrics",
     """
     WITH m AS (
