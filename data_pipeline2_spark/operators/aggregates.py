@@ -348,7 +348,6 @@ def approx_quantile_check(
     Both aggregation passes are map-side partial; the rank join
     broadcasts |groups| x |ps| single values.
     """
-    tol = 1.0 / accuracy + 1e-9
     approx = (
         df.groupBy(group_col)
         .agg(
@@ -375,10 +374,14 @@ def approx_quantile_check(
     )
     lo = F.col("__lt") / F.col("__n")
     hi = F.col("__le") / F.col("__n")
+    # 1/accuracy is the sketch's relative rank error; +1.5 ranks of
+    # slack absorbs the floor/ceil rounding of the target rank itself
+    # (observed: a value exactly 1 rank past the n/accuracy bound on
+    # real data) — still tight enough that a broken accuracy knob
+    # (error ~ n ranks) flips the boolean
+    tol = F.lit(1.0 / accuracy) + F.lit(1.5) / F.col("__n")
     return ranks.select(
         F.col(group_col),
         F.round(p_expr, 2).alias("p"),
-        (
-            (lo <= p_expr + F.lit(tol)) & (hi >= p_expr - F.lit(tol))
-        ).alias("approx_ok"),
+        ((lo <= p_expr + tol) & (hi >= p_expr - tol)).alias("approx_ok"),
     )

@@ -92,3 +92,38 @@ def test_suite_validation(spark):
         ex.check_expectations(df, [])
     with pytest.raises(ValueError, match="duplicate"):
         ex.check_expectations(df, [ex.not_null("k"), ex.not_null("k")])
+
+
+def test_approx_quantile_check_contract(spark):
+    from data_pipeline2_spark.operators.aggregates import approx_quantile_check
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = approx_quantile_check(ev, "event_type", "value", [0.5, 0.9]).collect()
+    assert len(out) == 10  # 5 event types x 2 quantiles
+    assert all(r["approx_ok"] for r in out)
+
+
+def test_approx_quantile_check_catches_broken_accuracy(spark):
+    """A sketch far coarser than the claimed accuracy must flip the
+    boolean: emulate by lying about accuracy (claim 200k on a coarse
+    accuracy-1 sketch via a monkeypatched threshold)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators import aggregates as ag
+
+    # one group, adversarial data: heavy ties away from the median
+    rows = [(i, "a", float(i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, g string, value double")
+    # accuracy=1 -> rank error up to n; claimed tolerance 1/200000
+    orig = F.percentile_approx
+
+    def coarse(col, ps, accuracy):
+        return orig(col, ps, 1)
+
+    ag.F.percentile_approx = coarse
+    try:
+        out = ag.approx_quantile_check(df, "g", "value", [0.9], 200_000).collect()
+    finally:
+        ag.F.percentile_approx = orig
+    assert any(not r["approx_ok"] for r in out)
