@@ -2,10 +2,11 @@
 """End-to-end training-data pipeline on the engine — the composition a
 user of the reference system would run after switching:
 
-  raw corpus → quality filter → exact dedup → near dedup (MinHash
+  raw corpus → quality filter → benchmark decontamination (bloom
+  prefilter + exact verify) → exact dedup → near dedup (MinHash
   clusters) → chunk to token budget → embed (cache-aside) → pack into
   training sequences → stable train/val/test split → partitioned
-  parquet layout
+  parquet layout → data-quality expectation gate
 
 Run:  python examples/training_data_pipeline.py [sf_dir] [out_dir]
 Defaults: /root/testdata/sf0.01 → /tmp/dp2s_example_out
@@ -42,11 +43,27 @@ def main(sf_dir: str, out_dir: str):
     docs = docs.join(scored.select("doc_id"), "doc_id", "left_semi")
     print(f"quality >= 0.5:    {docs.count():>8} docs")
 
-    # 2. exact dedup (normalized content hash, keeper = min id)
+    # 2. benchmark decontamination: treat the 20 lowest doc ids as the
+    #    stand-in eval suite; drop corpus docs with >= 10% 5-gram
+    #    overlap. Bloom-bits prefilter + exact verify — identical
+    #    output to the exact path at any eval-set size.
+    from data_pipeline2_spark.operators.textanalysis import decontaminate_bloom
+
+    eval_set = docs.orderBy("doc_id").limit(20)
+    corpus = docs.join(eval_set.select("doc_id"), "doc_id", "left_anti")
+    contaminated = (
+        decontaminate_bloom(corpus, eval_set)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    docs = corpus.join(contaminated, "doc_id", "left_anti")
+    print(f"decontaminated:    {docs.count():>8} docs")
+
+    # 3. exact dedup (normalized content hash, keeper = min id)
     docs = dedup.dedup_exact_drop(docs)
     print(f"exact-deduped:     {docs.count():>8} docs")
 
-    # 3. near dedup: MinHash/LSH pairs → connected components → keep
+    # 4. near dedup: MinHash/LSH pairs → connected components → keep
     #    one doc per cluster
     pairs = dedup.dedup_near_minhash(docs, threshold=0.6)
     clusters = dedup.dedup_clusters(pairs)
@@ -56,13 +73,13 @@ def main(sf_dir: str, out_dir: str):
     docs = docs.join(doomed, "doc_id", "left_anti")
     print(f"near-deduped:      {docs.count():>8} docs")
 
-    # 4. chunk to a 64-token budget (context-window chunking)
+    # 5. chunk to a 64-token budget (context-window chunking)
     chunks = chunking.chunk_metadata_enrich(
         chunking.chunk_sentence(docs, 400), "sentence"
     )
     print(f"chunks:            {chunks.count():>8}")
 
-    # 5. embed with cache-aside (second run would only embed new chunks)
+    # 6. embed with cache-aside (second run would only embed new chunks)
     cache_path = os.path.join(out_dir, "embedding_cache")
     try:
         cached = spark.read.parquet(cache_path)
@@ -74,7 +91,7 @@ def main(sf_dir: str, out_dir: str):
     embedded.write.mode("overwrite").parquet(cache_path)
     print(f"embedded:          {embedded.count():>8} vectors (cache at {cache_path})")
 
-    # 6. pack whole documents into ~512-token training sequences and
+    # 7. pack whole documents into ~512-token training sequences and
     #    split stably by document id
     est = F.ceil(F.col("n_chars") / 4.0).cast("long")
     sized = docs.select("doc_id", "text", est.alias("est_tokens"))
@@ -99,6 +116,25 @@ def main(sf_dir: str, out_dir: str):
         F.sum("est_tokens").alias("tokens"),
     ).orderBy("split").show()
     print(f"written to {out_dir}/sequences (partitioned by split)")
+
+    # 8. expectation gate: refuse to ship a malformed sequence table
+    from data_pipeline2_spark.operators import expectations as ex
+
+    checks = ex.check_expectations(
+        final,
+        [
+            ex.not_null("doc_id"),
+            ex.unique("doc_id"),
+            ex.in_set("split", ["train", "val", "test"]),
+            ex.in_range("est_tokens", 0, 10_000_000),
+            ex.row_count_between(1, 10**12),
+        ],
+    )
+    checks.show(truncate=False)
+    failed = checks.filter(~F.col("passed")).count()
+    if failed:
+        raise SystemExit(f"expectation gate FAILED: {failed} checks")
+    print("expectation gate: all checks passed")
 
 
 if __name__ == "__main__":
