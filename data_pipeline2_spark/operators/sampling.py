@@ -148,3 +148,25 @@ def mix_by_temperature(
         .filter(h32 < F.col("__thr"))
         .drop("__thr", "__grp")
     )
+
+
+def sample_weighted(
+    df: DataFrame, key_col: str, weight_col: str, salt: str = "wsamp"
+) -> DataFrame:
+    """Per-row weighted Bernoulli: keep a row with probability =
+    clamp(weight, 0, 1), deciding by hash — h32(salted key) <
+    floor(round(weight, 12)·2^32). The quality-proportional downsample
+    every curation pipeline wants ("keep good docs more often"), with
+    the family's guarantees: deterministic under retries/speculation,
+    SQL-replayable, map-only (no shuffle, no rand()). round-before-
+    floor for the same cross-engine ulp reason as mix_by_temperature.
+    NULL weights keep nothing (NULL comparison is false) — absent
+    quality is not a license to sample."""
+    h32 = F.conv(
+        F.substring(_hash_key(F.col(key_col), salt), 1, 8), 16, 10
+    ).cast("long")
+    w = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), F.col(weight_col).cast("double"))
+    )
+    thr = F.floor(F.round(w, 12) * F.lit(float(1 << 32))).cast("long")
+    return df.filter(h32 < thr)

@@ -2238,6 +2238,29 @@ def q_dataset_mix_temperature(spark, sf_dir):
 
 
 @_register(
+    "sample_weighted",
+    f"""
+    WITH q AS ({_QUALITY_SQL})
+    SELECT doc_id, quality
+    FROM q
+    WHERE {_h32_sql('doc_id', 'wsamp')}
+          < CAST(floor(round(least(1.0, greatest(0.0, quality)), 12)
+                       * 4294967296.0) AS BIGINT)
+    """,
+)
+def q_sample_weighted(spark, sf_dir):
+    """Quality-proportional downsample: each doc kept with probability
+    = its quality score (sampling.sample_weighted). The oracle replays
+    the quality formula AND the md5-u32 acceptance test exactly."""
+    from data_pipeline2_spark.operators import sampling
+
+    q = textanalysis.quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    return sampling.sample_weighted(q, "doc_id", "quality")
+
+
+@_register(
     "data_profile",
     """
     SELECT 'o_custkey' AS col, count(*) AS rows_n,

@@ -212,3 +212,25 @@ def test_temperature_mix_flattens_toward_uniform(spark):
         F.count(F.lit(1)).alias("n")).collect()}
     for l in nat:
         assert abs(fr.get(l, 0) / nat[l] - 0.5) < 0.15, (l, fr.get(l, 0), nat[l])
+
+
+def test_sample_weighted_rate_tracks_weight(spark):
+    """Acceptance rate ≈ the weight; weight 0 keeps nothing; weight 1
+    keeps everything; NULL weight keeps nothing."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators.sampling import sample_weighted
+
+    df = spark.range(4000).select(F.col("id").alias("k"))
+    for w, lo, hi in ((0.0, 0, 0), (1.0, 4000, 4000), (0.3, 1000, 1400)):
+        kept = sample_weighted(
+            df.withColumn("w", F.lit(w)), "k", "w"
+        ).count()
+        assert lo <= kept <= hi, (w, kept)
+    nulls = sample_weighted(
+        df.withColumn("w", F.lit(None).cast("double")), "k", "w"
+    ).count()
+    assert nulls == 0
+    # out-of-range weights clamp rather than explode
+    over = sample_weighted(df.withColumn("w", F.lit(7.0)), "k", "w").count()
+    assert over == 4000
