@@ -4888,6 +4888,23 @@ _PRIORITY = [
 ]
 
 
+# Keys ADDED during round 3 (new operators, not SURVEY-backlog items).
+# They queue BEHIND the pre-existing unverified backlog so the driver's
+# 50-key round-3 window lands exactly on the keys VERDICT r2 item 1
+# planned (47 never-checked + the 3 fixed keys + kmeans_embeddings);
+# these then fill round 4's window. Without this tier, a key registered
+# mid-file would displace planned backlog past position 50 and leave
+# original SURVEY keys permanently unverified.
+_ROUND3_NEW = frozenset({
+    "multimodal_decode_palette", "multimodal_decode_gif",
+    "multimodal_audio_features", "multimodal_decode_jpeg",
+    "q2_min_cost_supplier", "q11_important_stock", "q16_parts_supplier",
+    "q20_potential_promotion", "decontaminate_bloom", "events_attribution",
+    "events_attribution_last", "pq_quantize", "data_expectations",
+    "unpivot_metrics", "approx_quantiles", "sample_weighted",
+})
+
+
 def _driver_order() -> list[QuerySpec]:
     parked = _driver_verified_keys() | _DEMOTED
     by_name = {q.name: q for q in _QUERIES}
@@ -4897,7 +4914,16 @@ def _driver_order() -> list[QuerySpec]:
     taken = {q.name for q in ordered}
     ordered += [
         q for q in _QUERIES
-        if q.name not in taken and q.name not in parked
+        if q.name not in taken
+        and q.name not in parked
+        and q.name not in _ROUND3_NEW
+    ]
+    taken = {q.name for q in ordered}
+    ordered += [
+        q for q in _QUERIES
+        if q.name not in taken
+        and q.name not in parked
+        and q.name in _ROUND3_NEW
     ]
     ordered += [
         q

@@ -200,3 +200,22 @@ def test_registry_export_order_self_maintains(tmp_path, monkeypatch):
     finally:
         os.remove(marker)
     assert list(registry.queries()) == qs  # cleanup restores the order
+
+
+def test_round3_new_keys_queue_behind_planned_backlog():
+    """VERDICT r2 item 1 planned the round-3 window exactly: the
+    never-checked SURVEY backlog + the 3 fixed keys + kmeans_embeddings.
+    Operators ADDED in round 3 must queue BEHIND that backlog (they get
+    round 4's window) — a mid-file registration must never displace a
+    planned key past position 50."""
+    from data_pipeline2_spark import registry
+
+    qs = list(registry.queries())
+    verified = registry._driver_verified_keys()
+    window = [k for k in qs if k not in verified][:50]
+    assert not (set(window) & registry._ROUND3_NEW), (
+        "round-3 addition occupies a planned backlog slot"
+    )
+    for must in ("kmeans_embeddings", "knn_batch_ivf_exact", "embed_batch",
+                 "multimodal_features", "approx_count_distinct"):
+        assert must in window, f"planned key {must} fell out of the window"
