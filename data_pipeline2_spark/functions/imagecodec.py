@@ -184,6 +184,8 @@ def decode_png(payload: bytes):
         raise ValueError("not a PNG payload")
     w, h, depth = info["width"], info["height"], info["depth"]
     ctype = {v: k for k, v in _PNG_MODES.items()}.get(info["mode"])
+    if len(payload) < 29:
+        raise ValueError("corrupt PNG: truncated IHDR")
     interlace = payload[28]
     if interlace not in (0, 1):
         raise ValueError(f"corrupt PNG: interlace method {interlace}")

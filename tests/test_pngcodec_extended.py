@@ -195,3 +195,14 @@ def test_png_missing_idat_is_valueerror():
     )
     with pytest.raises(ValueError):
         decode_png(payload)
+
+
+def test_png_truncated_before_interlace_byte():
+    """Payloads cut inside the IHDR data (probe-parseable dims but no
+    interlace byte) must raise ValueError, not IndexError."""
+    rng = np.random.RandomState(14)
+    img = rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)
+    payload = encode_png(img)
+    for cut in (26, 27, 28):
+        with pytest.raises(ValueError):
+            decode_png(payload[:cut])
