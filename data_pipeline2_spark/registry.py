@@ -2238,6 +2238,47 @@ def q_dataset_mix_temperature(spark, sf_dir):
 
 
 @_register(
+    "bpe_tokenize",
+    r"""
+    SELECT doc_id,
+           CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+           END AS n_words,
+           CAST(length(regexp_replace(lower(coalesce(text, '')),
+                                      '\s', '', 'g')) AS BIGINT)
+             AS n_word_chars,
+           true AS reconstructed_ok,
+           true AS tokens_bounded
+    FROM documents
+    """,
+)
+def q_bpe_tokenize(spark, sf_dir):
+    """REAL corpus-trained BPE (operators/tokenizer.py): merges learned
+    from the word-frequency table (bounded driver fit, Sennrich-style),
+    applied distributedly. Mixed oracle: n_words / n_word_chars are
+    EXACT (SQL recomputes the whitespace tokenization), while the merge
+    table itself is gated by invariant booleans — reconstruction
+    (tokens concatenate back to every word) and count bounds
+    (n_words <= n_tokens <= n_word_chars) — that any slicing, ranking,
+    or sentinel bug flips to false."""
+    from data_pipeline2_spark.operators import tokenizer
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = tokenizer.bpe_train(docs, n_merges=200)
+    st = tokenizer.bpe_tokenize_stats(docs, merges)
+    bounded = (F.col("n_tokens") >= F.col("n_words")) & (
+        F.col("n_tokens") <= F.col("n_word_chars")
+    )
+    return st.select(
+        "doc_id",
+        "n_words",
+        "n_word_chars",
+        "reconstructed_ok",
+        bounded.alias("tokens_bounded"),
+    )
+
+
+@_register(
     "sample_weighted",
     f"""
     WITH q AS ({_QUALITY_SQL})
@@ -4896,6 +4937,7 @@ _PRIORITY = [
 # mid-file would displace planned backlog past position 50 and leave
 # original SURVEY keys permanently unverified.
 _ROUND3_NEW = frozenset({
+    "bpe_tokenize",
     "multimodal_decode_palette", "multimodal_decode_gif",
     "multimodal_audio_features", "multimodal_decode_jpeg",
     "q2_min_cost_supplier", "q11_important_stock", "q16_parts_supplier",

@@ -1,0 +1,80 @@
+"""Corpus-trained BPE: merge learning on a known corpus, reconstruction
+invariants, compression behavior, determinism."""
+
+from __future__ import annotations
+
+from data_pipeline2_spark.operators.tokenizer import (
+    END,
+    _apply_merges,
+    bpe_tokenize_stats,
+    bpe_train,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_learns_frequent_pair_first(spark):
+    # 'aaab' x many: pair (a, a) dominates
+    docs = _docs(spark, [(i, "aaab aaab aaab") for i in range(5)])
+    merges = bpe_train(docs, n_merges=3)
+    assert merges[0] == ("a", "a")
+
+
+def test_apply_merges_reconstructs_and_compresses(spark):
+    docs = _docs(
+        spark,
+        [(i, "the quick brown fox and the lazy dog the end") for i in range(4)],
+    )
+    merges = bpe_train(docs, n_merges=50)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in ("the", "quick", "unseen", "theodore"):
+        toks = _apply_merges(w, ranks)
+        assert "".join(toks) == w
+        assert all(toks)
+    # 'the' appears 3x/doc: should compress to a single token
+    assert _apply_merges("the", ranks) == ["the"]
+
+
+def test_stats_invariants_on_real_corpus(spark):
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges = bpe_train(docs, n_merges=100)
+    st = bpe_tokenize_stats(docs, merges).collect()
+    assert len(st) == docs.count()
+    for r in st:
+        assert r["reconstructed_ok"]
+        assert r["n_words"] <= r["n_tokens"] <= r["n_word_chars"] or (
+            r["n_words"] == 0 and r["n_tokens"] == 0
+        )
+    # trained merges actually compress: far fewer tokens than chars
+    tot_tok = sum(r["n_tokens"] for r in st)
+    tot_chars = sum(r["n_word_chars"] for r in st)
+    assert tot_tok < 0.6 * tot_chars
+
+
+def test_training_is_deterministic(spark):
+    docs = _docs(spark, [(i, f"alpha beta gamma delta {i % 3}") for i in range(20)])
+    m1 = bpe_train(docs, n_merges=30)
+    m2 = bpe_train(docs, n_merges=30)
+    assert m1 == m2
+
+
+def test_null_and_empty_text_rows(spark):
+    docs = _docs(spark, [(1, None), (2, ""), (3, "   "), (4, "word")])
+    merges = bpe_train(docs, n_merges=5)
+    st = {r["doc_id"]: r.asDict() for r in bpe_tokenize_stats(docs, merges).collect()}
+    for d in (1, 2, 3):
+        assert st[d]["n_words"] == 0 and st[d]["n_tokens"] == 0
+        assert st[d]["reconstructed_ok"]
+    assert st[4]["n_words"] == 1
+
+
+def test_sentinel_never_leaks_into_tokens(spark):
+    docs = _docs(spark, [(1, "abc abc abc abc")])
+    merges = bpe_train(docs, n_merges=10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = _apply_merges("abc", ranks)
+    assert all(END not in t for t in toks), toks
