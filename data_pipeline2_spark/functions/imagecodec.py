@@ -215,10 +215,6 @@ def decode_png(payload: bytes):
         i += 12 + clen  # len + id + data + crc
     if w * h > MAX_PIXELS:
         raise ValueError(f"corrupt PNG: {w}x{h} exceeds MAX_PIXELS")
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as exc:
-        raise ValueError(f"corrupt PNG: bad IDAT stream ({exc})") from exc
     sample_bytes = 2 if depth == 16 else 1
 
     def pass_pixels(sub, pw: int, ph: int):
@@ -252,9 +248,17 @@ def decode_png(payload: bytes):
         pw = max(0, (w - xs + xstep - 1) // xstep)
         ph = max(0, (h - ys + ystep - 1) // ystep)
         dims.append((pw, ph))
-    # validate the WHOLE stream length before allocating h*w output —
-    # corrupt dims must fail loudly, not drive a giant allocation
-    if len(raw) != sum(pass_bytes(pw, ph) for pw, ph in dims):
+    expected_raw = sum(pass_bytes(pw, ph) for pw, ph in dims)
+    # BOUNDED inflate: a zlib stream can expand ~1000:1, so cap the
+    # decompress at the byte count the (already pixel-capped) dims
+    # imply — a hostile IDAT can never inflate past expected+1 bytes,
+    # and any length mismatch fails loudly before the h*w allocation
+    try:
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected_raw + 1)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG: bad IDAT stream ({exc})") from exc
+    if len(raw) != expected_raw or dec.unconsumed_tail or dec.unused_data:
         raise ValueError("corrupt PNG: decompressed size mismatch")
 
     if ctype == 3:

@@ -34,6 +34,8 @@ from __future__ import annotations
 import math
 import struct
 
+from data_pipeline2_spark.functions.imagecodec import MAX_PIXELS
+
 # Zigzag scan order: index i of the scan -> (row, col) flattened offset.
 ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -268,7 +270,7 @@ def decode_jpeg(payload: bytes):
             if len(seg) < 6:
                 raise ValueError("corrupt SOF: truncated header")
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            if w * h > (1 << 26):
+            if w * h > MAX_PIXELS:
                 raise ValueError(f"corrupt JPEG: {w}x{h} exceeds MAX_PIXELS")
             if len(seg) < 6 + 3 * ncomp:
                 raise ValueError("corrupt SOF: truncated component specs")

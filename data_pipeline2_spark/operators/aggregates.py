@@ -346,8 +346,12 @@ def approx_quantile_check(
     check captures.
 
     Both aggregation passes are map-side partial; the rank join
-    broadcasts |groups| x |ps| single values.
+    broadcasts |groups| x |ps| single values. NULL values are excluded
+    up front (percentile_approx ignores them; ranking over them would
+    flag a correct sketch as failed), and the rank join is null-safe so
+    a NULL group key keeps its row instead of silently dropping.
     """
+    df = df.filter(F.col(value_col).isNotNull())
     approx = (
         df.groupBy(group_col)
         .agg(
@@ -360,8 +364,12 @@ def approx_quantile_check(
             F.posexplode("__qs").alias("__pi", "__qv"),
         )
     )
+    probe = approx.withColumnRenamed(group_col, "__g")
     ranks = (
-        df.join(F.broadcast(approx), group_col)
+        df.join(
+            F.broadcast(probe), F.col(group_col).eqNullSafe(F.col("__g"))
+        )
+        .drop("__g")
         .groupBy(group_col, "__pi", "__qv")
         .agg(
             F.count(F.lit(1)).alias("__n"),

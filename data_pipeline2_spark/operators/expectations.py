@@ -98,9 +98,6 @@ def check_expectations(df: DataFrame, checks: list) -> DataFrame:
         F.count(F.lit(1)).alias("__total"),
         *[expr.cast("long").alias(f"__v{i}") for i, (_, _, expr) in enumerate(checks)],
     )
-    pairs = []
-    for i, (name, kind, _) in enumerate(checks):
-        pairs += [F.lit(name), F.lit(kind), F.col(f"__v{i}")]
     n = len(checks)
     stacked = agg.select(
         F.col("__total"),
@@ -123,4 +120,7 @@ def check_expectations(df: DataFrame, checks: list) -> DataFrame:
 
 
 def _sql_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+    # Spark SQL string literals treat backslash as an escape char —
+    # escape it BEFORE quoting or a name ending in a backslash turns
+    # \' into an escaped quote and unbalances the stack() expression
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

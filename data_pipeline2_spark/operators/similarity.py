@@ -1180,7 +1180,8 @@ def knn_batch_ivfpq(
     # its cell (a vector in two probed cells of different queries scores
     # for each, never globally)
     books = pq_fit(
-        embeddings, m_subvectors, n_codes, id_col, vec_col, normalize=True
+        embeddings, m_subvectors, n_codes, id_col, vec_col,
+        seed=seed, normalize=True,
     )
     q_pdf = queries.select(qid_col, qvec_col).toPandas()
     if len(q_pdf) == 0:

@@ -34,7 +34,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_WORD_RE = re.compile(r"\S+")
+# ASCII whitespace ONLY — matching Spark's Java \s (bpe_train's split)
+# and the DuckDB oracle's RE2 \s exactly; Python's Unicode-aware \S
+# would split on U+00A0 etc. where the other two engines do not.
+_WORD_RE = re.compile(r"[^ \t\n\r\f\v]+")
 # End-of-word sentinel: a space can never appear inside a \\S+ word,
 # so it is unambiguous; merges keep it as the suffix of the final
 # piece.

@@ -127,3 +127,28 @@ def test_approx_quantile_check_catches_broken_accuracy(spark):
     finally:
         ag.F.percentile_approx = orig
     assert any(not r["approx_ok"] for r in out)
+
+
+def test_expectation_names_with_backslashes_and_quotes(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,)], "k long")
+    weird = (r"not_null(we'ird\)", "not_null", F.count(F.lit(1)) - F.count("k"))
+    out = ex.check_expectations(df, [weird]).collect()
+    assert out[0]["expectation"] == r"not_null(we'ird\)"
+    assert out[0]["passed"] is True
+
+
+def test_approx_quantile_ignores_null_values_and_keeps_null_groups(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators.aggregates import approx_quantile_check
+
+    rows = [(i, "a", float(i)) for i in range(1000)]
+    rows += [(i + 1000, "a", None) for i in range(1000)]  # nulls must not skew
+    rows += [(i + 2000, None, float(i)) for i in range(100)]  # NULL group
+    df = spark.createDataFrame(rows, "id long, g string, value double")
+    out = approx_quantile_check(df, "g", "value", [0.5, 0.9]).collect()
+    assert len(out) == 4  # groups 'a' and NULL x 2 quantiles
+    assert all(r["approx_ok"] for r in out)
+    assert any(r["g"] is None for r in out)

@@ -206,3 +206,15 @@ def test_png_truncated_before_interlace_byte():
     for cut in (26, 27, 28):
         with pytest.raises(ValueError):
             decode_png(payload[:cut])
+
+
+def test_png_zlib_bomb_bounded_inflate():
+    """A tiny declared-dims PNG whose IDAT would inflate to ~100 MB must
+    fail on the bounded decompress, never inflating past expected+1."""
+    bomb = zlib.compress(bytes(100 * 1024 * 1024), 9)  # ~100 KB compressed
+    payload = _png(8, 8, 8, 2, 0, b"")  # headers only
+    payload = payload.replace(
+        _chunk(b"IDAT", zlib.compress(b"")), _chunk(b"IDAT", bomb)
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(payload)

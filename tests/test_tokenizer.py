@@ -108,3 +108,15 @@ def test_chunk_hybrid_accepts_corpus_trained_bpe(spark):
         assert n <= budget or " " not in r["content"].strip() or (
             r["n_tokens"] > budget
         ), (n, r["n_tokens"], r["content"][:80])
+
+
+def test_word_split_is_ascii_whitespace_only(spark):
+    """U+00A0 must NOT split words (Spark's and DuckDB's \\s are ASCII;
+    Python's Unicode \\S+ would diverge all three engines)."""
+    from data_pipeline2_spark.operators.tokenizer import _words
+
+    assert _words("a b c") == ["a b", "c"]
+    docs = _docs(spark, [(1, "x y x y x y")])
+    merges = bpe_train(docs, n_merges=5)
+    st = bpe_tokenize_stats(docs, merges).collect()[0]
+    assert st["n_words"] == 3 and st["reconstructed_ok"]
