@@ -7,6 +7,8 @@ Commands map 1:1 onto engine operators:
   search  <vec_id> [-k N]  — cosine kNN from a stored embedding vector
   chunk   <strategy>       — run a chunker over the documents table
   stats                    — corpus text stats
+  query   <key> [-n N]     — run ANY registry operator by key
+  list    [pattern]        — list available registry keys
 
 All read from --data (default $SPARK_GRAFT_SF_DIR or sf0.01 testdata).
 """
@@ -46,7 +48,23 @@ def main(argv=None):
 
     sub.add_parser("stats", help="corpus text stats")
 
+    sp = sub.add_parser("query", help="run any registry operator by key")
+    sp.add_argument("key")
+    sp.add_argument("-n", type=int, default=20, help="rows to show")
+
+    sp = sub.add_parser("list", help="list registry keys")
+    sp.add_argument("pattern", nargs="?", default="")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "list":
+        # no Spark session needed to list
+        from data_pipeline2_spark import registry
+
+        for k in sorted(registry.queries()):
+            if args.pattern in k:
+                print(k)
+        return 0
 
     from data_pipeline2_spark.session import get_spark
 
@@ -97,6 +115,18 @@ def main(argv=None):
         from data_pipeline2_spark.sources.parquet import load_table
 
         text_stats(load_table(spark, args.data, "documents")).show(truncate=False)
+    elif args.cmd == "query":
+        from data_pipeline2_spark import registry
+
+        qs = registry.queries()
+        if args.key not in qs:
+            close = [k for k in sorted(qs) if args.key in k][:8]
+            hint = f" (did you mean: {', '.join(close)}?)" if close else ""
+            print(f"unknown key {args.key!r}{hint}", file=sys.stderr)
+            return 1
+        df = qs[args.key](spark, args.data)
+        df.show(args.n, truncate=False)
+        print(f"rows: {df.count()}")
     return 0
 
 

@@ -31,3 +31,24 @@ def test_cli_ingest_and_chunk(spark, capsys):
     assert "text/markdown" in out
     assert cli.main(["--data", "/root/testdata/sf0.001", "chunk", "fixed", "--size", "100"]) == 0
     assert "total chunks" in capsys.readouterr().out
+
+
+def test_cli_list_and_query(capsys):
+    from data_pipeline2_spark.cli import main
+
+    assert main(["list", "unpivot"]) == 0
+    out = capsys.readouterr().out
+    assert "unpivot_metrics" in out
+
+    assert main(["--data", "/root/testdata/sf0.001", "query",
+                 "unpivot_metrics", "-n", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "rows: " in out
+
+
+def test_cli_query_unknown_key_suggests(capsys):
+    from data_pipeline2_spark.cli import main
+
+    assert main(["query", "unpvt"]) == 1
+    err = capsys.readouterr().err
+    assert "unknown key" in err
