@@ -3,8 +3,9 @@
 The container ships no PIL/ffmpeg, but real container formats are still
 parseable with struct + zlib + numpy:
 
-- header PROBES (dimensions / mode / duration) for PNG, JPEG, GIF, BMP
-  and WAV — byte-exact parsing of the public container specs;
+- header PROBES (dimensions / mode / duration) for PNG, JPEG, GIF, BMP,
+  WAV and MP4 (ISO-BMFF box walk) — byte-exact parsing of the public
+  container specs;
 - REAL sample/pixel decodes beyond the probes: GIF (variable-width LZW,
   color tables, transparency, interlace) and WAV PCM (8/16-bit,
   multi-channel) — see decode_gif / decode_wav_pcm;
