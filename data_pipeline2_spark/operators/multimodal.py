@@ -489,15 +489,20 @@ def extract_features(assets: DataFrame, dim: int = 64, fake: bool = True) -> Dat
     )
 
 
-def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+def frame_sample_plan(
+    assets: DataFrame, every_ms: int = 1000, fake: bool = True
+) -> DataFrame:
     """Explode a per-asset frame-sampling plan (video → frame rows).
 
     Pure plumbing: generates (asset_id, frame_no, ts_ms) rows from the
-    (fake-)probed duration; a real sampler maps frames via mapInPandas.
+    probed duration — `fake=False` reads it from the REAL container
+    probe (MP4 mvhd); a real sampler then maps frames via mapInPandas.
     Filter BEFORE decoding — Catalyst cannot push a filter through the
     opaque mapInPandas, and probing non-video payloads is pure waste.
     """
-    probed = decode_assets(assets.filter(F.col("modality") == "video"), fake=True)
+    probed = decode_assets(
+        assets.filter(F.col("modality") == "video"), fake=fake
+    )
     n_frames = F.greatest((F.col("duration_ms") / every_ms).cast("int"), F.lit(1))
     return probed.select(
         "asset_id",

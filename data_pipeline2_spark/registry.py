@@ -4671,6 +4671,33 @@ def q_multimodal_video_probe(spark, sf_dir):
 
 
 @_register(
+    "frame_sample_real",
+    """
+    WITH d AS (
+      SELECT doc_id AS asset_id,
+             1000 + (doc_id % 97) * 137 AS dur
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT asset_id,
+           CAST(f AS INT) AS frame_no,
+           CAST(f * 1000 AS BIGINT) AS ts_ms
+    FROM (SELECT asset_id,
+                 unnest(generate_series(0, greatest(dur // 1000, 1) - 1)) AS f
+          FROM d)
+    """,
+)
+def q_frame_sample_real(spark, sf_dir):
+    """frame_sample_plan over REAL MP4 durations (fake=False — the
+    plan's duration comes from the actual mvhd box walk, not the
+    deterministic stand-in probe); the oracle recomputes frames from
+    the generator's closed-form duration."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return multimodal.frame_sample_plan(
+        multimodal.mp4_assets(docs), every_ms=1000, fake=False
+    )
+
+
+@_register(
     "multimodal_audio_features",
     """
     WITH params AS (
@@ -4965,7 +4992,7 @@ _PRIORITY = [
 # mid-file would displace planned backlog past position 50 and leave
 # original SURVEY keys permanently unverified.
 _ROUND3_NEW = frozenset({
-    "bpe_tokenize", "multimodal_video_probe",
+    "bpe_tokenize", "multimodal_video_probe", "frame_sample_real",
     "multimodal_decode_palette", "multimodal_decode_gif",
     "multimodal_audio_features", "multimodal_decode_jpeg",
     "q2_min_cost_supplier", "q11_important_stock", "q16_parts_supplier",
