@@ -274,3 +274,43 @@ def test_jpeg_decode_scan_only_ids(spark):
     columns never load."""
     plan = plan_of(QUERIES["multimodal_decode_jpeg"](spark, SF))
     assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_knn_batch_pq_shuffle_carries_candidates_not_corpus(spark):
+    """ADC search plan: ONE vectorized python stage (the per-batch
+    LUT scoring), no cartesian, and the only wide exchanges operate on
+    the (qid, vec_id, adc) candidate rows — never corpus vectors."""
+    from data_pipeline2_spark.operators import similarity
+    from data_pipeline2_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    plan = plan_of(similarity.knn_batch_pq(emb, q, k=3, rerank=20))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_knn_batch_ivfpq_prunes_before_scoring(spark):
+    """IVF-PQ plan: the cell join restricts the corpus BELOW the ADC
+    scoring stage (join appears deeper in the tree than MapInPandas),
+    so pruning happens before any python stage touches rows."""
+    from data_pipeline2_spark.operators import similarity
+    from data_pipeline2_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    plan = plan_of(
+        similarity.knn_batch_ivfpq(emb, q, k=3, n_probe=2, rerank=20)
+    )
+    assert "CartesianProduct" not in plan
+    mip = plan.find("MapInPandas")
+    assert mip >= 0
+    # a join exists below the scoring stage (cell restriction)
+    assert "Join" in plan[mip:]
