@@ -4671,6 +4671,34 @@ def q_multimodal_video_probe(spark, sf_dir):
 
 
 @_register(
+    "as_of_snapshot",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM (SELECT user_id, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+    WHERE rn = 1
+    """,
+)
+def q_as_of_snapshot(spark, sf_dir):
+    """Time-travel read over a versioned event log: the per-key state
+    as of a cutoff — filter to versions <= as_of, latest-wins with a
+    deterministic event_id tie-break (relational.latest_state, the same
+    primitive behind status_lifecycle/upsert). The lakehouse AS OF
+    query without a table format: one pushed ts predicate + one keyed
+    window."""
+    from data_pipeline2_spark.operators.relational import latest_state
+
+    ev_df = _t(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    return latest_state(
+        ev_df, ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    ).select("user_id", "event_id", "event_type", "value")
+
+
+@_register(
     "frame_sample_real",
     """
     WITH d AS (
@@ -4993,6 +5021,7 @@ _PRIORITY = [
 # original SURVEY keys permanently unverified.
 _ROUND3_NEW = frozenset({
     "bpe_tokenize", "multimodal_video_probe", "frame_sample_real",
+    "as_of_snapshot",
     "multimodal_decode_palette", "multimodal_decode_gif",
     "multimodal_audio_features", "multimodal_decode_jpeg",
     "q2_min_cost_supplier", "q11_important_stock", "q16_parts_supplier",
