@@ -57,6 +57,16 @@ def main(argv=None):
 
     args = p.parse_args(argv)
 
+    if args.cmd == "query":
+        # validate BEFORE paying Spark session startup
+        from data_pipeline2_spark import registry
+
+        if args.key not in registry.queries():
+            close = [k for k in sorted(registry.queries()) if args.key in k][:8]
+            hint = f" (did you mean: {', '.join(close)}?)" if close else ""
+            print(f"unknown key {args.key!r}{hint}", file=sys.stderr)
+            return 1
+
     if args.cmd == "list":
         # no Spark session needed to list
         from data_pipeline2_spark import registry
@@ -118,13 +128,7 @@ def main(argv=None):
     elif args.cmd == "query":
         from data_pipeline2_spark import registry
 
-        qs = registry.queries()
-        if args.key not in qs:
-            close = [k for k in sorted(qs) if args.key in k][:8]
-            hint = f" (did you mean: {', '.join(close)}?)" if close else ""
-            print(f"unknown key {args.key!r}{hint}", file=sys.stderr)
-            return 1
-        df = qs[args.key](spark, args.data)
+        df = registry.queries()[args.key](spark, args.data)
         df.show(args.n, truncate=False)
         print(f"rows: {df.count()}")
     return 0

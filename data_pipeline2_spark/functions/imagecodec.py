@@ -841,9 +841,12 @@ def probe_mp4(payload: bytes) -> dict | None:
             continue
         for ctype, cs, ce in walk(payload, s, e):
             if ctype == b"mvhd":
+                if ce - cs < 1:
+                    raise ValueError("corrupt MP4: empty mvhd")
                 ver = payload[cs]
                 if ver == 1:
-                    if ce - cs < 28:
+                    # 4 ver/flags + 8+8 times + 4 timescale + 8 duration
+                    if ce - cs < 32:
                         raise ValueError("corrupt MP4: short mvhd v1")
                     timescale = struct.unpack(">I", payload[cs + 20 : cs + 24])[0]
                     dur = struct.unpack(">Q", payload[cs + 24 : cs + 32])[0]
@@ -855,9 +858,17 @@ def probe_mp4(payload: bytes) -> dict | None:
                 if timescale == 0:
                     raise ValueError("corrupt MP4: zero timescale")
                 duration_ms = dur * 1000 // timescale
+                if duration_ms > 0x7FFFFFFF:
+                    # int32 schema bound; also catches corrupt 64-bit
+                    # duration fields masquerading as ~centuries
+                    raise ValueError(
+                        f"corrupt MP4: implausible duration {duration_ms} ms"
+                    )
             elif ctype == b"trak":
                 for ttype, ts, te in walk(payload, cs, ce):
                     if ttype == b"tkhd":
+                        if te - ts < 1:
+                            raise ValueError("corrupt MP4: empty tkhd")
                         ver = payload[ts]
                         # width sits after ver/flags(4) + times(8 or 16)
                         # + track_id(4) + rsvd(4) + duration(4 or 8) +

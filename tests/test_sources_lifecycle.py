@@ -272,9 +272,8 @@ def test_mp4_probe_structure_and_corruption():
     assert info["format"] == "mp4" and info["timescale"] == 1000
     assert info["duration_ms"] == 1000 + (42 % 97) * 137
 
-    # v1 mvhd (64-bit times) parses too: rebuild moov with version 1
-    assert probe_mp4(b"\x00\x00\x00\x08ftyp") is None or True  # short: None
     assert probe_mp4(b"random bytes, not a container") is None
+    assert probe_mp4(b"\x00\x00\x00\x08ftyp") is None  # ftyp alone: too short
 
     # corrupt: box claiming to extend past the payload
     bad = bytearray(payload)
@@ -289,6 +288,66 @@ def test_mp4_probe_structure_and_corruption():
     bad2[j : j + 4] = b"\x00\x00\x00\x00"
     with pytest.raises(ValueError, match="timescale"):
         probe_mp4(bytes(bad2))
+
+
+def test_mp4_probe_v1_boxes_and_truncation():
+    """Version-1 mvhd/tkhd (64-bit times) parse; truncated v1 boxes
+    raise ValueError, never IndexError/struct.error."""
+    import struct
+
+    import pytest
+
+    from data_pipeline2_spark.functions.imagecodec import probe_mp4
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd_v1 = box(
+        b"mvhd",
+        b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 1000) + struct.pack(">Q", 7500)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + bytes(10)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24) + struct.pack(">I", 2),
+    )
+    tkhd_v1 = box(
+        b"tkhd",
+        b"\x01\x00\x00\x07" + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 1) + bytes(4) + struct.pack(">Q", 7500)
+        + bytes(8) + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 320 << 16, 240 << 16),
+    )
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    payload = ftyp + box(b"moov", mvhd_v1 + box(b"trak", tkhd_v1))
+    info = probe_mp4(payload)
+    assert info["duration_ms"] == 7500
+    assert (info["width"], info["height"]) == (320, 240)
+
+    # truncated v1 mvhd followed by another box: must NOT read the
+    # neighbor's bytes as duration
+    short_mvhd = box(b"mvhd", b"\x01\x00\x00\x00" + bytes(24))
+    bad = ftyp + box(b"moov", short_mvhd + box(b"free", bytes(8)))
+    with pytest.raises(ValueError, match="mvhd"):
+        probe_mp4(bad)
+
+    # empty mvhd / tkhd bodies at end of payload: ValueError, not IndexError
+    with pytest.raises(ValueError):
+        probe_mp4(ftyp + box(b"moov", box(b"mvhd", b"")))
+    with pytest.raises(ValueError):
+        probe_mp4(
+            ftyp + box(b"moov", mvhd_v1 + box(b"trak", box(b"tkhd", b"")))
+        )
+
+    # implausible (int32-overflowing) duration is corrupt, not returned
+    huge = box(
+        b"mvhd",
+        b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 1) + struct.pack(">Q", 1 << 40),
+    )
+    with pytest.raises(ValueError, match="implausible"):
+        probe_mp4(ftyp + box(b"moov", huge))
 
 
 def test_mp4_probe_fuzz_never_unstructured():
