@@ -4984,78 +4984,17 @@ _VERIFIED_R01 = {
     "chunk_size_histogram", "chunk_token_budget", "pack_sequences",
 }
 
-# SURVEY §2 operators without a green driver row yet — these must land
-# inside the driver's verification window this round (VERDICT.md item 1).
-_PRIORITY = [
-    # §2.4 / §2.6 / §2.7 — embedding + similarity + joins
-    "embedding_cache_lookup", "search_cache_key", "knn_cosine",
-    "knn_cosine_filtered", "knn_batch", "search_cache_rw",
-    "join_chunk_embedding", "embed_metrics", "embed_batch", "embed_retry",
-    "embed_provider", "embed_incremental", "knn_batch_lsh", "knn_batch_ivf",
-    # §2.10 — dedup / text analysis
-    "dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard",
-    "dedup_near_embedding", "dedup_incremental", "dedup_near_incremental",
-    "dedup_clusters", "simhash", "text_stats", "lang_id", "quality_score",
-    "doc_fingerprint", "pii_redact", "token_count_bpe", "corpus_curation",
-    # §2.9 — streaming / lifecycle
-    "events_tumbling", "events_sliding", "events_session",
-    "status_lifecycle", "cache_ttl_filter", "job_stats",
-    # §2.1 / §2.5 — sources, sinks, metrics
-    "scan_parquet_tables", "write_documents", "write_embeddings",
-    "write_jobs", "cache_write_ttl", "processing_time_stats",
-    "docling_convert",
-    # §2.3 exact/hybrid chunkers
-    "chunk_sentence_exact", "chunk_hybrid",
-    # multimodal columns
-    "multimodal_meta", "multimodal_decode", "multimodal_resize_real",
-    "multimodal_resize_plan", "multimodal_resize", "multimodal_features",
-]
-
-
-# Keys ADDED during round 3 (new operators, not SURVEY-backlog items).
-# They queue BEHIND the pre-existing unverified backlog so the driver's
-# 50-key round-3 window lands exactly on the keys VERDICT r2 item 1
-# planned (47 never-checked + the 3 fixed keys + kmeans_embeddings);
-# these then fill round 4's window. Without this tier, a key registered
-# mid-file would displace planned backlog past position 50 and leave
-# original SURVEY keys permanently unverified.
-_ROUND3_NEW = frozenset({
-    "bpe_tokenize", "multimodal_video_probe", "frame_sample_real",
-    "as_of_snapshot",
-    "multimodal_decode_palette", "multimodal_decode_gif",
-    "multimodal_audio_features", "multimodal_decode_jpeg",
-    "q2_min_cost_supplier", "q11_important_stock", "q16_parts_supplier",
-    "q20_potential_promotion", "decontaminate_bloom", "events_attribution",
-    "events_attribution_last", "pq_quantize", "data_expectations",
-    "unpivot_metrics", "approx_quantiles", "sample_weighted",
-})
 
 
 def _driver_order() -> list[QuerySpec]:
+    """Pure data-driven rotation (VERDICT r3 item 6: the round-2/3
+    priority tiers collapsed once their backlogs fully verified):
+    unverified keys lead in registration order, parked (verified or
+    demoted) keys trail in registration order. New operators register at
+    module tail, so they naturally queue behind any unverified backlog."""
     parked = _driver_verified_keys() | _DEMOTED
-    by_name = {q.name: q for q in _QUERIES}
-    ordered = [
-        by_name[n] for n in _PRIORITY if n in by_name and n not in parked
-    ]
-    taken = {q.name for q in ordered}
-    ordered += [
-        q for q in _QUERIES
-        if q.name not in taken
-        and q.name not in parked
-        and q.name not in _ROUND3_NEW
-    ]
-    taken = {q.name for q in ordered}
-    ordered += [
-        q for q in _QUERIES
-        if q.name not in taken
-        and q.name not in parked
-        and q.name in _ROUND3_NEW
-    ]
-    ordered += [
-        q
-        for q in _QUERIES
-        if q.name in parked and q.name not in {o.name for o in ordered}
-    ]
+    ordered = [q for q in _QUERIES if q.name not in parked]
+    ordered += [q for q in _QUERIES if q.name in parked]
     assert len(ordered) == len(_QUERIES)
     return ordered
 
