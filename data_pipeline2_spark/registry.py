@@ -4906,6 +4906,56 @@ def q_q20_potential_promotion(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------- ANN search gates
+# (VERDICT r3 item 3: the billion-scale search compositions get driver
+# keys via the invariant-oracle pattern — per-query recall@k against the
+# in-plan exact top-k, gated as a boolean. Codebook/centroid fits are
+# deterministic (hash-ordered bounded samples, fixed seeds) but not
+# SQL-replayable; a regression anywhere in the ADC/probe/re-rank path
+# drops overlap below the gate and hash-mismatches. Measured per-qid
+# recall at the gate parameters: >= 0.8 at sf0.001/0.01/0.1; gate at 0.6
+# leaves one-slot margin.)
+
+
+def _ann_queries(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb, emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+
+_ANN_RECALL_ORACLE = """
+    SELECT vec_id AS qid, CAST(5 AS INT) AS k, true AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """
+
+
+@_register("knn_batch_pq", _ANN_RECALL_ORACLE)
+def q_knn_batch_pq(spark, sf_dir):
+    """ADC (asymmetric-distance) PQ search, recall-gated in-plan: the
+    corpus ranks against per-query lookup tables over m=8 codebooks of
+    32 codes, the top-200 ADC candidates re-rank with exact cosine, and
+    each query's top-5 must recover >= 0.6 of the exact cosine top-5."""
+    emb, queries = _ann_queries(spark, sf_dir)
+    ann = similarity.knn_batch_pq(
+        emb, queries, k=5, rerank=200, m_subvectors=8, n_codes=32
+    )
+    return similarity.ann_recall_stats(emb, queries, ann, k=5, threshold=0.6)
+
+
+@_register("knn_batch_ivfpq", _ANN_RECALL_ORACLE)
+def q_knn_batch_ivfpq(spark, sf_dir):
+    """IVF-PQ (coarse cell probing + ADC fine ranking + exact re-rank)
+    recall-gated in-plan: 8 cells, 6 probed, m=8/32-code books,
+    rerank=200; per-query recall@5 vs exact cosine must be >= 0.6."""
+    emb, queries = _ann_queries(spark, sf_dir)
+    ann = similarity.knn_batch_ivfpq(
+        emb, queries, k=5, n_clusters=8, n_probe=6,
+        rerank=200, m_subvectors=8, n_codes=32,
+    )
+    return similarity.ann_recall_stats(emb, queries, ann, k=5, threshold=0.6)
+
+
 # ---------------------------------------------------------------- export
 
 # Driver-facing ordering. The correctness driver verifies keys in dict

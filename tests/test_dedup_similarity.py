@@ -685,3 +685,38 @@ def test_knn_batch_ivfpq_rejects_empty_queries(spark):
                 F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
             ),
         )
+
+
+def test_ann_recall_stats_gates_correctly(spark):
+    """recall_ok must be true when the ANN result IS the exact top-k,
+    false when the ANN path degenerates (returns the worst-k), and the
+    per-query row set must cover every query."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators import similarity
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = similarity.knn_batch(emb, q, k=5)
+    rows = similarity.ann_recall_stats(emb, q, exact, k=5, threshold=1.0).collect()
+    assert {r.qid for r in rows} == {0, 1, 2, 3}
+    assert all(r.recall_ok and r.k == 5 for r in rows)
+
+    # adversarial ANN: bottom-5 by score — zero overlap with the top-5
+    from pyspark.sql.window import Window
+
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "qid", "vec_id",
+        similarity.cosine_similarity(F.col("embedding"), F.col("qvec")).alias("s"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("s"), F.col("vec_id"))
+    worst = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "rank", "vec_id", F.col("s").alias("score"))
+    )
+    bad = similarity.ann_recall_stats(emb, q, worst, k=5, threshold=0.2).collect()
+    assert all(not r.recall_ok for r in bad)
