@@ -11,21 +11,60 @@ design choice is shuffle-minimal:
   partitioned by doc), candidate generation is an equi-join on band
   buckets (shuffles signatures, ~100 bytes/doc — NOT documents), and
   only candidate pairs (tiny) are verified exactly;
-- hash functions are md5/sha2 of explicit strings — engine-portable and
-  deterministic, so the DuckDB oracle reproduces signatures exactly
-  (string min over hex digests; no engine-specific murmur).
+- hash functions are md5/sha2 of explicit strings plus exact signed-64
+  integer arithmetic — engine-portable and deterministic, so the DuckDB
+  oracle reproduces signatures exactly (integer min over universal
+  hashes of md5-derived fingerprints; no engine-specific murmur).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline2_spark.functions.text import content_hash, tokens, word_ngrams
 from data_pipeline2_spark.plans.partitioning import ensure_parallelism
 
 N_PERM = 16
-BAND_SIZE = 4  # 4 bands x 4 rows: candidates need 1 identical band
+# 8 bands x 2 rows: the LSH S-curve midpoint is ~(1/b)^(1/r) = 0.35,
+# giving ~90% candidate recall at the operator's default jaccard
+# threshold 0.5 (the former 4x4 banding had its midpoint at 0.71 —
+# only ~23% recall at 0.5; near-dup pairs at the design threshold were
+# mostly luck). The extra false candidates this admits are bounded by
+# the exact-Jaccard verify, which only ever touches candidate pairs.
+BAND_SIZE = 2
+
+# Universal-hash minhash family (Broder/Carter-Wegman): h_j(x) =
+# (a_j * x + b_j) mod P over a 60-bit shingle fingerprint x. P = 2^31-1
+# (Mersenne prime) keeps a_j * x < 2^62, so the arithmetic is exact
+# signed-64-bit in BOTH engines (Spark long and DuckDB BIGINT never
+# overflow, no wrap-semantics divergence). One md5 per shingle replaces
+# the former ceil(n_perm/4) digests — hashing dominated the map side of
+# corpus-scale minhash (VERDICT r3 item 5), and the signature/verify
+# shuffles now carry 8-byte longs instead of hex strings.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coeffs(n_perm: int = N_PERM) -> tuple[list[int], list[int]]:
+    """Deterministic (a_j, b_j) coefficient tables for the family above,
+    from a fixed-seed 64-bit LCG (Knuth MMIX constants) — pure Python,
+    so the DuckDB oracle embeds the identical literals."""
+    a, b = [], []
+    s = 0x9E3779B97F4A7C15
+    for _ in range(n_perm):
+        s = (s * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        a.append(s % (MINHASH_P - 1) + 1)
+        s = (s * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        b.append(s % MINHASH_P)
+    return a, b
+
+
+def shingle_hash64(col: Column) -> Column:
+    """60-bit integer shingle fingerprint: the first 15 hex chars of
+    md5, base-16-decoded. Engine-portable (DuckDB replays it as
+    CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)) and always
+    non-negative, so mod arithmetic agrees across engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def dedup_exact(
@@ -132,7 +171,7 @@ def lsh_band_keys(signatures: DataFrame, band_size: int = BAND_SIZE) -> DataFram
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("perm", "mh"))),
-                    lambda s: s["mh"],
+                    lambda s: s["mh"].cast("string"),
                 ),
                 ",",
             )
@@ -196,34 +235,38 @@ def jaccard_pairs(
 
 
 def minhash_signature_cols(shingles: DataFrame, n_perm: int = N_PERM) -> DataFrame:
-    """Wide-format MinHash: one row per doc, columns mh_0..mh_{n-1}.
+    """Wide-format MinHash: one row per doc, columns mh_0..mh_{n-1}
+    (longs in [0, MINHASH_P)).
 
     Two scale properties:
     - n_perm min-aggregates in a SINGLE groupBy over the shingle rows —
       no n_perm x row explosion; map-side partial aggregation shrinks
       the shuffle to one ~n_perm x 8-byte row per document;
-    - permutation hashes are DISJOINT 8-hex (32-bit) slices of
-      ceil(n_perm/4) md5 digests, not n_perm independent md5 calls —
-      md5's output bits are uniform and independent, so the slices form
-      a valid minhash family at a quarter of the hashing cost (hashing
-      dominates the map side of corpus-scale minhash).
+    - ONE md5 per shingle row (the 60-bit fingerprint, or none at all if
+      the input already carries a precomputed `sh64` column), then
+      n_perm codegen'd multiply-add-mod universal hashes — the former
+      ceil(n_perm/4)-digest scheme spent ~4x the md5 work, and hashing
+      dominates the map side of corpus-scale minhash (the swap took
+      dedup_near_minhash from 2.83 s to ~1.7 s warm at sf0.1 — see
+      BENCH_NOTES.md round 4).
 
-    Fixed-width lowercase-hex string min == unsigned-integer min, and
-    is identical in every engine (the DuckDB oracle replays it).
+    Integer min over (a_j*x+b_j) mod P is engine-exact: the DuckDB
+    oracle embeds the same coefficient literals and replays it.
     """
-    n_digests = (n_perm + 3) // 4
-    digests = shingles.select(
-        "doc_id",
-        *[
-            F.md5(F.concat_ws("|", F.lit(str(j)), F.col("shingle"))).alias(f"__h{j}")
-            for j in range(n_digests)
-        ],
+    a, b = minhash_coeffs(n_perm)
+    x = (
+        F.col("sh64")
+        if "sh64" in shingles.columns
+        else shingle_hash64(F.col("shingle"))
     )
+    hashed = shingles.select("doc_id", (x % F.lit(MINHASH_P)).alias("__xm"))
     aggs = [
-        F.min(F.substring(F.col(f"__h{p // 4}"), 8 * (p % 4) + 1, 8)).alias(f"mh_{p}")
+        F.min(
+            (F.lit(a[p]) * F.col("__xm") + F.lit(b[p])) % F.lit(MINHASH_P)
+        ).alias(f"mh_{p}")
         for p in range(n_perm)
     ]
-    return digests.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_keys_wide(
@@ -239,7 +282,11 @@ def lsh_band_keys_wide(
         *[
             F.md5(
                 F.concat_ws(
-                    ",", *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)]
+                    ",",
+                    *[
+                        F.col(f"mh_{b * band_size + r}").cast("string")
+                        for r in range(band_size)
+                    ],
                 )
             )
             for b in range(n_bands)
@@ -262,15 +309,22 @@ def dedup_near_minhash(
     """Full near-dup pipeline: shingle → minhash (wide) → LSH bucket
     join → exact Jaccard verify. → (doc_a, doc_b, jaccard).
 
-    Two scale tricks:
+    Three scale tricks:
     - signatures consume NON-distinct shingles (min-aggregation is
       duplicate-invariant), skipping a full-corpus distinct shuffle;
-    - the Jaccard verify re-derives distinct shingles only for the
-      candidate documents (semi-join first) — candidates are orders of
-      magnitude smaller than the corpus, so the quadratic-ish tail
-      touches almost nothing.
+    - shingles are fingerprinted to 60-bit longs ONCE (shingle_hash64),
+      so both the signature aggregation and the Jaccard verify shuffle
+      8-byte integers, never shingle strings (VERDICT r3 item 5);
+    - the Jaccard verify re-derives distinct shingle hashes only for
+      the candidate documents (semi-join first) — candidates are orders
+      of magnitude smaller than the corpus, so the quadratic-ish tail
+      touches almost nothing. Jaccard over the fingerprints equals
+      string Jaccard up to a ~n_shingles^2 / 2^60 collision probability
+      per doc pair, and the oracle replays the same fingerprints.
     """
-    sh_all = doc_shingles(documents, shingle_n, id_col, text_col, distinct=False)
+    sh_all = doc_shingles(
+        documents, shingle_n, id_col, text_col, distinct=False
+    ).select("doc_id", shingle_hash64(F.col("shingle")).alias("sh64"))
     # materialize signatures (n_perm x 8 bytes per doc — the artifact a
     # corpus-scale run persists anyway): the band-bucket self-join
     # consumes them twice, and without this the whole shingle+hash
@@ -289,8 +343,11 @@ def dedup_near_minhash(
         .distinct()
     )
     cand_docs = documents.join(cand_ids, id_col, "left_semi")
-    sh_cand = doc_shingles(cand_docs, shingle_n, id_col, text_col).localCheckpoint(
-        eager=True
+    sh_cand = (
+        doc_shingles(cand_docs, shingle_n, id_col, text_col, distinct=False)
+        .select("doc_id", shingle_hash64(F.col("shingle")).alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     return jaccard_pairs(cands, sh_cand, threshold)
 

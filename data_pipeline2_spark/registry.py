@@ -1531,7 +1531,26 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.dedup_exact(_t(spark, sf_dir, "documents"))
 
 
-_MINHASH_SQL = """
+def _minhash_mh_ctes(n_perm: int = 16) -> str:
+    """Shared oracle CTE chain replaying the engine's minhash family
+    (dedup.minhash_coeffs — identical coefficient literals): distinct
+    60-bit shingle fingerprints `shd`, then integer universal-hash
+    minima `mh`. Expects a `sh(doc_id, shingle)` CTE upstream."""
+    a, b = dedup.minhash_coeffs(n_perm)
+    rows = ", ".join(f"({p}, {a[p]}, {b[p]})" for p in range(n_perm))
+    return f"""shd AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS sh64
+      FROM sh
+    ), mh AS (
+      SELECT doc_id, c.p AS p,
+             min((c.a * (sh64 % 2147483647) + c.b) % 2147483647) AS mh
+      FROM shd CROSS JOIN (VALUES {rows}) AS c(p, a, b)
+      GROUP BY doc_id, c.p
+    )"""
+
+
+_MINHASH_SQL = f"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
       FROM documents WHERE len(trim(text)) > 0
@@ -1539,32 +1558,20 @@ _MINHASH_SQL = """
       SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
             FROM toks WHERE len(ws) >= 3)
-    ), digests AS (
-      SELECT doc_id,
-             md5('0' || '|' || shingle) AS h0, md5('1' || '|' || shingle) AS h1,
-             md5('2' || '|' || shingle) AS h2, md5('3' || '|' || shingle) AS h3
-      FROM sh
-    ), mh AS (
-      SELECT doc_id, p,
-             min(substring(CASE CAST(floor(p/4.0) AS INT)
-                    WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END,
-                  (p % 4) * 8 + 1, 8)) AS mh
-      FROM (SELECT *, unnest(generate_series(0, 15)) AS p FROM digests)
-      GROUP BY doc_id, p
-    ), bands AS (
-      SELECT doc_id, CAST(floor(p/4.0) AS INT) AS band,
-             md5(string_agg(mh, ',' ORDER BY p)) AS band_key
-      FROM mh GROUP BY doc_id, CAST(floor(p/4.0) AS INT)
+    ), {_minhash_mh_ctes()}, bands AS (
+      SELECT doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT) AS band,
+             md5(string_agg(mh::VARCHAR, ',' ORDER BY p)) AS band_key
+      FROM mh GROUP BY doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT)
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ), counts AS (
-      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id
     ), inter AS (
       SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
-                  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      FROM cand c JOIN shd sa ON sa.doc_id = c.doc_a
+                  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.sh64 = sa.sh64
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT i.doc_a, i.doc_b,
@@ -4127,7 +4134,7 @@ def q_decontaminate_semantic(spark, sf_dir):
 
 @_register(
     "dedup_near_incremental",
-    """
+    f"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
       FROM documents WHERE len(trim(text)) > 0
@@ -4135,22 +4142,10 @@ def q_decontaminate_semantic(spark, sf_dir):
       SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
             FROM toks WHERE len(ws) >= 3)
-    ), digests AS (
-      SELECT doc_id,
-             md5('0' || '|' || shingle) AS h0, md5('1' || '|' || shingle) AS h1,
-             md5('2' || '|' || shingle) AS h2, md5('3' || '|' || shingle) AS h3
-      FROM sh
-    ), mh AS (
-      SELECT doc_id, p,
-             min(substring(CASE CAST(floor(p/4.0) AS INT)
-                    WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END,
-                  (p % 4) * 8 + 1, 8)) AS mh
-      FROM (SELECT *, unnest(generate_series(0, 15)) AS p FROM digests)
-      GROUP BY doc_id, p
-    ), bands AS (
-      SELECT doc_id, CAST(floor(p/4.0) AS INT) AS band,
-             md5(string_agg(mh, ',' ORDER BY p)) AS band_key
-      FROM mh GROUP BY doc_id, CAST(floor(p/4.0) AS INT)
+    ), {_minhash_mh_ctes()}, bands AS (
+      SELECT doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT) AS band,
+             md5(string_agg(mh::VARCHAR, ',' ORDER BY p)) AS band_key
+      FROM mh GROUP BY doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT)
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
