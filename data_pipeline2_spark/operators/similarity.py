@@ -697,7 +697,7 @@ def _kmeans_trajectory(
     Init = k lowest-id vectors rounded to 6 places; each round assigns
     by ROUNDED squared-L2 argmin and recomputes decimal-exact rounded
     means — every step is engine-portable, so the DuckDB oracle can
-    unroll the identical trajectory (registry._kmeans_sql). Centroids
+    unroll the identical trajectory (registry.vector_partsupp._kmeans_sql). Centroids
     collect to the driver (k×dim doubles) and re-broadcast per round,
     the MLlib iteration pattern; all heavy work stays distributed.
     """
@@ -788,7 +788,7 @@ def knn_batch_ivf_exact(
     )
     # corpus cells come from the SAME assign closure the fit used —
     # one rounded-argmin implementation on the Spark side, mirrored once
-    # in SQL (registry._kmeans_cte_parts)
+    # in SQL (registry.vector_partsupp._kmeans_cte_parts)
     cells = assign(cents).select(
         F.col("_id").alias(id_col), F.col("cluster").alias("__cell")
     )

@@ -1,0 +1,82 @@
+"""Query registry: every operator exposed to the driver contract.
+
+Each entry pairs a Spark callable `(spark, sf_dir) -> DataFrame` with
+(where SQL-expressible) an equivalent DuckDB oracle SQL string over the
+pre-registered views region/nation/customer/supplier/part/orders/
+lineitem/events/documents/embeddings. Column names are aliased
+identically on both sides; float outputs are either exact (decimal-sum
+trick) or rounded identically so the driver's order-insensitive value
+hash matches.
+
+Names follow SURVEY.md §2's operator inventory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pandas as pd  # noqa: F401  (resolves pandas_udf type annotations)
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline2_spark.operators import (
+    aggregates,
+    chunking,
+    dedup,
+    embedding,
+    joins,
+    curation,
+    lifecycle,
+    multimodal,
+    relational,
+    similarity,
+    textanalysis,
+)
+from data_pipeline2_spark.operators.cache import ttl_filter
+from data_pipeline2_spark.sources.parquet import load_table
+from data_pipeline2_spark.streaming import events as ev
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → rows-only check
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- helpers
+
+# cosine-similarity SQL fragment (duckdb): explicit double-cast fold so
+# both engines do the identical per-element arithmetic; rounded at use.
+def _cos_sql(a: str, b: str) -> str:
+    def s(v, w):
+        return (
+            f"list_aggregate(list_transform(generate_series(1, len({v})), "
+            f"i -> {v}[i]::DOUBLE * {w}[i]::DOUBLE), 'sum')"
+        )
+
+    return f"({s(a, b)} / (sqrt({s(a, a)}) * sqrt({s(b, b)})))"
+
+
+_QUERIES: list[QuerySpec] = []
+
+
+def _register(name: str, sql: str | None):
+    def deco(fn):
+        _QUERIES.append(QuerySpec(name, fn, sql))
+        return fn
+
+    return deco
+
+
+# ================================================================ scans /
+# filters / lookups (SURVEY §2.1-2.2)
+
+

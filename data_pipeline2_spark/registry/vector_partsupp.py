@@ -1,0 +1,685 @@
+"""Registry part-module — see registry/__init__.py. Registration
+order is load-bearing (driver export ordering): part modules are
+imported in sequence by the package __init__."""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline2_spark.operators import (
+    aggregates,
+    chunking,
+    dedup,
+    embedding,
+    joins,
+    curation,
+    lifecycle,
+    multimodal,
+    relational,
+    similarity,
+    textanalysis,
+)
+from data_pipeline2_spark.operators.cache import ttl_filter
+from data_pipeline2_spark.registry._core import (
+    QuerySpec,  # noqa: F401
+    _cos_sql,
+    _register,
+    _t,
+)
+from data_pipeline2_spark.streaming import events as ev
+
+from data_pipeline2_spark.registry.ingest_chunk import _knn_query_vec, _minhash_mh_ctes  # noqa: F401
+
+# ---------------------------------------------------------------- vector
+# compression / mining / clustering (engine additions, north-star scope)
+
+
+@_register(
+    "embedding_quantize",
+    """
+    WITH b AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+               AS scale
+      FROM embeddings
+    ), qn AS (
+      SELECT vec_id, v, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+             END AS q
+      FROM b
+    )
+    SELECT vec_id, round(scale, 8) AS scale,
+           CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(list_transform(q, x -> abs(x)), 'sum') AS BIGINT)
+             AS q_absmax_sum,
+           round(CASE WHEN scale = 0 THEN 0.0
+                 ELSE list_max(list_transform(generate_series(1, len(v)),
+                        i -> abs(v[i] - q[i] * scale))) END, 8) AS max_err
+    FROM qn
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    return similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "pq_quantize",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(4 AS INT) AS m,
+           CAST(16 AS INT) AS n_codes,
+           true AS codes_valid,
+           true AS within_mean_bound
+    FROM embeddings
+    """,
+)
+def q_pq_quantize(spark, sf_dir):
+    """Product quantization (FAISS-style m sub-codebooks) verified via
+    the invariant-oracle pattern (same trick as approx_count_distinct):
+    k-means codes aren't SQL-replayable, so codebook entry 0 is pinned
+    to the subspace mean and the engine emits the argmin guarantee
+    `min-over-codes error <= mean-code error` as a boolean computed in
+    one numpy pass (float-exact by construction). The oracle emits
+    constant true; any encoder bug — reshape, argmin axis, codebook
+    orientation — flips rows to false and hash-mismatches. Code VALUES
+    are value-tested in pytest (exact reconstruction on synthetic
+    on-codebook data)."""
+    return similarity.pq_reconstruct_stats(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+               FROM embeddings WHERE vec_id < 8),
+    s AS (
+      SELECT q.qid, e.vec_id, e.label AS neg_label,
+             round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score
+      FROM embeddings e JOIN q ON e.label <> q.qlabel
+    ), r AS (
+      SELECT qid, vec_id, neg_label, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM s)
+    SELECT qid, CAST(rank AS INT) AS rank, vec_id, neg_label, score
+    FROM r WHERE rank <= 5
+    """,
+)
+def q_hard_negatives(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+    )
+    return similarity.hard_negatives(emb, queries, k=5)
+
+
+def _kmeans_cte_parts(k: int, n_iter: int, dim: int) -> tuple[list[str], str]:
+    """Shared unrolled Lloyd's CTE chain → (parts, final centroid CTE
+    name). Same init (k lowest ids, rounded), same rounded-distance
+    argmin, same decimal-exact rounded means as
+    operators/similarity._kmeans_trajectory, so both engines walk an
+    identical centroid trajectory."""
+    sq = (
+        "list_aggregate(list_transform(generate_series(1, len({v})), "
+        "i -> ({v}[i]::DOUBLE - {c}[i]) * ({v}[i]::DOUBLE - {c}[i])), 'sum')"
+    )
+
+    def assign(cent_cte: str, out: str) -> str:
+        d = sq.format(v="e.embedding", c="c.cvec")
+        return f"""{out} AS (
+      SELECT vec_id, embedding, cluster, dist FROM (
+        SELECT e.vec_id, e.embedding, c.cid AS cluster,
+               round({d}, 6) AS dist,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({d}, 6), c.cid) AS rn
+        FROM embeddings e CROSS JOIN {cent_cte} c) WHERE rn = 1
+    )"""
+
+    def recompute(assign_cte: str, out: str) -> str:
+        return f"""{out} AS (
+      SELECT cluster AS cid, list(m ORDER BY i) AS cvec FROM (
+        SELECT cluster, i,
+               round(CAST(sum(CAST(embedding[i]::DOUBLE AS DECIMAL(25,10)))
+                          AS DOUBLE) / count(*), 6) AS m
+        FROM {assign_cte}, generate_series(1, {dim}) t(i)
+        GROUP BY cluster, i) GROUP BY cluster
+    )"""
+
+    parts = [
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             list_transform(embedding, x -> round(x::DOUBLE, 6)) AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT {k}
+    )"""
+    ]
+    prev = "c0"
+    for it in range(1, n_iter + 1):
+        parts.append(assign(prev, f"a{it}"))
+        parts.append(recompute(f"a{it}", f"c{it}"))
+        prev = f"c{it}"
+    parts.append(assign(prev, "af"))
+    return parts, prev
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    parts, _ = _kmeans_cte_parts(k, n_iter, dim)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+    SELECT CAST(cluster AS INT) AS cluster, count(*) AS n,
+           round(CAST(sum(CAST(round(dist, 8) AS DECIMAL(25,10))) AS DOUBLE), 6)
+             AS inertia
+    FROM af GROUP BY cluster
+    """
+    )
+
+
+def _ivf_exact_sql(
+    k: int = 3, n_clusters: int = 8, n_iter: int = 2, n_probe: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of knn_batch_ivf_exact: identical centroid
+    trajectory (shared CTE chain), rounded-L2 cell assignment for the
+    corpus (the `af` CTE), n_probe nearest cells per query, exact
+    cosine re-score inside probed cells only."""
+    parts, cent = _kmeans_cte_parts(n_clusters, n_iter, dim)
+    sq = (
+        "list_aggregate(list_transform(generate_series(1, len({v})), "
+        "i -> ({v}[i]::DOUBLE - {c}[i]) * ({v}[i]::DOUBLE - {c}[i])), 'sum')"
+    )
+    d = sq.format(v="e.embedding", c="c.cvec")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+    probes AS (
+      SELECT qid, cluster FROM (
+        SELECT e.vec_id AS qid, c.cid AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({d}, 6), c.cid) AS rn
+        FROM embeddings e CROSS JOIN {cent} c WHERE e.vec_id < 5)
+      WHERE rn <= {n_probe}
+    ), scored AS (
+      SELECT p.qid, s.vec_id,
+             round({_cos_sql('s.embedding', 'q.embedding')}, 6) AS score
+      FROM probes p
+      JOIN af s ON s.cluster = p.cluster
+      JOIN embeddings q ON q.vec_id = p.qid
+    ), r AS (
+      SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)
+               AS rank
+      FROM scored)
+    SELECT qid, CAST(rank AS INT) AS rank, vec_id, score
+    FROM r WHERE rank <= {k}
+    """
+    )
+
+
+@_register("knn_batch_ivf_exact", _ivf_exact_sql())
+def q_knn_batch_ivf_exact(spark, sf_dir):
+    """The IVF ANN pattern with a value oracle end-to-end: determinstic
+    distributed k-means fit, cell assignment, n_probe probing and
+    in-cell exact re-scoring are all replayed in SQL — the whole
+    inverted-file search loop is hash-checked, not just row-counted
+    (the numpy-fit knn_batch_ivf stays the production scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.knn_batch_ivf_exact(
+        emb, queries, k=3, n_clusters=8, n_iter=2, n_probe=2
+    )
+
+
+@_register("kmeans_embeddings", _kmeans_sql())
+def q_kmeans_embeddings(spark, sf_dir):
+    return similarity.kmeans(_t(spark, sf_dir, "embeddings"), k=8, n_iter=2)
+
+
+# Keys below register AFTER the round-3 backlog on purpose: the driver
+# verifies ~50 keys per round in export order, and the 50 keys above
+# exhaust round 3's window — new operators queue here for round 4
+# rather than pushing a backlog key out of its slot.
+
+
+@_register(
+    "multimodal_decode_palette",
+    """
+    WITH dims AS (
+      SELECT doc_id AS asset_id,
+             CAST(16 + doc_id % 97 AS INT) AS w,
+             CAST(16 + doc_id % 53 AS INT) AS h,
+             2 + doc_id % 15 AS n
+      FROM documents WHERE doc_id < 120
+    ), px AS (
+      SELECT asset_id, w, h, n,
+             ((p % w) + 3 * (p // w) + asset_id) % n AS i
+      FROM (SELECT asset_id, w, h, n,
+                   unnest(generate_series(0, w*h - 1)) AS p
+            FROM dims)
+    )
+    SELECT asset_id,
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           (asset_id % 3 = 0) AS has_alpha,
+           CAST(sum((i*37 + asset_id) % 256) AS BIGINT) AS red_sum,
+           CAST(sum(CASE WHEN asset_id % 3 = 0
+                         THEN (i*29 + asset_id) % 256
+                         ELSE 255 END) AS BIGINT) AS alpha_sum
+    FROM px
+    GROUP BY asset_id
+    """,
+)
+def q_multimodal_decode_palette(spark, sf_dir):
+    """Palette-PNG decode (VERDICT r2 item 6), value-checked end-to-end:
+    real PLTE/tRNS PNG bytes per asset (imagecodec.make_palette_asset),
+    decoded through decode_png's colortype-3 path, reduced to pixel
+    sums the oracle recomputes in closed form — a palette-lookup,
+    alpha, or defilter bug is a hash mismatch, not a silent artifact."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return multimodal.decode_palette_stats(multimodal.palette_assets(docs))
+
+
+@_register(
+    "multimodal_decode_gif",
+    """
+    WITH dims AS (
+      SELECT doc_id AS asset_id,
+             CAST(16 + doc_id % 97 AS INT) AS w,
+             CAST(16 + doc_id % 53 AS INT) AS h,
+             2 + doc_id % 15 AS n
+      FROM documents WHERE doc_id < 120
+    ), px AS (
+      SELECT asset_id, w, h, n,
+             (2 * (p % w) + (p // w) + asset_id) % n AS i
+      FROM (SELECT asset_id, w, h, n,
+                   unnest(generate_series(0, w*h - 1)) AS p
+            FROM dims)
+    )
+    SELECT asset_id,
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           (asset_id % 4 = 0) AS has_alpha,
+           CAST(sum((i*41 + asset_id) % 256) AS BIGINT) AS red_sum,
+           CAST(sum(CASE WHEN asset_id % 4 = 0
+                         THEN CASE WHEN i = asset_id % n THEN 0 ELSE 255 END
+                         ELSE 255 END) AS BIGINT) AS alpha_sum
+    FROM px
+    GROUP BY asset_id
+    """,
+)
+def q_multimodal_decode_gif(spark, sf_dir):
+    """REAL GIF pixel decode — LZW decompression, color-table lookup,
+    transparency — value-checked end-to-end like the palette-PNG key:
+    the oracle recomputes decoded-pixel sums in closed form; a
+    dictionary-growth or transparency bug is a hash mismatch. (VERDICT
+    r2 listed GIF pixel decode as needing an external codec — LZW is
+    pure-stdlib work, same stance as the PNG codec.)"""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return multimodal.decode_palette_stats(
+        multimodal.gif_assets(docs), codec="gif"
+    )
+
+
+@_register(
+    "multimodal_decode_jpeg",
+    """
+    WITH dims AS (
+      SELECT doc_id AS asset_id,
+             CAST(16 + doc_id % 89 AS INT) AS w,
+             CAST(16 + doc_id % 47 AS INT) AS h
+      FROM documents WHERE doc_id < 120
+    ), px AS (
+      SELECT asset_id, w, h,
+             (((p % w) // 8) * 7 + ((p // w) // 8) * 13 + asset_id) % 256 AS v
+      FROM (SELECT asset_id, w, h,
+                   unnest(generate_series(0, w*h - 1)) AS p
+            FROM dims)
+    )
+    SELECT asset_id,
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS lum_sum,
+           CAST(sum(v*v) AS BIGINT) AS lum_sq_sum
+    FROM px
+    GROUP BY asset_id
+    """,
+)
+def q_multimodal_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG pixel decode — marker walk, stream-read DHT
+    Huffman tables, DC-prediction entropy decode, dequant, zigzag,
+    IDCT — value-checked end-to-end like the palette-PNG and GIF keys.
+    The constant-per-block fixtures decode bit-exactly (DC-only
+    spectra x flat quant table), so the oracle recomputes decoded-pixel
+    sum / sum-of-squares in closed form; any codec bug is a hash
+    mismatch. (VERDICT r2 listed JPEG pixel decode as needing an
+    external codec — baseline T.81 is pure stdlib+numpy work, same
+    stance as the PNG and GIF codecs.)"""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return multimodal.decode_jpeg_stats(multimodal.jpeg_assets(docs))
+
+
+@_register(
+    "multimodal_video_probe",
+    """
+    SELECT doc_id AS asset_id,
+           'mp4' AS format,
+           CAST(160 + (doc_id % 33) * 8 AS INT) AS width,
+           CAST(120 + (doc_id % 17) * 8 AS INT) AS height,
+           CAST(1000 + (doc_id % 97) * 137 AS INT) AS duration_ms
+    FROM documents WHERE doc_id < 150
+    """,
+)
+def q_multimodal_video_probe(spark, sf_dir):
+    """REAL ISO-BMFF (MP4) container probe — box-structure walk,
+    mvhd timescale/duration, tkhd 16.16 fixed-point dims — over real
+    minimal MP4 bytes generated per doc id; the oracle recomputes the
+    embedded values in closed form. Sample DECODE of the codec stream
+    keeps its NotImplementedError seam (needs a real video codec)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    probed = multimodal.decode_assets(multimodal.mp4_assets(docs), fake=False)
+    return probed.select(
+        "asset_id",
+        "format",
+        "width",
+        "height",
+        F.col("duration_ms").cast("int").alias("duration_ms"),
+    )
+
+
+@_register(
+    "as_of_snapshot",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM (SELECT user_id, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+    WHERE rn = 1
+    """,
+)
+def q_as_of_snapshot(spark, sf_dir):
+    """Time-travel read over a versioned event log: the per-key state
+    as of a cutoff — filter to versions <= as_of, latest-wins with a
+    deterministic event_id tie-break (relational.latest_state, the same
+    primitive behind status_lifecycle/upsert). The lakehouse AS OF
+    query without a table format: one pushed ts predicate + one keyed
+    window."""
+    from data_pipeline2_spark.operators.relational import latest_state
+
+    ev_df = _t(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    return latest_state(
+        ev_df, ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    ).select("user_id", "event_id", "event_type", "value")
+
+
+@_register(
+    "frame_sample_real",
+    """
+    WITH d AS (
+      SELECT doc_id AS asset_id,
+             1000 + (doc_id % 97) * 137 AS dur
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT asset_id,
+           CAST(f AS INT) AS frame_no,
+           CAST(f * 1000 AS BIGINT) AS ts_ms
+    FROM (SELECT asset_id,
+                 unnest(generate_series(0, greatest(dur // 1000, 1) - 1)) AS f
+          FROM d)
+    """,
+)
+def q_frame_sample_real(spark, sf_dir):
+    """frame_sample_plan over REAL MP4 durations (fake=False — the
+    plan's duration comes from the actual mvhd box walk, not the
+    deterministic stand-in probe); the oracle recomputes frames from
+    the generator's closed-form duration."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return multimodal.frame_sample_plan(
+        multimodal.mp4_assets(docs), every_ms=1000, fake=False
+    )
+
+
+@_register(
+    "multimodal_audio_features",
+    """
+    WITH params AS (
+      SELECT doc_id AS asset_id,
+             500 + (doc_id % 41) * 250 AS n,
+             8 + doc_id % 32 AS p,
+             200 + doc_id % 56 AS high,
+             doc_id % 100 AS low
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT asset_id,
+           n AS n_samples,
+           CAST(1000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           ch * high + (n - ch) * low AS sum_samples,
+           ch * high * high + (n - ch) * low * low AS sum_squares,
+           (n - 1) // p AS transitions
+    FROM (
+      SELECT *, (n // (2*p)) * p + least(n % (2*p), p) AS ch FROM params
+    )
+    """,
+)
+def q_multimodal_audio_features(spark, sf_dir):
+    """REAL WAV PCM sample decode (not just the header probe): the
+    engine re-reads the square-wave bytes it wrote and reduces them to
+    integer energy/transition invariants; the oracle computes the same
+    quantities in closed form from the generator parameters — a RIFF
+    walk, PCM width, or sample-order bug is a hash mismatch."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return multimodal.audio_pcm_stats(docs)
+
+
+# ---- TPC-H q2/q11/q16/q20 over the DERIVED partsupp (joins.py) ----
+# The testdata ships no partsupp file; both engines materialize the
+# identical deterministic derivation (dbgen's 4-suppliers-per-part
+# assignment, integer-cents costs), so these four formerly-blocked
+# joins get full value-hash verification. q21/q12 stay blocked: they
+# need l_receiptdate/l_commitdate/l_shipmode columns the testdata
+# lineitem genuinely lacks (COVERAGE.md §TPC-H gaps).
+
+_PARTSUPP_CTE = """
+    ps AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + i * (S // 4 + p_partkey // S)) % S AS ps_suppkey,
+             (p_partkey * 7 + i * 11) % 9998 + 1 AS ps_availqty,
+             (p_partkey * 13 + i * 17) % 99900 + 100 AS ps_supplycost_cents
+      FROM part
+      CROSS JOIN (SELECT count(*) AS S FROM supplier)
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+    )
+"""
+
+
+@_register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT * FROM ps
+      JOIN (SELECT p_partkey, p_type FROM part
+            WHERE p_type = 'STANDARD') p
+        ON ps_partkey = p_partkey
+      JOIN eu ON ps_suppkey = s_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           ps_supplycost_cents AS supplycost_cents
+    FROM cand
+    WHERE ps_supplycost_cents = (
+      SELECT min(c2.ps_supplycost_cents) FROM cand c2
+      WHERE c2.ps_partkey = cand.ps_partkey
+    )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_q2_min_cost_supplier(spark, sf_dir):
+    return joins.min_cost_supplier(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@_register(
+    "q11_important_stock",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    sn AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+    ),
+    v AS (
+      SELECT ps_partkey,
+             CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT)
+               AS value_cents
+      FROM ps JOIN sn ON ps_suppkey = s_suppkey
+      GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, value_cents
+    FROM v CROSS JOIN (
+      SELECT CAST(sum(value_cents) AS BIGINT) AS total FROM v
+    ) t
+    WHERE value_cents * 10000 > total
+    ORDER BY value_cents DESC, ps_partkey
+    """,
+)
+def q_q11_important_stock(spark, sf_dir):
+    return joins.important_stock(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@_register(
+    "q16_parts_supplier",
+    f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part ON ps_partkey = p_partkey
+    WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+      AND p_size IN (1, 3, 9, 15, 23, 33, 41, 49)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_q16_parts_supplier(spark, sf_dir):
+    return joins.parts_supplier_relationship(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier")
+    )
+
+
+@_register(
+    "q20_potential_promotion",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    q AS (
+      SELECT DISTINCT ps_suppkey
+      FROM ps JOIN shipped
+        ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      WHERE ps_availqty * 2 > qty
+    )
+    SELECT s_suppkey, s_name
+    FROM q
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    ORDER BY s_suppkey
+    """,
+)
+def q_q20_potential_promotion(spark, sf_dir):
+    return joins.potential_promotion(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+# ------------------------------------------------------- ANN search gates
+# (VERDICT r3 item 3: the billion-scale search compositions get driver
+# keys via the invariant-oracle pattern — per-query recall@k against the
+# in-plan exact top-k, gated as a boolean. Codebook/centroid fits are
+# deterministic (hash-ordered bounded samples, fixed seeds) but not
+# SQL-replayable; a regression anywhere in the ADC/probe/re-rank path
+# drops overlap below the gate and hash-mismatches. Measured per-qid
+# recall at the gate parameters: >= 0.8 at sf0.001/0.01/0.1; gate at 0.6
+# leaves one-slot margin.)
+
+
+def _ann_queries(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb, emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+
+_ANN_RECALL_ORACLE = """
+    SELECT vec_id AS qid, CAST(5 AS INT) AS k, true AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """
+
+
+@_register("knn_batch_pq", _ANN_RECALL_ORACLE)
+def q_knn_batch_pq(spark, sf_dir):
+    """ADC (asymmetric-distance) PQ search, recall-gated in-plan: the
+    corpus ranks against per-query lookup tables over m=8 codebooks of
+    32 codes, the top-200 ADC candidates re-rank with exact cosine, and
+    each query's top-5 must recover >= 0.6 of the exact cosine top-5."""
+    emb, queries = _ann_queries(spark, sf_dir)
+    ann = similarity.knn_batch_pq(
+        emb, queries, k=5, rerank=200, m_subvectors=8, n_codes=32
+    )
+    return similarity.ann_recall_stats(emb, queries, ann, k=5, threshold=0.6)
+
+
+@_register("knn_batch_ivfpq", _ANN_RECALL_ORACLE)
+def q_knn_batch_ivfpq(spark, sf_dir):
+    """IVF-PQ (coarse cell probing + ADC fine ranking + exact re-rank)
+    recall-gated in-plan: 8 cells, 6 probed, m=8/32-code books,
+    rerank=200; per-query recall@5 vs exact cosine must be >= 0.6."""
+    emb, queries = _ann_queries(spark, sf_dir)
+    ann = similarity.knn_batch_ivfpq(
+        emb, queries, k=5, n_clusters=8, n_probe=6,
+        rerank=200, m_subvectors=8, n_codes=32,
+    )
+    return similarity.ann_recall_stats(emb, queries, ann, k=5, threshold=0.6)
+
+

@@ -202,10 +202,7 @@ def test_registry_export_order_self_maintains(tmp_path, monkeypatch):
             "hash_match": True, "err": None}
         for k in promoted
     }
-    marker = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(registry.__file__))),
-        "CORRECTNESS_r97.json",
-    )
+    marker = os.path.join(registry._REPO_ROOT, "CORRECTNESS_r97.json")
     try:
         with open(marker, "w") as fh:
             json.dump(extra, fh)
