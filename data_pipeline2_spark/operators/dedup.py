@@ -806,3 +806,76 @@ def dedup_near_incremental_minhash(
     return signature_estimate_pairs(cands_new, all_sigs, n_perm).filter(
         F.col("est_jaccard") >= threshold
     )
+
+
+def duplicate_ngram_spans(
+    documents: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    top: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated n-gram spans → (gram, n_docs,
+    n_occurrences): the pretraining-corpus diagnostic for verbatim
+    boilerplate (license headers, navigation chrome, template text)
+    that survives document-level dedup because the containing docs
+    differ. Top spans by document reach, deterministic tie-break.
+
+    Shape at scale: one explode + one hash-groupBy on the gram — the
+    shuffle carries (gram, doc_id) pairs, partial-aggregated map-side;
+    the `top` limit is a TakeOrdered, never a global sort.
+    """
+    sh = doc_shingles(documents, n, id_col, text_col, distinct=False)
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(F.col("shingle").alias("gram"), "n_docs", "n_occurrences")
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "gram")
+        .limit(top)
+    )
+
+
+def near_dup_stats(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row corpus near-duplication summary → (n_docs, n_dup_pairs,
+    n_dup_docs, dup_doc_fraction): the number a curation run reports
+    before deciding how aggressively to dedup. Composes the full
+    minhash pipeline in-plan (no driver-side counts)."""
+    pairs = dedup_near_minhash(
+        documents, shingle_n, threshold=threshold,
+        id_col=id_col, text_col=text_col,
+    )
+    dup_docs = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_dup_docs"))
+    )
+    n_docs = (
+        documents.filter(
+            F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    return (
+        n_docs.crossJoin(n_pairs)
+        .crossJoin(dup_docs)
+        .select(
+            "n_docs",
+            "n_dup_pairs",
+            "n_dup_docs",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias(
+                "dup_doc_fraction"
+            ),
+        )
+    )

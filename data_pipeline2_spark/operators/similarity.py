@@ -1316,3 +1316,143 @@ def ann_recall_stats(
             ),
         )
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k → (qid, rank,
+    vec_id, relevance, mmr_score): greedily picks
+    argmax lam*sim(q,d) - (1-lam)*max_{s in S} sim(d,s) from the exact
+    cosine top-`pool` candidates — the standard RAG re-rank that trades
+    raw relevance for coverage.
+
+    Distributed shape: candidate generation is `knn_batch` (broadcast
+    queries, corpus never shuffles); the greedy loop is inherently
+    sequential per query but over only `pool` vectors, so it runs in
+    applyInPandas grouped by qid — parallelism = queries, state = one
+    pool (pool x dim floats). Ties break by vec_id for determinism.
+    """
+    cand = knn_batch(
+        embeddings, queries, k=pool,
+        id_col=id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec")
+    )
+    rows = cand.join(corpus, F.col(id_col) == F.col("__vid")).select(
+        qid_col, id_col, F.col("score").alias("relevance"), "__vec"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["relevance", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+        x = _l2_normalize_rows(x)
+        sim = x @ x.T  # pool x pool candidate-candidate cosine
+        rel = pdf["relevance"].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        chosen: list[int] = []
+        scores: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if not chosen:
+                mmr = np.where(avail, lam * rel, -np.inf)
+            else:
+                red = sim[:, chosen].max(axis=1)
+                mmr = np.where(avail, lam * rel - (1.0 - lam) * red, -np.inf)
+            # deterministic argmax: best score, lowest vec_id on ties
+            best = np.lexsort((ids, -mmr))[0]
+            chosen.append(best)
+            scores.append(float(mmr[best]))
+            avail[best] = False
+        return pd.DataFrame(
+            {
+                "qid": pdf[qid_col].iloc[:1].repeat(len(chosen)).to_numpy(),
+                "rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+                "vec_id": ids[chosen],
+                "relevance": rel[chosen].round(SCORE_ROUND),
+                "mmr_score": np.round(scores, SCORE_ROUND),
+            }
+        )
+
+    out = rows.groupBy(qid_col).applyInPandas(
+        pick,
+        "qid long, rank int, vec_id long, relevance double, mmr_score double",
+    )
+    return out.select(
+        F.col("qid").alias(qid_col),
+        "rank",
+        F.col("vec_id").alias(id_col),
+        "relevance",
+        "mmr_score",
+    )
+
+
+def mmr_invariants(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Driver-checkable MMR invariants → (qid, k, first_is_top1,
+    all_in_pool, k_distinct): the greedy loop's provable properties —
+    the first pick IS the exact cosine top-1 (empty-set MMR reduces to
+    relevance), every pick comes from the candidate pool, and exactly
+    min(k, pool) distinct ids are returned. Oracle emits constant true
+    (same pattern as ann_recall_stats); MMR score VALUES are pinned by
+    pytest on synthetic geometry.
+    """
+    mmr = mmr_rerank(
+        embeddings, queries, k, pool, lam,
+        id_col=id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
+    )
+    exact1 = knn_batch(
+        embeddings, queries, k=1,
+        id_col=id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
+    ).select(F.col(qid_col), F.col(id_col).alias("__top1"))
+    cand = knn_batch(
+        embeddings, queries, k=pool,
+        id_col=id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
+    ).select(F.col(qid_col), F.col(id_col).alias("__cid"))
+    in_pool = (
+        mmr.join(
+            cand,
+            (mmr[qid_col] == cand[qid_col]) & (mmr[id_col] == cand["__cid"]),
+            "left",
+        )
+        .groupBy(mmr[qid_col].alias(qid_col))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count("__cid").alias("__n_in_pool"),
+            F.countDistinct(mmr[id_col]).alias("__n_distinct"),
+            F.max(F.when(F.col("rank") == 1, mmr[id_col])).alias("__first"),
+        )
+    )
+    return (
+        in_pool.join(exact1, qid_col)
+        .select(
+            qid_col,
+            F.lit(k).cast("int").alias("k"),
+            (F.col("__first") == F.col("__top1")).alias("first_is_top1"),
+            (F.col("__n_in_pool") == F.col("__n")).alias("all_in_pool"),
+            (F.col("__n_distinct") == F.least(F.lit(k), F.lit(pool))).alias(
+                "k_distinct"
+            ),
+        )
+    )

@@ -851,3 +851,37 @@ def near_match(
         .select("doc_id", close.cast("int").alias("n_pairs"))
         .filter(F.col("n_pairs") > 0)
     )
+
+
+def readability(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading ease per document → (doc_id, n_words,
+    n_sentences, n_syllables, flesch), with the standard vowel-group
+    syllable approximation (each [aeiouy]+ run counts one syllable)
+    and a 1-sentence floor for punctuation-free text. A curation
+    quality gate alongside quality_score — pure codegen'd projection,
+    scales with scan bandwidth.
+    """
+    from data_pipeline2_spark.functions.text import sentences, tokens
+
+    t = F.col(text_col)
+    n_words = F.size(tokens(F.lower(t)))
+    n_sents = F.greatest(F.size(sentences(t)), F.lit(1))
+    n_syll = F.size(F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), 0))
+    flesch = F.when(
+        n_words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (n_words / n_sents)
+            - F.lit(84.6) * (n_syll / n_words),
+            4,
+        ),
+    )
+    return documents.filter(t.isNotNull()).select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        n_sents.cast("int").alias("n_sentences"),
+        n_syll.cast("int").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

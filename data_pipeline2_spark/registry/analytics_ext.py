@@ -1,0 +1,228 @@
+"""Round-4 analytics extensions: corpus-curation diagnostics
+(duplicated-span mining, near-dup rate, readability), the exact-dedup
+corpus filter, signature-store export, event sessionization, the
+window-distribution family, and MMR diversified re-ranking. Registered
+after the round-3 backlog so the driver window drains in order."""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline2_spark.operators import (  # noqa: F401
+    dedup,
+    similarity,
+    textanalysis,
+)
+from data_pipeline2_spark.registry._core import (
+    QuerySpec,  # noqa: F401
+    _register,
+    _t,
+)
+from data_pipeline2_spark.registry.ingest_chunk import _minhash_mh_ctes
+from data_pipeline2_spark.streaming import events as ev
+
+_TOKS_SH_CTES = """toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      FROM documents WHERE len(trim(text)) > 0
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+            FROM toks WHERE len(ws) >= 3)
+    )"""
+
+
+@_register(
+    "dedup_exact_drop",
+    """
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    JOIN (SELECT min(doc_id) AS doc_id FROM documents WHERE text IS NOT NULL
+          GROUP BY sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) k
+      USING (doc_id)
+    UNION ALL
+    SELECT doc_id, lang, source FROM documents WHERE text IS NULL
+    """,
+)
+def q_dedup_exact_drop(spark, sf_dir):
+    """The corpus AFTER exact dedup (keeper = min doc_id, null-text rows
+    pass through) — the filter a curation run applies, complementing
+    dedup_exact's group report."""
+    return dedup.dedup_exact_drop(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@_register(
+    "minhash_signatures",
+    f"""
+    WITH {_TOKS_SH_CTES}, {_minhash_mh_ctes()}
+    SELECT doc_id, CAST(p AS INT) AS perm, mh FROM mh
+    """,
+)
+def q_minhash_signatures(spark, sf_dir):
+    """The signature STORE as a first-class table (doc_id, perm, mh) —
+    what incremental dedup persists between batches. Value-oracled
+    end-to-end now that the family is integer universal hashing."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(
+        dedup.doc_shingles(docs, 3, distinct=False)
+    )
+
+
+@_register(
+    "duplicate_ngram_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      FROM documents WHERE len(trim(text)) > 0
+    ), sh AS (
+      SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS shingle
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-7)) AS i
+            FROM toks WHERE len(ws) >= 8)
+    )
+    SELECT shingle AS gram, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences
+    FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 200
+    """,
+)
+def q_duplicate_ngram_spans(spark, sf_dir):
+    return dedup.duplicate_ngram_spans(
+        _t(spark, sf_dir, "documents"), n=8, min_docs=2, top=200
+    )
+
+
+@_register(
+    "near_dup_rate",
+    f"""
+    WITH {_TOKS_SH_CTES}, {_minhash_mh_ctes()}, bands AS (
+      SELECT doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT) AS band,
+             md5(string_agg(mh::VARCHAR, ',' ORDER BY p)) AS band_key
+      FROM mh GROUP BY doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), counts AS (
+      SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c JOIN shd sa ON sa.doc_id = c.doc_a
+                  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.sh64 = sa.sh64
+      GROUP BY c.doc_a, c.doc_b
+    ), pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a
+                   JOIN counts cb ON cb.doc_id = i.doc_b
+      WHERE round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.5
+    ), dup AS (
+      SELECT count(*) AS n_dup_docs FROM (
+        SELECT doc_a AS d FROM pairs UNION SELECT doc_b FROM pairs)
+    ), nd AS (SELECT count(*) AS n_docs FROM toks)
+    SELECT nd.n_docs, (SELECT count(*) FROM pairs) AS n_dup_pairs,
+           dup.n_dup_docs,
+           round(dup.n_dup_docs / nd.n_docs, 6) AS dup_doc_fraction
+    FROM nd, dup
+    """,
+)
+def q_near_dup_rate(spark, sf_dir):
+    return dedup.near_dup_stats(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "events_sessionize",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS INT)
+             AS session_seq
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id < 100
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    evt = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return ev.sessionize(evt, gap_seconds=1800)
+
+
+@_register(
+    "window_distribution",
+    """
+    SELECT c_custkey, c_nationkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_distribution(spark, sf_dir):
+    """Distribution window family (ntile / percent_rank / cume_dist)
+    over the customer balance per nation — one hash exchange on the
+    partition key, local sort, no global ordering."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@_register(
+    "readability",
+    """
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           CAST(n_sents AS INT) AS n_sentences,
+           CAST(n_syll AS INT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+             round(206.835 - 1.015 * (n_words / n_sents)
+                   - 84.6 * (n_syll / n_words), 4)
+           END AS flesch
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             END AS n_words,
+             greatest(len(regexp_extract_all(text, '[^.!?]+[.!?]+')), 1)
+               AS n_sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      FROM documents WHERE text IS NOT NULL
+    )
+    """,
+)
+def q_readability(spark, sf_dir):
+    return textanalysis.readability(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "mmr_rerank",
+    """
+    SELECT vec_id AS qid, CAST(5 AS INT) AS k,
+           true AS first_is_top1, true AS all_in_pool, true AS k_distinct
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversified re-rank gated by its provable greedy invariants
+    (first pick == exact cosine top-1, picks subset of the candidate
+    pool, exactly k distinct) — same invariant-oracle pattern as
+    ann_recall_stats; score values pinned by pytest on synthetic
+    geometry."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.mmr_invariants(emb, queries, k=5, pool=20, lam=0.7)

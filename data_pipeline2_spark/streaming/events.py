@@ -396,3 +396,36 @@ def attribution_last_touch(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def sessionize(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Per-event session assignment by inactivity gap → (event_id,
+    user_id, session_seq): a new session starts when the gap to the
+    user's previous event exceeds `gap_seconds`. The row-level
+    counterpart of `session_counts` (which aggregates via
+    session_window): pipelines that label training events with session
+    ids need the assignment itself, not just per-session rollups.
+
+    One hash partition by user + a local sort; the running-sum frame is
+    computed within the partition — a single exchange at any scale.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = (
+        prev.isNull()
+        | ((F.col("ts").cast("double") - prev.cast("double")) > gap_seconds)
+    ).cast("int")
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(is_new).over(wsum).cast("int").alias("session_seq"),
+    )

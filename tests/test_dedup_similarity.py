@@ -720,3 +720,68 @@ def test_ann_recall_stats_gates_correctly(spark):
     )
     bad = similarity.ann_recall_stats(emb, q, worst, k=5, threshold=0.2).collect()
     assert all(not r.recall_ok for r in bad)
+
+
+def test_duplicate_ngram_spans_finds_shared_spans(spark):
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        (1, f"intro words {span} trailing one"),
+        (2, f"other opening {span} different tail"),
+        (3, "no shared content in this document at all whatsoever here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.duplicate_ngram_spans(docs, n=8, min_docs=2).toPandas()
+    assert span in set(out.gram)
+    row = out[out.gram == span].iloc[0]
+    assert row.n_docs == 2 and row.n_occurrences == 2
+    # nothing from the unshared doc
+    assert all("whatsoever" not in g for g in out.gram)
+
+
+def test_near_dup_stats_counts(spark, dup_docs):
+    out = dedup.near_dup_stats(dup_docs, threshold=0.3).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r.n_docs == 5
+    # docs 1,2,5 are exact dups (3 pairs) and doc 3 is a near dup of them
+    assert r.n_dup_pairs >= 3
+    assert r.n_dup_docs >= 3
+    assert abs(r.dup_doc_fraction - r.n_dup_docs / r.n_docs) < 1e-9
+
+
+def test_mmr_rerank_diversifies(spark):
+    import numpy as np
+
+    # q = e1; a = best hit (off the query axis, so redundancy != relevance);
+    # b = near-duplicate of a; c = diverse, less relevant. At lam=0.3 the
+    # diversity penalty must put c ahead of b at rank 2; at lam=1.0 MMR
+    # reduces to plain relevance order (a, b, c).
+    def n(v):
+        v = np.asarray(v, dtype=float)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    emb = spark.createDataFrame(
+        [
+            (1, n([0.95, 0.312])),   # a: rel ~0.95
+            (2, n([0.93, 0.368])),   # b: rel ~0.93, sim(a,b) ~0.998
+            (3, n([0.30, 0.954])),   # c: rel ~0.30, sim(a,c) ~0.58
+            (4, n([-1.0, 0.1])),     # irrelevant
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame([(0, n([1.0, 0.0]))], "qid long, qvec array<float>")
+    picks = {
+        r.rank: r.vec_id
+        for r in similarity.mmr_rerank(emb, q, k=3, pool=3, lam=0.3).collect()
+    }
+    assert picks[1] == 1          # top-1 is always the best hit
+    assert picks[2] == 3          # diversity beats the near-dup
+    plain = {
+        r.rank: r.vec_id
+        for r in similarity.mmr_rerank(emb, q, k=3, pool=4, lam=1.0).collect()
+    }
+    assert [plain[i] for i in (1, 2, 3)] == [1, 2, 3]  # pure relevance
+
+    inv = similarity.mmr_invariants(emb, q, k=3, pool=3, lam=0.3).collect()
+    assert len(inv) == 1 and inv[0].first_is_top1 and inv[0].all_in_pool
+    assert inv[0].k_distinct

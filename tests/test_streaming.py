@@ -319,3 +319,19 @@ def test_attribution_last_touch_picks_latest_cause(spark):
     )
     # both clicks credit the LATEST view (event 2), not the first
     assert got == [(3, 2), (4, 2)]
+
+
+def test_sessionize_gap_rule(spark):
+    from data_pipeline2_spark.streaming.events import sessionize
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:00"),
+        (2, 10, "2024-01-01 00:10:00"),   # same session (10 min)
+        (3, 10, "2024-01-01 01:00:00"),   # 50 min gap -> new session
+        (4, 10, "2024-01-01 01:20:00"),   # same session
+        (5, 11, "2024-01-01 00:00:00"),   # other user starts at 1
+    ]
+    evt = spark.createDataFrame(rows, "event_id long, user_id long, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.event_id: r.session_seq for r in sessionize(evt, 1800).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}

@@ -245,3 +245,22 @@ def F_lit_shingle():
     from pyspark.sql import functions as F
 
     return F.lit("x").alias("shingle")
+
+
+def test_readability_flesch_values(spark):
+    from data_pipeline2_spark.operators.textanalysis import readability
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran fast!"), (2, "word " * 4), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in readability(docs).collect()}
+    assert set(out) == {1, 2}  # null text filtered
+    r1 = out[1]
+    assert r1.n_words == 7 and r1.n_sentences == 2
+    # syllable approximation: vowel-group runs (e|a|a|e|o|a|a = 7)
+    assert r1.n_syllables == 7
+    expected = round(206.835 - 1.015 * (7 / 2) - 84.6 * (7 / 7), 4)
+    assert abs(r1.flesch - expected) < 1e-9
+    r2 = out[2]
+    assert r2.n_sentences == 1  # punctuation-free floor
