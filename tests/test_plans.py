@@ -314,3 +314,37 @@ def test_knn_batch_ivfpq_prunes_before_scoring(spark):
     assert mip >= 0
     # a join exists below the scoring stage (cell restriction)
     assert "Join" in plan[mip:]
+
+
+def test_duplicate_ngram_spans_is_take_ordered(spark):
+    """Top-spans must be a TakeOrderedAndProject (per-partition heaps +
+    driver merge of top rows), never a global sort of every gram."""
+    from data_pipeline2_spark.operators import dedup
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(dedup.duplicate_ngram_spans(docs))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_near_dup_stats_single_row_combines_without_cartesian(spark):
+    """The three summary aggregates combine via 1x1-row joins — the plan
+    must never contain a CartesianProduct over data-sized inputs."""
+    from data_pipeline2_spark.operators import dedup
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(dedup.near_dup_stats(docs))
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionize_single_exchange(spark):
+    """Gap-rule sessionization = one hash exchange on user_id; the lag
+    and the running sum share the same window ordering."""
+    from data_pipeline2_spark.sources.parquet import load_table
+    from data_pipeline2_spark.streaming.events import sessionize
+
+    evt = load_table(spark, SF, "events")
+    plan = plan_of(sessionize(evt))
+    assert plan.count("Exchange hashpartitioning") == 1
