@@ -879,3 +879,27 @@ def near_dup_stats(
             ),
         )
     )
+
+
+def chunk_dedup_stats(
+    chunks: DataFrame,
+    content_col: str = "content",
+    chunk_id_col: str = "chunk_id",
+    doc_id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Chunk-level exact duplication report → (content_sha, n_chunks,
+    n_docs, keep_chunk_id): dedup below document granularity — the pass
+    a pipeline runs before embedding so identical chunks are embedded
+    (and paid for) once. Same hash-groupBy shape as dedup_exact; the
+    shuffle key is a 64-hex digest, skew-free at any corpus size."""
+    return (
+        chunks.filter(F.col(content_col).isNotNull())
+        .groupBy(content_hash(F.col(content_col)).alias("content_sha"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct(F.col(doc_id_col)).alias("n_docs"),
+            F.min(F.col(chunk_id_col)).alias("keep_chunk_id"),
+        )
+        .filter(F.col("n_chunks") >= min_count)
+    )

@@ -170,3 +170,21 @@ def sample_weighted(
     )
     thr = F.floor(F.round(w, 12) * F.lit(float(1 << 32))).cast("long")
     return df.filter(h32 < thr)
+
+
+def group_topn_sample(
+    df: DataFrame, group_col: str, key_col: str, n: int, salt: str = ""
+) -> DataFrame:
+    """Exactly min(n, group size) rows per group, hash-ordered — the
+    "at most N examples per source/domain" cap a data-mix applies when
+    a fraction-based rate would still over-represent giant groups.
+    Deterministic (no rand(): same salt → same rows forever); one hash
+    exchange on the group key, per-partition top-n via the row_number
+    window."""
+    h = _hash_key(F.col(key_col), salt)
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -226,3 +226,54 @@ def q_mmr_rerank(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return similarity.mmr_invariants(emb, queries, k=5, pool=20, lam=0.7)
+
+
+@_register(
+    "group_topn_sample",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('s4' || '|' || doc_id::VARCHAR), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q_group_topn_sample(spark, sf_dir):
+    from data_pipeline2_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.group_topn_sample(docs, "source", "doc_id", 20, salt="s4").select(
+        "doc_id", "source"
+    )
+
+
+@_register(
+    "chunk_dedup",
+    """
+    WITH chunks AS (
+      SELECT doc_id, doc_id::VARCHAR || '-' || i::VARCHAR AS chunk_id,
+             substring(text, CAST(i*100+1 AS INT), 100) AS content
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(0,
+                      greatest(CAST(ceil(length(text)/100.0) AS BIGINT), 1) - 1)) AS i
+            FROM documents)
+    )
+    SELECT sha256(lower(regexp_replace(trim(content), '\\s+', ' ', 'g')))
+             AS content_sha,
+           count(*) AS n_chunks,
+           count(DISTINCT doc_id) AS n_docs,
+           min(chunk_id) AS keep_chunk_id
+    FROM chunks WHERE content IS NOT NULL
+    GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def q_chunk_dedup(spark, sf_dir):
+    """Chunk-level exact dedup over the fixed-width chunking of the
+    corpus — identical chunks found (and embedded) once."""
+    from data_pipeline2_spark.operators import chunking
+
+    chunks = chunking.chunk_fixed(_t(spark, sf_dir, "documents"), 100)
+    return dedup.chunk_dedup_stats(chunks)

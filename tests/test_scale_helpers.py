@@ -234,3 +234,35 @@ def test_sample_weighted_rate_tracks_weight(spark):
     # out-of-range weights clamp rather than explode
     over = sample_weighted(df.withColumn("w", F.lit(7.0)), "k", "w").count()
     assert over == 4000
+
+
+def test_group_topn_sample_caps_and_determinism(spark):
+    from data_pipeline2_spark.operators.sampling import group_topn_sample
+
+    rows = [(i, "big" if i < 50 else "small") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = group_topn_sample(df, "source", "doc_id", 8, salt="e1").toPandas()
+    sizes = out.groupby("source").size().to_dict()
+    assert sizes == {"big": 8, "small": 8}  # capped vs min(n, group)
+    again = group_topn_sample(df, "source", "doc_id", 8, salt="e1").toPandas()
+    assert sorted(out.doc_id) == sorted(again.doc_id)  # stable
+    other = group_topn_sample(df, "source", "doc_id", 8, salt="e2").toPandas()
+    assert sorted(out.doc_id) != sorted(other.doc_id)  # salt changes epoch
+
+
+def test_chunk_dedup_stats_cross_doc(spark):
+    from data_pipeline2_spark.operators.dedup import chunk_dedup_stats
+
+    chunks = spark.createDataFrame(
+        [
+            (1, "1-0", "shared boilerplate header"),
+            (2, "2-0", "shared boilerplate header"),
+            (2, "2-1", "unique middle content"),
+            (3, "3-0", "Shared  Boilerplate   header"),  # normalizes equal
+        ],
+        "doc_id long, chunk_id string, content string",
+    )
+    out = chunk_dedup_stats(chunks).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r.n_chunks == 3 and r.n_docs == 3 and r.keep_chunk_id == "1-0"
