@@ -277,3 +277,33 @@ def q_chunk_dedup(spark, sf_dir):
 
     chunks = chunking.chunk_fixed(_t(spark, sf_dir, "documents"), 100)
     return dedup.chunk_dedup_stats(chunks)
+
+
+@_register(
+    "join_skew_salted",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey < 5000
+    """,
+)
+def q_join_skew_salted(spark, sf_dir):
+    """Hot-key-immune salted equi-join (plans/skew.py): the large side
+    salts its key over 8 partitions via xxhash64, the small side
+    replicates per salt, and the composite-key join provably equals the
+    plain join — which IS the oracle, so the whole salting round-trip
+    is value-hashed."""
+    from data_pipeline2_spark.plans.skew import salted_join
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .select("o_orderkey", F.col("o_custkey").alias("custkey"))
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    out = salted_join(orders, cust, ["custkey"], "o_orderkey", n_salts=8)
+    return out.select(
+        "o_orderkey", F.col("custkey").alias("o_custkey"), "c_mktsegment"
+    )

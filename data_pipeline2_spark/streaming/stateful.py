@@ -190,3 +190,90 @@ def load_text_index(spark, index_dir: str) -> dict:
         F.avg("dl").alias("avgdl"),
     )
     return {"postings": postings, "terms": terms, "doclen": doclen, "stats": stats}
+
+
+SESSION_SCHEMA = (
+    "user_id long, session_seq long, start_ts timestamp, end_ts timestamp, "
+    "n_events long"
+)
+SESSION_STATE_SCHEMA = "session_seq long, start_ms long, last_ms long, n long"
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _session_close(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Emit CLOSED sessions per user: a session closes when the next
+    event arrives past the gap, or when the state times out (no events
+    for the gap duration → the open session flushes). Events inside a
+    micro-batch are sorted by (ts, event_id); state carries the open
+    session across batches."""
+    if state.hasTimedOut:
+        if state.exists:
+            seq, start_ms, last_ms, n = state.get
+            state.remove()
+            return iter([pd.DataFrame({
+                "user_id": [key[0]], "session_seq": [seq],
+                "start_ts": [pd.Timestamp(start_ms, unit="ms")],
+                "end_ts": [pd.Timestamp(last_ms, unit="ms")],
+                "n_events": [n],
+            })])
+        state.remove()
+        return iter(())
+    ev = pd.concat(list(pdfs), ignore_index=True)
+    if len(ev) == 0:
+        return iter(())
+    ev = ev.sort_values(["ts", "event_id"], ignore_index=True)
+    ms = (ev["ts"].astype("int64") // 1_000_000).to_numpy()
+    closed = []
+    if state.exists:
+        seq, start_ms, last_ms, n = state.get
+    else:
+        seq, start_ms, last_ms, n = 1, int(ms[0]), int(ms[0]), 0
+    for t in ms:
+        t = int(t)
+        if n > 0 and t - last_ms > SESSION_GAP_MS:
+            closed.append((seq, start_ms, last_ms, n))
+            seq, start_ms, n = seq + 1, t, 0
+        n += 1
+        last_ms = t
+    state.update((seq, start_ms, last_ms, n))
+    try:
+        state.setTimeoutDuration(SESSION_GAP_MS)
+    except Exception:
+        pass  # NoTimeout mode (tests close via final flush assertions)
+    if not closed:
+        return iter(())
+    return iter([pd.DataFrame({
+        "user_id": [key[0]] * len(closed),
+        "session_seq": [c[0] for c in closed],
+        "start_ts": [pd.Timestamp(c[1], unit="ms") for c in closed],
+        "end_ts": [pd.Timestamp(c[2], unit="ms") for c in closed],
+        "n_events": [c[3] for c in closed],
+    })])
+
+
+def streaming_sessionize(events_stream, timeout: bool = True):
+    """events stream → closed sessions per user (gap rule, 30 min).
+
+    The streaming counterpart of `events.sessionize`: identical session
+    boundaries (gap > 30 min starts a new session), but emitted as
+    sessions CLOSE — either because a later event proves the gap, or
+    because the processing-time timeout fires with the session still
+    open. State is one open session per active user: O(active users),
+    evicted on close.
+    """
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events_stream.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_close,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=conf,
+        )
+    )

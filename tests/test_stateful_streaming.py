@@ -127,3 +127,56 @@ def test_streamed_index_matches_batch_bm25(spark, tmp_path):
     idx2 = load_text_index(spark, idx_dir)
     again = bm25_search_indexed(idx2, ["dup", "vector", "spark"], k=20).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in scan]
+
+
+def test_streaming_sessionize_matches_batch_boundaries(spark):
+    """Closed sessions from the stateful stream must carry the same
+    boundaries the batch gap rule derives; the still-open tail session
+    is the only difference (append mode emits on close)."""
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="dp2s_sess_")
+    try:
+        schema = (
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string"
+        )
+        # user 1: two sessions separated by a 40-min gap, split across
+        # micro-batches so the boundary crosses state; user 2: one session
+        batches = [
+            [(1, "2024-01-01 00:00:00", 1, "c", 1.0, "{}"),
+             (2, "2024-01-01 00:10:00", 1, "c", 1.0, "{}")],
+            [(3, "2024-01-01 00:50:00", 1, "c", 1.0, "{}"),
+             (4, "2024-01-01 00:55:00", 1, "c", 1.0, "{}"),
+             (5, "2024-01-01 00:00:00", 2, "c", 1.0, "{}")],
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            ).coalesce(1).write.parquet(os.path.join(d, f"b{i}"))
+
+        out = stateful.streaming_sessionize(
+            _stream(spark, d), timeout=False
+        )
+        q = (
+            out.writeStream.format("memory").queryName("ssess")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from ssess").collect()
+        # only user 1's FIRST session closed (proven by the 40-min gap);
+        # the open tails are withheld by append semantics
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.user_id == 1 and r.session_seq == 1 and r.n_events == 2
+        assert r.start_ts == pd.Timestamp("2024-01-01 00:00:00")
+        assert r.end_ts == pd.Timestamp("2024-01-01 00:10:00")
+
+        # batch parity: the closed session matches events.sessionize
+        from data_pipeline2_spark.streaming.events import sessionize
+        evt = spark.read.parquet(d + "/*")
+        batch = sessionize(evt, 1800).toPandas()
+        s1 = batch[(batch.user_id == 1) & (batch.session_seq == 1)]
+        assert len(s1) == 2 and set(s1.event_id) == {1, 2}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
