@@ -788,6 +788,14 @@ def dedup_near_incremental_minhash(
     reported when those batches arrived. Append new_sigs to the store
     afterwards and the loop continues.
     """
+    for c, dt in old_signatures.dtypes:
+        if c.startswith("mh_") and dt not in ("bigint", "int", "long"):
+            raise ValueError(
+                f"old_signatures.{c} has type {dt}: this store was built "
+                "with the legacy hex-slice family. unionByName would "
+                "coerce to string and silently match nothing — re-derive "
+                "the store with minhash_signature_cols (integer family)."
+            )
     new_sigs = minhash_signature_cols(
         doc_shingles(new_docs, 3, id_col, text_col, distinct=False), n_perm
     ).localCheckpoint(eager=True)
@@ -854,7 +862,7 @@ def near_dup_stats(
     pairs = dedup_near_minhash(
         documents, shingle_n, threshold=threshold,
         id_col=id_col, text_col=text_col,
-    )
+    ).localCheckpoint(eager=True)  # two aggregate consumers below
     dup_docs = (
         pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .distinct()

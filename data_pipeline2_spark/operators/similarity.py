@@ -1303,7 +1303,9 @@ def ann_recall_stats(
         ann.select(qid_col, id_col)
         .join(exact.select(qid_col, id_col), [qid_col, id_col])
         .groupBy(qid_col)
-        .agg(F.count("*").alias("__n_hit"))
+        # countDistinct, not count: a regression that DUPLICATES one
+        # correct id per query must not inflate overlap past the gate
+        .agg(F.countDistinct(id_col).alias("__n_hit"))
     )
     return (
         queries.select(qid_col)
@@ -1422,14 +1424,16 @@ def mmr_invariants(
         embeddings, queries, k, pool, lam,
         id_col=id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
     )
-    exact1 = knn_batch(
-        embeddings, queries, k=1,
-        id_col=id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
-    ).select(F.col(qid_col), F.col(id_col).alias("__top1"))
-    cand = knn_batch(
+    cand_ranked = knn_batch(
         embeddings, queries, k=pool,
         id_col=id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
-    ).select(F.col(qid_col), F.col(id_col).alias("__cid"))
+    )
+    # the exact top-1 is the pool's rank-1 row — one corpus scoring
+    # pass serves both invariants instead of two
+    exact1 = cand_ranked.filter(F.col("rank") == 1).select(
+        F.col(qid_col), F.col(id_col).alias("__top1")
+    )
+    cand = cand_ranked.select(F.col(qid_col), F.col(id_col).alias("__cid"))
     in_pool = (
         mmr.join(
             cand,

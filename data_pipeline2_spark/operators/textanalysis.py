@@ -14,7 +14,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_pipeline2_spark.functions.text import content_hash, token_count, tokens
+from data_pipeline2_spark.functions.text import (
+    content_hash,
+    sentences,
+    token_count,
+    tokens,
+)
 
 # tiny deterministic stopword inventories for the heuristic language ID
 STOPWORDS = {
@@ -863,8 +868,6 @@ def readability(
     quality gate alongside quality_score — pure codegen'd projection,
     scales with scan bandwidth.
     """
-    from data_pipeline2_spark.functions.text import sentences, tokens
-
     t = F.col(text_col)
     n_words = F.size(tokens(F.lower(t)))
     n_sents = F.greatest(F.size(sentences(t)), F.lit(1))

@@ -193,73 +193,91 @@ def load_text_index(spark, index_dir: str) -> dict:
 
 
 SESSION_SCHEMA = (
-    "user_id long, session_seq long, start_ts timestamp, end_ts timestamp, "
-    "n_events long"
+    "user_id long, start_ts timestamp, end_ts timestamp, n_events long"
 )
-SESSION_STATE_SCHEMA = "session_seq long, start_ms long, last_ms long, n long"
+SESSION_STATE_SCHEMA = "start_ms long, last_ms long, n long"
 SESSION_GAP_MS = 30 * 60 * 1000
 
 
-def _session_close(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    """Emit CLOSED sessions per user: a session closes when the next
-    event arrives past the gap, or when the state times out (no events
-    for the gap duration → the open session flushes). Events inside a
-    micro-batch are sorted by (ts, event_id); state carries the open
-    session across batches."""
-    if state.hasTimedOut:
-        if state.exists:
-            seq, start_ms, last_ms, n = state.get
+def _make_session_close(use_timeout: bool):
+    """Build the stateful session-close function with the timeout mode
+    bound in a closure, so setTimeoutDuration is only called when the
+    stream actually runs ProcessingTimeTimeout — no blanket exception
+    swallowing that could hide a real flush failure."""
+
+    def _session_close(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        """Emit CLOSED sessions per user: a session closes when a later
+        event proves the gap, or when the state times out (no events for
+        the gap duration → the open session flushes). Sessions are keyed
+        (user_id, start_ts) — globally unique and identical to the batch
+        gap rule's boundaries; a per-user sequence number is deliberately
+        NOT emitted (state eviction on timeout would reset it).
+
+        Events are processed in (ts, event_id) order within each batch.
+        A cross-batch LATE event (older than the open session's last
+        event) folds into the open session without moving time backwards
+        (end_ts stays monotone; start_ts may extend earlier). For
+        event-time-exact streaming sessions use the watermarked
+        session_window aggregation (events.session_counts) instead.
+        """
+        if state.hasTimedOut:
+            if state.exists:
+                start_ms, last_ms, n = state.get
+                state.remove()
+                return iter([pd.DataFrame({
+                    "user_id": [key[0]],
+                    "start_ts": [pd.Timestamp(start_ms, unit="ms")],
+                    "end_ts": [pd.Timestamp(last_ms, unit="ms")],
+                    "n_events": [n],
+                })])
             state.remove()
-            return iter([pd.DataFrame({
-                "user_id": [key[0]], "session_seq": [seq],
-                "start_ts": [pd.Timestamp(start_ms, unit="ms")],
-                "end_ts": [pd.Timestamp(last_ms, unit="ms")],
-                "n_events": [n],
-            })])
-        state.remove()
-        return iter(())
-    ev = pd.concat(list(pdfs), ignore_index=True)
-    if len(ev) == 0:
-        return iter(())
-    ev = ev.sort_values(["ts", "event_id"], ignore_index=True)
-    ms = (ev["ts"].astype("int64") // 1_000_000).to_numpy()
-    closed = []
-    if state.exists:
-        seq, start_ms, last_ms, n = state.get
-    else:
-        seq, start_ms, last_ms, n = 1, int(ms[0]), int(ms[0]), 0
-    for t in ms:
-        t = int(t)
-        if n > 0 and t - last_ms > SESSION_GAP_MS:
-            closed.append((seq, start_ms, last_ms, n))
-            seq, start_ms, n = seq + 1, t, 0
-        n += 1
-        last_ms = t
-    state.update((seq, start_ms, last_ms, n))
-    try:
-        state.setTimeoutDuration(SESSION_GAP_MS)
-    except Exception:
-        pass  # NoTimeout mode (tests close via final flush assertions)
-    if not closed:
-        return iter(())
-    return iter([pd.DataFrame({
-        "user_id": [key[0]] * len(closed),
-        "session_seq": [c[0] for c in closed],
-        "start_ts": [pd.Timestamp(c[1], unit="ms") for c in closed],
-        "end_ts": [pd.Timestamp(c[2], unit="ms") for c in closed],
-        "n_events": [c[3] for c in closed],
-    })])
+            return iter(())
+        ev = pd.concat(list(pdfs), ignore_index=True)
+        if len(ev) == 0:
+            return iter(())
+        ev = ev.sort_values(["ts", "event_id"], ignore_index=True)
+        ms = (ev["ts"].astype("int64") // 1_000_000).to_numpy()
+        closed = []
+        if state.exists:
+            start_ms, last_ms, n = state.get
+        else:
+            start_ms, last_ms, n = int(ms[0]), int(ms[0]), 0
+        for t in ms:
+            t = int(t)
+            if n > 0 and t < last_ms:
+                # late arrival: fold into the open session, keep
+                # last_ms monotone so end_ts >= start_ts always holds
+                start_ms = min(start_ms, t)
+                n += 1
+                continue
+            if n > 0 and t - last_ms > SESSION_GAP_MS:
+                closed.append((start_ms, last_ms, n))
+                start_ms, n = t, 0
+            n += 1
+            last_ms = t
+        state.update((start_ms, last_ms, n))
+        if use_timeout:
+            state.setTimeoutDuration(SESSION_GAP_MS)
+        if not closed:
+            return iter(())
+        return iter([pd.DataFrame({
+            "user_id": [key[0]] * len(closed),
+            "start_ts": [pd.Timestamp(c[0], unit="ms") for c in closed],
+            "end_ts": [pd.Timestamp(c[1], unit="ms") for c in closed],
+            "n_events": [c[2] for c in closed],
+        })])
+
+    return _session_close
 
 
 def streaming_sessionize(events_stream, timeout: bool = True):
     """events stream → closed sessions per user (gap rule, 30 min).
 
     The streaming counterpart of `events.sessionize`: identical session
-    boundaries (gap > 30 min starts a new session), but emitted as
-    sessions CLOSE — either because a later event proves the gap, or
-    because the processing-time timeout fires with the session still
-    open. State is one open session per active user: O(active users),
-    evicted on close.
+    boundaries (gap > 30 min starts a new session), emitted as sessions
+    CLOSE — either because a later event proves the gap, or because the
+    processing-time timeout fires with the session still open. State is
+    one open session per active user: O(active users), evicted on close.
     """
     conf = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -270,7 +288,7 @@ def streaming_sessionize(events_stream, timeout: bool = True):
         events_stream.select("user_id", "event_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_close,
+            _make_session_close(timeout),
             outputStructType=SESSION_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",

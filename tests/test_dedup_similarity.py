@@ -785,3 +785,40 @@ def test_mmr_rerank_diversifies(spark):
     inv = similarity.mmr_invariants(emb, q, k=3, pool=3, lam=0.3).collect()
     assert len(inv) == 1 and inv[0].first_is_top1 and inv[0].all_in_pool
     assert inv[0].k_distinct
+
+
+def test_incremental_rejects_legacy_hex_store(spark):
+    """A signature store from the pre-round-4 hex-slice family must fail
+    loudly (type guard), not silently match nothing after union coercion."""
+    from data_pipeline2_spark.operators.dedup import (
+        dedup_near_incremental_minhash,
+    )
+
+    legacy = spark.createDataFrame(
+        [(1, *["0a1b2c3d"] * 16)],
+        "doc_id long, " + ", ".join(f"mh_{p} string" for p in range(16)),
+    )
+    new = spark.createDataFrame([(2, "some text here for shingles")],
+                                "doc_id long, text string")
+    with pytest.raises(ValueError, match="legacy hex-slice"):
+        dedup_near_incremental_minhash(new, legacy)
+
+
+def test_ann_recall_stats_ignores_duplicate_hits(spark):
+    """A degenerate ANN result that repeats ONE correct id k times must
+    not pass the gate: overlap counts DISTINCT recovered ids."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators import similarity
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    top1 = similarity.knn_batch(emb, q, k=1)
+    dup = top1
+    for _ in range(4):  # same correct id 5 times per query
+        dup = dup.unionByName(top1)
+    out = similarity.ann_recall_stats(emb, q, dup, k=5, threshold=0.8).collect()
+    assert all(not r.recall_ok for r in out)

@@ -168,7 +168,7 @@ def test_streaming_sessionize_matches_batch_boundaries(spark):
         # the open tails are withheld by append semantics
         assert len(rows) == 1
         r = rows[0]
-        assert r.user_id == 1 and r.session_seq == 1 and r.n_events == 2
+        assert r.user_id == 1 and r.n_events == 2
         assert r.start_ts == pd.Timestamp("2024-01-01 00:00:00")
         assert r.end_ts == pd.Timestamp("2024-01-01 00:10:00")
 
@@ -178,5 +178,43 @@ def test_streaming_sessionize_matches_batch_boundaries(spark):
         batch = sessionize(evt, 1800).toPandas()
         s1 = batch[(batch.user_id == 1) & (batch.session_seq == 1)]
         assert len(s1) == 2 and set(s1.event_id) == {1, 2}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_sessionize_late_event_folds_monotone(spark):
+    """A cross-batch late event must fold into the open session without
+    moving end_ts backwards: the later closing event still sees the
+    original gap and the closed session keeps end_ts >= start_ts."""
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="dp2s_sess_late_")
+    try:
+        schema = (
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string"
+        )
+        batches = [
+            [(1, "2024-01-01 00:30:00", 1, "c", 1.0, "{}")],
+            [(2, "2024-01-01 00:20:00", 1, "c", 1.0, "{}"),   # late
+             (3, "2024-01-01 01:30:00", 1, "c", 1.0, "{}")],  # closes it
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            ).coalesce(1).write.parquet(os.path.join(d, f"b{i}"))
+        out = stateful.streaming_sessionize(_stream(spark, d), timeout=False)
+        q = (
+            out.writeStream.format("memory").queryName("ssess_late")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from ssess_late").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.n_events == 2
+        assert r.start_ts == pd.Timestamp("2024-01-01 00:20:00")  # extended
+        assert r.end_ts == pd.Timestamp("2024-01-01 00:30:00")    # monotone
+        assert r.end_ts >= r.start_ts
     finally:
         shutil.rmtree(d, ignore_errors=True)
