@@ -888,3 +888,47 @@ def readability(
         n_syll.cast("int").alias("n_syllables"),
         flesch.alias("flesch"),
     )
+
+
+def term_cooccurrence(
+    documents: DataFrame,
+    window: int = 2,
+    top: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top co-occurring term pairs within a forward window → (w1, w2,
+    pairs): the word2vec/GloVe-style co-occurrence statistic, pairs
+    normalized lexicographically so (a,b) and (b,a) accumulate together.
+
+    Shape at scale: tokens explode map-side; the positional self-join
+    is an equi-join on doc_id with a bounded range predicate (each row
+    matches <= `window` partners), co-partitioned after ONE hash
+    exchange; the pair count partial-aggregates; `top` is a
+    TakeOrdered.
+    """
+    from data_pipeline2_spark.functions.text import tokens
+
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("p", "w"),
+    )
+    a = toks.select("doc_id", F.col("p").alias("pa"), F.col("w").alias("wa"))
+    b = toks.select("doc_id", F.col("p").alias("pb"), F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(
+            (F.col("pb") > F.col("pa"))
+            & (F.col("pb") <= F.col("pa") + window)
+        )
+        .select(
+            F.least("wa", "wb").alias("w1"),
+            F.greatest("wa", "wb").alias("w2"),
+        )
+    )
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pairs"))
+        .orderBy(F.desc("pairs"), "w1", "w2")
+        .limit(top)
+    )

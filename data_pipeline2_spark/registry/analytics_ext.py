@@ -307,3 +307,124 @@ def q_join_skew_salted(spark, sf_dir):
     return out.select(
         "o_orderkey", F.col("custkey").alias("o_custkey"), "c_mktsegment"
     )
+
+
+@_register(
+    "term_cooccurrence",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(ws) AS w,
+             unnest(generate_series(1, len(ws))) AS p
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+            FROM documents WHERE len(trim(text)) > 0)
+    )
+    SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2,
+           count(*) AS pairs
+    FROM toks a JOIN toks b
+      ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 2
+    GROUP BY 1, 2
+    ORDER BY pairs DESC, w1, w2 LIMIT 100
+    """,
+)
+def q_term_cooccurrence(spark, sf_dir):
+    return textanalysis.term_cooccurrence(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "session_stats",
+    """
+    WITH tagged AS (
+      SELECT user_id, epoch(ts) AS sec,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+    ), per_session AS (
+      SELECT user_id, sess, count(*) AS n_events,
+             max(sec) - min(sec) AS dur
+      FROM tagged GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_sessions,
+           round(avg(n_events), 6) AS avg_events,
+           round(avg(dur), 6) AS avg_duration_secs
+    FROM per_session
+    """,
+)
+def q_session_stats(spark, sf_dir):
+    return ev.session_stats(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "events_windowed_distinct",
+    """
+    SELECT date_trunc('hour', ts) AS w_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+           count(DISTINCT user_id) AS users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_windowed_distinct(spark, sf_dir):
+    return ev.windowed_distinct_users(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "percentiles_by_group",
+    """
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_percentiles_by_group(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont` semantics, rounded for float stability)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90_chars"),
+    )
+
+
+@_register(
+    "join_full_outer",
+    """
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_mktsegment,
+           o.n_orders
+    FROM (SELECT c_custkey, c_mktsegment FROM customer
+          WHERE c_custkey < 500) c
+    FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+                     WHERE o_orderstatus = 'F' AND o_custkey < 800
+                     GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_full_outer(spark, sf_dir):
+    """FULL outer join with unmatched rows surviving on BOTH sides
+    (customers with no finished orders keep null n_orders; order
+    buckets outside the customer slice keep null segment)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .select("c_custkey", "c_mktsegment")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_custkey") < 800))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_mktsegment",
+        "n_orders",
+    )

@@ -429,3 +429,51 @@ def sessionize(
         "user_id",
         F.sum(is_new).over(wsum).cast("int").alias("session_seq"),
     )
+
+
+def session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """One-row corpus session summary → (n_sessions, avg_events,
+    avg_duration_secs): the rollup a product-analytics run reports from
+    the gap-rule assignment. Same single user-partition exchange as
+    `sessionize`; the per-session and global aggregations are partial-
+    aggregated on top.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = (
+        prev.isNull()
+        | ((F.col("ts").cast("double") - prev.cast("double")) > gap_seconds)
+    ).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged = events.select(
+        "user_id",
+        F.col("ts").cast("double").alias("__sec"),
+        F.sum(is_new).over(wsum).alias("__sess"),
+    )
+    per_session = tagged.groupBy("user_id", "__sess").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("__sec") - F.min("__sec")).alias("dur"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+        F.round(F.avg("dur"), 6).alias("avg_duration_secs"),
+    )
+
+
+def windowed_distinct_users(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Exact distinct users per tumbling window → (w_start, w_end,
+    users). The exact companion of the approx_count_distinct key: the
+    shuffle carries (window, user_id) pairs once (partial distinct
+    map-side), then counts per window."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"))
+        .agg(F.countDistinct("user_id").alias("users"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "users",
+        )
+    )
