@@ -351,8 +351,9 @@ def q_term_cooccurrence(spark, sf_dir):
       FROM tagged GROUP BY 1, 2
     )
     SELECT count(*) AS n_sessions,
-           round(avg(n_events), 6) AS avg_events,
-           round(avg(dur), 6) AS avg_duration_secs
+           round(sum(n_events) / count(*), 6) AS avg_events,
+           round(CAST(sum(CAST(dur AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6)
+             AS avg_duration_secs
     FROM per_session
     """,
 )

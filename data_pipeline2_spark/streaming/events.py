@@ -456,10 +456,20 @@ def session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.max("__sec") - F.min("__sec")).alias("dur"),
     )
+    from data_pipeline2_spark.operators.aggregates import exact_avg
+
+    # avg over decimal-exact sums: double sum order varies with
+    # partitioning and engine, and a last-ulp flip at a rounding
+    # boundary would hash-mismatch; event counts sum exactly in longs,
+    # durations are microsecond-aligned so scale 6 loses nothing
     return per_session.agg(
         F.count(F.lit(1)).alias("n_sessions"),
-        F.round(F.avg("n_events"), 6).alias("avg_events"),
-        F.round(F.avg("dur"), 6).alias("avg_duration_secs"),
+        F.round(
+            F.sum("n_events") / F.count(F.lit(1)), 6
+        ).alias("avg_events"),
+        F.round(exact_avg(F.col("dur"), scale=6), 6).alias(
+            "avg_duration_secs"
+        ),
     )
 
 

@@ -44,6 +44,7 @@ OPS = [
     "dedup_near_minhash",
     "knn_batch_lsh",
     "knn_batch_ivf_exact",
+    "knn_batch_ivfpq",
     "chunk_sentence",
     "q5_revenue_by_nation",
     "events_sliding",
