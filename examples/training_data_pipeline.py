@@ -38,6 +38,23 @@ def main(sf_dir: str, out_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     print(f"corpus:            {docs.count():>8} docs")
 
+    # 0. corpus diagnostics BEFORE touching anything: how duplicated is
+    #    this corpus, and what boilerplate spans repeat across docs?
+    #    (these numbers decide how aggressive the dedup passes must be)
+    from data_pipeline2_spark.operators.dedup import (
+        duplicate_ngram_spans,
+        near_dup_stats,
+    )
+
+    stats = near_dup_stats(docs).collect()[0]
+    print(
+        f"diagnostics:       {stats.n_dup_pairs} near-dup pairs, "
+        f"{stats.dup_doc_fraction:.1%} of docs in a dup pair"
+    )
+    spans = duplicate_ngram_spans(docs, top=3).collect()
+    for sp in spans:
+        print(f"  boilerplate x{sp.n_docs} docs: \"{sp.gram[:60]}…\"")
+
     # 1. quality filter: drop bottom-quality documents
     scored = quality_score(docs).filter(F.col("quality") >= 0.5)
     docs = docs.join(scored.select("doc_id"), "doc_id", "left_semi")
