@@ -901,30 +901,44 @@ def term_cooccurrence(
     pairs): the word2vec/GloVe-style co-occurrence statistic, pairs
     normalized lexicographically so (a,b) and (b,a) accumulate together.
 
-    Shape at scale: tokens explode map-side; the positional self-join
-    is an equi-join on doc_id with a bounded range predicate (each row
-    matches <= `window` partners), co-partitioned after ONE hash
-    exchange; the pair count partial-aggregates; `top` is a
-    TakeOrdered.
+    Shape at scale: tokens explode map-side, then each of the `window`
+    forward offsets is a lead() over the per-doc ordering — O(T x
+    window) with ONE scan and one hash exchange on doc_id, the same
+    pattern (and for the same reason) as dedup.doc_shingles. A doc_id
+    self-join was rejected: the range predicate stays a post-join
+    residual, so a 10k-token document would enumerate 100M candidate
+    pairs before filtering. The pair count partial-aggregates; `top`
+    is a TakeOrdered.
     """
+    from pyspark.sql.window import Window
+
     from data_pipeline2_spark.functions.text import tokens
 
     toks = documents.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias("p", "w"),
     )
-    a = toks.select("doc_id", F.col("p").alias("pa"), F.col("w").alias("wa"))
-    b = toks.select("doc_id", F.col("p").alias("pb"), F.col("w").alias("wb"))
+    wspec = Window.partitionBy("doc_id").orderBy("p")
+    offs = toks.select(
+        "w",
+        *[F.lead("w", i).over(wspec).alias(f"__n{i}") for i in range(1, window + 1)],
+    )
+    # keep the raw lead in the struct: least/greatest SKIP nulls, so
+    # filtering on them would admit spurious (w, w) pairs at doc tails
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.col(f"__n{i}").alias("nb"),
+                F.least(F.col("w"), F.col(f"__n{i}")).alias("w1"),
+                F.greatest(F.col("w"), F.col(f"__n{i}")).alias("w2"),
+            )
+            for i in range(1, window + 1)
+        ]
+    )
     pairs = (
-        a.join(b, "doc_id")
-        .filter(
-            (F.col("pb") > F.col("pa"))
-            & (F.col("pb") <= F.col("pa") + window)
-        )
-        .select(
-            F.least("wa", "wb").alias("w1"),
-            F.greatest("wa", "wb").alias("w2"),
-        )
+        offs.select(F.explode(pair_structs).alias("pr"))
+        .filter(F.col("pr.nb").isNotNull())
+        .select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
     )
     return (
         pairs.groupBy("w1", "w2")

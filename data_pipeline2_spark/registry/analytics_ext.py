@@ -144,7 +144,7 @@ def q_near_dup_rate(spark, sf_dir):
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                   THEN 1 ELSE 0 END AS is_new
-      FROM events WHERE user_id < 100
+      FROM events WHERE user_id < 100 AND ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     """,
@@ -342,7 +342,7 @@ def q_term_cooccurrence(spark, sf_dir):
                CASE WHEN lag(ts) OVER w IS NULL
                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                     THEN 1 ELSE 0 END AS is_new
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       )
     ), per_session AS (
@@ -367,7 +367,7 @@ def q_session_stats(spark, sf_dir):
     SELECT date_trunc('hour', ts) AS w_start,
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
            count(DISTINCT user_id) AS users
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def q_events_windowed_distinct(spark, sf_dir):

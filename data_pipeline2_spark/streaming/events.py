@@ -398,6 +398,30 @@ def attribution_last_touch(
     )
 
 
+def _session_tagged(events: DataFrame, gap_seconds: int):
+    """Shared gap-rule tagging: NULL-ts rows are dropped (an event with
+    no timestamp belongs to no session — made explicit so engine and
+    oracle agree instead of diverging on NULLS FIRST/LAST ordering),
+    then each event gets a per-user running session number. Single hash
+    exchange on user_id; lag and the running sum share one ordering."""
+    from pyspark.sql.window import Window
+
+    events = events.filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = (
+        prev.isNull()
+        | ((F.col("ts").cast("double") - prev.cast("double")) > gap_seconds)
+    ).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("double").alias("__sec"),
+        F.sum(is_new).over(wsum).cast("int").alias("session_seq"),
+    )
+
+
 def sessionize(
     events: DataFrame, gap_seconds: int = 1800
 ) -> DataFrame:
@@ -407,27 +431,13 @@ def sessionize(
     counterpart of `session_counts` (which aggregates via
     session_window): pipelines that label training events with session
     ids need the assignment itself, not just per-session rollups.
+    NULL-ts events are dropped (no timestamp, no session).
 
     One hash partition by user + a local sort; the running-sum frame is
     computed within the partition — a single exchange at any scale.
     """
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    is_new = (
-        prev.isNull()
-        | ((F.col("ts").cast("double") - prev.cast("double")) > gap_seconds)
-    ).cast("int")
-    wsum = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return events.select(
-        "event_id",
-        "user_id",
-        F.sum(is_new).over(wsum).cast("int").alias("session_seq"),
+    return _session_tagged(events, gap_seconds).select(
+        "event_id", "user_id", "session_seq"
     )
 
 
@@ -438,19 +448,8 @@ def session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     `sessionize`; the per-session and global aggregations are partial-
     aggregated on top.
     """
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    is_new = (
-        prev.isNull()
-        | ((F.col("ts").cast("double") - prev.cast("double")) > gap_seconds)
-    ).cast("int")
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged = events.select(
-        "user_id",
-        F.col("ts").cast("double").alias("__sec"),
-        F.sum(is_new).over(wsum).alias("__sess"),
+    tagged = _session_tagged(events, gap_seconds).select(
+        "user_id", "__sec", F.col("session_seq").alias("__sess")
     )
     per_session = tagged.groupBy("user_id", "__sess").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -477,9 +476,11 @@ def windowed_distinct_users(events: DataFrame, width: str = "1 hour") -> DataFra
     """Exact distinct users per tumbling window → (w_start, w_end,
     users). The exact companion of the approx_count_distinct key: the
     shuffle carries (window, user_id) pairs once (partial distinct
-    map-side), then counts per window."""
+    map-side), then counts per window. NULL-ts rows are dropped on both
+    engine and oracle sides (F.window emits no bucket for them)."""
     return (
-        events.groupBy(F.window("ts", width).alias("w"))
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", width).alias("w"))
         .agg(F.countDistinct("user_id").alias("users"))
         .select(
             F.col("w.start").alias("w_start"),

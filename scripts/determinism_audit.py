@@ -71,12 +71,18 @@ def main() -> int:
     for k in window:
         va, vb = a[k], b[k]
         if isinstance(va, str) or isinstance(vb, str):
-            bad.append((k, str(va)[:150], str(vb)[:150]))
+            # a key failing under either session is broken, not
+            # partition-sensitive — label it so the investigator chases
+            # the exception, not shuffle layout
+            bad.append(("ERROR", k, str(va)[:150], str(vb)[:150]))
         elif not va.equals(vb):
-            bad.append((k, f"shapes {va.shape} vs {vb.shape}", "value diff"))
+            bad.append(
+                ("NONDETERMINISTIC", k,
+                 f"shapes {va.shape} vs {vb.shape}", "value diff")
+            )
     if bad:
-        for k, x, y in bad:
-            print(f"NONDETERMINISTIC: {k} | {x} | {y}")
+        for label, k, x, y in bad:
+            print(f"{label}: {k} | {x} | {y}")
         return 1
     print(f"ALL {len(window)} WINDOW KEYS DETERMINISTIC ACROSS SESSION SHAPES")
     return 0
