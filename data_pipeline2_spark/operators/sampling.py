@@ -188,3 +188,66 @@ def group_topn_sample(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def pretrain_pack(
+    df: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document pretraining packing → (bin_id, n_docs,
+    total_tokens): documents concatenate into fixed-budget training
+    bins in deterministic id order, bin = floor(cumulative_tokens /
+    budget) — the streaming-friendly approximation of bin packing
+    (GPT-style corpora pack sequentially, not first-fit-decreasing,
+    so shards stay reproducible and append-only).
+
+    One global running sum (range-partitioned window); at lake scale
+    pack per shard (partition the window by a shard key) to avoid the
+    single global ordering.
+    """
+    from data_pipeline2_spark.functions.text import token_count
+
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        token_count(F.col(text_col)).alias("__tok"),
+    )
+    w = Window.orderBy("__id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    binned = toks.select(
+        "__id",
+        "__tok",
+        F.floor((F.sum("__tok").over(w) - F.col("__tok")) / budget)
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").alias("total_tokens"),
+    )
+
+
+def dataset_interleave(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    salt: str = "",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Round-robin interleave across sources → input rows plus a global
+    `seq` such that reading in seq order alternates sources (epoch 0 of
+    a mixed corpus: position i of each source comes before position
+    i+1 of any source; within a position, sources order
+    lexicographically). Deterministic: within-source order is the
+    salted hash, the standard no-rand() shuffle."""
+    h = _hash_key(F.col(key_col), salt)
+    w_in = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    pos = F.row_number().over(w_in)
+    w_global = Window.orderBy(F.col("__pos"), F.col(group_col))
+    return (
+        df.withColumn("__pos", pos)
+        .withColumn(seq_col, F.row_number().over(w_global))
+        .drop("__pos")
+    )

@@ -429,3 +429,159 @@ def q_join_full_outer(spark, sf_dir):
         "c_mktsegment",
         "n_orders",
     )
+
+
+@_register(
+    "pretrain_pack",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS tok
+      FROM documents WHERE text IS NOT NULL
+    ), binned AS (
+      SELECT CAST(floor((sum(tok) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - tok) / 2048)
+                  AS BIGINT) AS bin_id,
+             tok
+      FROM toks
+    )
+    SELECT bin_id, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens
+    FROM binned GROUP BY bin_id
+    """,
+)
+def q_pretrain_pack(spark, sf_dir):
+    """Cross-document fixed-budget pretraining bins (sequential packing
+    in deterministic id order, reproducible shards)."""
+    from data_pipeline2_spark.operators import sampling
+
+    return sampling.pretrain_pack(_t(spark, sf_dir, "documents"), budget=2048)
+
+
+@_register(
+    "dataset_interleave",
+    """
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY pos, source) AS INT) AS seq
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('il1' || '|' || doc_id::VARCHAR), doc_id
+             ) AS pos
+      FROM documents
+    )
+    """,
+)
+def q_dataset_interleave(spark, sf_dir):
+    """Round-robin source interleave: reading in seq order alternates
+    sources — the epoch-0 layout of a mixed corpus."""
+    from data_pipeline2_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.dataset_interleave(docs, "source", "doc_id", salt="il1")
+
+
+def _langid_confusion_sql() -> str:
+    from data_pipeline2_spark.registry.text_sampling import _lang_sql
+
+    return f"""
+    WITH preds AS ({_lang_sql()})
+    SELECT d.lang AS label, p.lang_pred AS pred, count(*) AS docs
+    FROM documents d JOIN preds p ON d.doc_id = p.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@_register("langid_confusion", _langid_confusion_sql())
+def q_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix against the labeled lang column —
+    the evaluation view of the lang_id heuristic (label x prediction
+    document counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    preds = textanalysis.lang_id(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", F.col("lang").alias("label"))
+        .join(preds, "doc_id")
+        .groupBy("label", F.col("lang_pred").alias("pred"))
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+
+
+@_register(
+    "events_dau_wau",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS dau
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), weekly AS (
+      SELECT date_trunc('week', ts) AS week, count(DISTINCT user_id) AS wau
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT d.day, d.dau, w.wau,
+           round(d.dau / w.wau, 6) AS stickiness
+    FROM daily d JOIN weekly w ON date_trunc('week', d.day) = w.week
+    """,
+)
+def q_events_dau_wau(spark, sf_dir):
+    """DAU / WAU / stickiness — the product-analytics staple: two
+    distinct-user aggregations at different grains joined on the
+    containing week."""
+    evt = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = evt.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    weekly = evt.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return daily.join(
+        weekly, F.date_trunc("week", F.col("day")) == F.col("week")
+    ).select(
+        "day", "dau", "wau", F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness")
+    )
+
+
+@_register(
+    "rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey AS custkey, last_order,
+           CAST(frequency AS BIGINT) AS frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY last_order, o_custkey) AS INT) AS r_q,
+           CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS INT) AS f_q,
+           CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS INT) AS m_q
+    FROM rfm
+    """,
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) quartile segmentation per
+    customer — exact decimal money sums, deterministic ntile
+    tie-breaks."""
+    orders = _t(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    return rfm.select(
+        F.col("o_custkey").alias("custkey"),
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("last_order", "o_custkey"))
+        .alias("r_q"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_q"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_q"),
+    )
