@@ -585,3 +585,23 @@ def q_rfm_segments(spark, sf_dir):
         F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_q"),
         F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_q"),
     )
+
+
+@_register(
+    "compact_table",
+    "SELECT doc_id, lang, source FROM documents",
+)
+def q_compact_table(spark, sf_dir):
+    """Small-files compaction roundtrip: fragment the documents table
+    into 40 micro-batch-sized files, compact to target size, and emit
+    the re-read rows — the oracle is the original table, so any row
+    lost or duplicated by the rewrite/swap hash-fails."""
+    import shutil
+
+    from data_pipeline2_spark.operators import writers
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    path = writers.scratch_dir("compact_table", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    docs.repartition(40).write.mode("overwrite").parquet(path)
+    return writers.compact_small_files(spark, path, target_mb=128)

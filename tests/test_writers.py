@@ -154,3 +154,28 @@ def test_jsonl_csv_roundtrip_hostile_content(spark):
             assert got == want, f"{fmt} roundtrip mismatch: {got}"
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compact_small_files_reduces_count_preserves_rows(spark, tmp_path):
+    import glob
+
+    from data_pipeline2_spark.operators.writers import compact_small_files
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "fragmented")
+    docs.repartition(40).write.parquet(path)  # simulate micro-batch litter
+    n_before = len(glob.glob(path + "/*.parquet"))
+    assert n_before >= 30
+
+    before = {r.doc_id for r in docs.collect()}
+    out = compact_small_files(spark, path, target_mb=128)
+    n_after = len(glob.glob(path + "/*.parquet"))
+    assert n_after < n_before
+    assert {r.doc_id for r in out.collect()} == before
+    # second run is a no-op (already compacted)
+    out2 = compact_small_files(spark, path, target_mb=128)
+    assert len(glob.glob(path + "/*.parquet")) == n_after
+    assert out2.count() == len(before)
+    # no stray staging dirs
+    assert not glob.glob(path + ".__compact*")
