@@ -214,43 +214,11 @@ def compact_small_files(
     spark: SparkSession,
     path: str,
     target_mb: int = 128,
-    min_files: int = 2,
 ) -> DataFrame:
-    """Small-files compaction — the standing lake-maintenance job: a
-    streaming/micro-batch writer leaves thousands of KB-sized parquet
-    files per partition, and at 100 TB every query then pays file-open
-    and footer-read costs that dwarf the scan. Rewrites `path` into
-    ceil(bytes / target_mb) files via a round-robin repartition (pure
-    size balancing, no shuffle key needed), staging the rewrite in a
-    sibling directory and swapping atomically-per-rename so readers
-    never observe a half-written table. Returns the re-read DataFrame
-    (the writers-module contract: a write is done when a reader sees
-    exactly the intended rows).
-
-    No-op (returns the existing table) when the directory already has
-    fewer than `min_files` files or is already at/above target size per
-    file. At lake scale run per partition directory, not per table.
-    """
-    import glob
-    import shutil
-
-    files = [
-        f
-        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if os.path.isfile(f)
-    ]
-    total_bytes = sum(os.path.getsize(f) for f in files)
-    if len(files) < min_files or total_bytes / max(len(files), 1) >= (
-        target_mb * 1024 * 1024
-    ):
-        return spark.read.parquet(path)
-    n_out = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
-    staged = path.rstrip("/") + ".__compact_tmp"
-    old = path.rstrip("/") + ".__compact_old"
-    df = spark.read.parquet(path)
-    df.repartition(int(n_out)).write.mode("overwrite").parquet(staged)
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(staged, path)
-    shutil.rmtree(old, ignore_errors=True)
+    """Roundtrip veneer over `compact` (the per-leaf, crash-recoverable,
+    partition-preserving compaction above): run the maintenance job,
+    then return the re-read DataFrame — the writers-module contract
+    that a write is only done when a reader sees exactly the intended
+    rows. Use `compact` directly for the file-count telemetry."""
+    compact(spark, path, target_bytes=target_mb * 1024 * 1024)
     return spark.read.parquet(path)

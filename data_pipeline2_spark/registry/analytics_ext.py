@@ -501,11 +501,10 @@ def q_langid_confusion(spark, sf_dir):
     the evaluation view of the lang_id heuristic (label x prediction
     document counts)."""
     docs = _t(spark, sf_dir, "documents")
-    preds = textanalysis.lang_id(docs).select("doc_id", "lang_pred")
+    pred, _hits = textanalysis.lang_pred_cols(F.col("text"))
     return (
-        docs.select("doc_id", F.col("lang").alias("label"))
-        .join(preds, "doc_id")
-        .groupBy("label", F.col("lang_pred").alias("pred"))
+        docs.select(F.col("lang").alias("label"), pred.alias("pred"))
+        .groupBy("label", "pred")
         .agg(F.count(F.lit(1)).alias("docs"))
     )
 

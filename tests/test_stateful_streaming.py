@@ -245,8 +245,10 @@ def test_running_totals_v2_matches_v1(spark, multi_batch_src):
         q.awaitTermination(120)
         rows = spark.sql(f"select * from {name}").collect()
         out = {}
-        for r in rows:  # last emission per user = final running value
-            out[r.user_id] = (r.events, r.total_value)
+        for r in rows:  # totals are monotone: max() is order-independent
+            # (memory-sink row order carries no contract across batches)
+            cur = out.get(r.user_id, (0, 0.0))
+            out[r.user_id] = max(cur, (r.events, r.total_value))
         return out
 
     v1 = run(stateful.streaming_running_totals, "rt_v1", "update")
