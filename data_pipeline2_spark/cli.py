@@ -55,6 +55,12 @@ def main(argv=None):
     sp = sub.add_parser("list", help="list registry keys")
     sp.add_argument("pattern", nargs="?", default="")
 
+    sp = sub.add_parser(
+        "sql", help="run Spark SQL over the tables (registered as views)"
+    )
+    sp.add_argument("statement")
+    sp.add_argument("-n", type=int, default=20, help="rows to show")
+
     args = p.parse_args(argv)
 
     if args.cmd == "query":
@@ -129,6 +135,13 @@ def main(argv=None):
         from data_pipeline2_spark import registry
 
         df = registry.queries()[args.key](spark, args.data)
+        df.show(args.n, truncate=False)
+        print(f"rows: {df.count()}")
+    elif args.cmd == "sql":
+        from data_pipeline2_spark.sources.parquet import register_temp_views
+
+        register_temp_views(spark, args.data)
+        df = spark.sql(args.statement)
         df.show(args.n, truncate=False)
         print(f"rows: {df.count()}")
     return 0

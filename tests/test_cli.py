@@ -52,3 +52,15 @@ def test_cli_query_unknown_key_suggests(capsys):
     assert main(["query", "unpvt"]) == 1
     err = capsys.readouterr().err
     assert "unknown key" in err
+
+
+def test_cli_sql(spark, capsys):
+    from data_pipeline2_spark.cli import main
+
+    rc = main([
+        "--data", "/root/testdata/sf0.001",
+        "sql", "SELECT count(*) AS n FROM documents",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "rows: 1" in out and "n" in out
