@@ -911,3 +911,58 @@ def chunk_dedup_stats(
         )
         .filter(F.col("n_chunks") >= min_count)
     )
+
+
+def pagerank_pairs(
+    pairs: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """PageRank over an undirected pair list → (node, pagerank):
+    centrality within the near-duplicate graph — the most-connected
+    member of a dup cluster is the natural canonical representative,
+    and heavy hubs flag template/boilerplate families.
+
+    Iterative-in-Catalyst discipline (same as the oracled k-means
+    trajectory): a FIXED iteration count unrolled as plan stages, every
+    intermediate rank rounded to 8 decimals so the DuckDB oracle's
+    unrolled CTE chain walks a bit-identical trajectory. Each iteration
+    is one join + one aggregation on the edge list: shuffle O(edges),
+    never O(nodes^2). The node count enters via a broadcast single-row
+    aggregate — no driver-side collect.
+    """
+    und = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    rank = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", F.round(F.lit(1.0) / F.col("__n"), 8).alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            und.join(rank, und["src"] == rank["node"])
+            .join(deg, und["src"] == deg["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("__c"))
+        )
+        rank = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("__n")
+                    + damping * F.coalesce(F.col("__c"), F.lit(0.0)),
+                    8,
+                ).alias("rank"),
+            )
+        )
+    return rank.select("node", F.round("rank", 6).alias("pagerank"))

@@ -604,3 +604,73 @@ def q_compact_table(spark, sf_dir):
     shutil.rmtree(path, ignore_errors=True)
     docs.repartition(40).write.mode("overwrite").parquet(path)
     return writers.compact_small_files(spark, path, target_mb=128)
+
+
+def _pagerank_sql(n_iter: int = 3, damping: float = 0.85) -> str:
+    """Unrolled PageRank CTE chain over the near-dup pairs graph —
+    identical per-iteration 8-decimal rounding as the engine, so both
+    walk the same trajectory (the k-means oracle trick)."""
+    parts = [f"""edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, round(1.0 / n, 8) AS rank FROM nodes, nn)"""]
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        parts.append(f"""c{i} AS (
+      SELECT e.dst, sum(r.rank / d.deg) AS c
+      FROM edges e JOIN {prev} r ON e.src = r.node
+                   JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    ), r{i} AS (
+      SELECT nodes.node,
+             round({1.0 - damping} / nn.n
+                   + {damping} * coalesce(c{i}.c, 0.0), 8) AS rank
+      FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.dst, nn
+    )""")
+        prev = f"r{i}"
+    return (
+        ",\n".join(parts)
+        + f"\n    SELECT node, round(rank, 6) AS pagerank FROM {prev}"
+    )
+
+
+@_register(
+    "dedup_graph_pagerank",
+    f"""
+    WITH {_TOKS_SH_CTES}, {_minhash_mh_ctes()}, bands AS (
+      SELECT doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT) AS band,
+             md5(string_agg(mh::VARCHAR, ',' ORDER BY p)) AS band_key
+      FROM mh GROUP BY doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), counts AS (
+      SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c JOIN shd sa ON sa.doc_id = c.doc_a
+                  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.sh64 = sa.sh64
+      GROUP BY c.doc_a, c.doc_b
+    ), pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a
+                   JOIN counts cb ON cb.doc_id = i.doc_b
+      WHERE round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.5
+    ),
+    {_pagerank_sql()}
+    """,
+)
+def q_dedup_graph_pagerank(spark, sf_dir):
+    """PageRank centrality over the near-dup graph: the hub of each dup
+    cluster is its natural canonical representative; heavy hubs flag
+    boilerplate families. Iterations unrolled in-plan with rounded
+    trajectories, value-replayed end-to-end (minhash pipeline included)
+    by the oracle."""
+    pairs = dedup.dedup_near_minhash(_t(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b"
+    )
+    return dedup.pagerank_pairs(pairs)

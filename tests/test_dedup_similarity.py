@@ -822,3 +822,16 @@ def test_ann_recall_stats_ignores_duplicate_hits(spark):
         dup = dup.unionByName(top1)
     out = similarity.ann_recall_stats(emb, q, dup, k=5, threshold=0.8).collect()
     assert all(not r.recall_ok for r in out)
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    """On a star graph the hub must out-rank the leaves, ranks must sum
+    to ~1 (stochastic), and a symmetric pair must tie exactly."""
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {r.node: r.pagerank for r in dedup.pagerank_pairs(star).collect()}
+    assert out[1] > max(out[2], out[3], out[4])
+    assert out[2] == out[3] == out[4]  # symmetric leaves tie exactly
+    assert out[5] == out[6]            # isolated pair ties
+    assert abs(sum(out.values()) - 1.0) < 1e-4
