@@ -241,7 +241,12 @@ def dataset_interleave(
     a mixed corpus: position i of each source comes before position
     i+1 of any source; within a position, sources order
     lexicographically). Deterministic: within-source order is the
-    salted hash, the standard no-rand() shuffle."""
+    salted hash, the standard no-rand() shuffle.
+
+    The global seq is a single-partition window (like
+    deterministic_shuffle's sort) — at lake scale assign seq per shard
+    (partition the outer window by a shard key) or write the interleave
+    as the sort key of a range-partitioned write instead."""
     h = _hash_key(F.col(key_col), salt)
     w_in = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
     pos = F.row_number().over(w_in)

@@ -348,3 +348,28 @@ def test_sessionize_single_exchange(spark):
     evt = load_table(spark, SF, "events")
     plan = plan_of(sessionize(evt))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pagerank_no_cartesian_and_broadcast_count(spark):
+    """Each PageRank iteration = edge join + aggregation; the node
+    count enters via a broadcast single-row aggregate — the plan must
+    contain BroadcastNestedLoopJoin only for those 1-row joins and no
+    CartesianProduct."""
+    from data_pipeline2_spark.operators.dedup import pagerank_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    plan = plan_of(pagerank_pairs(pairs, n_iter=2))
+    assert "CartesianProduct" not in plan
+
+
+def test_term_cooccurrence_single_scan(spark):
+    """The lead()-offset formulation must touch the documents scan ONCE
+    (the rejected self-join scanned it twice)."""
+    from data_pipeline2_spark.operators.textanalysis import term_cooccurrence
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(term_cooccurrence(docs))
+    assert plan.count("Scan parquet") == 1
