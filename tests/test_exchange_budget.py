@@ -1,0 +1,57 @@
+"""Shuffle-budget regression harness: every headline query carries an
+explicit EXCHANGE BUDGET (hash + range exchanges in its executed plan).
+A refactor that silently adds a shuffle — the single most expensive
+plan regression at 100 TB — fails here before it ever reaches a
+benchmark. Budgets are the CURRENT measured counts, asserted as exact
+upper bounds; lowering one is an improvement (update the table),
+exceeding one demands a justification in the diff.
+
+Broadcast exchanges are deliberately NOT budgeted: converting a shuffle
+join to a broadcast join adds a BroadcastExchange while removing a far
+costlier hash exchange, and AQE may do so dynamically.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline2_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+# query -> max (hash + range) exchanges in the executed plan
+BUDGET = {
+    "q1_pricing_summary": 2,     # agg + result ordering
+    "q3_shipping_priority": 1,   # one fact-fact shuffle (dims broadcast)
+    "q5_revenue_by_nation": 2,   # orders⋈lineitem + ordering
+    "q6_forecast_revenue": 0,    # pure scan-filter-agg (partial agg only)
+    "q18_large_orders": 1,
+    "topk_per_group": 1,         # per-group window
+    "chunk_fixed": 1,            # ensure_parallelism on degenerate input
+    "chunk_sentence": 1,         # doc-clustered window
+    "knn_batch": 1,              # per-qid top-k window (queries broadcast)
+    "dedup_exact": 1,            # the content-sha groupBy
+    "dedup_near_minhash": 3,     # signature agg + band join + verify
+    "quality_score": 0,          # pure projection
+    "text_stats": 2,             # agg + ordering
+    "events_tumbling": 1,
+    "events_sliding": 1,
+    "events_session": 1,
+}
+
+
+def _exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET))
+def test_exchange_budget(name, spark):
+    df = registry.queries()[name](spark, SF)
+    n = _exchanges(df)
+    assert n <= BUDGET[name], (
+        f"{name}: plan has {n} hash/range exchanges, budget is "
+        f"{BUDGET[name]} — a new shuffle entered this query's plan"
+    )
