@@ -951,7 +951,19 @@ def pagerank_pairs(
             und.join(rank, und["src"] == rank["node"])
             .join(deg, und["src"] == deg["node"])
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("__c"))
+            # contributions round to 12 dp and sum as decimals: a plain
+            # double sum is partition-order-dependent, and a last-ulp
+            # flip at the 8-dp rounding boundary below would diverge
+            # from the oracle (the session_stats/exact_sum discipline)
+            .agg(
+                F.sum(
+                    F.round(F.col("rank") / F.col("deg"), 12).cast(
+                        "decimal(28,12)"
+                    )
+                )
+                .cast("double")
+                .alias("__c")
+            )
         )
         rank = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")

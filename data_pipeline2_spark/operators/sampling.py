@@ -198,8 +198,8 @@ def pretrain_pack(
 ) -> DataFrame:
     """Cross-document pretraining packing → (bin_id, n_docs,
     total_tokens): documents concatenate into fixed-budget training
-    bins in deterministic id order, bin = floor(cumulative_tokens /
-    budget) — the streaming-friendly approximation of bin packing
+    bins in deterministic id order, bin = floor(start_offset / budget)
+    (start offset = exclusive prefix sum of token counts) — the streaming-friendly approximation of bin packing
     (GPT-style corpora pack sequentially, not first-fit-decreasing,
     so shards stay reproducible and append-only).
 

@@ -1330,6 +1330,7 @@ def mmr_rerank(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversified top-k → (qid, rank,
     vec_id, relevance, mmr_score): greedily picks
@@ -1343,16 +1344,20 @@ def mmr_rerank(
     applyInPandas grouped by qid — parallelism = queries, state = one
     pool (pool x dim floats). Ties break by vec_id for determinism.
     """
-    cand = knn_batch(
-        embeddings, queries, k=pool,
-        id_col=id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
-    )
+    if candidates is None:
+        candidates = knn_batch(
+            embeddings, queries, k=pool,
+            id_col=id_col, vec_col=vec_col, qid_col=qid_col,
+            qvec_col=qvec_col,
+        )
     corpus = embeddings.select(
         F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec")
     )
-    rows = cand.join(corpus, F.col(id_col) == F.col("__vid")).select(
+    rows = candidates.join(corpus, F.col(id_col) == F.col("__vid")).select(
         qid_col, id_col, F.col("score").alias("relevance"), "__vec"
     )
+    qid_t = dict(queries.dtypes)[qid_col]
+    id_t = dict(embeddings.dtypes)[id_col]
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
@@ -1390,7 +1395,8 @@ def mmr_rerank(
 
     out = rows.groupBy(qid_col).applyInPandas(
         pick,
-        "qid long, rank int, vec_id long, relevance double, mmr_score double",
+        f"qid {qid_t}, rank int, vec_id {id_t}, "
+        "relevance double, mmr_score double",
     )
     return out.select(
         F.col("qid").alias(qid_col),
@@ -1420,16 +1426,17 @@ def mmr_invariants(
     (same pattern as ann_recall_stats); MMR score VALUES are pinned by
     pytest on synthetic geometry.
     """
-    mmr = mmr_rerank(
-        embeddings, queries, k, pool, lam,
-        id_col=id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
-    )
     cand_ranked = knn_batch(
         embeddings, queries, k=pool,
         id_col=id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
+    ).localCheckpoint(eager=True)  # pool x queries rows, three consumers
+    # ONE corpus scoring pass serves the MMR picks (threaded through as
+    # the candidate set), the exact-top-1 invariant, and the pool check
+    mmr = mmr_rerank(
+        embeddings, queries, k, pool, lam,
+        id_col=id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
+        candidates=cand_ranked,
     )
-    # the exact top-1 is the pool's rank-1 row — one corpus scoring
-    # pass serves both invariants instead of two
     exact1 = cand_ranked.filter(F.col("rank") == 1).select(
         F.col(qid_col), F.col(id_col).alias("__top1")
     )

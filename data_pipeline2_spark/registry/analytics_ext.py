@@ -22,7 +22,11 @@ from data_pipeline2_spark.registry._core import (
     _register,
     _t,
 )
-from data_pipeline2_spark.registry.ingest_chunk import _minhash_mh_ctes
+from data_pipeline2_spark.registry.ingest_chunk import (
+    _jaccard_verify_ctes,
+    _lsh_bands_cand_ctes,
+    _minhash_mh_ctes,
+)
 from data_pipeline2_spark.streaming import events as ev
 
 _TOKS_SH_CTES = """toks AS (
@@ -98,27 +102,8 @@ def q_duplicate_ngram_spans(spark, sf_dir):
 @_register(
     "near_dup_rate",
     f"""
-    WITH {_TOKS_SH_CTES}, {_minhash_mh_ctes()}, bands AS (
-      SELECT doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT) AS band,
-             md5(string_agg(mh::VARCHAR, ',' ORDER BY p)) AS band_key
-      FROM mh GROUP BY doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT)
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ), counts AS (
-      SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id
-    ), inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-      FROM cand c JOIN shd sa ON sa.doc_id = c.doc_a
-                  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.sh64 = sa.sh64
-      GROUP BY c.doc_a, c.doc_b
-    ), pairs AS (
-      SELECT i.doc_a, i.doc_b
-      FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a
-                   JOIN counts cb ON cb.doc_id = i.doc_b
-      WHERE round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.5
-    ), dup AS (
+    WITH {_TOKS_SH_CTES}, {_minhash_mh_ctes()}, {_lsh_bands_cand_ctes()},
+    {_jaccard_verify_ctes(0.5)}, dup AS (
       SELECT count(*) AS n_dup_docs FROM (
         SELECT doc_a AS d FROM pairs UNION SELECT doc_b FROM pairs)
     ), nd AS (SELECT count(*) AS n_docs FROM toks)
@@ -620,7 +605,9 @@ def _pagerank_sql(n_iter: int = 3, damping: float = 0.85) -> str:
     prev = "r0"
     for i in range(1, n_iter + 1):
         parts.append(f"""c{i} AS (
-      SELECT e.dst, sum(r.rank / d.deg) AS c
+      SELECT e.dst,
+             CAST(sum(CAST(round(r.rank / d.deg, 12) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS c
       FROM edges e JOIN {prev} r ON e.src = r.node
                    JOIN deg d ON e.src = d.node
       GROUP BY e.dst
@@ -640,27 +627,8 @@ def _pagerank_sql(n_iter: int = 3, damping: float = 0.85) -> str:
 @_register(
     "dedup_graph_pagerank",
     f"""
-    WITH {_TOKS_SH_CTES}, {_minhash_mh_ctes()}, bands AS (
-      SELECT doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT) AS band,
-             md5(string_agg(mh::VARCHAR, ',' ORDER BY p)) AS band_key
-      FROM mh GROUP BY doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT)
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ), counts AS (
-      SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id
-    ), inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-      FROM cand c JOIN shd sa ON sa.doc_id = c.doc_a
-                  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.sh64 = sa.sh64
-      GROUP BY c.doc_a, c.doc_b
-    ), pairs AS (
-      SELECT i.doc_a, i.doc_b
-      FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a
-                   JOIN counts cb ON cb.doc_id = i.doc_b
-      WHERE round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.5
-    ),
+    WITH {_TOKS_SH_CTES}, {_minhash_mh_ctes()}, {_lsh_bands_cand_ctes()},
+    {_jaccard_verify_ctes(0.5)},
     {_pagerank_sql()}
     """,
 )

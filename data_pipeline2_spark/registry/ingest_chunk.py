@@ -580,6 +580,43 @@ def _minhash_mh_ctes(n_perm: int = 16) -> str:
     )"""
 
 
+def _lsh_bands_cand_ctes(cand_where: str = "") -> str:
+    """Shared oracle CTE pair replaying the engine's LSH banding and
+    candidate generation (band width = dedup.BAND_SIZE — retunes apply
+    everywhere at once). Expects the `mh` CTE upstream; `cand_where`
+    appends an extra predicate to the candidate join (incremental
+    variants restrict to pairs touching the new batch)."""
+    return f"""bands AS (
+      SELECT doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT) AS band,
+             md5(string_agg(mh::VARCHAR, ',' ORDER BY p)) AS band_key
+      FROM mh GROUP BY doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      {cand_where}
+    )"""
+
+
+def _jaccard_verify_ctes(threshold: float = 0.5) -> str:
+    """Shared oracle CTE chain for the exact-Jaccard verify over hashed
+    shingles: per-doc counts, candidate intersections, and the `pairs`
+    CTE of verified (doc_a, doc_b). Expects `shd` and `cand` upstream."""
+    return f"""counts AS (
+      SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c JOIN shd sa ON sa.doc_id = c.doc_a
+                  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.sh64 = sa.sh64
+      GROUP BY c.doc_a, c.doc_b
+    ), pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a
+                   JOIN counts cb ON cb.doc_id = i.doc_b
+      WHERE round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) >= {threshold}
+    )"""
+
+
 _MINHASH_SQL = f"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
@@ -588,22 +625,8 @@ _MINHASH_SQL = f"""
       SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
             FROM toks WHERE len(ws) >= 3)
-    ), {_minhash_mh_ctes()}, bands AS (
-      SELECT doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT) AS band,
-             md5(string_agg(mh::VARCHAR, ',' ORDER BY p)) AS band_key
-      FROM mh GROUP BY doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT)
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ), counts AS (
-      SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id
-    ), inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-      FROM cand c JOIN shd sa ON sa.doc_id = c.doc_a
-                  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.sh64 = sa.sh64
-      GROUP BY c.doc_a, c.doc_b
-    )
+    ), {_minhash_mh_ctes()}, {_lsh_bands_cand_ctes()},
+    {_jaccard_verify_ctes(0.5)}
     SELECT i.doc_a, i.doc_b,
            round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
     FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a

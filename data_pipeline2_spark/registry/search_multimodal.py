@@ -32,7 +32,11 @@ from data_pipeline2_spark.registry._core import (
 )
 from data_pipeline2_spark.streaming import events as ev
 
-from data_pipeline2_spark.registry.ingest_chunk import _knn_query_vec, _minhash_mh_ctes
+from data_pipeline2_spark.registry.ingest_chunk import (
+    _knn_query_vec,
+    _lsh_bands_cand_ctes,
+    _minhash_mh_ctes,
+)
 
 def _hybrid_oracle_sql(budget: int = 60, overlap: int = 12) -> str:
     """DuckDB replay of token-budget greedy packing WITH overlap carry:
@@ -855,16 +859,9 @@ def q_decontaminate_semantic(spark, sf_dir):
       SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
             FROM toks WHERE len(ws) >= 3)
-    ), {_minhash_mh_ctes()}, bands AS (
-      SELECT doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT) AS band,
-             md5(string_agg(mh::VARCHAR, ',' ORDER BY p)) AS band_key
-      FROM mh GROUP BY doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT)
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      WHERE a.doc_id >= 400 OR b.doc_id >= 400
-    ), est AS (
+    ), {_minhash_mh_ctes()},
+    {_lsh_bands_cand_ctes("WHERE a.doc_id >= 400 OR b.doc_id >= 400")},
+    est AS (
       SELECT c.doc_a, c.doc_b,
              round(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 16.0, 6)
                AS est_jaccard

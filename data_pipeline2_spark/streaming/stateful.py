@@ -286,6 +286,10 @@ def streaming_sessionize(events_stream, timeout: bool = True):
     )
     return (
         events_stream.select("user_id", "event_id", "ts")
+        # batch-parity contract: no timestamp, no session. Unfiltered,
+        # a NaT reaches the state fn where astype('int64') yields
+        # int64-min and silently corrupts the open session's start
+        .filter(F.col("ts").isNotNull())
         .groupBy("user_id")
         .applyInPandasWithState(
             _make_session_close(timeout),

@@ -141,7 +141,8 @@ def run(spark, qmap, sf_dir: str, reps: int) -> dict:
             try:
                 n = fn(spark, sf_dir).count()
             except Exception as exc:  # record scale failures, keep going
-                best = {"error": str(exc).split("\n")[0][:300]}
+                if best is None:  # keep an earlier successful rep
+                    best = {"error": str(exc).split("\n")[0][:300]}
                 break
             wall = time.perf_counter() - t0
             r1, w1 = _shuffle_totals(spark)

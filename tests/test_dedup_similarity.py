@@ -835,3 +835,26 @@ def test_pagerank_hub_ranks_highest(spark):
     assert out[2] == out[3] == out[4]  # symmetric leaves tie exactly
     assert out[5] == out[6]            # isolated pair ties
     assert abs(sum(out.values()) - 1.0) < 1e-4
+
+
+def test_mmr_rerank_respects_custom_id_types(spark):
+    """The applyInPandas schema derives from the input dtypes — string
+    ids must survive end-to-end (regression: schema was hardcoded to
+    long)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    def n(v):
+        v = np.asarray(v, dtype=float)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    emb = spark.createDataFrame(
+        [("a", n([1.0, 0.1])), ("b", n([0.9, 0.3])), ("c", n([0.1, 1.0]))],
+        "vec_id string, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [("q1", n([1.0, 0.0]))], "qid string, qvec array<float>"
+    )
+    out = similarity.mmr_rerank(emb, q, k=2, pool=3, lam=0.5).collect()
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)][0] == "a"
+    assert all(isinstance(r.qid, str) for r in out)
