@@ -61,6 +61,14 @@ def main(argv=None):
     sp.add_argument("statement")
     sp.add_argument("-n", type=int, default=20, help="rows to show")
 
+    sp = sub.add_parser("dedupe", help="corpus duplication report")
+    sp.add_argument("--threshold", type=float, default=0.5,
+                    help="near-dup jaccard threshold")
+
+    sp = sub.add_parser("compact", help="compact small parquet files")
+    sp.add_argument("path")
+    sp.add_argument("--target-mb", type=int, default=128)
+
     args = p.parse_args(argv)
 
     if args.cmd == "query":
@@ -144,6 +152,28 @@ def main(argv=None):
         df = spark.sql(args.statement)
         df.show(args.n, truncate=False)
         print(f"rows: {df.count()}")
+    elif args.cmd == "dedupe":
+        from pyspark.sql import functions as F
+
+        from data_pipeline2_spark.operators.dedup import (
+            dedup_exact,
+            near_dup_stats,
+        )
+        from data_pipeline2_spark.sources.parquet import load_table
+
+        docs = load_table(spark, args.data, "documents")
+        exact = dedup_exact(docs).filter(F.col("dup_count") > 1)
+        n_exact_groups = exact.count()
+        stats = near_dup_stats(docs, threshold=args.threshold).collect()[0]
+        print(f"exact dup groups:  {n_exact_groups}")
+        print(f"docs with text:    {stats.n_docs}")
+        print(f"near-dup pairs:    {stats.n_dup_pairs} (jaccard >= {args.threshold})")
+        print(f"docs in dup pairs: {stats.n_dup_docs} ({stats.dup_doc_fraction:.1%})")
+    elif args.cmd == "compact":
+        from data_pipeline2_spark.operators.writers import compact
+
+        n_files = compact(spark, args.path, args.target_mb * 1024 * 1024)
+        print(f"compacted {args.path}: {n_files} files at <= {args.target_mb} MB target")
     return 0
 
 

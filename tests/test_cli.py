@@ -64,3 +64,21 @@ def test_cli_sql(spark, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "rows: 1" in out and "n" in out
+
+
+def test_cli_dedupe_and_compact(spark, capsys, tmp_path):
+    from data_pipeline2_spark.cli import main
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    rc = main(["--data", "/root/testdata/sf0.001", "dedupe"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "near-dup pairs" in out and "exact dup groups" in out
+
+    frag = str(tmp_path / "frag")
+    load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .repartition(20).write.parquet(frag)
+    rc = main(["compact", frag, "--target-mb", "128"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "compacted" in out
+    import glob
+    assert len(glob.glob(frag + "/*.parquet")) < 20
