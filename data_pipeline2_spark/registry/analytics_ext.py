@@ -17,11 +17,7 @@ from data_pipeline2_spark.operators import (  # noqa: F401
     similarity,
     textanalysis,
 )
-from data_pipeline2_spark.registry._core import (
-    QuerySpec,  # noqa: F401
-    _register,
-    _t,
-)
+from data_pipeline2_spark.registry._core import _register, _t
 from data_pipeline2_spark.registry.ingest_chunk import (
     _jaccard_verify_ctes,
     _lsh_bands_cand_ctes,

@@ -8,31 +8,25 @@ import pandas as pd  # noqa: F401
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from data_pipeline2_spark.operators import (
     aggregates,
     chunking,
-    dedup,
     embedding,
-    joins,
-    curation,
     lifecycle,
     multimodal,
     relational,
     similarity,
-    textanalysis,
 )
 from data_pipeline2_spark.operators.cache import ttl_filter
 from data_pipeline2_spark.registry._core import (
-    QuerySpec,  # noqa: F401
     _cos_sql,
     _register,
     _t,
 )
 from data_pipeline2_spark.streaming import events as ev
 
-from data_pipeline2_spark.registry.ingest_chunk import _knn_query_vec, _minhash_mh_ctes  # noqa: F401
+from data_pipeline2_spark.registry.ingest_chunk import _knn_query_vec  # noqa: F401
 
 @_register(
     "multimodal_meta",

@@ -12,24 +12,10 @@ from pyspark.sql.window import Window
 
 from data_pipeline2_spark.operators import (
     aggregates,
-    chunking,
-    dedup,
-    embedding,
     joins,
-    curation,
-    lifecycle,
-    multimodal,
     relational,
-    similarity,
-    textanalysis,
 )
-from data_pipeline2_spark.operators.cache import ttl_filter
-from data_pipeline2_spark.registry._core import (
-    QuerySpec,  # noqa: F401
-    _cos_sql,
-    _register,
-    _t,
-)
+from data_pipeline2_spark.registry._core import _register, _t
 from data_pipeline2_spark.streaming import events as ev
 
 @_register(

@@ -8,24 +8,18 @@ import pandas as pd  # noqa: F401
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from data_pipeline2_spark.operators import (
     aggregates,
     chunking,
     dedup,
-    embedding,
-    joins,
     curation,
-    lifecycle,
     multimodal,
     relational,
     similarity,
     textanalysis,
 )
-from data_pipeline2_spark.operators.cache import ttl_filter
 from data_pipeline2_spark.registry._core import (
-    QuerySpec,  # noqa: F401
     _cos_sql,
     _register,
     _t,
