@@ -168,7 +168,8 @@ def main(argv=None):
         print(f"exact dup groups:  {n_exact_groups}")
         print(f"docs with text:    {stats.n_docs}")
         print(f"near-dup pairs:    {stats.n_dup_pairs} (jaccard >= {args.threshold})")
-        print(f"docs in dup pairs: {stats.n_dup_docs} ({stats.dup_doc_fraction:.1%})")
+        frac = stats.dup_doc_fraction if stats.dup_doc_fraction is not None else 0.0
+        print(f"docs in dup pairs: {stats.n_dup_docs} ({frac:.1%})")
     elif args.cmd == "compact":
         from data_pipeline2_spark.operators.writers import compact
 

@@ -882,7 +882,9 @@ def near_dup_stats(
             "n_docs",
             "n_dup_pairs",
             "n_dup_docs",
-            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias(
+            # try_divide: an all-empty corpus has n_docs = 0 and must
+            # yield NULL, not an ANSI DIVIDE_BY_ZERO (ADVICE r4)
+            F.round(F.try_divide("n_dup_docs", "n_docs"), 6).alias(
                 "dup_doc_fraction"
             ),
         )

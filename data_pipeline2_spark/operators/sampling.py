@@ -27,6 +27,20 @@ def _hash_key(key: Column, salt: str = "") -> Column:
     return F.md5(F.concat_ws("|", F.lit(salt), key.cast("string")))
 
 
+def _warn_global_window(op: str) -> None:
+    """An unpartitioned window executes as ONE task regardless of
+    cluster size — fine for the bounded testdata, a bottleneck on a
+    real corpus. Warn once per call site (Python's default dedup)."""
+    import warnings
+
+    warnings.warn(
+        f"{op}: no shard_col — the global ordering window runs as a "
+        "single task; pass shard_col to partition it at scale",
+        UserWarning,
+        stacklevel=3,
+    )
+
+
 def _threshold(pct: float) -> str:
     """2-hex-char prefix boundary for a percentage in [0, 100].
 
@@ -195,6 +209,7 @@ def pretrain_pack(
     budget: int = 2048,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Cross-document pretraining packing → (bin_id, n_docs,
     total_tokens): documents concatenate into fixed-budget training
@@ -203,27 +218,29 @@ def pretrain_pack(
     (GPT-style corpora pack sequentially, not first-fit-decreasing,
     so shards stay reproducible and append-only).
 
-    One global running sum (range-partitioned window); at lake scale
-    pack per shard (partition the window by a shard key) to avoid the
-    single global ordering.
+    Without `shard_col` the running sum is one global window — a single
+    task at lake scale (warned at call time). Pass `shard_col` to pack
+    per shard: the window partitions on it, bins are numbered within
+    shard, and the output keeps the shard column.
     """
     from data_pipeline2_spark.functions.text import token_count
 
-    toks = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("__id"),
-        token_count(F.col(text_col)).alias("__tok"),
+    sel = [F.col(id_col).alias("__id"), token_count(F.col(text_col)).alias("__tok")]
+    if shard_col is not None:
+        sel.insert(0, F.col(shard_col))
+    toks = df.filter(F.col(text_col).isNotNull()).select(*sel)
+    if shard_col is None:
+        _warn_global_window("pretrain_pack")
+        w = Window.orderBy("__id")
+    else:
+        w = Window.partitionBy(shard_col).orderBy("__id")
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("__tok").over(w) - F.col("__tok")) / budget).cast("long"),
     )
-    w = Window.orderBy("__id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    binned = toks.select(
-        "__id",
-        "__tok",
-        F.floor((F.sum("__tok").over(w) - F.col("__tok")) / budget)
-        .cast("long")
-        .alias("bin_id"),
-    )
-    return binned.groupBy("bin_id").agg(
+    group = ["bin_id"] if shard_col is None else [shard_col, "bin_id"]
+    return binned.groupBy(*group).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__tok").alias("total_tokens"),
     )
@@ -235,6 +252,7 @@ def dataset_interleave(
     key_col: str,
     salt: str = "",
     seq_col: str = "seq",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Round-robin interleave across sources → input rows plus a global
     `seq` such that reading in seq order alternates sources (epoch 0 of
@@ -243,16 +261,23 @@ def dataset_interleave(
     lexicographically). Deterministic: within-source order is the
     salted hash, the standard no-rand() shuffle.
 
-    The global seq is a single-partition window (like
-    deterministic_shuffle's sort) — at lake scale assign seq per shard
-    (partition the outer window by a shard key) or write the interleave
-    as the sort key of a range-partitioned write instead."""
+    Without `shard_col` the seq is a single-partition window (warned at
+    call time, like deterministic_shuffle's sort) — at lake scale pass
+    `shard_col` to interleave within shards (seq restarts per shard) or
+    write the interleave as the sort key of a range-partitioned write."""
     h = _hash_key(F.col(key_col), salt)
-    w_in = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    in_parts = [group_col] if shard_col is None else [shard_col, group_col]
+    w_in = Window.partitionBy(*in_parts).orderBy(h, F.col(key_col))
     pos = F.row_number().over(w_in)
-    w_global = Window.orderBy(F.col("__pos"), F.col(group_col))
+    if shard_col is None:
+        _warn_global_window("dataset_interleave")
+        w_outer = Window.orderBy(F.col("__pos"), F.col(group_col))
+    else:
+        w_outer = Window.partitionBy(shard_col).orderBy(
+            F.col("__pos"), F.col(group_col)
+        )
     return (
         df.withColumn("__pos", pos)
-        .withColumn(seq_col, F.row_number().over(w_global))
+        .withColumn(seq_col, F.row_number().over(w_outer))
         .drop("__pos")
     )

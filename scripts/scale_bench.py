@@ -80,7 +80,8 @@ def build_replica(out_dir: str, factor: int) -> None:
         COPY (
           SELECT vec_id + r * (SELECT max(vec_id) + 1 FROM '{BASE}/embeddings.parquet') AS vec_id,
                  CASE WHEN r = 0 THEN embedding
-                      ELSE embedding[1 + (r % len(embedding)):] || embedding[:(r % len(embedding))]
+                      ELSE embedding[1 + (1 + (r % (len(embedding) - 1))):]
+                           || embedding[:(1 + (r % (len(embedding) - 1)))]
                  END AS embedding,
                  * EXCLUDE (vec_id, embedding, r)
           FROM '{BASE}/embeddings.parquet', {rep}

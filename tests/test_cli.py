@@ -82,3 +82,19 @@ def test_cli_dedupe_and_compact(spark, capsys, tmp_path):
     assert rc == 0 and "compacted" in out
     import glob
     assert len(glob.glob(frag + "/*.parquet")) < 20
+
+
+def test_cli_dedupe_empty_corpus_no_typeerror(spark, capsys, tmp_path):
+    """ADVICE r4: with zero non-empty documents dup_doc_fraction is NULL
+    (0/0); the report must coalesce it instead of raising TypeError."""
+    from data_pipeline2_spark.cli import main
+
+    data = str(tmp_path / "empty")
+    spark.createDataFrame(
+        [(1, None, "en", "s", 0), (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(data + "/documents.parquet")
+    rc = main(["--data", data, "dedupe"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "0.0%" in out

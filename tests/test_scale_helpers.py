@@ -266,3 +266,67 @@ def test_chunk_dedup_stats_cross_doc(spark):
     assert len(out) == 1
     r = out.iloc[0]
     assert r.n_chunks == 3 and r.n_docs == 3 and r.keep_chunk_id == "1-0"
+
+
+def test_pretrain_pack_sharded_matches_per_shard_global(spark):
+    """shard_col partitions the packing window: each shard's bins equal
+    what the global packer produces on that shard alone, and the output
+    carries the shard column (ADVICE r4: the global window is a single
+    task at scale; this is the scale path)."""
+    import warnings
+
+    from data_pipeline2_spark.operators.sampling import pretrain_pack
+
+    rows = [(i, "w" * 7 + (" x" * (i % 5)), f"s{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, shard string")
+    sharded = pretrain_pack(df, budget=8, shard_col="shard").toPandas()
+    assert set(sharded.columns) == {"shard", "bin_id", "n_docs", "total_tokens"}
+    for s in ["s0", "s1", "s2"]:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            solo = pretrain_pack(
+                df.filter(f"shard = '{s}'"), budget=8
+            ).toPandas()
+        got = (
+            sharded[sharded["shard"] == s][["bin_id", "n_docs", "total_tokens"]]
+            .sort_values("bin_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(solo.sort_values("bin_id").reset_index(drop=True))
+
+
+def test_dataset_interleave_sharded_restarts_seq(spark):
+    """shard_col makes seq restart per shard while preserving the
+    round-robin property within each shard."""
+    from data_pipeline2_spark.operators.sampling import dataset_interleave
+
+    rows = [(i, f"src{i % 2}", f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, shard string")
+    out = dataset_interleave(
+        df, "source", "doc_id", salt="t", shard_col="shard"
+    ).toPandas()
+    for s, grp in out.groupby("shard"):
+        seqs = sorted(grp["seq"])
+        assert seqs == list(range(1, len(grp) + 1))  # dense per shard
+        first_two = grp.sort_values("seq").head(2)["source"].tolist()
+        assert set(first_two) == {"src0", "src1"}  # alternates sources
+
+
+def test_global_window_ops_warn_without_shard(spark):
+    import warnings
+
+    from data_pipeline2_spark.operators.sampling import (
+        dataset_interleave,
+        pretrain_pack,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b", "s")], "doc_id long, text string, source string"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pretrain_pack(df, budget=4)
+        dataset_interleave(df, "source", "doc_id")
+    msgs = [str(x.message) for x in w]
+    assert any("pretrain_pack" in m and "shard_col" in m for m in msgs)
+    assert any("dataset_interleave" in m and "shard_col" in m for m in msgs)
