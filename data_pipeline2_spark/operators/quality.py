@@ -1,0 +1,387 @@
+"""Pretraining-corpus quality filters and corpus-statistics operators.
+
+Round-5 additions to the LLM-data-pipeline family: the published
+heuristic filter suites (Gopher, Rae et al. 2021 §A1.1; C4, Raffel et
+al. 2020 §2.2) as per-document metric rows with a composite pass flag,
+Gopher's duplicate-line repetition signals, URL density, and exact
+integer-arithmetic corpus statistics (token rarity vs the corpus
+unigram table, vocabulary stats, cross-source n-gram containment).
+
+Scale shape: the per-document filters are pure Catalyst expressions —
+map-side, no shuffle, no UDFs; the corpus statistics shuffle only
+hashed tokens/shingles (longs, never document text). Everything is
+deterministic and replayed exactly by the DuckDB oracles (integer
+counts; ratios are single IEEE divisions of exact integers, rounded).
+
+Reference parity note: the reference pipeline has no quality filters —
+these extend SURVEY.md §2.10's north-star scope (dedup / text-analysis
+for training data) with the public filter suites a 100 TB curation run
+applies before dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline2_spark.functions.text import tokens
+
+# Gopher's "at least two of these English words" existence check
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# bullet glyphs for the Gopher bullet-line rule ('-'/'*' cover the
+# markdown-style corpora the testdata emulates)
+_BULLETS = ["•", "‣", "▪", "-", "*"]
+
+
+def _occurrences(t: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count via replace-length delta —
+    identical left-to-right semantics in Spark and DuckDB."""
+    return (
+        (F.length(t) - F.length(F.replace(t, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def _nonblank_lines(t: Column) -> Column:
+    """array<string> of lines with non-whitespace content."""
+    return F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    """round(num/den, 6) with a 0-denominator guard — one IEEE division
+    of exact integers, deterministic across engines."""
+    return F.round(num / F.greatest(den, F.lit(1)), 6)
+
+
+def gopher_quality(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher rule metrics per document → (doc_id, n_words,
+    mean_word_len, symbol_word_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, stopword_hits, gopher_pass).
+
+    The published thresholds (Rae et al. 2021, §A1.1): 50 <= words <=
+    100k, 3 <= mean word length <= 10, symbol-to-word ratio <= 0.1
+    (hash + ellipsis), < 90% bullet-started lines, < 30%
+    ellipsis-ended lines, >= 80% words with an alphabetic char, >= 2
+    of 8 common English words. Map-side only; every ratio is a single
+    division of exact integer counts.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks).cast("long")
+    word_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_word_len = _ratio(word_chars, n_words)
+    n_symbols = _occurrences(t, "#") + _occurrences(t, "...") + _occurrences(t, "…")
+    symbol_ratio = _ratio(n_symbols, n_words)
+
+    lines = _nonblank_lines(t)
+    n_lines = F.size(lines).cast("long")
+    bullet_first = F.filter(
+        lines, lambda x: F.substring(F.ltrim(x), 1, 1).isin(*_BULLETS)
+    )
+    ellipsis_last = F.filter(
+        lines,
+        lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…"),
+    )
+    bullet_frac = _ratio(F.size(bullet_first).cast("long"), n_lines)
+    ellipsis_frac = _ratio(F.size(ellipsis_last).cast("long"), n_lines)
+
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = _ratio(alpha_words.cast("long"), n_words)
+    low = F.transform(toks, lambda w: F.lower(w))
+    stop_hits = sum(
+        (F.array_contains(low, w).cast("int") for w in GOPHER_STOPWORDS),
+        F.lit(0),
+    ).cast("int")
+
+    gopher_pass = (
+        n_words.between(50, 100_000)
+        & mean_word_len.between(3.0, 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return documents.filter(t.isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
+def c4_quality(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4 rule metrics per document → (doc_id, n_lines,
+    term_punct_line_frac, five_word_line_frac, n_sentences,
+    has_lorem_ipsum, has_brace, n_javascript_lines, c4_pass).
+
+    The published C4 heuristics (Raffel et al. 2020, §2.2): keep lines
+    ending in terminal punctuation and with >= 5 words (reported as
+    fractions), drop pages with < 3 sentences, 'lorem ipsum', '{', or
+    'javascript' lines. Map-side only.
+    """
+    t = F.col(text_col)
+    lines = _nonblank_lines(t)
+    n_lines = F.size(lines).cast("long")
+    term_punct = F.filter(
+        lines,
+        lambda x: F.substring(F.rtrim(x), -1, 1).isin(".", "!", "?", '"'),
+    )
+    five_word = F.filter(
+        lines, lambda x: F.size(F.split(F.trim(x), r"\s+")) >= 5
+    )
+    js_lines = F.filter(lines, lambda x: F.lower(x).contains("javascript"))
+    n_sentences = F.size(
+        F.regexp_extract_all(t, F.lit(r"[^.!?]+[.!?]+"), 0)
+    ).cast("long")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    n_js = F.size(js_lines).cast("long")
+    c4_pass = (
+        (n_sentences >= 3) & ~has_lorem & ~has_brace & (n_js == 0)
+    )
+    return documents.filter(t.isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        _ratio(F.size(term_punct).cast("long"), n_lines).alias(
+            "term_punct_line_frac"
+        ),
+        _ratio(F.size(five_word).cast("long"), n_lines).alias(
+            "five_word_line_frac"
+        ),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        n_js.alias("n_javascript_lines"),
+        c4_pass.alias("c4_pass"),
+    )
+
+
+def dup_line_stats(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher repetition signals per document → (doc_id, n_lines,
+    dup_line_frac, dup_line_char_frac).
+
+    dup_line_frac = line occurrences beyond each line's first / total
+    lines; dup_line_char_frac = the characters those repeat occurrences
+    carry / total line characters (Rae et al. 2021 §A1.1's "duplicate
+    line fraction" pair). Lines are trimmed, blank lines drop.
+
+    Scale shape: lines explode map-side, then ONE aggregation keyed on
+    (doc_id, 60-bit line fingerprint) — the shuffle carries (long,
+    long, int) triples, never line text; the per-doc rollup reuses the
+    same hash partitioning modulo the dropped fingerprint column.
+    """
+    t = F.col(text_col)
+    lines = documents.filter(t.isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(_nonblank_lines(t), lambda x: F.trim(x))
+        ).alias("line"),
+    )
+    # 60-bit md5-prefix fingerprint: the engine-portable hash family
+    # (same trick as the minhash shingle fingerprints)
+    hashed = lines.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("line")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("line_h"),
+        F.length("line").alias("line_len"),
+    )
+    per_line = hashed.groupBy("doc_id", "line_h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("line_len").alias("line_len"),
+    )
+    per_doc = per_line.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.col("cnt") - 1).alias("dup_lines"),
+        F.sum(F.col("cnt") * F.col("line_len")).alias("n_chars"),
+        F.sum((F.col("cnt") - 1) * F.col("line_len")).alias("dup_chars"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        _ratio(F.col("dup_lines"), F.col("n_lines")).alias("dup_line_frac"),
+        _ratio(F.col("dup_chars"), F.col("n_chars")).alias(
+            "dup_line_char_frac"
+        ),
+    )
+
+
+def url_stats(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """URL density per document → (doc_id, n_urls, url_char_frac,
+    has_url) — the boilerplate/link-farm signal. Map-side regexp."""
+    t = F.col(text_col)
+    urls = F.regexp_extract_all(t, F.lit(r"https?://[^\s]+"), 0)
+    url_chars = F.aggregate(
+        F.transform(urls, lambda u: F.length(u).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return documents.filter(t.isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(urls).cast("long").alias("n_urls"),
+        _ratio(url_chars, F.length(t).cast("long")).alias("url_char_frac"),
+        (F.size(urls) > 0).alias("has_url"),
+    )
+
+
+def token_rarity(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Per-document rarity vs the corpus unigram table → (doc_id,
+    n_tokens, freq_sum, rare_tokens, rare_frac).
+
+    freq_sum = Σ corpus-count(token) over the doc's (lowercased)
+    tokens — an exact-integer stand-in for the unigram LM log-prob
+    score (which a float log would make partition-order-dependent);
+    rare_tokens counts tokens whose corpus count <= rare_max_count —
+    the OOV/garbage signal quality classifiers train on.
+
+    Scale shape: the unigram table aggregates once (shuffle = distinct
+    words); the per-doc join re-shuffles exploded tokens by word. At
+    lake scale the count table's head is tiny and skewed — AQE's
+    skew-join handles the 'the' partition; all sums are exact longs.
+    """
+    t = F.col(text_col)
+    toks = documents.filter(t.isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(tokens(t), lambda w: F.lower(w))).alias("w"),
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        toks.join(counts, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("freq_sum"),
+            F.sum((F.col("c") <= rare_max_count).cast("long"))
+            .cast("long")
+            .alias("rare_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "freq_sum",
+            "rare_tokens",
+            _ratio(F.col("rare_tokens"), F.col("n_tokens")).alias("rare_frac"),
+        )
+    )
+
+
+def vocab_stats(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary statistics, one row → (total_tokens,
+    vocab_size, hapax_count, hapax_frac, type_token_ratio).
+
+    Hapax fraction (~50% for natural language, Zipf) and type/token
+    ratio are the standard sanity gauges that a synthetic or
+    template-generated corpus fails. Exact integers; two cheap
+    aggregations (word counts, then one global row).
+    """
+    t = F.col(text_col)
+    toks = documents.filter(t.isNotNull()).select(
+        F.explode(F.transform(tokens(t), lambda w: F.lower(w))).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    return counts.agg(
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("hapax_count"),
+    ).select(
+        "total_tokens",
+        "vocab_size",
+        "hapax_count",
+        _ratio(F.col("hapax_count"), F.col("vocab_size")).alias("hapax_frac"),
+        _ratio(F.col("vocab_size"), F.col("total_tokens")).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+def source_overlap(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-source n-gram containment matrix → (source_a, source_b,
+    n_a, n_b, shared, containment_a, containment_b) for source_a <
+    source_b.
+
+    The data-mixing diagnostic: how much of source A's shingle set
+    also appears in B (crawl snapshots of the same sites, mirrored
+    dumps, re-scraped corpora). Containment (Broder) rather than
+    Jaccard so a small source embedded in a large one still reads ~1.
+
+    Scale shape: shingles collapse to DISTINCT (source, 60-bit
+    fingerprint) pairs before the self-join, so the join carries
+    (string, long) rows; per-source set sizes come from the same
+    deduplicated relation. No document text shuffles.
+    """
+    from data_pipeline2_spark.functions.text import word_ngrams
+
+    t = F.col(text_col)
+    sh = (
+        documents.filter(t.isNotNull())
+        .select(
+            F.col(group_col).alias("src"),
+            F.explode(word_ngrams(F.lower(t), shingle_n)).alias("shingle"),
+        )
+        .select(
+            "src",
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("sh64"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh64") == F.col("b.sh64"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("src", "source_a"), "source_a")
+        .withColumnRenamed("n", "n_a")
+        .join(sizes.withColumnRenamed("src", "source_b"), "source_b")
+        .withColumnRenamed("n", "n_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("shared").cast("long").alias("shared"),
+            _ratio(F.col("shared"), F.col("n_a")).alias("containment_a"),
+            _ratio(F.col("shared"), F.col("n_b")).alias("containment_b"),
+        )
+    )

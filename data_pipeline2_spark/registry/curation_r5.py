@@ -1,0 +1,219 @@
+"""Round-5 registry keys, part 1: published quality-filter suites
+(Gopher / C4), duplicate-line repetition signals, URL density, and
+exact-integer corpus statistics (token rarity, vocabulary, cross-source
+shingle containment). Registered after analytics_ext so the keys queue
+behind any unverified backlog (there is none entering round 5 — the
+full 50-key window is open)."""
+
+from __future__ import annotations
+
+from data_pipeline2_spark.operators import quality
+from data_pipeline2_spark.registry._core import _register, _t
+
+# shared guard: token array of lowercased whitespace words, [] for blank
+_WS_LOWER = (
+    "CASE WHEN len(trim(text)) = 0 THEN [] "
+    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
+)
+_WS_RAW = (
+    "CASE WHEN len(trim(text)) = 0 THEN [] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+_NONBLANK_LINES = (
+    "list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0)"
+)
+# 60-bit md5-prefix fingerprint (engine-portable hash family, same as
+# the minhash shingle fingerprints in ingest_chunk._minhash_mh_ctes)
+def _md5_60(expr: str) -> str:
+    return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
+
+
+@_register(
+    "gopher_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_WS_RAW} AS ws, {_NONBLANK_LINES} AS lines
+      FROM documents WHERE text IS NOT NULL
+    ), m AS (
+      SELECT doc_id,
+        len(ws)::BIGINT AS n_words,
+        round(coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+              / greatest(len(ws), 1), 6) AS mean_word_len,
+        round((
+            (len(text) - len(replace(text, '#', '')))::BIGINT
+          + CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT)
+          + (len(text) - len(replace(text, '…', '')))::BIGINT
+        ) / greatest(len(ws), 1), 6) AS symbol_word_ratio,
+        round(len(list_filter(lines,
+                x -> left(ltrim(x), 1) IN ('•','‣','▪','-','*')))
+              / greatest(len(lines), 1), 6) AS bullet_line_frac,
+        round(len(list_filter(lines,
+                x -> rtrim(x) LIKE '%...' OR rtrim(x) LIKE '%…'))
+              / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+        round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+              / greatest(len(ws), 1), 6) AS alpha_word_frac,
+        ( list_contains(list_transform(ws, w -> lower(w)), 'the')::INT
+        + list_contains(list_transform(ws, w -> lower(w)), 'be')::INT
+        + list_contains(list_transform(ws, w -> lower(w)), 'to')::INT
+        + list_contains(list_transform(ws, w -> lower(w)), 'of')::INT
+        + list_contains(list_transform(ws, w -> lower(w)), 'and')::INT
+        + list_contains(list_transform(ws, w -> lower(w)), 'that')::INT
+        + list_contains(list_transform(ws, w -> lower(w)), 'have')::INT
+        + list_contains(list_transform(ws, w -> lower(w)), 'with')::INT
+        )::INT AS stopword_hits
+      FROM t
+    )
+    SELECT *, (n_words BETWEEN 50 AND 100000
+               AND mean_word_len BETWEEN 3.0 AND 10.0
+               AND symbol_word_ratio <= 0.1
+               AND bullet_line_frac < 0.9
+               AND ellipsis_line_frac < 0.3
+               AND alpha_word_frac >= 0.8
+               AND stopword_hits >= 2) AS gopher_pass
+    FROM m
+    """,
+)
+def q_gopher_quality(spark, sf_dir):
+    return quality.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "c4_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_NONBLANK_LINES} AS lines
+      FROM documents WHERE text IS NOT NULL
+    ), m AS (
+      SELECT doc_id,
+        len(lines)::BIGINT AS n_lines,
+        round(len(list_filter(lines,
+                x -> right(rtrim(x), 1) IN ('.','!','?','"')))
+              / greatest(len(lines), 1), 6) AS term_punct_line_frac,
+        round(len(list_filter(lines,
+                x -> len(regexp_split_to_array(trim(x), '\\s+')) >= 5))
+              / greatest(len(lines), 1), 6) AS five_word_line_frac,
+        len(regexp_extract_all(text, '[^.!?]+[.!?]+'))::BIGINT AS n_sentences,
+        contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+        contains(text, '{{') AS has_brace,
+        len(list_filter(lines, x -> contains(lower(x), 'javascript')))::BIGINT
+          AS n_javascript_lines
+      FROM t
+    )
+    SELECT *, (n_sentences >= 3 AND NOT has_lorem_ipsum AND NOT has_brace
+               AND n_javascript_lines = 0) AS c4_pass
+    FROM m
+    """,
+)
+def q_c4_quality(spark, sf_dir):
+    return quality.c4_quality(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dup_line_stats",
+    f"""
+    WITH lines AS (
+      SELECT doc_id, trim(x) AS line
+      FROM (SELECT doc_id, unnest({_NONBLANK_LINES}) AS x
+            FROM documents WHERE text IS NOT NULL)
+    ), per_line AS (
+      SELECT doc_id, {_md5_60('line')} AS line_h,
+             count(*) AS cnt, max(len(line)) AS line_len
+      FROM lines GROUP BY doc_id, {_md5_60('line')}
+    ), per_doc AS (
+      SELECT doc_id, sum(cnt) AS n_lines, sum(cnt - 1) AS dup_lines,
+             sum(cnt * line_len) AS n_chars,
+             sum((cnt - 1) * line_len) AS dup_chars
+      FROM per_line GROUP BY doc_id
+    )
+    SELECT doc_id, n_lines::BIGINT AS n_lines,
+           round(dup_lines / greatest(n_lines, 1), 6) AS dup_line_frac,
+           round(dup_chars / greatest(n_chars, 1), 6) AS dup_line_char_frac
+    FROM per_doc
+    """,
+)
+def q_dup_line_stats(spark, sf_dir):
+    return quality.dup_line_stats(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "url_stats",
+    r"""
+    WITH u AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, 'https?://[^\s]+') AS urls
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, len(urls)::BIGINT AS n_urls,
+           round(coalesce(list_sum(list_transform(urls, x -> len(x))), 0)
+                 / greatest(len(text), 1), 6) AS url_char_frac,
+           len(urls) > 0 AS has_url
+    FROM u
+    """,
+)
+def q_url_stats(spark, sf_dir):
+    return quality.url_stats(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "token_rarity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WS_LOWER}) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w)
+    SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(c)::BIGINT AS freq_sum,
+           sum((c <= 2)::BIGINT)::BIGINT AS rare_tokens,
+           round(sum((c <= 2)::BIGINT) / greatest(count(*), 1), 6) AS rare_frac
+    FROM toks JOIN counts USING (w)
+    GROUP BY doc_id
+    """,
+)
+def q_token_rarity(spark, sf_dir):
+    return quality.token_rarity(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "vocab_stats",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_WS_LOWER}) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w)
+    SELECT sum(c)::BIGINT AS total_tokens, count(*)::BIGINT AS vocab_size,
+           sum((c = 1)::BIGINT)::BIGINT AS hapax_count,
+           round(sum((c = 1)::BIGINT) / greatest(count(*), 1), 6) AS hapax_frac,
+           round(count(*) / greatest(sum(c), 1), 6) AS type_token_ratio
+    FROM counts
+    """,
+)
+def q_vocab_stats(spark, sf_dir):
+    return quality.vocab_stats(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "source_overlap",
+    f"""
+    WITH toks AS (
+      SELECT source AS src, {_WS_LOWER} AS ws
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT DISTINCT src,
+             {_md5_60("array_to_string(ws[i:i+2], ' ')")} AS sh64
+      FROM (SELECT src, ws, unnest(generate_series(1, len(ws)-2)) AS i
+            FROM toks WHERE len(ws) >= 3)
+    ), sizes AS (SELECT src, count(*) AS n FROM sh GROUP BY src),
+    shared AS (
+      SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.sh64 = b.sh64 AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+           shared::BIGINT AS shared,
+           round(shared / greatest(sa.n, 1), 6) AS containment_a,
+           round(shared / greatest(sb.n, 1), 6) AS containment_b
+    FROM shared JOIN sizes sa ON sa.src = source_a
+                JOIN sizes sb ON sb.src = source_b
+    """,
+)
+def q_source_overlap(spark, sf_dir):
+    return quality.source_overlap(_t(spark, sf_dir, "documents"))
