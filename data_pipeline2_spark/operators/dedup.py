@@ -980,3 +980,40 @@ def pagerank_pairs(
             )
         )
     return rank.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+def dup_graph_triangles(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Triangles in the near-duplicate graph → (doc_a, doc_b, doc_c)
+    with doc_a < doc_b < doc_c, plus each pairwise edge present.
+
+    Triangle density separates true duplicate *families* (template
+    boilerplate, mirrored dumps — cliques) from chains of borderline
+    pairs that connected components would over-merge; the standard
+    pre-check before choosing cluster-level vs pair-level dedup.
+
+    Scale shape: runs on the verified pair list (already sub-quadratic
+    via banded LSH), which is orders of magnitude smaller than the
+    corpus; the two triangle joins shuffle only (long, long) edges.
+    """
+    edges = dedup_near_minhash(
+        documents, shingle_n, threshold=threshold,
+        id_col=id_col, text_col=text_col,
+    ).select("doc_a", "doc_b").localCheckpoint(eager=True)  # reused 3x
+    ab = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    ac = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    return (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.col("c").alias("doc_c"),
+        )
+    )

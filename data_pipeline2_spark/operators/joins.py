@@ -790,3 +790,118 @@ def potential_promotion(
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "change_ts",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changeset to a base table (MERGE semantics): the
+    latest change per key wins (max ts, deterministic op tie-break),
+    'D' removes the row, 'U'/'I' replace/insert the payload, untouched
+    base rows pass through.
+
+    The lake-maintenance primitive behind incremental ingestion — the
+    batch equivalent of Delta/Iceberg MERGE INTO, expressed as one
+    per-key window over the (usually small) changeset plus one
+    full-outer join against base. Scale shape: base never rewrites
+    more than once, the changeset shuffles by key (broadcast when it
+    fits), and payload columns resolve with coalesce-style whens, so
+    column count — not row count — bounds the expression tree.
+    """
+    from pyspark.sql.window import Window
+
+    payload = [c for c in base.columns if c not in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", ts_col)
+    )
+    joined = base.alias("b").join(latest.alias("c"), on=key_cols, how="full_outer")
+    applied = joined.filter(
+        F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != "D")
+    )
+    return applied.select(
+        *key_cols,
+        *[
+            F.when(
+                F.col(f"c.{op_col}").isNotNull(), F.col(f"c.{p}")
+            ).otherwise(F.col(f"b.{p}")).alias(p)
+            for p in payload
+        ],
+    )
+
+
+def market_basket(
+    lineitem: DataFrame,
+    min_support: int = 2,
+    top: int = 100,
+) -> DataFrame:
+    """Frequent co-purchased part pairs → (part_a, part_b, pair_orders,
+    orders_a, orders_b, lift), the top `top` by support with a total
+    deterministic order (count desc, part_a, part_b).
+
+    Association mining over order baskets: support = orders containing
+    both parts; lift = N·c_ab / (c_a·c_b) — a single IEEE division of
+    exact integer products, rounded for hash stability.
+
+    Scale shape: baskets collapse to DISTINCT (order, part) first, so
+    the pair self-join is bounded by max-basket-size² per order (TPC-H
+    baskets are <= 7 lines) — linear in orders, never corpus-quadratic.
+    Per-part counts join by key (the part catalog scales with the
+    corpus, so no broadcast hint — AQE may still choose one); the order
+    total is a broadcast single-row aggregate.
+    """
+    items = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= min_support)
+    )
+    per_part = items.groupBy("part").agg(F.count(F.lit(1)).alias("n_orders"))
+    n_total = items.select("okey").distinct().agg(
+        F.count(F.lit(1)).alias("__N")
+    )
+    return (
+        pairs.join(
+            per_part.withColumnRenamed("part", "part_a")
+            .withColumnRenamed("n_orders", "orders_a"),
+            "part_a",
+        )
+        .join(
+            per_part.withColumnRenamed("part", "part_b")
+            .withColumnRenamed("n_orders", "orders_b"),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("pair_orders").cast("long").alias("pair_orders"),
+            F.col("orders_a").cast("long").alias("orders_a"),
+            F.col("orders_b").cast("long").alias("orders_b"),
+            F.round(
+                (F.col("__N") * F.col("pair_orders"))
+                / (F.col("orders_a") * F.col("orders_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("pair_orders").desc(), "part_a", "part_b")
+        .limit(top)
+    )

@@ -217,3 +217,153 @@ def q_vocab_stats(spark, sf_dir):
 )
 def q_source_overlap(spark, sf_dir):
     return quality.source_overlap(_t(spark, sf_dir, "documents"))
+
+
+# ---- round-5 part 2: CDC merge, EWMA, market basket, dup-graph triangles
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_pipeline2_spark.operators import joins  # noqa: E402
+from data_pipeline2_spark.registry.analytics_ext import _TOKS_SH_CTES  # noqa: E402
+from data_pipeline2_spark.registry.ingest_chunk import (  # noqa: E402
+    _jaccard_verify_ctes,
+    _lsh_bands_cand_ctes,
+    _minhash_mh_ctes,
+)
+from data_pipeline2_spark.streaming import events as ev  # noqa: E402
+
+
+@_register(
+    "merge_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS total_cents
+      FROM orders
+    ), changes AS (
+      SELECT o_orderkey, 'U' AS op, 1 AS change_ts,
+             'X' AS o_orderstatus, total_cents + 999 AS total_cents
+      FROM base WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'I', 1, 'N', o_orderkey % 100000
+      FROM base WHERE o_orderkey % 31 = 0
+      UNION ALL
+      SELECT o_orderkey, 'D', 2, NULL, NULL
+      FROM base WHERE o_orderkey % 13 = 0
+    ), latest AS (
+      SELECT o_orderkey, op, o_orderstatus, total_cents FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY change_ts DESC, op DESC) AS rn
+        FROM changes) WHERE rn = 1
+    )
+    SELECT o_orderkey,
+           CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
+                ELSE b.o_orderstatus END AS o_orderstatus,
+           CASE WHEN c.op IS NOT NULL THEN c.total_cents
+                ELSE b.total_cents END AS total_cents
+    FROM base b FULL JOIN latest c USING (o_orderkey)
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics over a deterministically derived changeset:
+    updates (%7: status X, +999 cents), inserts (%31, key+10M), deletes
+    (%13, later ts — wins over an overlapping %7 update, exercising
+    latest-change-per-key)."""
+    orders = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("total_cents"),
+    )
+    upd = base.filter(key % 7 == 0).select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(1).alias("change_ts"),
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("total_cents") + 999).alias("total_cents"),
+    )
+    ins = base.filter(key % 31 == 0).select(
+        (key + 10_000_000).alias("o_orderkey"), F.lit("I").alias("op"),
+        F.lit(1).alias("change_ts"), F.lit("N").alias("o_orderstatus"),
+        (key % 100_000).cast("long").alias("total_cents"),
+    )
+    dels = base.filter(key % 13 == 0).select(
+        "o_orderkey", F.lit("D").alias("op"), F.lit(2).alias("change_ts"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("long").alias("total_cents"),
+    )
+    changes = upd.unionByName(ins).unionByName(dels)
+    return joins.merge_upsert(base, changes, ["o_orderkey"])
+
+
+def _ewma_sql(alpha: float = 0.5, lookback: int = 8) -> str:
+    """Replay ewma_values' fixed-order term sums: weights are exact
+    binary doubles ((1-alpha)^k with alpha=0.5), terms add left to
+    right exactly as the engine's expression tree does."""
+    num, den = ["0.0"], ["0.0"]
+    for k in range(lookback):
+        w = repr(alpha * (1.0 - alpha) ** k)
+        lag = f"lag(value, {k}) OVER w"
+        num.append(f"CASE WHEN {lag} IS NOT NULL THEN {lag} * {w} ELSE 0.0 END")
+        den.append(f"CASE WHEN {lag} IS NOT NULL THEN {w} ELSE 0.0 END")
+    return f"""
+    SELECT event_id, user_id, value,
+           CASE WHEN {' + '.join(den)} > 0
+                THEN round(({' + '.join(num)}) / ({' + '.join(den)}), 6)
+           END AS ewma
+    FROM events WHERE user_id < 100 AND ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@_register("events_ewma", _ewma_sql())
+def q_events_ewma(spark, sf_dir):
+    evt = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 100) & F.col("ts").isNotNull()
+    )
+    return ev.ewma_values(evt).select("event_id", "user_id", "value", "ewma")
+
+
+@_register(
+    "market_basket",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ), pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b, count(*) AS pair_orders
+      FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), pp AS (SELECT part, count(*) AS n_orders FROM items GROUP BY part),
+    tot AS (SELECT count(DISTINCT okey) AS n FROM items)
+    SELECT part_a, part_b, pair_orders::BIGINT AS pair_orders,
+           pa.n_orders::BIGINT AS orders_a, pb.n_orders::BIGINT AS orders_b,
+           round((tot.n * pair_orders) / (pa.n_orders * pb.n_orders), 6)
+             AS lift
+    FROM pairs JOIN pp pa ON pa.part = pairs.part_a
+               JOIN pp pb ON pb.part = pairs.part_b
+               CROSS JOIN tot
+    ORDER BY pair_orders DESC, part_a, part_b LIMIT 100
+    """,
+)
+def q_market_basket(spark, sf_dir):
+    return joins.market_basket(_t(spark, sf_dir, "lineitem"))
+
+
+from data_pipeline2_spark.operators import dedup as _dedup  # noqa: E402
+
+@_register(
+    "dup_graph_triangles",
+    f"""
+    WITH {_TOKS_SH_CTES}, {_minhash_mh_ctes()}, {_lsh_bands_cand_ctes()},
+    {_jaccard_verify_ctes(0.5)}
+    SELECT ab.doc_a, ab.doc_b, bc.doc_b AS doc_c
+    FROM pairs ab JOIN pairs bc ON ab.doc_b = bc.doc_a
+                  JOIN pairs ac ON ac.doc_a = ab.doc_a
+                                AND ac.doc_b = bc.doc_b
+    """,
+)
+def q_dup_graph_triangles(spark, sf_dir):
+    return _dedup.dup_graph_triangles(_t(spark, sf_dir, "documents"))

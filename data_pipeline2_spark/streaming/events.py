@@ -488,3 +488,37 @@ def windowed_distinct_users(events: DataFrame, width: str = "1 hour") -> DataFra
             "users",
         )
     )
+
+
+def ewma_values(
+    events: DataFrame, alpha: float = 0.5, lookback: int = 8
+) -> DataFrame:
+    """Per-user truncated EWMA of `value` → (event_id, user_id, ts,
+    value, ewma): ewma_n = Σ_{k<lookback} α(1-α)^k·x_{n-k} normalized
+    by the weights actually present (window head / null values drop).
+
+    Determinism contract: α defaults to 0.5 so every weight (1-α)^k is
+    an EXACT binary double, each term is one IEEE multiply of a lag
+    value, and the terms add in fixed expression order — no aggregation
+    reordering, so the oracle replays it bit-for-bit. One shuffle
+    (window partition by user); lookback bounds the expression tree,
+    not state.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(lookback):
+        weight = alpha * (1.0 - alpha) ** k
+        lagged = F.lag("value", k).over(w)
+        num = num + F.when(lagged.isNotNull(), lagged * F.lit(weight)).otherwise(
+            F.lit(0.0)
+        )
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(
+            F.lit(0.0)
+        )
+    # den = 0 (all lookback values NULL) must yield NULL, not a 0/0 NaN
+    # whose spelling differs between engines
+    ewma = F.when(den > 0, F.round(num / den, 6))
+    return events.select("event_id", "user_id", "ts", "value", ewma.alias("ewma"))
