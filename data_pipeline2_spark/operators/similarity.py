@@ -1467,3 +1467,154 @@ def mmr_invariants(
             ),
         )
     )
+
+
+def embedding_dim_stats(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension corpus statistics → (pos, n, mean_v, var_v) — the
+    drift/collapse monitor for an embedding column (a dimension whose
+    variance falls to ~0 is dead; a mean drifting between snapshots
+    signals an encoder change).
+
+    Determinism: sums accumulate as DECIMAL(25,10) (exact, partition-
+    order-free); mean and variance are then fixed-order scalar IEEE ops
+    on those exact aggregates, rounded. One aggregation keyed on `pos`
+    whose width is the dimensionality, independent of corpus size, with
+    map-side partials.
+    """
+    ex = embeddings.select(F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    dec = F.col("v").cast("double").cast("decimal(25,10)")
+    sq = (F.col("v").cast("double") * F.col("v").cast("double")).cast(
+        "decimal(25,10)"
+    )
+    agg = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("__s"),
+        F.sum(sq).cast("double").alias("__ss"),
+    )
+    mean = F.col("__s") / F.col("n")
+    return agg.select(
+        F.col("pos").cast("int").alias("pos"),
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean_v"),
+        F.round(F.col("__ss") / F.col("n") - mean * mean, 6).alias("var_v"),
+    )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension scalar quantization to int8 codes → (vec_id,
+    n_dims, code_sum, within_bound).
+
+    The FAISS-style SQ8 compression step: per-dim [min, max] from one
+    tiny aggregation (n_dims rows, broadcast back), code =
+    min(floor((x - lo) * 256 / (hi - lo)), 255) — floor, not round, so
+    both engines bucket identically with no half-way-tie hazard.
+    within_bound asserts the dequantization error bound |dequant - x|
+    <= (hi - lo)/512 (+ float slack) holds for EVERY dimension — the
+    invariant that makes the lossy encode oracle-checkable.
+
+    Scale shape: codes are 1 byte/dim (4x smaller than float32); the
+    corpus maps once against broadcast ranges — no corpus shuffle.
+    """
+    ex = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    ranges = ex.groupBy("pos").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    scored = ex.join(F.broadcast(ranges), "pos")
+    width = F.col("hi") - F.col("lo")
+    code = F.when(width > 0, F.least(
+        F.floor((F.col("v") - F.col("lo")) * 256.0 / width), F.lit(255)
+    ).cast("int")).otherwise(F.lit(0))
+    dequant = F.col("lo") + (code.cast("double") + 0.5) * width / 256.0
+    ok = F.abs(dequant - F.col("v")) <= width / 512.0 + 1e-9
+    return (
+        scored.select("vec_id", code.alias("code"), ok.alias("ok"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_dims"),
+            F.sum("code").cast("long").alias("code_sum"),
+            F.min("ok").alias("within_bound"),
+        )
+    )
+
+
+def pca_fit(
+    embeddings: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+) -> tuple[list[float], list[list[float]]]:
+    """(mean, components) of a rank-k PCA from a deterministic
+    hash-ordered sample — the same bounded-driver-fit discipline as
+    `_kmeans_fit` (O(cap·d²) numpy SVD, never a distributed loop).
+    Components are orthonormal rows sorted by descending singular
+    value."""
+    sample = (
+        embeddings.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(77)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(sample_cap)
+        .toPandas()
+    )
+    x = np.array([np.asarray(v, dtype=np.float64) for v in sample["v"]])
+    mu = x.mean(axis=0)
+    _, _, vt = np.linalg.svd(x - mu, full_matrices=False)
+    comps = vt[:k]
+    return list(map(float, mu)), [list(map(float, c)) for c in comps]
+
+
+def pca_project(
+    embeddings: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+) -> DataFrame:
+    """Rank-k PCA projection → (vec_id, proj array<double>, k,
+    bessel_ok).
+
+    The dimensionality-reduction step before cheap ANN / clustering /
+    drift dashboards. Components fit driver-side on a bounded sample
+    (see pca_fit) and BROADCAST; the corpus projects map-side in one
+    vectorized pandas_udf (one numpy matmul per Arrow batch) — no
+    corpus shuffle, same scale shape as the IVF cell assignment.
+
+    bessel_ok is the per-row orthonormal-projection invariant
+    ||W(x-mu)||^2 <= ||x-mu||^2 (Bessel), the oracle-checkable
+    proof that the projection is a real orthonormal PCA and not an
+    arbitrary linear map — the fitted values themselves are
+    sample-dependent and gate in pytest instead.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    mu, comps = pca_fit(embeddings, k, id_col, vec_col, sample_cap)
+    M = np.array(mu)
+    W = np.array(comps)
+
+    @pandas_udf("struct<proj: array<double>, bessel_ok: boolean>")
+    def _project(vs: pd.Series) -> pd.DataFrame:
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vs]) - M
+        y = x @ W.T
+        ok = (y * y).sum(axis=1) <= (x * x).sum(axis=1) + 1e-9
+        return pd.DataFrame(
+            {"proj": [list(map(float, r)) for r in y], "bessel_ok": ok}
+        )
+
+    out = embeddings.select(
+        F.col(id_col).alias("vec_id"), _project(F.col(vec_col)).alias("o")
+    )
+    return out.select(
+        "vec_id",
+        F.col("o.proj").alias("proj"),
+        F.lit(k).alias("k"),
+        F.col("o.bessel_ok").alias("bessel_ok"),
+    )

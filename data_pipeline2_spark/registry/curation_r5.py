@@ -367,3 +367,98 @@ from data_pipeline2_spark.operators import dedup as _dedup  # noqa: E402
 )
 def q_dup_graph_triangles(spark, sf_dir):
     return _dedup.dup_graph_triangles(_t(spark, sf_dir, "documents"))
+
+
+# ---- round-5 part 3: interchange formats + embedding compression/stats
+
+from data_pipeline2_spark.operators import similarity, writers  # noqa: E402
+from data_pipeline2_spark.sources import textformats  # noqa: E402
+
+_FIDELITY_SQL = """
+    SELECT doc_id, lang, source, n_chars, sha256(text) AS text_sha
+    FROM documents
+    """
+
+
+@_register("ingest_jsonl_roundtrip", _FIDELITY_SQL)
+def q_ingest_jsonl_roundtrip(spark, sf_dir):
+    """documents → JSONL shards → re-read: the oracle is the ORIGINAL
+    parquet table, so any row, NULL, or byte the format layer loses
+    hash-fails."""
+    docs = _t(spark, sf_dir, "documents")
+    path = writers.scratch_dir("jsonl_roundtrip", sf_dir)
+    return textformats.jsonl_roundtrip(spark, docs, path)
+
+
+@_register("ingest_csv_roundtrip", _FIDELITY_SQL)
+def q_ingest_csv_roundtrip(spark, sf_dir):
+    """documents → RFC-4180 CSV (quote-doubling, NULL sentinel,
+    multiLine) → re-read, against the same original-table oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    path = writers.scratch_dir("csv_roundtrip", sf_dir)
+    return textformats.csv_roundtrip(spark, docs, path)
+
+
+_EMB_D = "CAST(embedding[i] AS DOUBLE)"
+_EMB_SUM = f"CAST(sum(CAST({_EMB_D} AS DECIMAL(25,10))) AS DOUBLE)"
+_EMB_SUMSQ = (
+    f"CAST(sum(CAST({_EMB_D} * {_EMB_D} AS DECIMAL(25,10))) AS DOUBLE)"
+)
+
+
+@_register(
+    "embedding_dim_stats",
+    f"""
+    SELECT CAST(i - 1 AS INT) AS pos, count(*)::BIGINT AS n,
+           round({_EMB_SUM} / count(*), 6) AS mean_v,
+           round({_EMB_SUMSQ} / count(*)
+                 - ({_EMB_SUM} / count(*)) * ({_EMB_SUM} / count(*)),
+                 6) AS var_v
+    FROM embeddings, generate_series(1, 64) t(i)
+    GROUP BY i
+    """,
+)
+def q_embedding_dim_stats(spark, sf_dir):
+    return similarity.embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "vector_quantize_int8",
+    f"""
+    WITH ex AS (
+      SELECT vec_id, i, {_EMB_D} AS v
+      FROM embeddings, generate_series(1, 64) t(i)
+    ), r AS (SELECT i, min(v) AS lo, max(v) AS hi FROM ex GROUP BY i),
+    s AS (
+      SELECT vec_id, v, lo, hi - lo AS width,
+             CASE WHEN hi - lo > 0
+                  THEN CAST(least(floor((v - lo) * 256.0 / (hi - lo)),
+                                  255) AS INT)
+                  ELSE 0 END AS code
+      FROM ex JOIN r USING (i)
+    )
+    SELECT vec_id, count(*)::INT AS n_dims, sum(code)::BIGINT AS code_sum,
+           min(abs(lo + (CAST(code AS DOUBLE) + 0.5) * width / 256.0 - v)
+               <= width / 512.0 + 1e-9) AS within_bound
+    FROM s GROUP BY vec_id
+    """,
+)
+def q_vector_quantize_int8(spark, sf_dir):
+    return similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "pca_project",
+    """
+    SELECT vec_id, CAST(4 AS INT) AS k, true AS bessel_ok FROM embeddings
+    """,
+)
+def q_pca_project(spark, sf_dir):
+    """Invariant oracle (mmr_rerank/pq_quantize pattern): the projected
+    VALUES are sample-dependent (driver-side bounded SVD), but Bessel's
+    inequality must hold for every row iff the components are a real
+    orthonormal basis — that boolean is what the driver checks; value
+    behavior (variance ordering, reconstruction) gates in pytest."""
+    return similarity.pca_project(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("k").cast("int").alias("k"), "bessel_ok"
+    )
