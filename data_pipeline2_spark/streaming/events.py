@@ -522,3 +522,46 @@ def ewma_values(
     # whose spelling differs between engines
     ewma = F.when(den > 0, F.round(num / den, 6))
     return events.select("event_id", "user_id", "ts", "value", ewma.alias("ewma"))
+
+
+def view_click_join(
+    views_stream: DataFrame,
+    clicks_stream: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each click pairs with the same
+    user's prior view(s) within `within` → (user_id, view_id, click_id,
+    view_ts, click_ts).
+
+    The canonical two-stream correlation (impression→conversion).
+    Watermarks bound BOTH sides' state: a view older than
+    watermark+within can never match a future click and is evicted —
+    state is O(active users × events inside the horizon), not O(stream
+    history). Output is append-mode-safe because the join emits only
+    when both sides are final under their watermarks.
+    """
+    v = views_stream.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks_stream.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = v.join(
+        c,
+        F.expr(
+            f"""v_user = c_user AND click_ts >= view_ts
+                AND click_ts <= view_ts + interval {within}"""
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+    )

@@ -335,3 +335,50 @@ def test_sessionize_gap_rule(spark):
         .withColumn("ts", F.col("ts").cast("timestamp"))
     out = {r.event_id: r.session_seq for r in sessionize(evt, 1800).collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_stream_stream_view_click_join(spark, tmpdir):
+    """Stream-stream interval join: clicks pair with the same user's
+    views within the horizon; out-of-horizon and cross-user pairs drop;
+    batch execution of the same plan agrees (parity)."""
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    rows = [
+        (10, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+        (11, "2024-01-01 00:05:00", 1, "click", 0.0, "{}"),   # pairs w/ 10
+        (12, "2024-01-01 00:30:00", 1, "click", 0.0, "{}"),   # > 10 min after 10
+        (20, "2024-01-01 00:00:00", 2, "view", 0.0, "{}"),
+        (21, "2024-01-01 00:01:00", 3, "click", 0.0, "{}"),   # other user
+        (30, "2024-01-01 01:00:00", 4, "view", 0.0, "{}"),
+        (31, "2024-01-01 01:09:00", 4, "click", 0.0, "{}"),   # pairs w/ 30
+        (32, "2024-01-01 01:10:00", 4, "view", 0.0, "{}"),
+        (33, "2024-01-01 01:11:00", 4, "click", 0.0, "{}"),   # pairs w/ 32 only (11 min > horizon from 30)
+    ]
+    src = os.path.join(tmpdir, "vc")
+    spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).coalesce(1).write.parquet(src)
+
+    def split(df):
+        return (df.filter(F.col("event_type") == "view"),
+                df.filter(F.col("event_type") == "click"))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = ev.view_click_join(*split(stream), within="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("vc")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.view_id, r.click_id)
+           for r in spark.sql("select * from vc").collect()}
+    want = {(10, 11), (30, 31), (32, 33)}
+    assert got == want
+    # batch parity: identical plan over the static frame
+    batch = ev.view_click_join(*split(spark.read.parquet(src)),
+                               within="10 minutes")
+    assert {(r.view_id, r.click_id) for r in batch.collect()} == want
