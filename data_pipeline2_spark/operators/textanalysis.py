@@ -946,3 +946,62 @@ def term_cooccurrence(
         .orderBy(F.desc("pairs"), "w1", "w2")
         .limit(top)
     )
+
+
+def heavy_hitters_sketch(
+    documents: DataFrame,
+    phi: int = 200,
+    candidate_cap: int = 2048,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-threshold heavy hitters WITHOUT a vocabulary-wide
+    aggregation → (term, occurrences) for every term with occurrences
+    > n_tokens / phi. Provably exact:
+
+    1. per-partition space-saving summaries (Metwally et al. 2005) of
+       `candidate_cap` counters each, maintained across Arrow batches
+       in mapInPandas — emits candidate terms only, O(cap) per
+       partition regardless of vocabulary size;
+    2. a global heavy hitter has freq > n/phi, so by pigeonhole it
+       exceeds n_p/phi in >= 1 partition; space-saving with cap >= phi
+       never evicts an item with partition-frequency > n_p/cap — so
+       every true heavy hitter survives into the candidate set (no
+       false negatives);
+    3. candidates (<= cap x partitions, tiny) broadcast back for ONE
+       exact filtered count + threshold — false candidates die here,
+       and the surviving counts are exact.
+
+    vs `heavy_hitters`: that one shuffles the full vocabulary (fine for
+    text, it's Zipf-bounded); this one bounds the shuffle at
+    candidate-set size — the shape you want when the "terms" are
+    high-cardinality keys (URLs, user ids, n-grams) at 100 TB.
+    """
+    from collections.abc import Iterator
+
+    toks = documents.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for b in batches:
+            for t in b["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < candidate_cap:
+                    counters[t] = 1
+                else:  # space-saving eviction: replace the min counter
+                    victim = min(counters, key=counters.get)
+                    counters[t] = counters.pop(victim) + 1
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    cands = toks.mapInPandas(summarize, "term string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        toks.join(F.broadcast(cands), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("occurrences") * phi > F.col("__n"))
+        .select("term", F.col("occurrences").cast("long").alias("occurrences"))
+    )

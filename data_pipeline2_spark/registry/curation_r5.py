@@ -462,3 +462,26 @@ def q_pca_project(spark, sf_dir):
     return similarity.pca_project(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("k").cast("int").alias("k"), "bessel_ok"
     )
+
+
+from data_pipeline2_spark.operators import textanalysis  # noqa: E402
+
+
+@_register(
+    "heavy_hitters_sketch",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_WS_LOWER}) AS term
+      FROM documents WHERE text IS NOT NULL
+    ), tot AS (SELECT count(*) AS n FROM toks)
+    SELECT term, count(*)::BIGINT AS occurrences
+    FROM toks, tot GROUP BY term, tot.n
+    HAVING count(*) * 200 > tot.n
+    """,
+)
+def q_heavy_hitters_sketch(spark, sf_dir):
+    """Sketch-then-verify heavy hitters: the candidate set is
+    partition-dependent (space-saving summaries), but the exact verify
+    + threshold make the OUTPUT provably partition-independent and
+    identical to the exact SQL answer — which is the oracle."""
+    return textanalysis.heavy_hitters_sketch(_t(spark, sf_dir, "documents"))

@@ -48,6 +48,11 @@ OPS = [
     "chunk_sentence",
     "q5_revenue_by_nation",
     "events_sliding",
+    # round-5 additions: the new shuffle-bearing operators
+    "market_basket",     # basket pair self-join over distinct items
+    "token_rarity",      # exploded-token join vs the unigram table
+    "source_overlap",    # distinct shingle self-join across sources
+    "gopher_quality",    # map-only baseline (should scale ~linearly)
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 

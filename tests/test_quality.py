@@ -124,3 +124,24 @@ def test_quality_filters_are_map_side(spark):
     for op in (quality.gopher_quality, quality.c4_quality, quality.url_stats):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{op.__name__} shuffles: {plan}"
+
+
+def test_heavy_hitters_sketch_matches_exact(spark):
+    """Space-saving candidates + exact verify == the exact threshold
+    answer, under a tiny candidate cap and many partitions (stress the
+    no-false-negative guarantee)."""
+    from data_pipeline2_spark.operators.textanalysis import (
+        heavy_hitters_sketch,
+    )
+
+    # zipf-ish corpus: 'hot' dominates, 'warm' passes phi=10, rest don't
+    rows = [(i, "hot " * 30 + "warm " * 12 + f"cold{i} unique{i}")
+            for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).repartition(16)
+    out = heavy_hitters_sketch(df, phi=10, candidate_cap=16)
+    got = {r.term: r.occurrences for r in out.collect()}
+    n = 20 * 44
+    assert got == {"hot": 600, "warm": 240}
+    assert all(c * 10 > n for c in got.values())
