@@ -815,8 +815,14 @@ def merge_upsert(
     from pyspark.sql.window import Window
 
     payload = [c for c in base.columns if c not in key_cols]
+    # total order: ts, then op, then every payload column — two changes
+    # identical in (key, ts, op) but differing in payload must still
+    # pick the SAME winner under any partitioning (the engine-wide
+    # determinism contract); nulls_first keeps the order total
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(ts_col).desc(), F.col(op_col).desc()
+        F.col(ts_col).desc(),
+        F.col(op_col).desc(),
+        *[F.col(p).asc_nulls_first() for p in payload],
     )
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))

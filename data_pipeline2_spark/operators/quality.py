@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline2_spark.functions.text import tokens
+from data_pipeline2_spark.operators.dedup import shingle_hash64
 
 # Gopher's "at least two of these English words" existence check
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
@@ -44,8 +45,10 @@ def _occurrences(t: Column, needle: str) -> Column:
 
 
 def _nonblank_lines(t: Column) -> Column:
-    """array<string> of lines with non-whitespace content."""
-    return F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    """array<string> of lines with non-whitespace content. Splits on
+    \\r?\\n so CRLF corpora don't smuggle a trailing \\r into the
+    line-suffix rules (ellipsis/terminal-punctuation endswith)."""
+    return F.filter(F.split(t, r"\r?\n"), lambda x: F.length(F.trim(x)) > 0)
 
 
 def _ratio(num: Column, den: Column) -> Column:
@@ -194,13 +197,10 @@ def dup_line_stats(
             F.transform(_nonblank_lines(t), lambda x: F.trim(x))
         ).alias("line"),
     )
-    # 60-bit md5-prefix fingerprint: the engine-portable hash family
-    # (same trick as the minhash shingle fingerprints)
     hashed = lines.select(
         "doc_id",
-        F.conv(F.substring(F.md5(F.col("line")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("line_h"),
+        # the engine-wide 60-bit md5-prefix fingerprint family
+        shingle_hash64(F.col("line")).alias("line_h"),
         F.length("line").alias("line_len"),
     )
     per_line = hashed.groupBy("doc_id", "line_h").agg(
@@ -349,12 +349,7 @@ def source_overlap(
             F.col(group_col).alias("src"),
             F.explode(word_ngrams(F.lower(t), shingle_n)).alias("shingle"),
         )
-        .select(
-            "src",
-            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
-            .cast("long")
-            .alias("sh64"),
-        )
+        .select("src", shingle_hash64(F.col("shingle")).alias("sh64"))
         .distinct()
     )
     sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n"))

@@ -958,15 +958,20 @@ def heavy_hitters_sketch(
     aggregation → (term, occurrences) for every term with occurrences
     > n_tokens / phi. Provably exact:
 
-    1. per-partition space-saving summaries (Metwally et al. 2005) of
-       `candidate_cap` counters each, maintained across Arrow batches
-       in mapInPandas — emits candidate terms only, O(cap) per
-       partition regardless of vocabulary size;
-    2. a global heavy hitter has freq > n/phi, so by pigeonhole it
-       exceeds n_p/phi in >= 1 partition; space-saving with cap >= phi
-       never evicts an item with partition-frequency > n_p/cap — so
-       every true heavy hitter survives into the candidate set (no
-       false negatives);
+    1. per-partition Misra-Gries summaries of >= `cap` counters,
+       maintained across Arrow batches in mapInPandas — batch counts
+       come from value_counts (C speed) and merge via the mergeable-
+       summaries prune (Agarwal/Cormode et al. 2012: add counts, then
+       subtract the (cap+1)-th largest and drop non-positive), which
+       preserves the MG undercount bound <= n_p/cap. Emits candidate
+       terms only, O(cap) state per partition regardless of
+       vocabulary size;
+    2. a global heavy hitter has freq > n/phi, so by pigeonhole some
+       partition holds it with f_p > n_p/phi; with cap >= phi
+       (ENFORCED below — the exactness proof needs it) the MG
+       undercount n_p/cap <= n_p/phi < f_p, so its counter stays
+       positive — every true heavy hitter survives into the candidate
+       set (no false negatives);
     3. candidates (<= cap x partitions, tiny) broadcast back for ONE
        exact filtered count + threshold — false candidates die here,
        and the surviving counts are exact.
@@ -976,23 +981,28 @@ def heavy_hitters_sketch(
     candidate-set size — the shape you want when the "terms" are
     high-cardinality keys (URLs, user ids, n-grams) at 100 TB.
     """
+    from collections import Counter
     from collections.abc import Iterator
+
+    # the no-false-negative proof (step 2) requires cap >= phi; lift
+    # silently rather than returning a wrong (incomplete) answer
+    cap = max(candidate_cap, phi)
 
     toks = documents.select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
+        counters: Counter = Counter()
         for b in batches:
-            for t in b["term"]:
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < candidate_cap:
-                    counters[t] = 1
-                else:  # space-saving eviction: replace the min counter
-                    victim = min(counters, key=counters.get)
-                    counters[t] = counters.pop(victim) + 1
+            counters.update(b["term"].value_counts().to_dict())
+            if len(counters) > cap:
+                # mergeable-MG prune to cap survivors
+                vals = sorted(counters.values(), reverse=True)
+                sub = vals[cap]
+                counters = Counter(
+                    {k: v - sub for k, v in counters.items() if v > sub}
+                )
         yield pd.DataFrame({"term": list(counters.keys())})
 
     cands = toks.mapInPandas(summarize, "term string").distinct()

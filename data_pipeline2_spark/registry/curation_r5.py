@@ -20,7 +20,8 @@ _WS_RAW = (
     "ELSE regexp_split_to_array(trim(text), '\\s+') END"
 )
 _NONBLANK_LINES = (
-    "list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0)"
+    "list_filter(regexp_split_to_array(text, '\\r?\\n'), "
+    "x -> len(trim(x)) > 0)"
 )
 # 60-bit md5-prefix fingerprint (engine-portable hash family, same as
 # the minhash shingle fingerprints in ingest_chunk._minhash_mh_ctes)

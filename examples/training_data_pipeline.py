@@ -47,9 +47,10 @@ def main(sf_dir: str, out_dir: str):
     )
 
     stats = near_dup_stats(docs).collect()[0]
+    frac = stats.dup_doc_fraction if stats.dup_doc_fraction is not None else 0.0
     print(
         f"diagnostics:       {stats.n_dup_pairs} near-dup pairs, "
-        f"{stats.dup_doc_fraction:.1%} of docs in a dup pair"
+        f"{frac:.1%} of docs in a dup pair"
     )
     spans = duplicate_ngram_spans(docs, top=3).collect()
     for sp in spans:

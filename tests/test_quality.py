@@ -145,3 +145,15 @@ def test_heavy_hitters_sketch_matches_exact(spark):
     n = 20 * 44
     assert got == {"hot": 600, "warm": 240}
     assert all(c * 10 > n for c in got.values())
+
+
+def test_gopher_c4_handle_crlf_lines(spark):
+    """CRLF corpora: a trailing \\r must not defeat the line-suffix
+    rules (ellipsis-ended, terminal-punctuation)."""
+    crlf = "waiting...\r\nstill waiting...\r\ngood sentence here.\r\n"
+    g = quality.gopher_quality(_docs(spark, [(1, crlf)])).collect()[0]
+    assert g.ellipsis_line_frac == pytest.approx(2 / 3, abs=1e-6)
+    crlf2 = "ends with period.\r\nno trailing punct\r\n"
+    c = quality.c4_quality(_docs(spark, [(1, crlf2)])).collect()[0]
+    assert c.n_lines == 2
+    assert c.term_punct_line_frac == pytest.approx(1 / 2, abs=1e-6)
