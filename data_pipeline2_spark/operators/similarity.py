@@ -1618,3 +1618,124 @@ def pca_project(
         F.lit(k).alias("k"),
         F.col("o.bessel_ok").alias("bessel_ok"),
     )
+
+
+def knn_batch_sq8(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    sample_cap: int = 4096,
+) -> DataFrame:
+    """SQ8 approximate kNN — the scalar-quantization sibling of
+    knn_batch_pq: corpus vectors quantize to one byte/dim against
+    per-dim [lo, hi] ranges (fit on the bounded sample, codes clamp so
+    out-of-range tails only lose precision), and the approximate score
+    decomposes as const_q + codes @ (q ⊙ width/256) — ONE uint8 matmul
+    per Arrow batch. Top-`rerank` candidates per query re-rank with
+    exact cosine → (qid, rank, vec_id, score).
+
+    vs PQ: SQ8 keeps d bytes/vector (PQ keeps m) but needs no codebook
+    k-means and loses far less precision per dim — the usual first
+    rung of the compression ladder (float32 → SQ8 → PQ) before recall
+    demands re-ranking depth. Same scale shape as knn_batch_pq: ranges
+    + queries ride the closure (KBs), scoring is map-only, the shuffle
+    carries O(partitions · queries · rerank) candidate rows.
+
+    Recall-gated in pytest + the in-plan ann_recall_stats driver key
+    (ranges come from a sample, so values are not SQL-replayable;
+    vector_quantize_int8 carries the exact oracle for the same encode).
+    """
+    sample = (
+        embeddings.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(88)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(sample_cap)
+        .toPandas()
+    )
+    sx = _l2_normalize_rows(
+        np.array([np.asarray(v, dtype=np.float64) for v in sample["v"]])
+    )
+    lo = sx.min(axis=0)
+    width = sx.max(axis=0) - lo
+    width[width == 0] = 1.0
+
+    q_pdf = queries.select(qid_col, qvec_col).toPandas()
+    if len(q_pdf) == 0:
+        raise ValueError("knn_batch_sq8: empty query batch")
+    qx = _l2_normalize_rows(
+        np.array([np.asarray(v, dtype=np.float64) for v in q_pdf[qvec_col]])
+    )
+    qids = q_pdf[qid_col].to_numpy()
+    w_q = qx * (width / 256.0)          # [nq, d] code weights
+    const_q = qx @ (lo + width / 512.0)  # dequant offset, rank-neutral
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
+            )
+            if len(x) == 0:
+                continue
+            codes = np.clip(
+                np.floor((_l2_normalize_rows(x) - lo) * 256.0 / width),
+                0, 255,
+            )
+            approx = codes @ w_q.T + const_q  # [nb, nq]
+            n_keep = min(rerank, len(x))
+            ids = pdf["__vid"].to_numpy()
+            out_qid, out_vid, out_s = [], [], []
+            for qi in range(len(qids)):
+                part = np.argpartition(-approx[:, qi], n_keep - 1)[:n_keep]
+                out_qid.extend([qids[qi]] * n_keep)
+                out_vid.extend(ids[part])
+                out_s.extend(approx[part, qi])
+            yield pd.DataFrame(
+                {"qid": out_qid, "vec_id": out_vid, "adc": out_s}
+            )
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec")
+    )
+    cand = corpus.mapInPandas(score, "qid long, vec_id long, adc double")
+    w_adc = Window.partitionBy("qid").orderBy(F.desc("adc"), F.col("vec_id"))
+    shortlist = (
+        cand.withColumn("__rn", F.row_number().over(w_adc))
+        .filter(F.col("__rn") <= rerank)
+        .select("qid", "vec_id")
+    )
+    rescored = (
+        shortlist.join(corpus, F.col("vec_id") == F.col("__vid"))
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(qid_col).alias("qid"), F.col(qvec_col).alias("__qv")
+                )
+            ),
+            "qid",
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("__vec"), F.col("__qv")), SCORE_ROUND
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(qid_col),
+            "rank",
+            F.col("vec_id").alias(id_col),
+            "score",
+        )
+    )

@@ -486,3 +486,51 @@ def q_heavy_hitters_sketch(spark, sf_dir):
     + threshold make the OUTPUT provably partition-independent and
     identical to the exact SQL answer — which is the oracle."""
     return textanalysis.heavy_hitters_sketch(_t(spark, sf_dir, "documents"))
+
+
+from data_pipeline2_spark.registry.vector_partsupp import (  # noqa: E402
+    _ANN_RECALL_ORACLE,
+    _ann_queries,
+)
+
+
+@_register("knn_batch_sq8", _ANN_RECALL_ORACLE)
+def q_knn_batch_sq8(spark, sf_dir):
+    """SQ8 rank + exact re-rank, recall-gated in-plan (same contract as
+    knn_batch_pq): per-query top-5 must recover >= 0.6 of the exact
+    cosine top-5 — with 1 byte/dim precision it comfortably does."""
+    emb, queries = _ann_queries(spark, sf_dir)
+    ann = similarity.knn_batch_sq8(emb, queries, k=5, rerank=200)
+    return similarity.ann_recall_stats(emb, queries, ann, k=5, threshold=0.6)
+
+
+@_register(
+    "events_top_paths",
+    """
+    WITH t AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM t
+    ), led AS (
+      SELECT event_type, sess,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2,
+             lead(sess, 2) OVER w AS sess2
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t1 || '>' || t2 AS path,
+           count(*)::BIGINT AS occurrences
+    FROM led WHERE t2 IS NOT NULL AND sess2 = sess
+    GROUP BY 1 ORDER BY occurrences DESC, path LIMIT 50
+    """,
+)
+def q_events_top_paths(spark, sf_dir):
+    return ev.top_paths(_t(spark, sf_dir, "events"))

@@ -565,3 +565,58 @@ def view_click_join(
         "view_ts",
         "click_ts",
     )
+
+
+def top_paths(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    top: int = 50,
+) -> DataFrame:
+    """Most common 3-step event-type paths within sessions →
+    (path, occurrences), top `top` under a total order (count desc,
+    path) — the navigation-pattern / funnel-discovery miner.
+
+    Shape: one hash exchange on user_id (session tagging, the two
+    leads, and the session-membership check all share the same window
+    ordering), then a path-count aggregation whose width is the
+    distinct-path vocabulary (event-type³ bounded, tiny). The
+    session-equality filter on the LED session ids keeps paths from
+    crossing a session boundary without re-partitioning by session.
+    """
+    from pyspark.sql.window import Window
+
+    ev_ = events.filter(F.col("ts").isNotNull()).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = (
+        prev.isNull()
+        | ((F.col("ts").cast("double") - prev.cast("double")) > gap_seconds)
+    ).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged = ev_.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_new).over(wsum).alias("sess"),
+    ).select(
+        "user_id",
+        "event_type",
+        "sess",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("sess", 2).over(w).alias("sess2"),
+    )
+    paths = tagged.filter(
+        F.col("t2").isNotNull() & (F.col("sess2") == F.col("sess"))
+    ).select(
+        F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.desc("occurrences"), "path")
+        .limit(top)
+    )

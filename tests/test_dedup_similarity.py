@@ -858,3 +858,29 @@ def test_mmr_rerank_respects_custom_id_types(spark):
     out = similarity.mmr_rerank(emb, q, k=2, pool=3, lam=0.5).collect()
     assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)][0] == "a"
     assert all(isinstance(r.qid, str) for r in out)
+
+
+def test_knn_batch_sq8_recall_and_self_match(spark):
+    """SQ8 shortlist + exact re-rank: with 1 byte/dim the approximate
+    ranking should beat PQ's at the same rerank depth; each corpus-drawn
+    query finds itself at rank 1 with cosine 1.0."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators import similarity
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r.qid, r.vec_id)
+        for r in similarity.knn_batch(emb, q, k=5).collect()
+    }
+    rows = similarity.knn_batch_sq8(emb, q, k=5, rerank=50).collect()
+    got = {(r.qid, r.vec_id) for r in rows}
+    assert len(got) == len(exact)
+    tops = {r.qid: (r.vec_id, r.score) for r in rows if r.rank == 1}
+    for qid, (vid, score) in tops.items():
+        assert vid == qid and score == 1.0
+    assert len(exact & got) / len(exact) >= 0.8  # 8-bit/dim: high recall

@@ -94,3 +94,31 @@ def test_dup_graph_triangles_planted(spark):
     )
     out = dup_graph_triangles(docs).collect()
     assert [(r.doc_a, r.doc_b, r.doc_c) for r in out] == [(1, 2, 3)]
+
+
+def test_top_paths_respects_session_boundaries(spark):
+    from data_pipeline2_spark.streaming.events import top_paths
+
+    rows = [
+        # user 1, one session: view>click>buy and click>buy>view
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (2, 1, "2024-01-01 10:01:00", "click"),
+        (3, 1, "2024-01-01 10:02:00", "buy"),
+        (4, 1, "2024-01-01 10:03:00", "view"),
+        # same user, NEW session (gap > 30 min): must not chain across
+        (5, 1, "2024-01-01 12:00:00", "click"),
+        (6, 1, "2024-01-01 12:01:00", "buy"),
+        # user 2 repeats view>click>buy
+        (7, 2, "2024-01-01 09:00:00", "view"),
+        (8, 2, "2024-01-01 09:01:00", "click"),
+        (9, 2, "2024-01-01 09:02:00", "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.path: r.occurrences for r in top_paths(df).collect()}
+    assert got["view>click>buy"] == 2
+    assert got["click>buy>view"] == 1
+    # cross-boundary paths (buy>view>click, view>click>buy via evt 4-6) absent
+    assert "buy>view>click" not in got
+    assert sum(got.values()) == 3
