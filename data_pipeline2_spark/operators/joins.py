@@ -857,33 +857,45 @@ def market_basket(
     both parts; lift = N·c_ab / (c_a·c_b) — a single IEEE division of
     exact integer products, rounded for hash stability.
 
-    Scale shape: baskets collapse to DISTINCT (order, part) first, so
-    the pair self-join is bounded by max-basket-size² per order (TPC-H
-    baskets are <= 7 lines) — linear in orders, never corpus-quadratic.
-    Per-part counts join by key (the part catalog scales with the
-    corpus, so no broadcast hint — AQE may still choose one); the order
-    total is a broadcast single-row aggregate.
+    Scale shape: ONE exchange on the order key builds sorted distinct
+    baskets (collect_set is bounded by max basket size — TPC-H baskets
+    are <= 7 lines; guard the assumption upstream for pathological
+    feeds); pairs then generate MAP-SIDE from each basket array (no
+    self-join, no second pass over the fact table) and aggregate by
+    pair. Per-part counts explode from the same basket relation —
+    linear in orders, never corpus-quadratic. The join of pair counts
+    with per-part counts keys on the part (the catalog scales with the
+    corpus, so no broadcast hint); the order total is a broadcast
+    single-row aggregate.
     """
-    items = lineitem.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
-    pairs = (
-        items.alias("a")
-        .join(
-            items.alias("b"),
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.part") < F.col("b.part")),
+    baskets = (
+        lineitem.groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    # all (parts[i], parts[j]) with i < j, generated inside the row
+    pair_col = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
         )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_col).alias("pr"))
         .groupBy(
-            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+            F.col("pr.part_a").alias("part_a"), F.col("pr.part_b").alias("part_b")
         )
         .agg(F.count(F.lit(1)).alias("pair_orders"))
         .filter(F.col("pair_orders") >= min_support)
     )
-    per_part = items.groupBy("part").agg(F.count(F.lit(1)).alias("n_orders"))
-    n_total = items.select("okey").distinct().agg(
-        F.count(F.lit(1)).alias("__N")
+    per_part = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+    n_total = baskets.agg(F.count(F.lit(1)).alias("__N"))
     return (
         pairs.join(
             per_part.withColumnRenamed("part", "part_a")

@@ -335,33 +335,43 @@ def source_overlap(
     dumps, re-scraped corpora). Containment (Broder) rather than
     Jaccard so a small source embedded in a large one still reads ~1.
 
-    Scale shape: shingles collapse to DISTINCT (source, 60-bit
-    fingerprint) pairs before the self-join, so the join carries
-    (string, long) rows; per-source set sizes come from the same
-    deduplicated relation. No document text shuffles.
+    Scale shape: ONE exchange on the shingle fingerprint groups each
+    shingle's distinct source set (collect_set is bounded by the
+    number of sources — a handful — never by corpus size); source
+    pairs then generate MAP-SIDE inside each row, so there is no
+    fingerprint self-join and the corpus passes the shuffle exactly
+    once. Sizes and pair-shared counts aggregate from the same grouped
+    relation into source²-width rows. No document text shuffles.
     """
     from data_pipeline2_spark.functions.text import word_ngrams
 
     t = F.col(text_col)
-    sh = (
+    by_shingle = (
         documents.filter(t.isNotNull())
         .select(
             F.col(group_col).alias("src"),
             F.explode(word_ngrams(F.lower(t), shingle_n)).alias("shingle"),
         )
-        .select("src", shingle_hash64(F.col("shingle")).alias("sh64"))
-        .distinct()
+        .groupBy(shingle_hash64(F.col("shingle")).alias("sh64"))
+        .agg(F.sort_array(F.collect_set("src")).alias("srcs"))
+        .localCheckpoint(eager=True)  # sizes + pairs both consume it
     )
-    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
-    shared = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.sh64") == F.col("b.sh64"))
-            & (F.col("a.src") < F.col("b.src")),
+    sizes = by_shingle.select(F.explode("srcs").alias("src")).groupBy(
+        "src"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    pair_col = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    shared = (
+        by_shingle.select(F.explode(pair_col).alias("pr"))
         .groupBy(
-            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+            F.col("pr.a").alias("source_a"), F.col("pr.b").alias("source_b")
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )

@@ -370,35 +370,13 @@ def q_dup_graph_triangles(spark, sf_dir):
     return _dedup.dup_graph_triangles(_t(spark, sf_dir, "documents"))
 
 
-# ---- round-5 part 3: interchange formats + embedding compression/stats
+# ---- round-5 part 3: embedding compression/stats
+# (JSONL/CSV/ORC interchange roundtrips already have keys —
+# events_io.q_jsonl_roundtrip etc over sources/text_formats.py, green
+# since r02; round 5 upgraded write_csv/read_csv with a NULL sentinel
+# so NULL and '' text stay distinct through the roundtrip.)
 
-from data_pipeline2_spark.operators import similarity, writers  # noqa: E402
-from data_pipeline2_spark.sources import textformats  # noqa: E402
-
-_FIDELITY_SQL = """
-    SELECT doc_id, lang, source, n_chars, sha256(text) AS text_sha
-    FROM documents
-    """
-
-
-@_register("ingest_jsonl_roundtrip", _FIDELITY_SQL)
-def q_ingest_jsonl_roundtrip(spark, sf_dir):
-    """documents → JSONL shards → re-read: the oracle is the ORIGINAL
-    parquet table, so any row, NULL, or byte the format layer loses
-    hash-fails."""
-    docs = _t(spark, sf_dir, "documents")
-    path = writers.scratch_dir("jsonl_roundtrip", sf_dir)
-    return textformats.jsonl_roundtrip(spark, docs, path)
-
-
-@_register("ingest_csv_roundtrip", _FIDELITY_SQL)
-def q_ingest_csv_roundtrip(spark, sf_dir):
-    """documents → RFC-4180 CSV (quote-doubling, NULL sentinel,
-    multiLine) → re-read, against the same original-table oracle."""
-    docs = _t(spark, sf_dir, "documents")
-    path = writers.scratch_dir("csv_roundtrip", sf_dir)
-    return textformats.csv_roundtrip(spark, docs, path)
-
+from data_pipeline2_spark.operators import similarity  # noqa: E402
 
 _EMB_D = "CAST(embedding[i] AS DOUBLE)"
 _EMB_SUM = f"CAST(sum(CAST({_EMB_D} AS DECIMAL(25,10))) AS DOUBLE)"

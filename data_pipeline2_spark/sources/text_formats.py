@@ -47,20 +47,31 @@ def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
 
+# CSV cannot natively distinguish NULL from '': a NULL cell and an
+# empty string both serialize to an empty field, and the reader maps
+# empty back to NULL — silently corrupting empty-text documents. The
+# sentinel (a string no real document contains) round-trips NULL
+# explicitly so '' stays ''.
+CSV_NULL_SENTINEL = "\\N__NULL__\\N"
+
+
 def write_csv(
     df: DataFrame,
     path: str,
     mode: str = "overwrite",
     header: bool = True,
     compression: str | None = None,
+    null_value: str = CSV_NULL_SENTINEL,
 ) -> None:
     """CSV with full quoting/escaping enabled — newlines and quotes in
-    text columns survive the roundtrip (multiLine on the read side)."""
+    text columns survive the roundtrip (multiLine on the read side);
+    NULLs write as the sentinel so NULL and '' stay distinct."""
     w = (
         df.write.mode(mode)
         .option("header", str(header).lower())
         .option("quote", '"')
         .option("escape", '"')
+        .option("nullValue", null_value)
         # the writer trims cell whitespace by default — lossy for text
         # corpora where leading/trailing space is content
         .option("ignoreLeadingWhiteSpace", "false")
@@ -72,7 +83,11 @@ def write_csv(
 
 
 def read_csv(
-    spark: SparkSession, path: str, schema, header: bool = True
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    null_value: str = CSV_NULL_SENTINEL,
 ) -> DataFrame:
     """Read CSV with an explicit schema. multiLine=true pairs with the
     writer's quote-everything stance so embedded newlines parse; note
@@ -83,6 +98,7 @@ def read_csv(
         .option("header", str(header).lower())
         .option("quote", '"')
         .option("escape", '"')
+        .option("nullValue", null_value)
         .option("multiLine", "true")
         .option("mode", "FAILFAST")
         .csv(path)

@@ -169,7 +169,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--ops", type=str, default="",
+                    help="comma-separated subset of OPS to run")
     args = ap.parse_args()
+    if args.ops:
+        OPS[:] = [o for o in OPS if o in set(args.ops.split(","))]
 
     from data_pipeline2_spark import registry
     from data_pipeline2_spark.session import get_spark

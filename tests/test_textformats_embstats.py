@@ -17,16 +17,16 @@ SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 @pytest.mark.parametrize("fmt", ["jsonl", "csv"])
 def test_format_roundtrip_lossless(spark, tmp_path, fmt):
-    from data_pipeline2_spark.sources import textformats as tf
+    from data_pipeline2_spark.sources import text_formats as tf
 
     docs = spark.createDataFrame(ADVERSARIAL_DOCS, SCHEMA)
     path = str(tmp_path / fmt)
     if fmt == "jsonl":
         tf.write_jsonl(docs, path)
-        back = tf.read_jsonl(spark, path, tf.DOCUMENTS_SCHEMA)
+        back = tf.read_jsonl(spark, path, SCHEMA)
     else:
         tf.write_csv(docs, path)
-        back = tf.read_csv(spark, path, tf.DOCUMENTS_SCHEMA)
+        back = tf.read_csv(spark, path, SCHEMA)
     want = {r.doc_id: r for r in docs.collect()}
     got = {r.doc_id: r for r in back.collect()}
     assert set(got) == set(want)
@@ -38,13 +38,13 @@ def test_format_roundtrip_lossless(spark, tmp_path, fmt):
 
 
 def test_csv_roundtrip_distinguishes_null_from_empty(spark, tmp_path):
-    from data_pipeline2_spark.sources import textformats as tf
+    from data_pipeline2_spark.sources import text_formats as tf
 
     docs = spark.createDataFrame(ADVERSARIAL_DOCS, SCHEMA)
     path = str(tmp_path / "nullcsv")
     tf.write_csv(docs, path)
     back = {r.doc_id: r.text
-            for r in tf.read_csv(spark, path, tf.DOCUMENTS_SCHEMA).collect()}
+            for r in tf.read_csv(spark, path, SCHEMA).collect()}
     assert back[2] is None
     assert back[3] == ""
 
