@@ -72,6 +72,17 @@ def gopher_quality(
     division of exact integer counts.
     """
     t = F.col(text_col)
+    m = gopher_cols(t)
+    return documents.filter(t.isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(name) for name, c in m.items()],
+    )
+
+
+def gopher_cols(t: Column) -> dict[str, Column]:
+    """Named Gopher metric expressions over a text column — shared by
+    gopher_quality and fused consumers (curation_report): one scan, no
+    joins, same discipline as textanalysis.quality_feature_cols."""
     toks = tokens(t)
     n_words = F.size(toks).cast("long")
     word_chars = F.aggregate(
@@ -112,17 +123,16 @@ def gopher_quality(
         & (alpha_frac >= 0.8)
         & (stop_hits >= 2)
     )
-    return documents.filter(t.isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_word_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        stop_hits.alias("stopword_hits"),
-        gopher_pass.alias("gopher_pass"),
-    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "stopword_hits": stop_hits,
+        "gopher_pass": gopher_pass,
+    }
 
 
 def c4_quality(
@@ -138,6 +148,15 @@ def c4_quality(
     'javascript' lines. Map-side only.
     """
     t = F.col(text_col)
+    m = c4_cols(t)
+    return documents.filter(t.isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(name) for name, c in m.items()],
+    )
+
+
+def c4_cols(t: Column) -> dict[str, Column]:
+    """Named C4 metric expressions over a text column (see c4_quality)."""
     lines = _nonblank_lines(t)
     n_lines = F.size(lines).cast("long")
     term_punct = F.filter(
@@ -157,21 +176,20 @@ def c4_quality(
     c4_pass = (
         (n_sentences >= 3) & ~has_lorem & ~has_brace & (n_js == 0)
     )
-    return documents.filter(t.isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        n_lines.alias("n_lines"),
-        _ratio(F.size(term_punct).cast("long"), n_lines).alias(
-            "term_punct_line_frac"
+    return {
+        "n_lines": n_lines,
+        "term_punct_line_frac": _ratio(
+            F.size(term_punct).cast("long"), n_lines
         ),
-        _ratio(F.size(five_word).cast("long"), n_lines).alias(
-            "five_word_line_frac"
+        "five_word_line_frac": _ratio(
+            F.size(five_word).cast("long"), n_lines
         ),
-        n_sentences.alias("n_sentences"),
-        has_lorem.alias("has_lorem_ipsum"),
-        has_brace.alias("has_brace"),
-        n_js.alias("n_javascript_lines"),
-        c4_pass.alias("c4_pass"),
-    )
+        "n_sentences": n_sentences,
+        "has_lorem_ipsum": has_lorem,
+        "has_brace": has_brace,
+        "n_javascript_lines": n_js,
+        "c4_pass": c4_pass,
+    }
 
 
 def dup_line_stats(
@@ -389,4 +407,54 @@ def source_overlap(
             _ratio(F.col("shared"), F.col("n_a")).alias("containment_a"),
             _ratio(F.col("shared"), F.col("n_b")).alias("containment_b"),
         )
+    )
+
+
+def curation_report(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus curation dashboard → (source, n_docs,
+    n_null_text, gopher_pass_rate, c4_pass_rate, mean_quality): every
+    published filter suite plus the composite quality score, computed
+    in ONE scan and ONE tiny aggregation (the fused-Project discipline
+    of corpus_curation — adding a rule costs expression evaluation,
+    never another pass over 100 TB).
+
+    Rates are over non-NULL-text docs; mean_quality sums the per-doc
+    rounded score as exact decimals so the report is partition-order
+    independent.
+    """
+    from data_pipeline2_spark.operators.textanalysis import (
+        quality_feature_cols,
+    )
+
+    t = F.col(text_col)
+    g_pass = gopher_cols(t)["gopher_pass"]
+    c_pass = c4_cols(t)["c4_pass"]
+    quality = quality_feature_cols(t)["quality"]
+    base = documents.select(
+        F.col(group_col).alias("source"),
+        t.isNull().cast("long").alias("is_null"),
+        F.when(t.isNotNull() & g_pass, 1).otherwise(0).alias("g_ok"),
+        F.when(t.isNotNull() & c_pass, 1).otherwise(0).alias("c_ok"),
+        F.when(t.isNotNull(), quality).cast("decimal(18,6)").alias("q"),
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_null").alias("n_null_text"),
+        F.sum("g_ok").alias("g_ok"),
+        F.sum("c_ok").alias("c_ok"),
+        F.sum("q").cast("double").alias("q_sum"),
+        (F.count(F.lit(1)) - F.sum("is_null")).alias("n_text"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_null_text").cast("long").alias("n_null_text"),
+        _ratio(F.col("g_ok"), F.col("n_text")).alias("gopher_pass_rate"),
+        _ratio(F.col("c_ok"), F.col("n_text")).alias("c4_pass_rate"),
+        F.round(F.col("q_sum") / F.greatest(F.col("n_text"), F.lit(1)), 6)
+        .alias("mean_quality"),
     )

@@ -29,9 +29,7 @@ def _md5_60(expr: str) -> str:
     return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
 
 
-@_register(
-    "gopher_quality",
-    f"""
+_GOPHER_SQL = f"""
     WITH t AS (
       SELECT doc_id, text, {_WS_RAW} AS ws, {_NONBLANK_LINES} AS lines
       FROM documents WHERE text IS NOT NULL
@@ -72,15 +70,15 @@ def _md5_60(expr: str) -> str:
                AND alpha_word_frac >= 0.8
                AND stopword_hits >= 2) AS gopher_pass
     FROM m
-    """,
-)
+    """
+
+
+@_register("gopher_quality", _GOPHER_SQL)
 def q_gopher_quality(spark, sf_dir):
     return quality.gopher_quality(_t(spark, sf_dir, "documents"))
 
 
-@_register(
-    "c4_quality",
-    f"""
+_C4_SQL = f"""
     WITH t AS (
       SELECT doc_id, text, {_NONBLANK_LINES} AS lines
       FROM documents WHERE text IS NOT NULL
@@ -103,8 +101,10 @@ def q_gopher_quality(spark, sf_dir):
     SELECT *, (n_sentences >= 3 AND NOT has_lorem_ipsum AND NOT has_brace
                AND n_javascript_lines = 0) AS c4_pass
     FROM m
-    """,
-)
+    """
+
+
+@_register("c4_quality", _C4_SQL)
 def q_c4_quality(spark, sf_dir):
     return quality.c4_quality(_t(spark, sf_dir, "documents"))
 
@@ -512,3 +512,34 @@ def q_knn_batch_sq8(spark, sf_dir):
 )
 def q_events_top_paths(spark, sf_dir):
     return ev.top_paths(_t(spark, sf_dir, "events"))
+
+
+from data_pipeline2_spark.registry.text_sampling import _QUALITY_SQL  # noqa: E402
+
+_NN = "greatest(count(*) - sum(is_null), 1)"
+
+
+@_register(
+    "curation_report",
+    f"""
+    WITH g AS ({_GOPHER_SQL}), c AS ({_C4_SQL}), q AS ({_QUALITY_SQL}),
+    src AS (SELECT doc_id, source, (text IS NULL)::BIGINT AS is_null
+            FROM documents)
+    SELECT src.source, count(*)::BIGINT AS n_docs,
+           sum(is_null)::BIGINT AS n_null_text,
+           round(sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END)
+                 / {_NN}, 6) AS gopher_pass_rate,
+           round(sum(CASE WHEN c.c4_pass THEN 1 ELSE 0 END)
+                 / {_NN}, 6) AS c4_pass_rate,
+           round(CAST(sum(CAST(q.quality AS DECIMAL(18,6))) AS DOUBLE)
+                 / {_NN}, 6) AS mean_quality
+    FROM src LEFT JOIN g USING (doc_id) LEFT JOIN c USING (doc_id)
+             LEFT JOIN q USING (doc_id)
+    GROUP BY src.source
+    """,
+)
+def q_curation_report(spark, sf_dir):
+    """Fused per-source curation dashboard — the oracle composes the
+    gopher/c4/quality key oracles as CTEs joined on doc_id; the engine
+    computes the same numbers in ONE scan + one tiny aggregation."""
+    return quality.curation_report(_t(spark, sf_dir, "documents"))

@@ -55,3 +55,35 @@ def test_exchange_budget(name, spark):
         f"{name}: plan has {n} hash/range exchanges, budget is "
         f"{BUDGET[name]} — a new shuffle entered this query's plan"
     )
+
+
+# round-5 operators: budgets measured at introduction (see BENCH_NOTES
+# round-5 notes for the market_basket/source_overlap rewrites that set
+# these numbers)
+BUDGET_R5 = {
+    "gopher_quality": 0,        # map-only
+    "c4_quality": 0,
+    "url_stats": 0,
+    "curation_report": 1,       # fused scan + one tiny aggregation
+    "dup_line_stats": 2,        # line-fingerprint agg + per-doc rollup
+    "token_rarity": 2,          # unigram agg + per-doc join-agg
+    "vocab_stats": 1,
+    "source_overlap": 3,        # groupBy(sh64) + sizes + pair counts
+    "merge_upsert": 2,          # changeset window + full-outer apply
+    "events_ewma": 1,           # one user window, 8 lags share it
+    "events_top_paths": 2,      # user window + path counts
+    "market_basket": 7,         # baskets + pairs + per-part + 2 joins + sort
+    "heavy_hitters_sketch": 2,  # candidate semi-join + exact count
+    "embedding_dim_stats": 1,
+    "vector_quantize_int8": 2,  # range agg + per-vec rollup
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET_R5))
+def test_exchange_budget_r5(name, spark):
+    df = registry.queries()[name](spark, SF)
+    n = _exchanges(df)
+    assert n <= BUDGET_R5[name], (
+        f"{name}: plan has {n} hash/range exchanges, budget is "
+        f"{BUDGET_R5[name]} — a new shuffle entered this query's plan"
+    )

@@ -157,3 +157,26 @@ def test_gopher_c4_handle_crlf_lines(spark):
     c = quality.c4_quality(_docs(spark, [(1, crlf2)])).collect()[0]
     assert c.n_lines == 2
     assert c.term_punct_line_frac == pytest.approx(1 / 2, abs=1e-6)
+
+
+def test_curation_report_single_scan_and_values(spark):
+    """The fused report must match the composed per-doc operators and
+    keep the one-scan plan shape (no joins, <=1 exchange)."""
+    rows = [
+        (1, GOOD, "A"),
+        (2, "short", "A"),
+        (3, None, "A"),
+        (4, GOOD, "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rep = {r.source: r for r in quality.curation_report(df).collect()}
+    assert rep["A"].n_docs == 3 and rep["A"].n_null_text == 1
+    assert rep["A"].gopher_pass_rate == 0.5  # GOOD passes, 'short' fails
+    assert rep["B"].gopher_pass_rate == 1.0
+    assert 0.0 < rep["A"].mean_quality <= 1.0
+    plan = quality.curation_report(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # fused, not three operators joined
+    n_ex = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_ex <= 1
