@@ -1015,3 +1015,104 @@ def heavy_hitters_sketch(
         .filter(F.col("occurrences") * phi > F.col("__n"))
         .select("term", F.col("occurrences").cast("long").alias("occurrences"))
     )
+
+
+def bm25_search_batch(
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    qtext_col: str = "query",
+) -> DataFrame:
+    """BM25 for a whole QUERY TABLE in one plan → per query the top-k
+    (qid, doc_id, score, matched_terms), score desc / doc_id asc.
+
+    The batch-evaluation shape the per-query `bm25_search` can't give
+    you: the reference serves one ES `match` per request, but offline
+    relevance evaluation / hybrid-search calibration scores thousands
+    of queries — re-planning per query would re-scan the corpus each
+    time. Here the union of all query terms prunes the posting explode
+    ONCE, df/tf/dl compute once, and each query joins its own terms
+    back against the shared postings.
+
+    Determinism: per-(qid, doc) scores sum MANY term contributions, so
+    unlike the fixed-order single-query sum this uses the decimal-sum
+    trick — each contribution rounds to 12 dp and accumulates as
+    DECIMAL(28,12) (exact, associative), then rounds to 6 like every
+    shared-formula output.
+
+    Scale shape: queries are a dimension table (broadcast twice — term
+    list and final attach); the corpus-side shuffles are the same
+    postings aggregations bm25_search does, shared across all queries;
+    per-query top-k is one window over candidate docs.
+    """
+    from pyspark.sql.window import Window
+
+    qt = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col(qtext_col))))
+        ).alias("term"),
+    )
+    all_terms = qt.select("term").distinct()
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    dl = docs.select(
+        "doc_id", token_count(F.col("_text")).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("_text")))).alias("term")
+    ).join(F.broadcast(all_terms), "term", "left_semi")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                ),
+                12,
+            ).cast("decimal(28,12)"),
+        )
+    )
+    scored = (
+        contrib.join(F.broadcast(qt), "term")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.round(F.sum("c").cast("double"), 6).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("matched_terms"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "score", "matched_terms")
+    )

@@ -543,3 +543,72 @@ def q_curation_report(spark, sf_dir):
     gopher/c4/quality key oracles as CTEs joined on doc_id; the engine
     computes the same numbers in ONE scan + one tiny aggregation."""
     return quality.curation_report(_t(spark, sf_dir, "documents"))
+
+
+_BM25_BATCH_QUERIES = [
+    (1, "hash join strategy"),
+    (2, "slow scan filter"),
+    (3, "customer order data"),
+]
+
+
+def _bm25_batch_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Replica of bm25_search_batch: shared postings, per-(qid, doc)
+    decimal-exact contribution sum, per-query top-k window."""
+    values = ", ".join(f"({q}, '{s}')" for q, s in _BM25_BATCH_QUERIES)
+    return f"""
+    WITH q AS (SELECT * FROM (VALUES {values}) AS v(qid, query)),
+    qt AS (
+      SELECT DISTINCT qid,
+             unnest(regexp_split_to_array(lower(trim(query)), '\\s+')) AS term
+      FROM q
+    ),
+    docs AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN []
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs
+    ), stats AS (
+      SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+      WHERE term IN (SELECT term FROM qt)
+      GROUP BY doc_id, term
+    ), dfx AS (
+      SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(round(
+               ln(1.0 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+               * tf.tf * {k1 + 1.0}
+               / (tf.tf + {k1} * ({1.0 - b} + {b} * dl.dl / s.avgdl)),
+             12) AS DECIMAL(28,12)) AS c
+      FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    ), scored AS (
+      SELECT qt.qid, c.doc_id,
+             round(CAST(sum(c.c) AS DOUBLE), 6) AS score,
+             CAST(count(*) AS INT) AS matched_terms
+      FROM contrib c JOIN qt USING (term)
+      GROUP BY qt.qid, c.doc_id
+    )
+    SELECT qid, doc_id, score, matched_terms FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM scored) WHERE rn <= {k}
+    """
+
+
+@_register("bm25_batch", _bm25_batch_sql())
+def q_bm25_batch(spark, sf_dir):
+    """Whole-query-table BM25: shared posting aggregation, per-query
+    top-k — the offline relevance-evaluation shape."""
+    queries = spark.createDataFrame(
+        _BM25_BATCH_QUERIES, "qid int, query string"
+    )
+    return textanalysis.bm25_search_batch(
+        _t(spark, sf_dir, "documents"), queries, k=10
+    )

@@ -884,3 +884,27 @@ def test_knn_batch_sq8_recall_and_self_match(spark):
     for qid, (vid, score) in tops.items():
         assert vid == qid and score == 1.0
     assert len(exact & got) / len(exact) >= 0.8  # 8-bit/dim: high recall
+
+
+def test_bm25_batch_matches_single_query(spark):
+    """Each query's batch result must equal the single-query operator's
+    ranking for the same terms (shared postings change the plan, not
+    the scores)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators import textanalysis
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    queries = spark.createDataFrame(
+        [(1, "hash join strategy"), (2, "slow scan filter")],
+        "qid int, query string",
+    )
+    batch = textanalysis.bm25_search_batch(docs, queries, k=5).collect()
+    for qid, qtext in [(1, "hash join strategy"), (2, "slow scan filter")]:
+        single = textanalysis.bm25_search(docs, qtext.split(), k=5).collect()
+        got = [(r.doc_id, r.score) for r in batch if r.qid == qid]
+        want = [(r.doc_id, r.score) for r in single]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 2e-6  # decimal-sum vs fixed-order sum
