@@ -1017,3 +1017,57 @@ def dup_graph_triangles(
             F.col("c").alias("doc_c"),
         )
     )
+
+
+def lsh_eval(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH quality report, one row → (n_exact_pairs, n_lsh_pairs,
+    n_common, recall, precision): the banded-MinHash pipeline's pair
+    set vs the exact all-pairs n-gram Jaccard ground truth, at the same
+    threshold.
+
+    The retune gate for the banding parameters (N_PERM/BAND_SIZE): run
+    it on a sample before changing the S-curve, and keep it in the
+    registry so the driver re-measures recall every round. Both
+    operands verify candidates with the SAME exact-Jaccard predicate,
+    so precision < 1 can only come from estimation-vs-verify ordering
+    (with verify-on-candidates, both paths verify exactly → precision
+    is structurally 1.0 and recall is the banding's candidate recall).
+
+    Scale note: the exact arm is the quadratic ground truth — run on
+    samples, not the corpus (the operator exists to VALIDATE the
+    sub-quadratic arm you actually run at scale).
+    """
+    exact = dedup_ngram_jaccard(
+        documents, shingle_n, threshold=threshold,
+        id_col=id_col, text_col=text_col,
+    ).select("doc_a", "doc_b")
+    lsh = dedup_near_minhash(
+        documents, shingle_n, threshold=threshold,
+        id_col=id_col, text_col=text_col,
+    ).select("doc_a", "doc_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    n_common = exact.join(lsh, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return (
+        n_exact.crossJoin(n_lsh)
+        .crossJoin(n_common)
+        .select(
+            "n_exact_pairs",
+            "n_lsh_pairs",
+            "n_common",
+            F.round(
+                F.col("n_common") / F.greatest(F.col("n_exact_pairs"), F.lit(1)), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_common") / F.greatest(F.col("n_lsh_pairs"), F.lit(1)), 6
+            ).alias("precision"),
+        )
+    )

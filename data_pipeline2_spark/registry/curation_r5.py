@@ -612,3 +612,52 @@ def q_bm25_batch(spark, sf_dir):
     return textanalysis.bm25_search_batch(
         _t(spark, sf_dir, "documents"), queries, k=10
     )
+
+
+from data_pipeline2_spark.registry.ingest_chunk import (  # noqa: E402
+    _MINHASH_SQL,
+)
+
+_EXACT_JACCARD_PAIRS = """
+    toksx AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      FROM documents WHERE len(trim(text)) > 0
+    ), shx AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+            FROM toksx WHERE len(ws) >= 3)
+    ), countsx AS (
+      SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id
+    ), interx AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), exact_pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM interx i JOIN countsx ca ON ca.doc_id = i.doc_a
+                    JOIN countsx cb ON cb.doc_id = i.doc_b
+      WHERE round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.5
+    )
+"""
+
+
+@_register(
+    "dedup_lsh_eval",
+    f"""
+    WITH lsh_pairs AS ({_MINHASH_SQL}), {_EXACT_JACCARD_PAIRS.strip()},
+    ne AS (SELECT count(*) AS n_exact_pairs FROM exact_pairs),
+    nl AS (SELECT count(*) AS n_lsh_pairs FROM lsh_pairs),
+    nc AS (SELECT count(*) AS n_common
+           FROM exact_pairs e JOIN lsh_pairs l
+             ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
+    SELECT n_exact_pairs::BIGINT AS n_exact_pairs,
+           n_lsh_pairs::BIGINT AS n_lsh_pairs, n_common::BIGINT AS n_common,
+           round(n_common / greatest(n_exact_pairs, 1), 6) AS recall,
+           round(n_common / greatest(n_lsh_pairs, 1), 6) AS precision
+    FROM ne CROSS JOIN nl CROSS JOIN nc
+    """,
+)
+def q_dedup_lsh_eval(spark, sf_dir):
+    """LSH candidate-recall measured against the exact all-pairs ground
+    truth every round — the banding retune gate (N_PERM/BAND_SIZE)."""
+    return _dedup.lsh_eval(_t(spark, sf_dir, "documents"))

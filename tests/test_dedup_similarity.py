@@ -908,3 +908,22 @@ def test_bm25_batch_matches_single_query(spark):
         assert [d for d, _ in got] == [d for d, _ in want]
         for (_, gs), (_, ws) in zip(got, want):
             assert abs(gs - ws) < 2e-6  # decimal-sum vs fixed-order sum
+
+
+def test_lsh_eval_structural_precision_and_recall(spark):
+    """Both arms verify candidates with the same exact predicate, so
+    precision is structurally 1.0 (LSH pairs ⊆ exact pairs) and recall
+    measures candidate generation only."""
+    from data_pipeline2_spark.operators.dedup import lsh_eval
+
+    body = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    docs = spark.createDataFrame(
+        [(1, body), (2, body + "tail"), (3, "unrelated words only here"),
+         (4, body + "other end"), (5, "more distinct text entirely now")],
+        "doc_id long, text string",
+    )
+    r = lsh_eval(docs).collect()[0]
+    assert r.precision == 1.0
+    assert 0.0 <= r.recall <= 1.0
+    assert r.n_common <= min(r.n_exact_pairs, r.n_lsh_pairs)
+    assert r.n_exact_pairs >= 3  # the three near-identical docs pair up
