@@ -69,6 +69,10 @@ def main(argv=None):
     sp.add_argument("path")
     sp.add_argument("--target-mb", type=int, default=128)
 
+    sub.add_parser(
+        "report", help="per-source curation report (gopher/c4/quality)"
+    )
+
     args = p.parse_args(argv)
 
     if args.cmd == "query":
@@ -175,6 +179,17 @@ def main(argv=None):
 
         n_files = compact(spark, args.path, args.target_mb * 1024 * 1024)
         print(f"compacted {args.path}: {n_files} files at <= {args.target_mb} MB target")
+    elif args.cmd == "report":
+        from data_pipeline2_spark.operators.quality import curation_report
+        from data_pipeline2_spark.sources.parquet import load_table
+
+        docs = load_table(spark, args.data, "documents")
+        for r in sorted(curation_report(docs).collect(), key=lambda x: x.source):
+            print(
+                f"{r.source}: {r.n_docs} docs ({r.n_null_text} null), "
+                f"gopher {r.gopher_pass_rate:.1%}, c4 {r.c4_pass_rate:.1%}, "
+                f"quality {r.mean_quality if r.mean_quality is not None else 0.0:.3f}"
+            )
     return 0
 
 

@@ -661,3 +661,44 @@ def q_dedup_lsh_eval(spark, sf_dir):
     """LSH candidate-recall measured against the exact all-pairs ground
     truth every round — the banding retune gate (N_PERM/BAND_SIZE)."""
     return _dedup.lsh_eval(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "semantic_dedup_clusters",
+    """
+    WITH RECURSIVE n AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                x -> x::DOUBLE / sqrt(list_aggregate(list_transform(embedding,
+                     y -> y::DOUBLE * y::DOUBLE), 'sum'))) AS nv
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_aggregate(list_transform(generate_series(1, len(a.nv)),
+                i -> a.nv[i] * b.nv[i]), 'sum'), 6) >= 0.35
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS vec_id, min(label) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q_semantic_dedup_clusters(spark, sf_dir):
+    """Semantic-dedup cluster assignment: connected components over the
+    embedding-cosine near-dup pairs (the SemDeDup-style grouping step —
+    pick one representative per cluster downstream). Same O(log
+    diameter) pointer-doubling CC as dedup_clusters; pairs come from
+    the oracle-green dedup_near_embedding at its tail threshold."""
+    pairs = _dedup.dedup_near_embedding(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, group_col="label"
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return _dedup.dedup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )

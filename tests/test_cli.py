@@ -98,3 +98,12 @@ def test_cli_dedupe_empty_corpus_no_typeerror(spark, capsys, tmp_path):
     out = capsys.readouterr().out
     assert rc == 0
     assert "0.0%" in out
+
+
+def test_cli_report(spark, capsys):
+    from data_pipeline2_spark.cli import main
+
+    rc = main(["--data", "/root/testdata/sf0.001", "report"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "gopher" in out and "c4" in out and "quality" in out
