@@ -184,7 +184,8 @@ def main(argv=None):
         from data_pipeline2_spark.sources.parquet import load_table
 
         docs = load_table(spark, args.data, "documents")
-        for r in sorted(curation_report(docs).collect(), key=lambda x: x.source):
+        rows = curation_report(docs).collect()
+        for r in sorted(rows, key=lambda x: (x.source is None, x.source or "")):
             print(
                 f"{r.source}: {r.n_docs} docs ({r.n_null_text} null), "
                 f"gopher {r.gopher_pass_rate:.1%}, c4 {r.c4_pass_rate:.1%}, "

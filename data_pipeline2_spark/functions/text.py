@@ -56,3 +56,19 @@ def word_ngrams(text: Column, n: int) -> Column:
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
     )
+
+
+def array_pairs(arr: Column, a_name: str = "a", b_name: str = "b") -> Column:
+    """All (arr[i], arr[j]) struct pairs with i < j, generated INSIDE
+    the row — the map-side combinator behind market-basket pair mining
+    and cross-source shingle overlap (no self-join, no extra shuffle).
+    Pass a sorted array to get pairs ordered a < b."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+            ),
+        )
+    )

@@ -872,16 +872,9 @@ def market_basket(
         lineitem.groupBy(F.col("l_orderkey").alias("okey"))
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    # all (parts[i], parts[j]) with i < j, generated inside the row
-    pair_col = F.flatten(
-        F.transform(
-            F.col("parts"),
-            lambda x, i: F.transform(
-                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
-                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-            ),
-        )
-    )
+    from data_pipeline2_spark.functions.text import array_pairs
+
+    pair_col = array_pairs(F.col("parts"), "part_a", "part_b")
     pairs = (
         baskets.select(F.explode(pair_col).alias("pr"))
         .groupBy(

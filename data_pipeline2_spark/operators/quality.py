@@ -377,15 +377,9 @@ def source_overlap(
     sizes = by_shingle.select(F.explode("srcs").alias("src")).groupBy(
         "src"
     ).agg(F.count(F.lit(1)).alias("n"))
-    pair_col = F.flatten(
-        F.transform(
-            F.col("srcs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    from data_pipeline2_spark.functions.text import array_pairs
+
+    pair_col = array_pairs(F.col("srcs"), "a", "b")
     shared = (
         by_shingle.select(F.explode(pair_col).alias("pr"))
         .groupBy(

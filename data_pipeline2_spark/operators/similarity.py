@@ -1011,6 +1011,65 @@ def _l2_normalize_rows(x):
     return x / norms
 
 
+def _exact_rerank(
+    cand: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+    dedup: bool = False,
+) -> DataFrame:
+    """Shared tail of every quantized ANN path (PQ / IVF-PQ / SQ8):
+    keep the top-`rerank` approximate candidates per query, join the
+    shortlist's float vectors back, score EXACT cosine, emit the final
+    top-k → (qid, rank, vec_id, score). `dedup` drops duplicate
+    (qid, vec_id) candidates first (IVF cell probing can emit one per
+    cell). Shuffle = candidate rows only; the corpus never re-scans."""
+    w_adc = Window.partitionBy("qid").orderBy(F.desc("adc"), F.col("vec_id"))
+    base = cand.dropDuplicates(["qid", "vec_id"]) if dedup else cand
+    shortlist = (
+        base.withColumn("__rn", F.row_number().over(w_adc))
+        .filter(F.col("__rn") <= rerank)
+        .select("qid", "vec_id")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec")
+    )
+    rescored = (
+        shortlist.join(corpus, F.col("vec_id") == F.col("__vid"))
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(qid_col).alias("qid"), F.col(qvec_col).alias("__qv")
+                )
+            ),
+            "qid",
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("__vec"), F.col("__qv")), SCORE_ROUND
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(qid_col),
+            "rank",
+            F.col("vec_id").alias(id_col),
+            "score",
+        )
+    )
+
+
 def knn_batch_pq(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -1092,40 +1151,9 @@ def knn_batch_pq(
         F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec")
     )
     cand = corpus.mapInPandas(score, "qid long, vec_id long, adc double")
-    w_adc = Window.partitionBy("qid").orderBy(F.desc("adc"), F.col("vec_id"))
-    shortlist = (
-        cand.withColumn("__rn", F.row_number().over(w_adc))
-        .filter(F.col("__rn") <= rerank)
-        .select("qid", "vec_id")
-    )
-    rescored = (
-        shortlist.join(corpus, F.col("vec_id") == F.col("__vid"))
-        .join(
-            F.broadcast(
-                queries.select(
-                    F.col(qid_col).alias("qid"), F.col(qvec_col).alias("__qv")
-                )
-            ),
-            "qid",
-        )
-        .select(
-            "qid",
-            "vec_id",
-            F.round(
-                cosine_similarity(F.col("__vec"), F.col("__qv")), SCORE_ROUND
-            ).alias("score"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("vec_id"))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias(qid_col),
-            "rank",
-            F.col("vec_id").alias(id_col),
-            "score",
-        )
+    return _exact_rerank(
+        cand, embeddings, queries, k, rerank,
+        id_col, vec_col, qid_col, qvec_col,
     )
 
 
@@ -1226,44 +1254,9 @@ def knn_batch_ivfpq(
             )
 
     cand = cell_rows.mapInPandas(score, "qid long, vec_id long, adc double")
-    w_adc = Window.partitionBy("qid").orderBy(F.desc("adc"), F.col("vec_id"))
-    shortlist = (
-        cand.dropDuplicates(["qid", "vec_id"])
-        .withColumn("__rn", F.row_number().over(w_adc))
-        .filter(F.col("__rn") <= rerank)
-        .select("qid", "vec_id")
-    )
-    corpus = embeddings.select(
-        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec")
-    )
-    rescored = (
-        shortlist.join(corpus, F.col("vec_id") == F.col("__vid"))
-        .join(
-            F.broadcast(
-                queries.select(
-                    F.col(qid_col).alias("qid"), F.col(qvec_col).alias("__qv")
-                )
-            ),
-            "qid",
-        )
-        .select(
-            "qid",
-            "vec_id",
-            F.round(
-                cosine_similarity(F.col("__vec"), F.col("__qv")), SCORE_ROUND
-            ).alias("score"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("vec_id"))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias(qid_col),
-            "rank",
-            F.col("vec_id").alias(id_col),
-            "score",
-        )
+    return _exact_rerank(
+        cand, embeddings, queries, k, rerank,
+        id_col, vec_col, qid_col, qvec_col, dedup=True,
     )
 
 
@@ -1659,6 +1652,8 @@ def knn_batch_sq8(
         .limit(sample_cap)
         .toPandas()
     )
+    if len(sample) == 0:
+        raise ValueError("knn_batch_sq8: empty embeddings corpus")
     sx = _l2_normalize_rows(
         np.array([np.asarray(v, dtype=np.float64) for v in sample["v"]])
     )
@@ -1704,38 +1699,7 @@ def knn_batch_sq8(
         F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec")
     )
     cand = corpus.mapInPandas(score, "qid long, vec_id long, adc double")
-    w_adc = Window.partitionBy("qid").orderBy(F.desc("adc"), F.col("vec_id"))
-    shortlist = (
-        cand.withColumn("__rn", F.row_number().over(w_adc))
-        .filter(F.col("__rn") <= rerank)
-        .select("qid", "vec_id")
-    )
-    rescored = (
-        shortlist.join(corpus, F.col("vec_id") == F.col("__vid"))
-        .join(
-            F.broadcast(
-                queries.select(
-                    F.col(qid_col).alias("qid"), F.col(qvec_col).alias("__qv")
-                )
-            ),
-            "qid",
-        )
-        .select(
-            "qid",
-            "vec_id",
-            F.round(
-                cosine_similarity(F.col("__vec"), F.col("__qv")), SCORE_ROUND
-            ).alias("score"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("vec_id"))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias(qid_col),
-            "rank",
-            F.col("vec_id").alias(id_col),
-            "score",
-        )
+    return _exact_rerank(
+        cand, embeddings, queries, k, rerank,
+        id_col, vec_col, qid_col, qvec_col,
     )

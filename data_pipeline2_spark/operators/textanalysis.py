@@ -1115,4 +1115,7 @@ def bm25_search_batch(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "doc_id", "score", "matched_terms")
+        # the window's sort order is not a result-order guarantee —
+        # pin the documented per-query ranking explicitly
+        .orderBy("qid", F.desc("score"), "doc_id")
     )

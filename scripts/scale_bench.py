@@ -173,7 +173,11 @@ def main() -> None:
                     help="comma-separated subset of OPS to run")
     args = ap.parse_args()
     if args.ops:
-        OPS[:] = [o for o in OPS if o in set(args.ops.split(","))]
+        wanted = set(args.ops.split(","))
+        unknown = wanted - set(OPS)
+        if unknown:
+            ap.error(f"unknown ops: {sorted(unknown)} (known: {OPS})")
+        OPS[:] = [o for o in OPS if o in wanted]
 
     from data_pipeline2_spark import registry
     from data_pipeline2_spark.session import get_spark
