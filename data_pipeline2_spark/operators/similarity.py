@@ -1703,3 +1703,68 @@ def knn_batch_sq8(
         cand, embeddings, queries, k, rerank,
         id_col, vec_col, qid_col, qvec_col,
     )
+
+
+def hybrid_search_rrf_batch(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    n_candidates: int = 50,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch hybrid retrieval: RRF-fuse the lexical and vector legs for
+    a whole QUERY TABLE (qid, query, qvec) in one plan → per query the
+    top-k (qid, doc_id, bm25_rank, vec_rank, rrf_score).
+
+    The offline-evaluation counterpart of hybrid_search_rrf, composed
+    from the batch legs: bm25_search_batch shares one posting
+    aggregation across all queries; knn_batch broadcasts the query
+    vectors and scores map-side. Fusion joins two <= n_candidates-per-
+    query rank lists on (qid, doc_id) — driver-scale rows per query
+    regardless of corpus size.
+    """
+    from data_pipeline2_spark.operators.textanalysis import bm25_search_batch
+
+    bm = bm25_search_batch(
+        documents,
+        queries.select("qid", "query"),
+        k=n_candidates,
+        id_col=id_col,
+    )
+    wb = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("doc_id"))
+    bm_r = bm.select(
+        "qid", "doc_id", F.row_number().over(wb).alias("bm25_rank")
+    )
+    vec = knn_batch(
+        embeddings,
+        queries.select("qid", "qvec"),
+        k=n_candidates,
+        id_col=vec_id_col,
+    )
+    vec_r = vec.select(
+        "qid",
+        F.col(vec_id_col).alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    inv = lambda rank_col: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(rrf_k)) + rank_col.cast("double")), F.lit(0.0)
+    )
+    fused = bm_r.join(vec_r, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        "bm25_rank",
+        "vec_rank",
+        F.round(inv(F.col("bm25_rank")) + inv(F.col("vec_rank")), 6).alias(
+            "rrf_score"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf_score"), F.col("doc_id"))
+    return (
+        fused.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy("qid", F.desc("rrf_score"), "doc_id")
+    )

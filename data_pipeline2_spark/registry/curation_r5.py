@@ -552,12 +552,15 @@ _BM25_BATCH_QUERIES = [
 ]
 
 
-def _bm25_batch_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
-    """Replica of bm25_search_batch: shared postings, per-(qid, doc)
-    decimal-exact contribution sum, per-query top-k window."""
-    values = ", ".join(f"({q}, '{s}')" for q, s in _BM25_BATCH_QUERIES)
-    return f"""
-    WITH q AS (SELECT * FROM (VALUES {values}) AS v(qid, query)),
+def _bm25_batch_ctes(
+    queries: list, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """CTE chain replaying bm25_search_batch up to per-(qid, doc)
+    scores with a per-query rank (`bscored`): shared postings,
+    decimal-exact contribution sums. Reused by bm25_batch and the
+    batch hybrid-search oracle."""
+    values = ", ".join(f"({q}, '{s}')" for q, s in queries)
+    return f"""q AS (SELECT * FROM (VALUES {values}) AS v(qid, query)),
     qt AS (
       SELECT DISTINCT qid,
              unnest(regexp_split_to_array(lower(trim(query)), '\\s+')) AS term
@@ -594,11 +597,18 @@ def _bm25_batch_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
              CAST(count(*) AS INT) AS matched_terms
       FROM contrib c JOIN qt USING (term)
       GROUP BY qt.qid, c.doc_id
-    )
-    SELECT qid, doc_id, score, matched_terms FROM (
+    ),
+    bscored AS (
       SELECT *, row_number() OVER (PARTITION BY qid
                                    ORDER BY score DESC, doc_id) AS rn
-      FROM scored) WHERE rn <= {k}
+      FROM scored
+    )"""
+
+
+def _bm25_batch_sql(k: int = 10) -> str:
+    return f"""
+    WITH {_bm25_batch_ctes(_BM25_BATCH_QUERIES)}
+    SELECT qid, doc_id, score, matched_terms FROM bscored WHERE rn <= {k}
     """
 
 
@@ -701,4 +711,67 @@ def q_semantic_dedup_clusters(spark, sf_dir):
     )
     return _dedup.dedup_clusters(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+_HYBRID_BATCH_QUERIES = [
+    (0, "hash join strategy"),
+    (1, "slow scan filter"),
+    (2, "customer order data"),
+]
+
+
+def _hybrid_batch_sql(k: int = 10, n_cand: int = 50, rrf_k: int = 60) -> str:
+    from data_pipeline2_spark.registry._core import _cos_sql
+
+    return f"""
+    WITH {_bm25_batch_ctes(_HYBRID_BATCH_QUERIES)},
+    bm_r AS (
+      SELECT qid, doc_id, CAST(rn AS INT) AS bm25_rank
+      FROM bscored WHERE rn <= {n_cand}
+    ),
+    qv AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+           WHERE vec_id < 3),
+    vscored AS (
+      SELECT qv.qid, e.vec_id AS doc_id,
+             round({_cos_sql('e.embedding', 'qv.qvec')}, 6) AS score
+      FROM embeddings e CROSS JOIN qv
+    ),
+    vec_r AS (
+      SELECT qid, doc_id, CAST(rn AS INT) AS vec_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, doc_id) AS rn
+        FROM vscored) WHERE rn <= {n_cand}
+    ),
+    fused AS (
+      SELECT coalesce(bm_r.qid, vec_r.qid) AS qid,
+             coalesce(bm_r.doc_id, vec_r.doc_id) AS doc_id,
+             bm_r.bm25_rank, vec_r.vec_rank,
+             round(coalesce(1.0 / ({rrf_k}.0 + bm_r.bm25_rank), 0.0)
+                   + coalesce(1.0 / ({rrf_k}.0 + vec_r.vec_rank), 0.0), 6)
+               AS rrf_score
+      FROM bm_r FULL OUTER JOIN vec_r
+        ON bm_r.qid = vec_r.qid AND bm_r.doc_id = vec_r.doc_id
+    )
+    SELECT qid, doc_id, bm25_rank, vec_rank, rrf_score FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY rrf_score DESC, doc_id) AS rn
+      FROM fused) WHERE rn <= {k}
+    """
+
+
+@_register("hybrid_search_batch", _hybrid_batch_sql())
+def q_hybrid_search_batch(spark, sf_dir):
+    """Batch hybrid retrieval: 3 (text, vector) queries fused by RRF in
+    one plan — qid aligns with vec_id (testdata doc_id == vec_id), the
+    vector leg takes the matching stored embeddings as query vectors."""
+    qtexts = spark.createDataFrame(
+        _HYBRID_BATCH_QUERIES, "qid long, query string"
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.hybrid_search_rrf_batch(
+        _t(spark, sf_dir, "documents"), emb, qtexts.join(qv, "qid"), k=10
     )

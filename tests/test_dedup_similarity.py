@@ -927,3 +927,32 @@ def test_lsh_eval_structural_precision_and_recall(spark):
     assert 0.0 <= r.recall <= 1.0
     assert r.n_common <= min(r.n_exact_pairs, r.n_lsh_pairs)
     assert r.n_exact_pairs >= 3  # the three near-identical docs pair up
+
+
+def test_hybrid_batch_matches_single_query(spark):
+    """Per-qid batch fusion must equal the single-query hybrid for the
+    same (terms, vector)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators import similarity
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qv_rows = {r.vec_id: r.embedding
+               for r in emb.filter(F.col("vec_id") < 2).collect()}
+    texts = {0: "hash join strategy", 1: "slow scan filter"}
+    queries = spark.createDataFrame(
+        [(q, texts[q], qv_rows[q]) for q in (0, 1)],
+        "qid long, query string, qvec array<float>",
+    )
+    batch = similarity.hybrid_search_rrf_batch(docs, emb, queries, k=5).collect()
+    for q in (0, 1):
+        single = similarity.hybrid_search_rrf(
+            docs, emb, texts[q].split(), qv_rows[q], k=5
+        ).collect()
+        got = [(r.doc_id, r.rrf_score) for r in batch if r.qid == q]
+        want = [(r.doc_id, r.rrf_score) for r in single]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 2e-6
