@@ -1071,3 +1071,45 @@ def lsh_eval(
             ).alias("precision"),
         )
     )
+
+
+def lsh_tuning_curve(
+    spark,
+    n_perms: tuple[int, ...] = (16, 32),
+    band_sizes: tuple[int, ...] = (2, 4),
+) -> DataFrame:
+    """Analytic LSH S-curves → (n_perm, band_size, n_bands, jaccard,
+    p_candidate) for jaccard in 0.05..0.95 steps of 0.05: the
+    probability a pair with similarity s shares >= 1 band bucket,
+    p = 1 - (1 - s^r)^b (r = band_size, b = n_perm / r).
+
+    The design table behind the banding constants (see BAND_SIZE): read
+    off candidate recall at the operating threshold before retuning,
+    and cross-check the measured `dedup_lsh_eval` recall against the
+    analytic value. Powers expand to FIXED-ORDER multiplication chains
+    (no pow()), so both engines compute bit-identical doubles.
+    """
+    configs = [
+        (p, r, p // r) for p in n_perms for r in band_sizes if p % r == 0
+    ]
+    rows = spark.range(1, 20).select(
+        (F.col("id") * 0.05).alias("jaccard")
+    )
+    out = None
+    for n_perm, r, b in configs:
+        s_r = F.lit(1.0)
+        for _ in range(r):  # s^r as a fixed-order product
+            s_r = s_r * F.col("jaccard")
+        miss = F.lit(1.0) - s_r
+        miss_b = F.lit(1.0)
+        for _ in range(b):  # (1 - s^r)^b likewise
+            miss_b = miss_b * miss
+        cfg = rows.select(
+            F.lit(n_perm).alias("n_perm"),
+            F.lit(r).alias("band_size"),
+            F.lit(b).alias("n_bands"),
+            F.round(F.col("jaccard"), 2).alias("jaccard"),
+            F.round(F.lit(1.0) - miss_b, 6).alias("p_candidate"),
+        )
+        out = cfg if out is None else out.unionByName(cfg)
+    return out

@@ -775,3 +775,31 @@ def q_hybrid_search_batch(spark, sf_dir):
     return similarity.hybrid_search_rrf_batch(
         _t(spark, sf_dir, "documents"), emb, qtexts.join(qv, "qid"), k=10
     )
+
+
+def _lsh_curve_sql() -> str:
+    """Oracle mirror of lsh_tuning_curve: same configs, same
+    fixed-order multiplication chains (j*j*... instead of pow)."""
+    parts = []
+    for n_perm in (16, 32):
+        for r in (2, 4):
+            if n_perm % r:
+                continue
+            b = n_perm // r
+            s_r = " * ".join(["j"] * r)
+            miss_b = " * ".join([f"(1.0 - ({s_r}))"] * b)
+            parts.append(f"""
+    SELECT {n_perm} AS n_perm, {r} AS band_size, {b} AS n_bands,
+           round(j, 2) AS jaccard,
+           round(1.0 - ({miss_b}), 6) AS p_candidate
+    FROM (SELECT i::DOUBLE * 0.05 AS j
+          FROM (SELECT unnest(generate_series(1, 19)) AS i))""")
+    return " UNION ALL ".join(parts)
+
+
+@_register("lsh_tuning_curve", _lsh_curve_sql())
+def q_lsh_tuning_curve(spark, sf_dir):
+    """The banding design table (p = 1 - (1 - s^r)^b) the BAND_SIZE
+    retune reads; cross-check the measured dedup_lsh_eval recall
+    against the analytic candidate probability at the threshold."""
+    return _dedup.lsh_tuning_curve(spark)

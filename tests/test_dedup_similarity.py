@@ -956,3 +956,18 @@ def test_hybrid_batch_matches_single_query(spark):
         assert [d for d, _ in got] == [d for d, _ in want]
         for (_, gs), (_, ws) in zip(got, want):
             assert abs(gs - ws) < 2e-6
+
+
+def test_lsh_tuning_curve_shape(spark):
+    """S-curve sanity: monotone in jaccard; at the 0.5 operating point
+    the shipped 16-perm/2-row banding (8 bands) must give high
+    candidate probability (the r2->r3 retune rationale)."""
+    from data_pipeline2_spark.operators.dedup import lsh_tuning_curve
+
+    rows = lsh_tuning_curve(spark).collect()
+    cur = {(r.n_perm, r.band_size, round(r.jaccard, 2)): r.p_candidate
+           for r in rows}
+    shipped = [cur[(16, 2, round(0.05 * i, 2))] for i in range(1, 20)]
+    assert all(a <= b + 1e-12 for a, b in zip(shipped, shipped[1:]))
+    assert cur[(16, 2, 0.5)] > 0.85     # shipped banding at threshold
+    assert cur[(16, 4, 0.5)] < 0.25     # the rejected 4x4 S-curve
