@@ -1092,6 +1092,11 @@ def lsh_tuning_curve(
     configs = [
         (p, r, p // r) for p in n_perms for r in band_sizes if p % r == 0
     ]
+    if not configs:
+        raise ValueError(
+            f"lsh_tuning_curve: no band_size in {band_sizes} divides any "
+            f"n_perm in {n_perms}"
+        )
     rows = spark.range(1, 20).select(
         (F.col("id") * 0.05).alias("jaccard")
     )

@@ -322,6 +322,26 @@ def knn_batch_lsh(
     )
 
 
+def _rrf_fuse(
+    bm_r: DataFrame, vec_r: DataFrame, keys: list[str], rrf_k: int
+) -> DataFrame:
+    """Full-outer RRF fusion of two rank lists on `keys` →
+    keys + (bm25_rank, vec_rank, rrf_score): rrf = Σ 1/(rrf_k + rank),
+    a leg's absent rank contributing 0. Shared by the single-query and
+    batch hybrid operators so the scoring formula exists once."""
+    inv = lambda rank_col: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(rrf_k)) + rank_col.cast("double")), F.lit(0.0)
+    )
+    return bm_r.join(vec_r, keys, "full_outer").select(
+        *keys,
+        "bm25_rank",
+        "vec_rank",
+        F.round(inv(F.col("bm25_rank")) + inv(F.col("vec_rank")), 6).alias(
+            "rrf_score"
+        ),
+    )
+
+
 def hybrid_search_rrf(
     documents: DataFrame,
     embeddings: DataFrame,
@@ -367,17 +387,7 @@ def hybrid_search_rrf(
         F.col(vec_id_col).alias("doc_id"),
         F.row_number().over(wv).alias("vec_rank"),
     )
-    inv = lambda rank_col: F.coalesce(  # noqa: E731
-        F.lit(1.0) / (F.lit(float(rrf_k)) + rank_col.cast("double")), F.lit(0.0)
-    )
-    fused = bm_r.join(vec_r, "doc_id", "full_outer").select(
-        "doc_id",
-        "bm25_rank",
-        "vec_rank",
-        F.round(inv(F.col("bm25_rank")) + inv(F.col("vec_rank")), 6).alias(
-            "rrf_score"
-        ),
-    )
+    fused = _rrf_fuse(bm_r, vec_r, ["doc_id"], rrf_k)
     return fused.orderBy(F.desc("rrf_score"), F.col("doc_id")).limit(k)
 
 
@@ -1714,6 +1724,9 @@ def hybrid_search_rrf_batch(
     n_candidates: int = 50,
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qtext_col: str = "query",
+    qvec_col: str = "qvec",
 ) -> DataFrame:
     """Batch hybrid retrieval: RRF-fuse the lexical and vector legs for
     a whole QUERY TABLE (qid, query, qvec) in one plan → per query the
@@ -1730,17 +1743,17 @@ def hybrid_search_rrf_batch(
 
     bm = bm25_search_batch(
         documents,
-        queries.select("qid", "query"),
+        queries.select(F.col(qid_col).alias("qid"),
+                       F.col(qtext_col).alias("query")),
         k=n_candidates,
         id_col=id_col,
+        with_rank=True,
     )
-    wb = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("doc_id"))
-    bm_r = bm.select(
-        "qid", "doc_id", F.row_number().over(wb).alias("bm25_rank")
-    )
+    bm_r = bm.select("qid", "doc_id", F.col("rank").alias("bm25_rank"))
     vec = knn_batch(
         embeddings,
-        queries.select("qid", "qvec"),
+        queries.select(F.col(qid_col).alias("qid"),
+                       F.col(qvec_col).alias("qvec")),
         k=n_candidates,
         id_col=vec_id_col,
     )
@@ -1749,18 +1762,7 @@ def hybrid_search_rrf_batch(
         F.col(vec_id_col).alias("doc_id"),
         F.col("rank").alias("vec_rank"),
     )
-    inv = lambda rank_col: F.coalesce(  # noqa: E731
-        F.lit(1.0) / (F.lit(float(rrf_k)) + rank_col.cast("double")), F.lit(0.0)
-    )
-    fused = bm_r.join(vec_r, ["qid", "doc_id"], "full_outer").select(
-        "qid",
-        "doc_id",
-        "bm25_rank",
-        "vec_rank",
-        F.round(inv(F.col("bm25_rank")) + inv(F.col("vec_rank")), 6).alias(
-            "rrf_score"
-        ),
-    )
+    fused = _rrf_fuse(bm_r, vec_r, ["qid", "doc_id"], rrf_k)
     w = Window.partitionBy("qid").orderBy(F.desc("rrf_score"), F.col("doc_id"))
     return (
         fused.withColumn("__rn", F.row_number().over(w))

@@ -1027,9 +1027,12 @@ def bm25_search_batch(
     text_col: str = "text",
     qid_col: str = "qid",
     qtext_col: str = "query",
+    with_rank: bool = False,
 ) -> DataFrame:
     """BM25 for a whole QUERY TABLE in one plan → per query the top-k
-    (qid, doc_id, score, matched_terms), score desc / doc_id asc.
+    (qid, doc_id, score, matched_terms), score desc / doc_id asc
+    (`with_rank` appends the per-query rank — consumers like the
+    hybrid fusion reuse it instead of re-computing the window).
 
     The batch-evaluation shape the per-query `bm25_search` can't give
     you: the reference serves one ES `match` per request, but offline
@@ -1111,10 +1114,13 @@ def bm25_search_batch(
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("doc_id"))
+    cols = ["qid", "doc_id", "score", "matched_terms"] + (
+        ["rank"] if with_rank else []
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("qid", "doc_id", "score", "matched_terms")
+        .select(*cols)
         # the window's sort order is not a result-order guarantee —
         # pin the documented per-query ranking explicitly
         .orderBy("qid", F.desc("score"), "doc_id")
