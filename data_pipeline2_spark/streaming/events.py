@@ -620,3 +620,60 @@ def top_paths(
         .orderBy(F.desc("occurrences"), "path")
         .limit(top)
     )
+
+
+def upsert_sink(
+    changes_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    ts_col: str = "change_ts",
+    op_col: str = "op",
+):
+    """Streaming CDC apply: each micro-batch of change rows MERGEs into
+    a parquet table via joins.merge_upsert (latest change per key wins,
+    'D' deletes) — the continuously-maintained-table pattern
+    (Delta/Iceberg MERGE fed by a stream), composed from the engine's
+    own batch operator.
+
+    Exactly-once: the merge is computed against the CURRENT table and
+    written to a staging dir, then atomically swapped (rename), and the
+    checkpoint commits after — a replayed batch re-merges onto the
+    already-merged table, which is idempotent because merge_upsert is
+    (applying the same changeset twice yields the same table).
+
+    Scale note: each batch rewrites the table once (full-outer join by
+    key). For a 100 TB table, partition `table_dir` and merge only the
+    partitions a batch touches — merge_upsert itself is
+    partition-agnostic, so the same plan applies per slice.
+    """
+    import os
+    import shutil
+
+    from data_pipeline2_spark.operators.joins import merge_upsert
+
+    def handle_batch(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        if not os.path.exists(table_dir):
+            # first batch bootstraps the table from I/U rows
+            base = batch_df.filter(F.col(op_col) != "D").drop(
+                op_col, ts_col
+            ).limit(0)
+        else:
+            base = spark.read.parquet(table_dir)
+        merged = merge_upsert(base, batch_df, key_cols, ts_col, op_col)
+        staging = table_dir + f".__stage_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        old = table_dir + ".__old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(table_dir):
+            os.rename(table_dir, old)
+        os.rename(staging, table_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        changes_stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -382,3 +382,38 @@ def test_stream_stream_view_click_join(spark, tmpdir):
     batch = ev.view_click_join(*split(spark.read.parquet(src)),
                                within="10 minutes")
     assert {(r.view_id, r.click_id) for r in batch.collect()} == want
+
+
+def test_upsert_sink_applies_cdc_stream(spark, tmpdir):
+    """Streaming MERGE: micro-batches of changes maintain a parquet
+    table — inserts land, updates win by ts, deletes remove, and a
+    second drain of the same source adds nothing (idempotent merge)."""
+    schema = "k long, op string, change_ts int, status string"
+    b0 = [(1, "I", 1, "a"), (2, "I", 1, "b")]
+    b1 = [(2, "U", 2, "b2"), (3, "I", 2, "c"), (1, "D", 2, None)]
+    src = os.path.join(tmpdir, "changes")
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    table = os.path.join(tmpdir, "state_table")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = ev.upsert_sink(
+        stream, table, os.path.join(tmpdir, "ckpt"), ["k"]
+    )
+    q.awaitTermination(120)
+    got = {r.k: r.status for r in spark.read.parquet(table).collect()}
+    assert got == {2: "b2", 3: "c"}  # 1 deleted, 2 updated, 3 inserted
+    # replay the fully-drained source with a FRESH checkpoint: the
+    # merge must be idempotent (same changes -> same table)
+    q2 = ev.upsert_sink(
+        spark.readStream.schema(schema).parquet(src + "/*"),
+        table, os.path.join(tmpdir, "ckpt2"), ["k"],
+    )
+    q2.awaitTermination(120)
+    got2 = {r.k: r.status for r in spark.read.parquet(table).collect()}
+    assert got2 == got
