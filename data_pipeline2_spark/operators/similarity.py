@@ -1568,10 +1568,14 @@ def pca_fit(
         .limit(sample_cap)
         .toPandas()
     )
+    if len(sample) == 0:
+        raise ValueError("pca_fit: empty embeddings corpus")
     x = np.array([np.asarray(v, dtype=np.float64) for v in sample["v"]])
     mu = x.mean(axis=0)
     _, _, vt = np.linalg.svd(x - mu, full_matrices=False)
-    comps = vt[:k]
+    # SVD yields min(rows, dims) components; a request beyond that
+    # truncates, and pca_project stamps the EFFECTIVE k it returns
+    comps = vt[: min(k, vt.shape[0])]
     return list(map(float, mu)), [list(map(float, c)) for c in comps]
 
 
@@ -1618,7 +1622,9 @@ def pca_project(
     return out.select(
         "vec_id",
         F.col("o.proj").alias("proj"),
-        F.lit(k).alias("k"),
+        # the EFFECTIVE rank (pca_fit truncates past min(rows, dims)),
+        # so `k` always equals len(proj)
+        F.lit(len(comps)).alias("k"),
         F.col("o.bessel_ok").alias("bessel_ok"),
     )
 

@@ -994,7 +994,9 @@ def heavy_hitters_sketch(
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: Counter = Counter()
+        seen = 0
         for b in batches:
+            seen += len(b)
             counters.update(b["term"].value_counts().to_dict())
             if len(counters) > cap:
                 # mergeable-MG prune to cap survivors
@@ -1003,10 +1005,23 @@ def heavy_hitters_sketch(
                 counters = Counter(
                     {k: v - sub for k, v in counters.items() if v > sub}
                 )
-        yield pd.DataFrame({"term": list(counters.keys())})
+        # candidates + ONE per-partition token-count row (term NULL), so
+        # the grand total rides the same corpus pass instead of a third
+        # tokenize-and-scan job
+        yield pd.DataFrame(
+            {
+                "term": list(counters.keys()) + [None],
+                "part_n": [0] * len(counters) + [seen],
+            }
+        )
 
-    cands = toks.mapInPandas(summarize, "term string").distinct()
-    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    # tiny (<= cap x partitions rows): materialize so candidates and the
+    # total both read the checkpoint, not a re-run of the corpus pass
+    summary = toks.mapInPandas(
+        summarize, "term string, part_n long"
+    ).localCheckpoint(eager=True)
+    cands = summary.filter(F.col("term").isNotNull()).select("term").distinct()
+    total = summary.agg(F.sum("part_n").alias("__n"))
     return (
         toks.join(F.broadcast(cands), "term", "left_semi")
         .groupBy("term")

@@ -490,7 +490,7 @@ def q_knn_batch_sq8(spark, sf_dir):
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                   THEN 1 ELSE 0 END AS is_new
-      FROM events WHERE ts IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, event_type, ts, event_id,

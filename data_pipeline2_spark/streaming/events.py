@@ -585,9 +585,11 @@ def top_paths(
     """
     from pyspark.sql.window import Window
 
-    ev_ = events.filter(F.col("ts").isNotNull()).select(
-        "event_id", "user_id", "ts", "event_type"
-    )
+    # NULL event_type rows drop explicitly: concat_ws would silently
+    # skip the segment and collapse a 3-step path into a lie
+    ev_ = events.filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select("event_id", "user_id", "ts", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     is_new = (
@@ -622,6 +624,27 @@ def top_paths(
     )
 
 
+def _recover_table(table_dir: str) -> None:
+    """Crash recovery for upsert_sink's two-rename swap. Three possible
+    on-disk states:
+    - table present, no `.__old`: clean — nothing to do;
+    - table ABSENT, `.__old` present: the crash hit between the two
+      renames — restore the displaced copy (the interrupted batch will
+      replay and re-merge idempotently);
+    - both present: the crash hit after the new table landed but before
+      the stale backup was removed — discard the backup.
+    Never deletes the only copy of the data."""
+    import os
+    import shutil
+
+    old = table_dir + ".__old"
+    if os.path.exists(old):
+        if os.path.exists(table_dir):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, table_dir)
+
+
 def upsert_sink(
     changes_stream: DataFrame,
     table_dir: str,
@@ -637,10 +660,13 @@ def upsert_sink(
     own batch operator.
 
     Exactly-once: the merge is computed against the CURRENT table and
-    written to a staging dir, then atomically swapped (rename), and the
-    checkpoint commits after — a replayed batch re-merges onto the
-    already-merged table, which is idempotent because merge_upsert is
-    (applying the same changeset twice yields the same table).
+    written to a staging dir, then swapped in via two renames with a
+    crash-recovery protocol (`_recover_table`, run before every merge):
+    if a crash lands between the renames, the displaced `.__old` copy
+    is restored; if it lands after, the stale backup is discarded. In
+    either case the checkpoint replays the batch and re-merges, which
+    is idempotent (applying the same changeset twice yields the same
+    table) — the table is never lost and never double-applied.
 
     Scale note: each batch rewrites the table once (full-outer join by
     key). For a 100 TB table, partition `table_dir` and merge only the
@@ -654,6 +680,7 @@ def upsert_sink(
 
     def handle_batch(batch_df: DataFrame, batch_id: int):
         spark = batch_df.sparkSession
+        _recover_table(table_dir)
         if not os.path.exists(table_dir):
             # first batch bootstraps the table from I/U rows
             base = batch_df.filter(F.col(op_col) != "D").drop(
@@ -668,7 +695,7 @@ def upsert_sink(
         shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(table_dir):
             os.rename(table_dir, old)
-        os.rename(staging, table_dir)
+        os.rename(staging, table_dir)  # crash before this: old restores
         shutil.rmtree(old, ignore_errors=True)
 
     return (

@@ -48,13 +48,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     hybrid = hybrid_search_rrf_batch(docs, emb, queries, k=k)
 
     def topset(df, id_col):
-        return {
-            q: {r[id_col] for r in rows}
-            for q, rows in (
-                (q, [r for r in df.collect() if r.qid == q])
-                for q in texts
-            )
-        }
+        rows = df.collect()  # one job per result table
+        return {q: {r[id_col] for r in rows if r.qid == q} for q in texts}
 
     bm_s, ex_s, sq_s, hy_s = (
         topset(bm, "doc_id"), topset(exact, "vec_id"),

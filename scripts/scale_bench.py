@@ -49,9 +49,9 @@ OPS = [
     "q5_revenue_by_nation",
     "events_sliding",
     # round-5 additions: the new shuffle-bearing operators
-    "market_basket",     # basket pair self-join over distinct items
+    "market_basket",     # basket arrays -> map-side pair counts
     "token_rarity",      # exploded-token join vs the unigram table
-    "source_overlap",    # distinct shingle self-join across sources
+    "source_overlap",    # shingle-grouped source sets, map-side pairs
     "gopher_quality",    # map-only baseline (should scale ~linearly)
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]

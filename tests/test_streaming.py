@@ -417,3 +417,27 @@ def test_upsert_sink_applies_cdc_stream(spark, tmpdir):
     q2.awaitTermination(120)
     got2 = {r.k: r.status for r in spark.read.parquet(table).collect()}
     assert got2 == got
+
+
+def test_upsert_sink_crash_recovery(spark, tmpdir):
+    """The two-rename swap's crash windows: table displaced to .__old
+    (between renames) restores; a stale .__old beside a live table
+    discards. The table is never lost."""
+    import shutil
+
+    from data_pipeline2_spark.streaming.events import _recover_table
+
+    table = os.path.join(tmpdir, "t")
+    spark.createDataFrame([(1, "a")], "k long, s string").write.parquet(table)
+
+    # crash window A: table renamed away, staging never landed
+    os.rename(table, table + ".__old")
+    _recover_table(table)
+    assert os.path.exists(table) and not os.path.exists(table + ".__old")
+    assert spark.read.parquet(table).count() == 1
+
+    # crash window B: new table landed, stale backup left behind
+    shutil.copytree(table, table + ".__old")
+    _recover_table(table)
+    assert os.path.exists(table) and not os.path.exists(table + ".__old")
+    assert spark.read.parquet(table).count() == 1

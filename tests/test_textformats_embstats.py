@@ -95,3 +95,18 @@ def test_pca_project_variance_ordering_and_bessel(spark):
     variances = proj.var(axis=0)
     assert variances[0] > variances[1] > variances[2]
     assert variances[0] == pytest.approx(x.var(axis=0)[0], rel=0.3)
+
+
+def test_pca_project_truncates_k_to_rank(spark):
+    """Requesting more components than min(rows, dims) truncates, and
+    the stamped k equals the actual projection length."""
+    from data_pipeline2_spark.operators.similarity import pca_project
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [2.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = pca_project(df, k=5, sample_cap=10).collect()
+    for r in rows:
+        assert r.k == len(r.proj) == 2  # rank = min(2 rows, 3 dims)
+        assert r.bessel_ok
