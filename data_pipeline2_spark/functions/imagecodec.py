@@ -929,3 +929,18 @@ def make_mp4_asset(asset_id: int) -> bytes:
     )
     moov = box(b"moov", mvhd + box(b"trak", tkhd))
     return ftyp + moov + box(b"free", bytes(asset_id % 32))
+
+
+def encode_wav_pcm(samples, rate: int) -> bytes:
+    """Encode a mono uint8 sample array as a REAL 8-bit PCM WAV (the
+    inverse of decode_wav_pcm for 1-channel/8-bit): RIFF container,
+    canonical 16-byte fmt chunk, raw data chunk. Used by the resample
+    operator to write its output as real audio bytes, which then
+    re-verify through the decoder."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.uint8)
+    fmt_chunk = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+    data = b"data" + struct.pack("<I", len(s)) + s.tobytes()
+    body = b"WAVE" + fmt_chunk + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body

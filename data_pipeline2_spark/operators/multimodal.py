@@ -596,3 +596,61 @@ def decode_jpeg_stats(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         stats, JPEG_STATS_SCHEMA
     )
+
+
+def audio_resample_stats(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio resample roundtrip reduced to integer invariants:
+    generate the square-wave WAV per id, DECODE it, decimate by
+    d = 2 + id % 3 (naive every-d-th-sample downsampling — the
+    band-limited variant needs scipy, which the honest-seams policy
+    stubs), RE-ENCODE the result as real WAV bytes at rate//d, decode
+    THOSE bytes again, and emit sums/transitions over what came back.
+
+    → (asset_id, decim, n_samples, sample_rate, sum_samples,
+    sum_squares, transitions). Every value is an exact integer with a
+    closed-form-per-index SQL replay, so a bug anywhere in the
+    decode→decimate→encode→decode chain hash-fails. Map-only."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_pipeline2_spark.functions.imagecodec import (
+            decode_wav_pcm,
+            encode_wav_pcm,
+            make_wav_pcm_asset,
+        )
+
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                aid = int(aid)
+                samples, rate, _ = decode_wav_pcm(make_wav_pcm_asset(aid))
+                d = 2 + aid % 3
+                mono = samples[:, 0]
+                resampled_bytes = encode_wav_pcm(mono[::d], rate // d)
+                back, back_rate, _ = decode_wav_pcm(resampled_bytes)
+                out = back[:, 0].astype("int64")
+                rows.append(
+                    (
+                        aid,
+                        d,
+                        len(out),
+                        back_rate,
+                        int(out.sum()),
+                        int((out * out).sum()),
+                        int((out[1:] != out[:-1]).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "decim", "n_samples", "sample_rate",
+                    "sum_samples", "sum_squares", "transitions",
+                ],
+            )
+
+    return documents.select(
+        F.col(id_col).cast("long").alias("asset_id")
+    ).mapInPandas(
+        stats,
+        "asset_id long, decim int, n_samples long, sample_rate int, "
+        "sum_samples long, sum_squares long, transitions long",
+    )

@@ -803,3 +803,47 @@ def q_lsh_tuning_curve(spark, sf_dir):
     retune reads; cross-check the measured dedup_lsh_eval recall
     against the analytic candidate probability at the threshold."""
     return _dedup.lsh_tuning_curve(spark)
+
+
+from data_pipeline2_spark.operators import multimodal  # noqa: E402
+
+
+@_register(
+    "multimodal_audio_resample",
+    """
+    WITH params AS (
+      SELECT doc_id AS asset_id,
+             500 + (doc_id % 41) * 250 AS n,
+             8 + doc_id % 32 AS p,
+             200 + doc_id % 56 AS high,
+             doc_id % 100 AS low,
+             2 + doc_id % 3 AS d
+      FROM documents WHERE doc_id < 200
+    ), idx AS (
+      SELECT asset_id, p, high, low, d,
+             unnest(generate_series(0, (n - 1) // d)) AS k
+      FROM params
+    ), vals AS (
+      SELECT asset_id, d, k,
+             CASE WHEN ((k * d) // p) % 2 = 0 THEN high ELSE low END AS v,
+             CASE WHEN k = 0 THEN NULL
+                  WHEN (((k - 1) * d) // p) % 2 = 0 THEN high ELSE low
+             END AS prev_v
+      FROM idx
+    )
+    SELECT asset_id, CAST(max(d) AS INT) AS decim,
+           count(*)::BIGINT AS n_samples,
+           CAST(1000 // max(d) AS INT) AS sample_rate,
+           sum(v)::BIGINT AS sum_samples,
+           sum(v * v)::BIGINT AS sum_squares,
+           sum(CASE WHEN prev_v IS NOT NULL AND v <> prev_v
+                    THEN 1 ELSE 0 END)::BIGINT AS transitions
+    FROM vals GROUP BY asset_id
+    """,
+)
+def q_multimodal_audio_resample(spark, sf_dir):
+    """REAL decode→decimate→re-encode→re-decode WAV roundtrip; the
+    oracle replays the decimated square wave in closed form per index,
+    so a bug anywhere in the chain (incl. the new encoder) hash-fails."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return multimodal.audio_resample_stats(docs)

@@ -684,3 +684,23 @@ def test_minhash_family_python_replay(shingle_strs):
     xs_dup = xs + xs
     mins_dup = [min((a[p] * x + b[p]) % MINHASH_P for x in xs_dup) for p in range(4)]
     assert mins == mins_dup
+
+
+def test_wav_encode_decode_roundtrip_property():
+    """encode_wav_pcm is the exact inverse of decode_wav_pcm for
+    8-bit mono: arbitrary sample arrays and rates survive bit-exact."""
+    import numpy as np
+
+    from data_pipeline2_spark.functions.imagecodec import (
+        decode_wav_pcm,
+        encode_wav_pcm,
+    )
+
+    rng = np.random.RandomState(3)
+    for n, rate in [(1, 8000), (17, 1000), (500, 333), (4096, 44100)]:
+        samples = rng.randint(0, 256, size=n).astype(np.uint8)
+        back, back_rate, channels = decode_wav_pcm(
+            encode_wav_pcm(samples, rate)
+        )
+        assert back_rate == rate and channels == 1
+        assert np.array_equal(back[:, 0], samples)
