@@ -122,3 +122,21 @@ def test_top_paths_respects_session_boundaries(spark):
     # cross-boundary paths (buy>view>click, view>click>buy via evt 4-6) absent
     assert "buy>view>click" not in got
     assert sum(got.values()) == 3
+
+
+def test_ewma_null_values_and_all_null_user(spark):
+    """NULL values drop out of the weighted sum; a user whose entire
+    lookback is NULL gets NULL (not NaN — engines spell NaN
+    differently)."""
+    df = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", None),
+         (2, 1, "2024-01-01 00:01:00", 4.0),
+         (3, 2, "2024-01-01 00:00:00", None)],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    from data_pipeline2_spark.streaming.events import ewma_values
+
+    out = {r.event_id: r.ewma for r in ewma_values(df).collect()}
+    assert out[1] is None          # only a NULL in the window
+    assert out[2] == 4.0           # NULL lag contributes nothing
+    assert out[3] is None          # all-NULL user
