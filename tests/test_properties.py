@@ -704,3 +704,61 @@ def test_wav_encode_decode_roundtrip_property():
         )
         assert back_rate == rate and channels == 1
         assert np.array_equal(back[:, 0], samples)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=0,
+             max_size=12, unique=True)
+)
+@settings(max_examples=50, deadline=None)
+def test_array_pairs_matches_combinations(xs):
+    """functions.text.array_pairs == itertools.combinations on the
+    sorted array (the map-side combinator behind market_basket /
+    source_overlap)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.functions.text import array_pairs
+    from data_pipeline2_spark.session import get_spark
+
+    spark = get_spark(
+        "data_pipeline2_spark-tests", master="local[8]",
+        extra_conf={"spark.sql.shuffle.partitions": "8",
+                    "spark.ui.enabled": "false"},
+    )
+    arr = sorted(xs)
+    df = spark.createDataFrame([(arr,)], "a array<int>")
+    got = [
+        (r.pr.x, r.pr.y)
+        for r in df.select(
+            F.explode(array_pairs(F.col("a"), "x", "y")).alias("pr")
+        ).collect()
+    ]
+    assert sorted(got) == sorted(itertools.combinations(arr, 2))
+
+
+def test_merge_upsert_idempotent_and_commutes_with_reapply(spark):
+    """Applying the same changeset twice equals applying it once, for a
+    randomized batch of ops (the property upsert_sink's exactly-once
+    claim rests on)."""
+    import random
+
+    rng = random.Random(11)
+    base_rows = [(k, f"s{k}", k * 10) for k in range(30)]
+    ops = []
+    for i in range(40):
+        k = rng.randrange(45)
+        op = rng.choice(["U", "I", "D"])
+        ops.append((k, op, i, f"v{i}", i))
+    from data_pipeline2_spark.operators.joins import merge_upsert
+
+    base = spark.createDataFrame(base_rows, "k long, s string, c long")
+    changes = spark.createDataFrame(
+        ops, "k long, op string, change_ts int, s string, c long"
+    )
+    once = merge_upsert(base, changes, ["k"])
+    twice = merge_upsert(once.localCheckpoint(eager=True), changes, ["k"])
+    a = sorted((r.k, r.s, r.c) for r in once.collect())
+    b = sorted((r.k, r.s, r.c) for r in twice.collect())
+    assert a == b
