@@ -281,3 +281,52 @@ def dataset_interleave(
         .withColumn(seq_col, F.row_number().over(w_outer))
         .drop("__pos")
     )
+
+
+def mix_token_allocation(
+    documents: DataFrame,
+    weights: dict[str, int],
+    token_budget: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mix planning → (source, available_tokens, target_tokens,
+    alloc_tokens, satisfied): split an epoch's `token_budget` across
+    sources by integer `weights`, capped by what each source actually
+    has.
+
+    target_g = budget * w_g // Σw (integer floor — exact and
+    engine-portable); alloc_g = min(target_g, available_g);
+    satisfied = the source can fill its share (the unsatisfied rows are
+    the signal to re-weight or up-sample). One token-count aggregation
+    (vocab-free: sums of per-doc counts), map-side partials.
+
+    Deliberately single-pass: deficit REDISTRIBUTION is a fixpoint loop
+    over a handful of sources — do it driver-side on this table if
+    needed; the corpus-scale work (token counting) happens here once.
+    """
+    from data_pipeline2_spark.functions.text import token_count
+
+    w_total = sum(weights.values())
+    w_map = F.create_map(
+        *[x for k, v in sorted(weights.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    avail = (
+        documents.filter(F.col(text_col).isNotNull())
+        .groupBy(F.col(group_col).alias("source"))
+        .agg(F.sum(token_count(F.col(text_col)).cast("long")).alias(
+            "available_tokens"
+        ))
+    )
+    target = F.floor(
+        F.lit(token_budget)
+        * F.coalesce(w_map[F.col("source")], F.lit(0))
+        / F.lit(w_total)
+    ).cast("long")
+    return avail.select(
+        "source",
+        "available_tokens",
+        target.alias("target_tokens"),
+        F.least(F.col("available_tokens"), target).alias("alloc_tokens"),
+        (F.col("available_tokens") >= target).alias("satisfied"),
+    )

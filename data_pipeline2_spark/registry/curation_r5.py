@@ -847,3 +847,42 @@ def q_multimodal_audio_resample(spark, sf_dir):
     so a bug anywhere in the chain (incl. the new encoder) hash-fails."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return multimodal.audio_resample_stats(docs)
+
+
+from data_pipeline2_spark.operators import sampling  # noqa: E402
+
+_MIX_WEIGHTS = {"src0": 5, "src1": 3, "src2": 2}
+_MIX_BUDGET = 30_000
+
+
+@_register(
+    "mix_token_allocation",
+    f"""
+    WITH avail AS (
+      SELECT source,
+             sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END)::BIGINT AS available_tokens
+      FROM documents WHERE text IS NOT NULL GROUP BY source
+    ), w AS (
+      SELECT * FROM (VALUES ('src0', 5), ('src1', 3), ('src2', 2)) v(source, wt)
+    )
+    SELECT a.source, a.available_tokens,
+           CAST(floor({_MIX_BUDGET} * coalesce(w.wt, 0) / 10.0) AS BIGINT)
+             AS target_tokens,
+           least(a.available_tokens,
+                 CAST(floor({_MIX_BUDGET} * coalesce(w.wt, 0) / 10.0)
+                      AS BIGINT)) AS alloc_tokens,
+           a.available_tokens >=
+             CAST(floor({_MIX_BUDGET} * coalesce(w.wt, 0) / 10.0) AS BIGINT)
+             AS satisfied
+    FROM avail a LEFT JOIN w USING (source)
+    """,
+)
+def q_mix_token_allocation(spark, sf_dir):
+    """Epoch planning: split a 30k-token budget 5:3:2 across three
+    weighted sources (the rest weight 0), capped by availability —
+    unsatisfied rows are the re-weight signal."""
+    return sampling.mix_token_allocation(
+        _t(spark, sf_dir, "documents"), _MIX_WEIGHTS, _MIX_BUDGET
+    )

@@ -330,3 +330,23 @@ def test_global_window_ops_warn_without_shard(spark):
     msgs = [str(x.message) for x in w]
     assert any("pretrain_pack" in m and "shard_col" in m for m in msgs)
     assert any("dataset_interleave" in m and "shard_col" in m for m in msgs)
+
+
+def test_mix_token_allocation_caps_and_weights(spark):
+    from data_pipeline2_spark.operators.sampling import mix_token_allocation
+
+    docs = spark.createDataFrame(
+        [(1, "a " * 100, "big"), (2, "b " * 10, "small"), (3, None, "big")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in mix_token_allocation(
+        docs, {"big": 3, "small": 1}, token_budget=40
+    ).collect()}
+    assert out["big"].target_tokens == 30 and out["small"].target_tokens == 10
+    assert out["big"].alloc_tokens == 30 and out["big"].satisfied  # 100 avail
+    assert out["small"].alloc_tokens == 10 and out["small"].satisfied
+    out2 = {r.source: r for r in mix_token_allocation(
+        docs, {"big": 1, "small": 3}, token_budget=400
+    ).collect()}
+    assert out2["small"].alloc_tokens == 10  # capped by availability
+    assert not out2["small"].satisfied
