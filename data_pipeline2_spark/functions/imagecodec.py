@@ -450,11 +450,7 @@ def make_wav_pcm_asset(asset_id: int) -> bytes:
     low = asset_id % 100
     t = np.arange(n)
     samples = np.where((t // p) % 2 == 0, high, low).astype(np.uint8)
-    rate = 1000
-    fmt_chunk = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
-    data = b"data" + struct.pack("<I", n) + samples.tobytes()
-    body = b"WAVE" + fmt_chunk + data
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return encode_wav_pcm(samples, 1000)
 
 
 # ------------------------------------------------------------- GIF codec
@@ -792,10 +788,7 @@ def make_asset(asset_id: int) -> tuple[str, bytes]:
     rate = 8000
     dur_ms = fixture_duration_ms(asset_id)
     n = rate * dur_ms // 1000
-    fmt_chunk = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
-    data = b"data" + struct.pack("<I", n) + bytes(n)
-    body = b"WAVE" + fmt_chunk + data
-    return "wav", b"RIFF" + struct.pack("<I", len(body)) + body
+    return "wav", encode_wav_pcm(bytes(n), rate)
 
 
 # ------------------------------------------------------------ MP4 probe
@@ -939,8 +932,15 @@ def encode_wav_pcm(samples, rate: int) -> bytes:
     re-verify through the decoder."""
     import numpy as np
 
-    s = np.asarray(samples, dtype=np.uint8)
+    if isinstance(samples, (bytes, bytearray)):
+        s = np.frombuffer(samples, dtype=np.uint8)
+    else:
+        s = np.asarray(samples, dtype=np.uint8)
     fmt_chunk = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
-    data = b"data" + struct.pack("<I", len(s)) + s.tobytes()
+    payload = s.tobytes()
+    # RIFF word alignment: an odd-sized data chunk carries a pad byte
+    # (not counted in the chunk size) — strict parsers require it
+    pad = b"\x00" if len(payload) % 2 else b""
+    data = b"data" + struct.pack("<I", len(payload)) + payload + pad
     body = b"WAVE" + fmt_chunk + data
     return b"RIFF" + struct.pack("<I", len(body)) + body

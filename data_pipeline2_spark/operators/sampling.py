@@ -307,9 +307,15 @@ def mix_token_allocation(
     """
     from data_pipeline2_spark.functions.text import token_count
 
+    # targets computed driver-side in PYTHON bigints: exact for any
+    # budget x weight (no int32/double overflow in the plan), and a
+    # weighted source with ZERO usable docs still gets its row (the
+    # most extreme "unsatisfied" signal) via the full-outer join below
     w_total = sum(weights.values())
-    w_map = F.create_map(
-        *[x for k, v in sorted(weights.items()) for x in (F.lit(k), F.lit(v))]
+    spark = documents.sparkSession
+    targets = spark.createDataFrame(
+        [(k, token_budget * v // w_total) for k, v in sorted(weights.items())],
+        "source string, target_tokens long",
     )
     avail = (
         documents.filter(F.col(text_col).isNotNull())
@@ -318,15 +324,19 @@ def mix_token_allocation(
             "available_tokens"
         ))
     )
-    target = F.floor(
-        F.lit(token_budget)
-        * F.coalesce(w_map[F.col("source")], F.lit(0))
-        / F.lit(w_total)
-    ).cast("long")
-    return avail.select(
+    joined = avail.join(F.broadcast(targets), "source", "full_outer").select(
+        "source",
+        F.coalesce("available_tokens", F.lit(0)).alias("available_tokens"),
+        F.coalesce("target_tokens", F.lit(0)).alias("target_tokens"),
+    )
+    return joined.select(
         "source",
         "available_tokens",
-        target.alias("target_tokens"),
-        F.least(F.col("available_tokens"), target).alias("alloc_tokens"),
-        (F.col("available_tokens") >= target).alias("satisfied"),
+        "target_tokens",
+        F.least(F.col("available_tokens"), F.col("target_tokens")).alias(
+            "alloc_tokens"
+        ),
+        (F.col("available_tokens") >= F.col("target_tokens")).alias(
+            "satisfied"
+        ),
     )

@@ -865,18 +865,19 @@ _MIX_BUDGET = 30_000
                  END)::BIGINT AS available_tokens
       FROM documents WHERE text IS NOT NULL GROUP BY source
     ), w AS (
-      SELECT * FROM (VALUES ('src0', 5), ('src1', 3), ('src2', 2)) v(source, wt)
+      SELECT * FROM (VALUES ('src0', {_MIX_BUDGET} * 5 // 10),
+                            ('src1', {_MIX_BUDGET} * 3 // 10),
+                            ('src2', {_MIX_BUDGET} * 2 // 10))
+             v(source, target_tokens)
     )
-    SELECT a.source, a.available_tokens,
-           CAST(floor({_MIX_BUDGET} * coalesce(w.wt, 0) / 10.0) AS BIGINT)
-             AS target_tokens,
-           least(a.available_tokens,
-                 CAST(floor({_MIX_BUDGET} * coalesce(w.wt, 0) / 10.0)
-                      AS BIGINT)) AS alloc_tokens,
-           a.available_tokens >=
-             CAST(floor({_MIX_BUDGET} * coalesce(w.wt, 0) / 10.0) AS BIGINT)
+    SELECT source,
+           coalesce(a.available_tokens, 0)::BIGINT AS available_tokens,
+           coalesce(w.target_tokens, 0)::BIGINT AS target_tokens,
+           least(coalesce(a.available_tokens, 0),
+                 coalesce(w.target_tokens, 0))::BIGINT AS alloc_tokens,
+           coalesce(a.available_tokens, 0) >= coalesce(w.target_tokens, 0)
              AS satisfied
-    FROM avail a LEFT JOIN w USING (source)
+    FROM avail a FULL JOIN w USING (source)
     """,
 )
 def q_mix_token_allocation(spark, sf_dir):

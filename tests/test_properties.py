@@ -711,22 +711,16 @@ def test_wav_encode_decode_roundtrip_property():
              max_size=12, unique=True)
 )
 @settings(max_examples=50, deadline=None)
-def test_array_pairs_matches_combinations(xs):
+def test_array_pairs_matches_combinations(spark, xs):
     """functions.text.array_pairs == itertools.combinations on the
     sorted array (the map-side combinator behind market_basket /
-    source_overlap)."""
+    source_overlap). Uses the session-scoped conftest fixture
+    (hypothesis allows session-scoped fixtures)."""
     import itertools
 
     from pyspark.sql import functions as F
 
     from data_pipeline2_spark.functions.text import array_pairs
-    from data_pipeline2_spark.session import get_spark
-
-    spark = get_spark(
-        "data_pipeline2_spark-tests", master="local[8]",
-        extra_conf={"spark.sql.shuffle.partitions": "8",
-                    "spark.ui.enabled": "false"},
-    )
     arr = sorted(xs)
     df = spark.createDataFrame([(arr,)], "a array<int>")
     got = [
