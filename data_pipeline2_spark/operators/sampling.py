@@ -324,7 +324,10 @@ def mix_token_allocation(
             "available_tokens"
         ))
     )
-    joined = avail.join(F.broadcast(targets), "source", "full_outer").select(
+    # no broadcast hint: Spark cannot broadcast a FULL OUTER side (it
+    # would lose unmatched build rows) — the tiny targets table rides a
+    # regular shuffle join
+    joined = avail.join(targets, "source", "full_outer").select(
         "source",
         F.coalesce("available_tokens", F.lit(0)).alias("available_tokens"),
         F.coalesce("target_tokens", F.lit(0)).alias("target_tokens"),

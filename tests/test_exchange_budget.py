@@ -100,7 +100,8 @@ BUDGET_R5B = {
     "multimodal_audio_resample": 0,  # map-only codec roundtrip
     "pca_project": 0,           # driver fit + map-side projection
     "semantic_dedup_clusters": 0,  # CC runs eagerly behind checkpoints
-    "mix_token_allocation": 1,  # one token-count agg + broadcast join
+    "mix_token_allocation": 2,  # token-count agg + full-outer join
+                                # (FULL OUTER cannot broadcast)
 }
 
 
