@@ -1609,6 +1609,13 @@ def pca_project(
 
     @pandas_udf("struct<proj: array<double>, bessel_ok: boolean>")
     def _project(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:  # np.array([]) - M would raise a broadcast error
+            return pd.DataFrame(
+                {
+                    "proj": pd.Series([], dtype=object),
+                    "bessel_ok": pd.Series([], dtype=bool),
+                }
+            )
         x = np.array([np.asarray(v, dtype=np.float64) for v in vs]) - M
         y = x @ W.T
         ok = (y * y).sum(axis=1) <= (x * x).sum(axis=1) + 1e-9

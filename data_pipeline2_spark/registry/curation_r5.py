@@ -255,7 +255,9 @@ from data_pipeline2_spark.streaming import events as ev  # noqa: E402
     ), latest AS (
       SELECT o_orderkey, op, o_orderstatus, total_cents FROM (
         SELECT *, row_number() OVER (PARTITION BY o_orderkey
-                                     ORDER BY change_ts DESC, op DESC) AS rn
+                                     ORDER BY change_ts DESC, op DESC,
+                                              o_orderstatus ASC NULLS FIRST,
+                                              total_cents ASC NULLS FIRST) AS rn
         FROM changes) WHERE rn = 1
     )
     SELECT o_orderkey,
@@ -378,22 +380,29 @@ def q_dup_graph_triangles(spark, sf_dir):
 
 from data_pipeline2_spark.operators import similarity  # noqa: E402
 
-_EMB_D = "CAST(embedding[i] AS DOUBLE)"
-_EMB_SUM = f"CAST(sum(CAST({_EMB_D} AS DECIMAL(25,10))) AS DOUBLE)"
-_EMB_SUMSQ = (
-    f"CAST(sum(CAST({_EMB_D} * {_EMB_D} AS DECIMAL(25,10))) AS DOUBLE)"
+# (pos, value) pairs via zipped unnest: generate_series can't take a
+# lateral len(embedding) bound in DuckDB, but aligned unnests zip — so
+# the index range derives from each row's actual dimensionality
+# (ADVICE r5: no hardcoded 64).
+_EMB_EXPAND = (
+    "SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,\n"
+    "       unnest(embedding)::DOUBLE AS v\n"
+    "FROM embeddings"
 )
+_V_SUM = "CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE)"
+_V_SUMSQ = "CAST(sum(CAST(v * v AS DECIMAL(25,10))) AS DOUBLE)"
 
 
 @_register(
     "embedding_dim_stats",
     f"""
+    WITH ex AS ({_EMB_EXPAND})
     SELECT CAST(i - 1 AS INT) AS pos, count(*)::BIGINT AS n,
-           round({_EMB_SUM} / count(*), 6) AS mean_v,
-           round({_EMB_SUMSQ} / count(*)
-                 - ({_EMB_SUM} / count(*)) * ({_EMB_SUM} / count(*)),
+           round({_V_SUM} / count(*), 6) AS mean_v,
+           round({_V_SUMSQ} / count(*)
+                 - ({_V_SUM} / count(*)) * ({_V_SUM} / count(*)),
                  6) AS var_v
-    FROM embeddings, generate_series(1, 64) t(i)
+    FROM ex
     GROUP BY i
     """,
 )
@@ -404,9 +413,7 @@ def q_embedding_dim_stats(spark, sf_dir):
 @_register(
     "vector_quantize_int8",
     f"""
-    WITH ex AS (
-      SELECT vec_id, i, {_EMB_D} AS v
-      FROM embeddings, generate_series(1, 64) t(i)
+    WITH ex AS ({_EMB_EXPAND}
     ), r AS (SELECT i, min(v) AS lo, max(v) AS hi FROM ex GROUP BY i),
     s AS (
       SELECT vec_id, v, lo, hi - lo AS width,

@@ -62,10 +62,39 @@ def write_csv(
     header: bool = True,
     compression: str | None = None,
     null_value: str = CSV_NULL_SENTINEL,
+    check_sentinel: bool = True,
 ) -> None:
     """CSV with full quoting/escaping enabled — newlines and quotes in
     text columns survive the roundtrip (multiLine on the read side);
-    NULLs write as the sentinel so NULL and '' stay distinct."""
+    NULLs write as the sentinel so NULL and '' stay distinct.
+
+    A cell whose REAL value equals the sentinel would silently
+    round-trip to NULL; `check_sentinel` (on by default) fails fast
+    with a count instead. It costs one extra pass over the string
+    columns — at lake scale, disable it only if the feed provably
+    cannot contain the sentinel (e.g. schema-validated upstream).
+    """
+    if check_sentinel:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        str_cols = [
+            f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
+        ]
+        if str_cols:
+            n_bad = df.filter(
+                reduce(
+                    lambda a, b: a | b,
+                    [F.col(c) == null_value for c in str_cols],
+                )
+            ).count()
+            if n_bad:
+                raise ValueError(
+                    f"write_csv: {n_bad} row(s) contain the NULL sentinel "
+                    f"{null_value!r} as a real value — they would read back "
+                    "as NULL. Pass a different null_value or clean the feed."
+                )
     w = (
         df.write.mode(mode)
         .option("header", str(header).lower())

@@ -675,8 +675,22 @@ def upsert_sink(
     """
     import os
     import shutil
+    from urllib.parse import urlparse
 
     from data_pipeline2_spark.operators.joins import merge_upsert
+
+    # The swap/recovery protocol is os.rename-based, so the table must
+    # live on the local filesystem; a remote URI (s3://, hdfs://) would
+    # silently read as "absent", bootstrap an empty base, then fail at
+    # the rename AFTER the merge was computed. Fail before any work.
+    for name, path in (("table_dir", table_dir), ("checkpoint_dir", checkpoint_dir)):
+        scheme = urlparse(path).scheme
+        if len(scheme) > 1 and scheme != "file":
+            raise ValueError(
+                f"upsert_sink: {name}={path!r} has URI scheme {scheme!r}; "
+                "the rename-swap recovery protocol is local-filesystem-only "
+                "(for object stores, use a table format with atomic MERGE)"
+            )
 
     def handle_batch(batch_df: DataFrame, batch_id: int):
         spark = batch_df.sparkSession

@@ -384,6 +384,26 @@ def test_stream_stream_view_click_join(spark, tmpdir):
     assert {(r.view_id, r.click_id) for r in batch.collect()} == want
 
 
+def test_upsert_sink_rejects_remote_uri(spark, tmpdir):
+    """The rename-swap recovery is local-filesystem-only; an s3://
+    table_dir must fail before any merge work (ADVICE r5)."""
+    import pytest as _pytest
+
+    from data_pipeline2_spark.streaming import events as ev
+
+    dummy = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with _pytest.raises(ValueError, match="local-filesystem-only"):
+        ev.upsert_sink(
+            dummy, "s3://bucket/table", os.path.join(tmpdir, "ck"), ["value"]
+        )
+    with _pytest.raises(ValueError, match="local-filesystem-only"):
+        ev.upsert_sink(
+            dummy, os.path.join(tmpdir, "t"), "hdfs://nn/ck", ["value"]
+        )
+
+
 def test_upsert_sink_applies_cdc_stream(spark, tmpdir):
     """Streaming MERGE: micro-batches of changes maintain a parquet
     table — inserts land, updates win by ts, deletes remove, and a

@@ -49,6 +49,19 @@ def test_csv_roundtrip_distinguishes_null_from_empty(spark, tmp_path):
     assert back[3] == ""
 
 
+def test_csv_write_rejects_sentinel_valued_cell(spark, tmp_path):
+    """A real cell equal to CSV_NULL_SENTINEL would silently read back
+    as NULL (ADVICE r5) — the writer's sentinel check fails fast."""
+    from data_pipeline2_spark.sources import text_formats as tf
+
+    rows = [(1, tf.CSV_NULL_SENTINEL, "en", "s1", 5)]
+    docs = spark.createDataFrame(rows, SCHEMA)
+    with pytest.raises(ValueError, match="NULL sentinel"):
+        tf.write_csv(docs, str(tmp_path / "bad"))
+    # opt-out still writes (documented hazard)
+    tf.write_csv(docs, str(tmp_path / "bad"), check_sentinel=False)
+
+
 def test_embedding_dim_stats_values(spark):
     from data_pipeline2_spark.operators.similarity import embedding_dim_stats
 
