@@ -115,50 +115,36 @@ def _driver_verified_keys() -> set:
             hash_ok = v.get("hash_match") in (True, None)  # None: rows-only
             if rows_ok and schema_ok and hash_ok:
                 out.add(k)
-    result = out if found else set(_VERIFIED_R01)
+    # no CORRECTNESS files readable (fresh clone): nothing is verified,
+    # so every key leads in registration order — the safe default
+    result = out if found else set()
     _VERIFIED_MEMO[0], _VERIFIED_MEMO[1] = fingerprint, result
     return result
 
 
-# Keys deliberately parked BEHIND the driver's ~50-key window even though
-# they lack a green row: their output is non-deterministic by design
-# (driver-side sampled k-means fit → cell assignment varies with Arrow
-# batching), so a driver slot spent on them can never go green. Their
-# verification proxy is `knn_batch_ivf_exact` (identical probe semantics,
-# deterministic centroid seed, oracled) + pytest recall checks in
-# tests/test_dedup_similarity.py. VERDICT r2 item 1c prescribed exactly
-# this demotion.
-_DEMOTED = frozenset({"knn_batch_ivf"})
-
-_VERIFIED_R01 = {
-    "filter_term", "point_lookup_doc", "point_lookup_job", "project_status",
-    "fulltext_match", "metadata_filter", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_revenue_by_nation", "q7_volume_shipping",
-    "q8_market_share", "q9_profit_by_nation_year", "q13_customer_distribution",
-    "q15_top_supplier", "q17_small_quantity_revenue", "q19_banded_revenue",
-    "q22_dormant_high_balance", "sort_limit", "topk_per_group", "set_ops",
-    "window_funcs", "rollup_counts", "agg_distribution", "join_lookup",
-    "q4_order_priority", "q10_returned_revenue", "q14_promo_revenue",
-    "q6_forecast_revenue", "q18_large_orders", "join_outer_zero_orders",
-    "join_asof", "join_range", "hypertable_rollup", "cube_counts",
-    "window_running_sum", "scalar_functions", "array_functions",
-    "ingest_documents", "mime_detect", "chunk_fixed", "chunk_overlap",
-    "chunk_sentence", "chunk_markdown", "chunk_metadata_enrich",
-    "chunk_fallback", "base64_roundtrip", "chunk_count_by_strategy",
-    "chunk_size_histogram", "chunk_token_budget", "pack_sequences",
-}
-
+# Keys whose EXPORTED semantics changed this round: their historical
+# green rows verified the old plan, so they re-queue immediately behind
+# the never-verified keys for a fresh driver check. Emptied once the
+# round's CORRECTNESS file shows them green again.
+# r6: both packing keys now shard (VERDICT r5 item 1 — no exported plan
+# may carry a single-task global window).
+_RECHECK = frozenset({"pretrain_pack", "dataset_interleave"})
 
 
 def _driver_order() -> list[QuerySpec]:
     """Pure data-driven rotation (VERDICT r3 item 6: the round-2/3
     priority tiers collapsed once their backlogs fully verified):
-    unverified keys lead in registration order, parked (verified or
-    demoted) keys trail in registration order. New operators register at
-    module tail, so they naturally queue behind any unverified backlog."""
-    parked = _driver_verified_keys() | _DEMOTED
+    unverified keys lead in registration order, then semantics-changed
+    keys queued for re-check, then parked verified keys — each tier in
+    registration order. New operators register at module tail, so they
+    naturally queue behind any unverified backlog. (The former _DEMOTED
+    tier died in r6 when knn_batch_ivf's export became oracle-able.)"""
+    parked = _driver_verified_keys()
     ordered = [q for q in _QUERIES if q.name not in parked]
-    ordered += [q for q in _QUERIES if q.name in parked]
+    ordered += [q for q in _QUERIES if q.name in parked and q.name in _RECHECK]
+    ordered += [
+        q for q in _QUERIES if q.name in parked and q.name not in _RECHECK
+    ]
     assert len(ordered) == len(_QUERIES)
     return ordered
 

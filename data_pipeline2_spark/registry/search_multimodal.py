@@ -138,13 +138,9 @@ def q_chunk_hybrid(spark, sf_dir):
     return chunking.chunk_hybrid(_t(spark, sf_dir, "documents"), 60, 12)
 
 
-@_register("knn_batch_ivf", None)
-def q_knn_batch_ivf(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    return similarity.knn_batch_ivf(emb, queries, k=3, n_clusters=8, n_probe=2)
+# (knn_batch_ivf moved to registry/vector_partsupp.py in round 6: the
+# exported key now uses the deterministic distributed fit so it is
+# oracle-able; the numpy sampled-fit operator stays library-only.)
 
 
 def _lsh_oracle_sql() -> str:

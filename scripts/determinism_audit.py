@@ -61,7 +61,7 @@ def main() -> int:
     from data_pipeline2_spark import registry
 
     qs = list(registry.queries())
-    parked = registry._driver_verified_keys() | registry._DEMOTED
+    parked = registry._driver_verified_keys() - registry._RECHECK
     window = [k for k in qs if k not in parked]
     print(f"# auditing {len(window)} unverified window keys", file=sys.stderr)
 

@@ -113,3 +113,49 @@ def test_exchange_budget_r5b(name, spark):
         f"{name}: plan has {n} hash/range exchanges, budget is "
         f"{BUDGET_R5B[name]} — a new shuffle entered this query's plan"
     )
+
+
+# round 6 (VERDICT r5 items 1+4): every remaining top-10 key from the
+# x10 wall table plus the re-sharded packing exports. The IVF plans
+# count the FINAL assignment/probe stages (the fixed-iteration fit runs
+# eagerly, its per-round exchanges are O(k*dim) metadata, not corpus).
+BUDGET_R6 = {
+    "knn_batch_ivf_exact": 5,   # assign window + probe window + rescore joins
+    "knn_batch_ivf": 5,         # same plan at n_probe=3
+    "knn_batch_lsh": 1,         # sig hash join (broadcast q) + top-k window
+    "knn_batch_ivfpq": 7,       # coarse IVF + ADC rank + exact rerank
+    "dup_graph_triangles": 4,   # minhash bands + verify + 2 pair joins
+    "pretrain_pack": 1,         # ONE per-source window (was a global
+                                # single-task window before r6)
+    "dataset_interleave": 2,    # per-(shard,source) pos + per-shard seq
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET_R6))
+def test_exchange_budget_r6(name, spark):
+    df = registry.queries()[name](spark, SF)
+    n = _exchanges(df)
+    assert n <= BUDGET_R6[name], (
+        f"{name}: plan has {n} hash/range exchanges, budget is "
+        f"{BUDGET_R6[name]} — a new shuffle entered this query's plan"
+    )
+
+
+def test_packing_exports_shard(spark):
+    """The exported packing plans must partition their windows (no
+    single-task global window — VERDICT r5 item 1): the executed plan's
+    window/sort nodes must carry the shard key, and building the plan
+    must not fire the operators' global-window UserWarning."""
+    import warnings
+
+    for key, shard in (("pretrain_pack", "source"), ("dataset_interleave", "shard")):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any UserWarning -> failure
+            df = registry.queries()[key](spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        assert shard in df.columns, key
+        win_lines = [l for l in plan.splitlines() if "Window" in l]
+        assert win_lines and all(shard in l for l in win_lines), (
+            key,
+            win_lines,
+        )

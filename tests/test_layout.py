@@ -160,14 +160,14 @@ def test_ivf_cell_partitioned_layout_prunes(spark, outdir):
 
 def _export_invariant(registry):
     """The actual ordering invariant, valid for any verified-set size:
-    every unverified (non-demoted) key precedes every parked key, the
+    every unverified key precedes every parked key, the
     driver window qs[:min(50, n_unparked)] therefore contains no parked
     key, and every unverified key occupying a verification slot carries
     an oracle. Parked keys backfilling window slots once n_unparked < 50
     is CORRECT (they just re-verify green)."""
     qs = list(registry.queries())
     verified = registry._driver_verified_keys()
-    parked = (verified | registry._DEMOTED) & set(qs)
+    parked = verified & set(qs)
     assert len(qs) == len(set(qs))  # no duplicates
     n_unparked = len(qs) - len(parked)
     window = qs[:min(50, n_unparked)]
