@@ -1118,3 +1118,155 @@ def lsh_tuning_curve(
         )
         out = cfg if out is None else out.unionByName(cfg)
     return out
+
+
+def containment_pairs(
+    candidates: DataFrame, shingles: DataFrame, threshold: float = 0.6
+) -> DataFrame:
+    """Asymmetric shingle-containment verification of candidate pairs
+    → (doc_a, doc_b, n_a, n_b, n_inter, containment_a, containment_b)
+    where containment_a = |sh(A) ∩ sh(B)| / |sh(A)| (Broder's
+    containment, the quote/boilerplate/subset-duplicate signal Jaccard
+    misses: a short doc fully embedded in a long one has containment
+    ~1.0 but Jaccard ~|A|/|B|). Pairs kept when EITHER direction
+    >= threshold. Same join shape and cost as jaccard_pairs.
+    """
+    counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("containment_a"),
+            F.round(F.col("n_inter") / F.col("n_b"), 6).alias("containment_b"),
+        )
+    )
+    return out.filter(
+        F.greatest(F.col("containment_a"), F.col("containment_b"))
+        >= threshold
+    )
+
+
+def dedup_containment(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    n_perm: int = N_PERM,
+    band_size: int = BAND_SIZE,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Subset-duplicate detection: the dedup_near_minhash pipeline with
+    a CONTAINMENT verify instead of Jaccard — finds docs that quote or
+    wholesale-embed other docs (containment >= threshold in either
+    direction) even when the symmetric Jaccard stays below the dedup
+    cut.
+
+    Candidate recall caveat (honest): the LSH banding is tuned for
+    JACCARD similarity, so a pair whose sizes differ by much more than
+    1/threshold can be contained yet rarely collide in a band; at lake
+    scale a dedicated containment index (e.g. a sample of A's shingles
+    probed against a shingle→doc inverted table, the "Finding
+    near-duplicates" / Shrivastava asymmetric-LSH family) replaces the
+    candidate stage, and the verify below is unchanged. The oracle
+    replays candidates + verify exactly, so what the operator claims
+    is what it computes.
+    """
+    sh_all = doc_shingles(
+        documents, shingle_n, id_col, text_col, distinct=False
+    ).select("doc_id", shingle_hash64(F.col("shingle")).alias("sh64"))
+    sigs = minhash_signature_cols(sh_all, n_perm).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(
+        lsh_band_keys_wide(sigs, n_perm, band_size)
+    ).localCheckpoint(eager=True)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = documents.join(cand_ids, id_col, "left_semi")
+    sh_cand = (
+        doc_shingles(cand_docs, shingle_n, id_col, text_col, distinct=False)
+        .select("doc_id", shingle_hash64(F.col("shingle")).alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return containment_pairs(cands, sh_cand, threshold)
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    train_pct: int = 8,
+    salt: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cluster-aware train/test split → (split, n_docs, n_clusters,
+    leak_pairs): every document of a near-dup CLUSTER lands in the same
+    split, so no near-duplicate of a training doc can sit in the test
+    set (the train/test-leakage failure mode of row-wise splits over
+    deduplicated-but-clustered corpora; cf. Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" §5).
+
+    Mechanics: near-dup pairs (default: the dedup_near_minhash
+    pipeline) → connected components (dedup_clusters) → singleton docs
+    keep their own id as cluster → the CLUSTER id (not the doc id)
+    hashes into train/test at train_pct/10 via the engine-portable
+    60-bit md5 fingerprint. leak_pairs counts verified near-dup pairs
+    straddling splits — 0 by construction, and the column makes the
+    guarantee hash-checkable in-plan rather than asserted in a test.
+
+    Scale shape: clustering cost is the dedup run the corpus needs
+    anyway; the split itself is one map-side hash + a doc_id-keyed
+    left join of the (tiny) clustered subset.
+    """
+    if pairs is None:
+        pairs = dedup_near_minhash(
+            documents, id_col=id_col, text_col=text_col
+        )
+    edge_pairs = pairs.select("doc_a", "doc_b")
+    clusters = dedup_clusters(edge_pairs)
+    ids = documents.select(F.col(id_col).alias("doc_id"))
+    labeled = ids.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    bucket = shingle_hash64(
+        F.concat(F.lit(salt + "|"), F.col("cluster_id").cast("string"))
+    ) % 10
+    split_col = F.when(bucket < train_pct, F.lit("train")).otherwise(
+        F.lit("test")
+    )
+    assigned = labeled.withColumn("split", split_col)
+    summary = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+    )
+    sa = assigned.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("__sa")
+    )
+    sb = assigned.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("__sb")
+    )
+    leaks = (
+        edge_pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("__sa") != F.col("__sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("leak_pairs"))
+    )
+    return summary.crossJoin(F.broadcast(leaks))

@@ -916,3 +916,106 @@ def market_basket(
         .orderBy(F.col("pair_orders").desc(), "part_a", "part_b")
         .limit(top)
     )
+
+
+def ivm_group_agg(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    group_col: str,
+    value_col: str,
+    ts_col: str = "change_ts",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental view maintenance of a per-group (count, sum) over a
+    CDC changeset → (grp, n_rows, val_sum, consistent).
+
+    The maintained aggregate is computed WITHOUT rescanning base rows:
+    base contributes only its existing per-group aggregate; the
+    changeset contributes retraction/insertion deltas (the Flink
+    retract-stream algebra / materialized-view delta rule): each
+    touched key retracts its old row's (+1, value) from the old group
+    and, unless deleted, inserts the new row's into the new group.
+    `consistent` compares the maintained aggregate against a full
+    recompute over merge_upsert(base, changes) per group — true
+    everywhere iff the delta algebra is exact (integers, so no
+    epsilon), making the IVM invariant hash-checkable in-plan.
+
+    `group_col` must be a column of base that change rows also carry
+    (key-derived groups satisfy this trivially). Scale shape: the only
+    base-sized work is the ONE existing aggregate (which a lake
+    maintains as the materialized view itself) plus a key semi-join of
+    base against the (small) changed-key set; everything else is
+    changeset-sized. The recompute arm exists for the self-check and
+    drops in production (it IS what IVM avoids).
+    """
+    from pyspark.sql.window import Window
+
+    payload = [c for c in base.columns if c not in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(),
+        F.col(op_col).desc(),
+        *[F.col(p).asc_nulls_first() for p in payload],
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    old = base.join(latest.select(*key_cols), key_cols, "left_semi")
+    neg = old.select(
+        F.col(group_col).alias("grp"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col(value_col)).cast("long").alias("dv"),
+    )
+    pos = latest.filter(F.col(op_col) != "D").select(
+        F.col(group_col).alias("grp"),
+        F.lit(1).cast("long").alias("dn"),
+        F.col(value_col).cast("long").alias("dv"),
+    )
+    delta = (
+        neg.unionByName(pos)
+        .groupBy("grp")
+        .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
+    )
+    base_agg = base.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(value_col).cast("long").alias("s0"),
+    )
+    maintained = (
+        base_agg.join(delta, "grp", "full_outer")
+        .select(
+            "grp",
+            (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("long")
+            .alias("n_rows"),
+            (F.coalesce("s0", F.lit(0)) + F.coalesce("dv", F.lit(0)))
+            .cast("long")
+            .alias("val_sum"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    recompute = (
+        merge_upsert(base, changes, key_cols, ts_col, op_col)
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rn"),
+            F.sum(value_col).cast("long").alias("rs"),
+        )
+    )
+    return (
+        maintained.join(recompute, "grp", "full_outer")
+        .select(
+            "grp",
+            F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce("val_sum", F.lit(0)).cast("long").alias("val_sum"),
+            (
+                F.coalesce("n_rows", F.lit(0)).eqNullSafe(
+                    F.coalesce("rn", F.lit(0))
+                )
+                & F.coalesce("val_sum", F.lit(0)).eqNullSafe(
+                    F.coalesce("rs", F.lit(0))
+                )
+            ).alias("consistent"),
+        )
+    )

@@ -654,3 +654,99 @@ def audio_resample_stats(documents: DataFrame, id_col: str = "doc_id") -> DataFr
         "asset_id long, decim int, n_samples long, sample_rate int, "
         "sum_samples long, sum_squares long, transitions long",
     )
+
+
+AHASH_SCHEMA = (
+    "asset_id long, width int, height int, hash_hi long, hash_lo long"
+)
+
+
+def image_ahash(assets: DataFrame, codec: str = "gif") -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels → (asset_id,
+    width, height, hash_hi, hash_lo): the image near-dup fingerprint
+    (aHash — 8x8 block means thresholded at the global mean; resize /
+    re-encode / palette-shuffle variants of one image collapse to
+    nearby hashes, Hamming distance = visual difference).
+
+    Exactness: block membership is the integer grid map gx=(x*8)//w,
+    and each bit compares block_sum * total_px > total_sum * block_px —
+    cross-multiplied INTEGER arithmetic, no float mean, so the oracle
+    replays the closed-form fixture pixels bit-for-bit. The 64 bits
+    split into two longs (hi = blocks 32..63) to stay inside signed
+    BIGINT on both engines. The decode itself is the full real chain
+    (LZW/defilter + palette lookup), same as decode_palette_stats.
+
+    Scale shape: map-only (one pandas batch per task, no shuffle);
+    downstream near-dup joins consume 16 bytes/asset. The aHash is the
+    oracle-checkable stand-in for pHash/CLIP-embedding image dedup —
+    swap the per-row function, keep the plan.
+    """
+    if codec not in ("png", "gif"):
+        raise ValueError(f"unsupported ahash codec {codec!r}")
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from data_pipeline2_spark.functions.imagecodec import (
+            decode_gif,
+            decode_png,
+        )
+
+        decode = decode_png if codec == "png" else decode_gif
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = decode(bytes(payload))
+                h, w = arr.shape[0], arr.shape[1]
+                red = arr[:, :, 0].astype(np.int64)
+                gx = (np.arange(w, dtype=np.int64) * 8) // w
+                gy = (np.arange(h, dtype=np.int64) * 8) // h
+                blk = (gy[:, None] * 8 + gx[None, :]).ravel()
+                bsum = np.bincount(blk, weights=red.ravel(), minlength=64)
+                bsum = bsum.astype(np.int64)  # int weights < 2^53: exact
+                npx = np.bincount(blk, minlength=64).astype(np.int64)
+                total = int(red.sum())
+                bits = (bsum * (w * h)) > (total * npx)
+                hi = sum(1 << (k - 32) for k in range(32, 64) if bits[k])
+                lo = sum(1 << k for k in range(32) if bits[k])
+                rows.append((int(aid), w, h, int(hi), int(lo)))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "width", "height", "hash_hi", "hash_lo"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        hashes, AHASH_SCHEMA
+    )
+
+
+def ahash_dup_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Near-duplicate image pairs by aHash Hamming distance →
+    (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming.
+
+    All-pairs here (the fixture sets are small); at media-lake scale
+    bucket by hash bands first (split the 64 bits into 4x16-bit bands,
+    equi-join on any matching band — the simhash/LSH trick: a pair
+    within Hamming 10 must agree exactly on >= 1 of 4 bands when
+    distance < 4... pigeonhole guarantees a shared band for d <= 3 and
+    high recall beyond) and verify with the same xor-popcount below.
+    """
+    a = hashes.select(
+        F.col("asset_id").alias("id_a"),
+        F.col("hash_hi").alias("__ha"),
+        F.col("hash_lo").alias("__la"),
+    )
+    b = hashes.select(
+        F.col("asset_id").alias("id_b"),
+        F.col("hash_hi").alias("__hb"),
+        F.col("hash_lo").alias("__lb"),
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))) + F.bit_count(
+        F.col("__la").bitwiseXOR(F.col("__lb"))
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -452,3 +452,168 @@ def curation_report(
         F.round(F.col("q_sum") / F.greatest(F.col("n_text"), F.lit(1)), 6)
         .alias("mean_quality"),
     )
+
+
+def strip_boilerplate_stats(
+    documents: DataFrame,
+    min_docs: int = 2,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate-line removal report → (doc_id,
+    n_lines, n_boiler, chars_total, chars_kept).
+
+    A line (trimmed, non-blank) is boilerplate when its fingerprint
+    appears in >= `min_docs` DISTINCT documents of the SAME source —
+    the nav-bar / footer / cookie-banner signature (C4 strips exact
+    repeated lines the same way; CCNet hashes paragraphs per snapshot).
+    Documents whose every line is blank produce no row (mirrored in the
+    oracle).
+
+    Scale shape: lines explode map-side and aggregate ONCE on
+    (source, 60-bit line fingerprint) carrying only longs; the
+    boilerplate set per source is tiny (repeated lines) and joins back
+    to the exploded lines on the same (source, fingerprint) key —
+    every exchange carries ~16 B/line fingerprints regardless of line
+    length (3 exchanges, budget-asserted). At 100 TB, compute the
+    boilerplate table per crawl
+    snapshot and broadcast it (it is the small side by construction).
+    """
+    t = F.col(text_col)
+    lines = documents.filter(t.isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("__grp"),
+        F.explode(
+            F.transform(_nonblank_lines(t), lambda x: F.trim(x))
+        ).alias("line"),
+    )
+    hashed = lines.select(
+        "doc_id",
+        "__grp",
+        shingle_hash64(F.col("line")).alias("line_h"),
+        F.length("line").cast("long").alias("line_len"),
+    )
+    boiler = (
+        hashed.select("__grp", "line_h", "doc_id")
+        .distinct()
+        .groupBy("__grp", "line_h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__grp", "line_h", F.lit(True).alias("__boiler"))
+    )
+    flagged = hashed.join(boiler, ["__grp", "line_h"], "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("__boiler").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_boiler"),
+        F.sum("line_len").cast("long").alias("chars_total"),
+        F.sum(
+            F.when(F.col("__boiler").isNull(), F.col("line_len")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("chars_kept"),
+    )
+
+
+# fixed-point scale for the unigram log-prob integerization: floor at
+# 1e10 keeps ~10 significant decimals of ln(p) while staying far from
+# BIGINT overflow (|ln p| < 30 → |term| < 3e11; x 1e6 tokens/doc OK)
+_LOGPROB_SCALE = 10_000_000_000
+
+
+def unigram_logprob(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average unigram-LM log-probability → (doc_id,
+    n_tokens, logprob_sum_scaled, avg_logprob).
+
+    The real KenLM-style quality proxy (perplexity ∝ exp(-avg_logprob))
+    that `token_rarity.freq_sum` stood in for: p(w) = corpus-count(w) /
+    corpus-total, score = Σ ln p(w) / n_tokens. Float log-sums are
+    partition-order-dependent, so each term integerizes FIRST:
+    term(w) = floor(ln(p) * 1e10) as BIGINT — floor is toward -inf in
+    both engines, ln of the same IEEE division bit-matches, and the
+    BIGINT sum is associative, making the result partition-order-free
+    and oracle-exact (the idiom zscore_outliers uses decimals for,
+    in log space).
+
+    Scale shape: identical to token_rarity — one unigram aggregation
+    (shuffle = distinct words), one per-doc join-agg over exploded
+    tokens; AQE skew-join absorbs the stopword head.
+    """
+    t = F.col(text_col)
+    toks = documents.filter(t.isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(tokens(t), lambda w: F.lower(w))).alias("w"),
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("__total"))
+    term = F.floor(
+        F.log(F.col("c").cast("double") / F.col("__total").cast("double"))
+        * F.lit(float(_LOGPROB_SCALE))
+    ).cast("long")
+    scored = toks.join(counts, "w").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(term).cast("long").alias("logprob_sum_scaled"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logprob_sum_scaled",
+            F.round(
+                F.col("logprob_sum_scaled")
+                / F.lit(float(_LOGPROB_SCALE))
+                / F.col("n_tokens"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL form: lowercase scheme://host (www. stripped),
+    fragment dropped, tracking params (utm_*, ref) removed, separators
+    cleaned. Pure regexp chain — engine-portable (conservative RE2
+    syntax, mirrored verbatim in the DuckDB oracle)."""
+    u = F.regexp_replace(url, "#.*$", "")  # fragment
+    head = F.lower(F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+)", 1))
+    head = F.regexp_replace(head, "://www\\.", "://")
+    rest = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+", "")
+    rest = F.regexp_replace(rest, "(utm_[a-z]+|ref)=[^&]*&", "")
+    rest = F.regexp_replace(rest, "[?&](utm_[a-z]+|ref)=[^&]*$", "")
+    rest = F.regexp_replace(rest, "\\?&", "?")
+    rest = F.regexp_replace(rest, "[?&]$", "")
+    return F.concat(head, rest)
+
+
+def url_canonical_groups(
+    urls: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse a URL column by canonical form → (canon_url, n_urls,
+    keep_id): the URL-level exact-dedup pass a crawl pipeline runs
+    BEFORE fetching / content dedup — tracking-parameter and case
+    variants of one page collapse to one group, keeper = min id.
+
+    One hash exchange on the canonical string; at crawl scale swap the
+    string key for its 60-bit fingerprint (shingle_hash64) so the
+    shuffle carries longs."""
+    return (
+        urls.select(
+            canonicalize_url(F.col(url_col)).alias("canon_url"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )

@@ -234,10 +234,13 @@ from data_pipeline2_spark.registry.ingest_chunk import (  # noqa: E402
 from data_pipeline2_spark.streaming import events as ev  # noqa: E402
 
 
-@_register(
-    "merge_upsert",
-    """
-    WITH base AS (
+# Shared CDC fixture (merge_upsert + round-6 ivm_agg_delta): orders as
+# the base table in integer cents, a deterministically derived
+# changeset — updates (%7: status X, +999 cents), inserts (%31,
+# key+10M), deletes (%13, later ts — wins over an overlapping %7
+# update) — and the latest-change-per-key resolution with the
+# operator's full payload tie-break mirrored.
+_CDC_BASE_CHANGES_CTES = """base AS (
       SELECT o_orderkey, o_orderstatus,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                AS total_cents
@@ -259,7 +262,9 @@ from data_pipeline2_spark.streaming import events as ev  # noqa: E402
                                               o_orderstatus ASC NULLS FIRST,
                                               total_cents ASC NULLS FIRST) AS rn
         FROM changes) WHERE rn = 1
-    )
+    )"""
+
+_CDC_MERGED_SELECT = """
     SELECT o_orderkey,
            CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
                 ELSE b.o_orderstatus END AS o_orderstatus,
@@ -267,13 +272,11 @@ from data_pipeline2_spark.streaming import events as ev  # noqa: E402
                 ELSE b.total_cents END AS total_cents
     FROM base b FULL JOIN latest c USING (o_orderkey)
     WHERE c.op IS NULL OR c.op <> 'D'
-    """,
-)
-def q_merge_upsert(spark, sf_dir):
-    """MERGE INTO semantics over a deterministically derived changeset:
-    updates (%7: status X, +999 cents), inserts (%31, key+10M), deletes
-    (%13, later ts — wins over an overlapping %7 update, exercising
-    latest-change-per-key)."""
+"""
+
+
+def _cdc_base_changes(spark, sf_dir):
+    """Spark twin of _CDC_BASE_CHANGES_CTES → (base, changes)."""
     orders = _t(spark, sf_dir, "orders")
     key = F.col("o_orderkey")
     base = orders.select(
@@ -298,7 +301,22 @@ def q_merge_upsert(spark, sf_dir):
         F.lit(None).cast("string").alias("o_orderstatus"),
         F.lit(None).cast("long").alias("total_cents"),
     )
-    changes = upd.unionByName(ins).unionByName(dels)
+    return base, upd.unionByName(ins).unionByName(dels)
+
+
+@_register(
+    "merge_upsert",
+    f"""
+    WITH {_CDC_BASE_CHANGES_CTES}
+    {_CDC_MERGED_SELECT}
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics over a deterministically derived changeset:
+    updates (%7: status X, +999 cents), inserts (%31, key+10M), deletes
+    (%13, later ts — wins over an overlapping %7 update, exercising
+    latest-change-per-key)."""
+    base, changes = _cdc_base_changes(spark, sf_dir)
     return joins.merge_upsert(base, changes, ["o_orderkey"])
 
 

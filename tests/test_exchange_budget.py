@@ -131,6 +131,26 @@ BUDGET_R6 = {
 }
 
 
+# round-6 NEW operators: budgets measured at introduction. The CC-based
+# and IVM keys count their full self-check plans (leakage_safe_split
+# includes the pair verify + split joins behind eager checkpoints;
+# ivm_agg_delta includes the recompute arm that production drops).
+BUDGET_R6_NEW = {
+    "strip_boilerplate": 3,     # line agg + boiler distinct + join-back
+    "unigram_logprob": 3,       # unigram agg + per-doc join-agg
+    "url_canonicalize": 1,      # ONE groupBy on the canonical key
+    "dedup_containment": 3,     # sig agg + band join + containment verify
+    "leakage_safe_split": 13,   # minhash verify + CC labels + split joins
+    "ivm_agg_delta": 8,         # delta algebra + IVM merge + recompute arm
+    "zorder_layout": 1,         # one groupBy on the z-range (key is map-side)
+    "image_ahash": 0,           # map-only decode + hash
+    "image_ahash_pairs": 0,     # broadcast-able all-pairs over 16-B hashes
+}
+
+
+BUDGET_R6 = {**BUDGET_R6, **BUDGET_R6_NEW}
+
+
 @pytest.mark.parametrize("name", sorted(BUDGET_R6))
 def test_exchange_budget_r6(name, spark):
     df = registry.queries()[name](spark, SF)
