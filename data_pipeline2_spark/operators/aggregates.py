@@ -393,3 +393,119 @@ def approx_quantile_check(
         F.round(p_expr, 2).alias("p"),
         ((lo <= p_expr + tol) & (hi >= p_expr - tol)).alias("approx_ok"),
     )
+
+
+# ---------------------------------------------------------------- higher
+# moments / time-series resampling (round 6)
+
+
+def higher_moments(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group median, stddev, skewness and excess kurtosis computed
+    from EXACT integer power sums.
+
+    Built-in `skewness`/`kurtosis` are definitional minefields across
+    engines (population vs sample adjustment, Bessel corrections), and
+    double power sums are partition-order-dependent. Here `value_col`
+    must hold integral values (cast to bigint); the four power sums
+    S1..S4 are exact bigints — associative, shuffle-safe, identical on
+    any engine — and the moments derive from one fixed double formula
+    over those exact sums:
+
+        mu  = S1/n
+        m2  = S2/n - mu^2                       (population variance)
+        m3  = S3/n - 3*mu*S2/n + 2*mu^3
+        m4  = S4/n - 4*mu*S3/n + 6*mu^2*S2/n - 3*mu^4
+        skew = m3 / m2^1.5 ; exkurt = m4 / m2^2 - 3
+
+    At scale this is a plain partial+final hash agg: five exact
+    accumulators per group, one shuffle of group-width rows. The median
+    is Spark's exact `percentile` (linear interpolation, same contract
+    as DuckDB's quantile_cont) — the only non-sketch part; swap for
+    `percentile_approx` when the per-group value set stops fitting an
+    executor.
+
+    → (group, n, median, mean, stddev_pop, skewness, exkurtosis)
+    """
+    v = F.col(value_col).cast("long")
+    agg = df.groupBy(group_col).agg(
+        F.count(v).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+        F.percentile(v, 0.5).alias("med"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - F.lit(3.0) * mu * (F.col("s2") / n) + F.lit(
+        2.0
+    ) * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * mu * (F.col("s3") / n)
+        + F.lit(6.0) * mu * mu * (F.col("s2") / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return agg.select(
+        F.col(group_col),
+        F.col("n"),
+        F.round(F.col("med"), round_to).alias("median"),
+        F.round(mu, round_to).alias("mean"),
+        F.round(F.sqrt(m2), round_to).alias("stddev_pop"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), round_to).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), round_to).alias("exkurtosis"),
+    )
+
+
+def resample_ohlc(
+    events: DataFrame,
+    interval_sec: int = 300,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Resample an event stream into fixed epoch-aligned buckets with
+    OHLC semantics: open/close = the value at the lexicographically
+    first/last (ts, id) in the bucket, high/low = max/min, volume =
+    count, value_sum = exact decimal sum.
+
+    Open/close ride Spark's struct ordering — `min(struct(ts, id, v))`
+    is a single partial-aggregable accumulator, so the whole operator
+    is one map-side-combined hash agg per (group, bucket): no window
+    function, no per-bucket sort, linear at any scale. The bucket key
+    is integer epoch seconds (floor(epoch/interval)*interval) — engine-
+    portable, and the natural partition column for a time-series lake
+    layout (hypertable_rollup's coarser cousin).
+
+    → (group, bucket_s, open, high, low, close, volume, value_sum)
+    """
+    bucket = (
+        F.floor(F.col(ts_col).cast("double") / F.lit(float(interval_sec)))
+        .cast("long")
+        * F.lit(int(interval_sec)).cast("long")
+    ).alias("bucket_s")
+    tagged = events.select(
+        F.col(group_col),
+        bucket,
+        F.struct(
+            F.col(ts_col).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(value_col).alias("v"),
+        ).alias("tiv"),
+        F.col(value_col).alias("v"),
+    )
+    return tagged.groupBy(group_col, "bucket_s").agg(
+        F.min("tiv").getField("v").alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max("tiv").getField("v").alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+        exact_sum(F.col("v"), scale=6).alias("value_sum"),
+    )

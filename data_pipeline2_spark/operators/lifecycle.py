@@ -102,3 +102,64 @@ def validate_transitions(status_log: DataFrame) -> DataFrame:
     return with_prev.filter(
         F.col("prev_status").isin(*TERMINAL) & ~F.col("status").isin(*TERMINAL)
     )
+
+
+# ---------------------------------------------------------------- rate
+# limiting (reference: API_RATE_LIMIT, .env.example:45 — 100 req/min)
+
+
+def rate_limit_flags(
+    events: DataFrame,
+    cap: int = 100,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    bucket: str = "minute",
+) -> DataFrame:
+    """Per-event admission flag under a fixed-window rate limit: within
+    each (key, date_trunc(bucket, ts)) window the first `cap` events by
+    (ts, id) are admitted, the rest rejected.
+
+    This is the replayable batch semantics of the reference's API rate
+    limiter (.env.example:45: 100 requests/minute per client) — the one
+    reference knob with no engine analog until now. The window
+    partitions on (key, bucket) so admission is embarrassingly parallel
+    across keys and windows: at 100 TB the only shuffle carries
+    (key, bucket)-hashed rows, no global ordering anywhere. The same
+    expression runs under Structured Streaming on a keyed state or a
+    foreachBatch sink, since a fixed window never spans microbatches
+    once the stream is bucketed by event time.
+
+    → input columns + (win_start timestamp, admitted boolean)
+    """
+    win = F.date_trunc(bucket, F.col(ts_col))
+    w = Window.partitionBy(F.col(key_col), win).orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    return events.withColumn("win_start", win).withColumn(
+        "admitted", F.row_number().over(w) <= F.lit(cap)
+    )
+
+
+def rate_limit_admission(
+    events: DataFrame,
+    cap: int = 100,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    bucket: str = "minute",
+) -> DataFrame:
+    """Per-key admission report under `rate_limit_flags` semantics:
+    how many events a key sent, how many the limiter admitted/rejected,
+    and in how many distinct windows the key hit the limit.
+
+    → (key, n_events, n_admitted, n_rejected, n_limited_windows)
+    """
+    flagged = rate_limit_flags(events, cap, key_col, ts_col, id_col, bucket)
+    rejected_win = F.when(~F.col("admitted"), F.col("win_start"))
+    return flagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("admitted").cast("long")).alias("n_admitted"),
+        F.sum((~F.col("admitted")).cast("long")).alias("n_rejected"),
+        F.count_distinct(rejected_win).alias("n_limited_windows"),
+    )

@@ -1783,3 +1783,92 @@ def hybrid_search_rrf_batch(
         .drop("__rn")
         .orderBy("qid", F.desc("rrf_score"), "doc_id")
     )
+
+
+# ---------------------------------------------------------------- retrieval
+# quality evaluation (round 6)
+
+
+def retrieval_eval(
+    embeddings: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Retrieval-quality metrics for the similarity stack: recall@k and
+    MRR@k of exact cosine top-k against label ground truth.
+
+    One query per label (the lowest-id vector of that label, so the
+    query set is seed-free and reproducible); candidates are the whole
+    corpus minus the query vector itself; a candidate is relevant iff it
+    shares the query's label. Metrics per query:
+
+      hits_at_k      relevant candidates in the top k
+      recall_at_k    hits / total relevant in the corpus
+      first_rel_rank rank of the first relevant hit within top k (0 = none)
+      mrr_at_k       1 / first_rel_rank (0 when no hit in top k)
+
+    Physical shape = knn_batch: the query set broadcasts, scoring is
+    map-side over the corpus with zero corpus shuffle, and the only
+    exchanges are the per-qid top-k window plus the label-count
+    broadcast join. This is the evaluation harness you run BEFORE
+    swapping the exact scorer for an ANN path (LSH/IVF/PQ keys) — the
+    same call with the ANN candidates substituted measures the recall
+    the approximation costs.
+
+    → (qid, qlabel, n_relevant, hits_at_k, recall_at_k,
+       first_rel_rank, mrr_at_k)
+    """
+    wq = Window.partitionBy(label_col).orderBy(F.col(id_col))
+    queries = (
+        embeddings.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qvec"),
+            F.col(label_col).alias("qlabel"),
+        )
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col(id_col),
+            (F.col(label_col) == F.col("qlabel")).cast("int").alias("rel"),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("qvec")), SCORE_ROUND
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col(id_col))
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    per_q = topk.groupBy("qid", "qlabel").agg(
+        F.sum("rel").cast("long").alias("hits_at_k"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("__frr"),
+    )
+    rel_counts = embeddings.groupBy(F.col(label_col).alias("qlabel")).agg(
+        (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("n_relevant")
+    )
+    return per_q.join(F.broadcast(rel_counts), "qlabel").select(
+        "qid",
+        "qlabel",
+        "n_relevant",
+        "hits_at_k",
+        F.round(
+            F.col("hits_at_k") / F.greatest(F.col("n_relevant"), F.lit(1)), 6
+        ).alias("recall_at_k"),
+        F.coalesce(F.col("__frr"), F.lit(0)).cast("int").alias(
+            "first_rel_rank"
+        ),
+        F.round(
+            F.when(
+                F.col("__frr").isNotNull(), F.lit(1.0) / F.col("__frr")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mrr_at_k"),
+    )

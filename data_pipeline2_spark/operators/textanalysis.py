@@ -1140,3 +1140,63 @@ def bm25_search_batch(
         # pin the documented per-query ranking explicitly
         .orderBy("qid", F.desc("score"), "doc_id")
     )
+
+
+# ---------------------------------------------------------------- unicode
+# normalization (round 6)
+
+
+def nfc_normalize_udf():
+    """Vectorized NFC normalization + whitespace canonicalization:
+    unicodedata.normalize('NFC', s), then runs of ASCII whitespace or
+    NBSP collapse to one space, then trim.
+
+    The CCNet/C4-style canonical-form pass that must run BEFORE any
+    hash-based dedup — 'e'+COMBINING ACUTE and precomposed 'é' are the
+    same text but different bytes, so without NFC the exact-dedup hash
+    family silently misses them. Arrow-batched pandas_udf (the JVM has
+    no NFC builtin); pure per-row map work, no shuffle, linear at any
+    scale. The whitespace class is spelled explicitly ([ \\t\\r\\n\\f
+    NBSP]) rather than \\s so the contract is engine-portable: Python's
+    unicode \\s and RE2's ASCII \\s disagree on NBSP.
+    """
+    import re
+    import unicodedata
+
+    pat = re.compile("[ \t\r\n\f\u00a0]+")
+
+    @F.pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            return pat.sub(" ", unicodedata.normalize("NFC", x)).strip()
+
+        return s.map(one)
+
+    return norm
+
+
+def normalize_text_report(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document normalization report: codepoint counts before/after
+    NFC+whitespace canonicalization, a changed flag, and the md5 of the
+    normalized form (so an oracle can value-check the actual bytes
+    without shipping the text).
+
+    → (doc_id, n_raw, n_norm, changed, norm_md5)
+    """
+    norm = nfc_normalize_udf()(F.col(text_col))
+    out = docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_raw"),
+        norm.alias("__norm"),
+    )
+    return out.select(
+        id_col,
+        "n_raw",
+        F.length("__norm").alias("n_norm"),
+        (F.length("__norm") != F.col("n_raw")).alias("changed"),
+        F.md5(F.encode(F.col("__norm"), "UTF-8")).alias("norm_md5"),
+    )

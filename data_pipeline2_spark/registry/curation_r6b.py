@@ -1,0 +1,276 @@
+"""Round-6 second batch: reference-parity closures and evaluation
+operators.
+
+- `events_rate_limit` closes the last reference knob with no engine
+  analog (API_RATE_LIMIT, reference .env.example:45 — 100 req/min per
+  client) as replayable fixed-window admission semantics.
+- `retrieval_metrics` is the recall@k / MRR@k harness for the ANN
+  stack — the measurement you run before trading the exact scorer for
+  the LSH/IVF/PQ scale paths.
+- `text_normalize` is the NFC + whitespace canonical-form pass that
+  must precede hash dedup (combining-sequence variants of the same
+  text hash differently without it).
+- `agg_higher_moments`, `ntile_segments`, `events_resample_ohlc`
+  complete the statistics surface (skew/kurtosis from exact integer
+  power sums, quantile segmentation, OHLC time-series resampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline2_spark.operators import (
+    aggregates,
+    lifecycle,
+    similarity,
+    textanalysis,
+)
+from data_pipeline2_spark.registry._core import _cos_sql, _register, _t
+
+# ---------------------------------------------------------------- rate
+# limiting (reference .env.example:45)
+
+
+@_register(
+    "events_rate_limit",
+    """
+    WITH f AS (
+      SELECT user_id, date_trunc('minute', ts) AS w,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('minute', ts)
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN rn <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_admitted,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rejected,
+           CAST(count(DISTINCT CASE WHEN rn > 1 THEN w END) AS BIGINT)
+             AS n_limited_windows
+    FROM f GROUP BY user_id
+    """,
+)
+def q_events_rate_limit(spark, sf_dir):
+    """Fixed-window admission control, cap=1/minute per user (the
+    driver-SF analog of the reference's 100 req/min — testdata peaks at
+    2 events per user-minute, so cap=1 exercises real rejections)."""
+    return lifecycle.rate_limit_admission(
+        _t(spark, sf_dir, "events"), cap=1, bucket="minute"
+    )
+
+
+# ---------------------------------------------------------------- retrieval
+# evaluation
+
+
+@_register(
+    "retrieval_metrics",
+    f"""
+    WITH q AS (
+      SELECT label AS qlabel, min(vec_id) AS qid
+      FROM embeddings GROUP BY label
+    ), qv AS (
+      SELECT q.qid, q.qlabel, e.embedding AS qvec
+      FROM q JOIN embeddings e ON e.vec_id = q.qid
+    ), s AS (
+      SELECT qv.qid, qv.qlabel, e.vec_id,
+             CASE WHEN e.label = qv.qlabel THEN 1 ELSE 0 END AS rel,
+             round({_cos_sql('e.embedding', 'qv.qvec')}, 6) AS score
+      FROM embeddings e CROSS JOIN qv
+      WHERE e.vec_id <> qv.qid
+    ), r AS (
+      SELECT qid, qlabel, rel,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+      FROM s
+    ), t AS (SELECT * FROM r WHERE rank <= 10),
+    pq AS (
+      SELECT qid, qlabel,
+             CAST(sum(rel) AS BIGINT) AS hits_at_k,
+             min(CASE WHEN rel = 1 THEN rank END) AS frr
+      FROM t GROUP BY qid, qlabel
+    ), rc AS (
+      SELECT label AS qlabel, CAST(count(*) - 1 AS BIGINT) AS n_relevant
+      FROM embeddings GROUP BY label
+    )
+    SELECT pq.qid, pq.qlabel, rc.n_relevant, pq.hits_at_k,
+           round(pq.hits_at_k / greatest(rc.n_relevant, 1), 6)
+             AS recall_at_k,
+           CAST(coalesce(pq.frr, 0) AS INT) AS first_rel_rank,
+           round(CASE WHEN pq.frr IS NOT NULL THEN 1.0 / pq.frr
+                      ELSE 0.0 END, 6) AS mrr_at_k
+    FROM pq JOIN rc USING (qlabel)
+    """,
+)
+def q_retrieval_metrics(spark, sf_dir):
+    """recall@10 / MRR@10 of exact cosine retrieval against label
+    ground truth, one query per label (lowest vec_id)."""
+    return similarity.retrieval_eval(_t(spark, sf_dir, "embeddings"), k=10)
+
+
+# ---------------------------------------------------------------- unicode
+# normalization
+
+# Every doc gets a deterministic non-NFC suffix (combining acute +
+# NBSP), so the pass provably changes bytes and the md5 check verifies
+# the exact normalized form cross-engine.
+_NORM_SUFFIX_SQL = "' Cafe' || chr(769) || chr(160) || 'x'"
+_NORM_WS_CLASS = "'[ \\t\\r\\n\\f' || chr(160) || ']+'"
+
+
+@_register(
+    "text_normalize",
+    f"""
+    WITH fx AS (
+      SELECT doc_id, text || {_NORM_SUFFIX_SQL} AS raw FROM documents
+    ), n AS (
+      SELECT doc_id, raw,
+             trim(regexp_replace(nfc_normalize(raw),
+                                 {_NORM_WS_CLASS}, ' ', 'g')) AS norm
+      FROM fx
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS INT) AS n_raw,
+           CAST(length(norm) AS INT) AS n_norm,
+           length(norm) <> length(raw) AS changed,
+           md5(norm) AS norm_md5
+    FROM n
+    """,
+)
+def q_text_normalize(spark, sf_dir):
+    """NFC + whitespace canonicalization report with md5 value check
+    of the normalized bytes (pandas_udf vs DuckDB nfc_normalize)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" Cafe\u0301\u00a0x")).alias("text"),
+    )
+    return textanalysis.normalize_text_report(docs)
+
+
+# ---------------------------------------------------------------- moments /
+# segmentation / resampling
+
+
+@_register(
+    "agg_higher_moments",
+    """
+    WITH v AS (
+      SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS q
+      FROM lineitem
+    ), a AS (
+      SELECT l_returnflag,
+             CAST(count(q) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS s1,
+             CAST(sum(q * q) AS BIGINT) AS s2,
+             CAST(sum(q * q * q) AS BIGINT) AS s3,
+             CAST(sum(q * q * q * q) AS BIGINT) AS s4,
+             quantile_cont(q, 0.5) AS med
+      FROM v GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(med, 6) AS median,
+           round(s1 / cn, 6) AS mean,
+           round(sqrt(s2 / cn - (s1 / cn) * (s1 / cn)), 6) AS stddev_pop,
+           round((s3 / cn - 3.0 * (s1 / cn) * (s2 / cn)
+                  + 2.0 * (s1 / cn) * (s1 / cn) * (s1 / cn))
+                 / pow(s2 / cn - (s1 / cn) * (s1 / cn), 1.5), 6)
+             AS skewness,
+           round((s4 / cn - 4.0 * (s1 / cn) * (s3 / cn)
+                  + 6.0 * (s1 / cn) * (s1 / cn) * (s2 / cn)
+                  - 3.0 * (s1 / cn) * (s1 / cn) * (s1 / cn) * (s1 / cn))
+                 / ((s2 / cn - (s1 / cn) * (s1 / cn))
+                    * (s2 / cn - (s1 / cn) * (s1 / cn))) - 3.0, 6)
+             AS exkurtosis
+    FROM (SELECT *, CAST(n AS DOUBLE) AS cn FROM a)
+    """,
+)
+def q_agg_higher_moments(spark, sf_dir):
+    """Median / stddev / skewness / excess kurtosis of l_quantity per
+    returnflag from exact integer power sums (engine-portable by
+    construction — no builtin moment aggregates)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.floor(F.col("l_quantity")).alias("l_quantity")
+    )
+    return aggregates.higher_moments(li, "l_returnflag", "l_quantity")
+
+
+@_register(
+    "ntile_segments",
+    """
+    WITH w AS (
+      SELECT c_mktsegment, c_acctbal,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS quartile,
+             percent_rank() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS pr,
+             cume_dist() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS cd
+      FROM customer
+    )
+    SELECT c_mktsegment, CAST(quartile AS INT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           min(c_acctbal) AS bal_min,
+           max(c_acctbal) AS bal_max,
+           round(max(pr), 6) AS pr_max,
+           round(max(cd), 6) AS cd_max,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(25, 2))) AS DOUBLE)
+             AS bal_sum
+    FROM w GROUP BY c_mktsegment, quartile
+    """,
+)
+def q_ntile_segments(spark, sf_dir):
+    """Account-balance quartiles per market segment: ntile(4) +
+    percent_rank/cume_dist boundaries. The window partitions on
+    c_mktsegment — quantile segmentation parallelizes across segments,
+    never a single global-order task."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey")
+    )
+    seg = cust.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return seg.groupBy("c_mktsegment", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_acctbal").alias("bal_min"),
+        F.max("c_acctbal").alias("bal_max"),
+        F.round(F.max("pr"), 6).alias("pr_max"),
+        F.round(F.max("cd"), 6).alias("cd_max"),
+        aggregates.exact_sum(F.col("c_acctbal")).alias("bal_sum"),
+    )
+
+
+@_register(
+    "events_resample_ohlc",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 300.0) AS BIGINT) * 300 AS bucket_s,
+             struct_pack(t := ts, i := event_id, v := value) AS tiv,
+             value AS v
+      FROM events
+    )
+    SELECT event_type, bucket_s,
+           (min(tiv)).v AS open,
+           max(v) AS high,
+           min(v) AS low,
+           (max(tiv)).v AS close,
+           CAST(count(*) AS BIGINT) AS volume,
+           CAST(sum(CAST(v AS DECIMAL(25, 6))) AS DOUBLE) AS value_sum
+    FROM b GROUP BY event_type, bucket_s
+    """,
+)
+def q_events_resample_ohlc(spark, sf_dir):
+    """5-minute OHLC resample of the event stream per event_type —
+    open/close via struct-ordered min/max accumulators (one hash agg,
+    no window)."""
+    return aggregates.resample_ohlc(
+        _t(spark, sf_dir, "events"), interval_sec=300
+    )

@@ -1,0 +1,345 @@
+"""Round-6 second batch: rate limiting, HTTP transport, NFC
+normalization, retrieval metrics, OHLC resampling, higher moments.
+
+Oracle parity for all six registry keys runs in test_oracle_parity.py
+automatically; this file covers the operator semantics the oracle can't
+see (per-event flags, error taxonomy, the live-socket transport) plus
+plan shape and exchange budgets for the new keys.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline2_spark import registry
+from data_pipeline2_spark.functions.http_transport import (
+    HttpSession,
+    NonRetryableProviderError,
+)
+from data_pipeline2_spark.operators import (
+    aggregates,
+    lifecycle,
+    similarity,
+    textanalysis,
+)
+from data_pipeline2_spark.operators.embedding import (
+    GraniteProvider,
+    NomicProvider,
+    TransientProviderError,
+    embed_with_retry,
+    hash_embed_one,
+    make_provider_embedder,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- HTTP
+# transport (VERDICT r5 "missing" item 3: the production transport gap)
+
+
+class _EmbedHandler(BaseHTTPRequestHandler):
+    """Local mock of the reference's two embedding services: answers
+    both provider payload contracts with the deterministic hash
+    embedding, and scripts failures per path for the retry tests."""
+
+    fail_next = {"n503": 1}  # path -> remaining 5xx failures
+
+    def do_POST(self):
+        body = json.loads(
+            self.rfile.read(int(self.headers["Content-Length"]))
+        )
+        route = self.path.strip("/")
+        if route == "e404":
+            self.send_error(404, "no such model")
+            return
+        if route in self.fail_next and self.fail_next[route] > 0:
+            self.fail_next[route] -= 1
+            self.send_error(503, "scripted transient failure")
+            return
+        if "texts" in body:  # Nomic contract
+            text = body["texts"][0]
+            payload = {"embeddings": [hash_embed_one(text, 8)]}
+        else:  # Granite contract
+            if self.headers.get("X-API-Key") is None:
+                self.send_error(401, "missing key")
+                return
+            text = body["input"]
+            payload = {"data": [{"embedding": hash_embed_one(text, 8)}]}
+        out = json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
+
+    def log_message(self, *a):  # silence per-request stderr lines
+        pass
+
+
+@pytest.fixture(scope="module")
+def embed_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _EmbedHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_transport_nomic_roundtrip(embed_server):
+    sess = HttpSession(timeout=5)
+    vec = NomicProvider(url=f"{embed_server}/nomic").embed(sess, "hello")
+    assert vec == pytest.approx(hash_embed_one("hello", 8))
+
+
+def test_http_transport_granite_roundtrip(embed_server):
+    sess = HttpSession(timeout=5)
+    vec = GraniteProvider(url=f"{embed_server}/granite", api_key="k").embed(
+        sess, "hello"
+    )
+    assert vec == pytest.approx(hash_embed_one("hello", 8))
+
+
+def test_http_transport_5xx_is_transient_and_retried(embed_server):
+    _EmbedHandler.fail_next["n503"] = 1
+    sess = HttpSession(timeout=5)
+    prov = NomicProvider(url=f"{embed_server}/n503")
+    # one scripted 503, then success — the reference's retry contract
+    # (3 attempts) must absorb it
+    vec = embed_with_retry(prov, sess, "retry-me", max_attempts=3)
+    assert vec == pytest.approx(hash_embed_one("retry-me", 8))
+
+
+def test_http_transport_5xx_exhaustion_returns_none(embed_server):
+    _EmbedHandler.fail_next["n503"] = 99
+    sess = HttpSession(timeout=5)
+    prov = NomicProvider(url=f"{embed_server}/n503")
+    assert embed_with_retry(prov, sess, "always-fails", max_attempts=3) is None
+    _EmbedHandler.fail_next["n503"] = 0
+
+
+def test_http_transport_4xx_is_nonretryable(embed_server):
+    sess = HttpSession(timeout=5)
+    with pytest.raises(NonRetryableProviderError):
+        NomicProvider(url=f"{embed_server}/e404").embed(sess, "x")
+
+
+def test_http_transport_401_without_key(embed_server):
+    sess = HttpSession(timeout=5)
+    with pytest.raises(NonRetryableProviderError):
+        # Granite payload shape but no X-API-Key header -> 401, must
+        # surface immediately as non-retryable
+        sess.post(f"{embed_server}/granite", json={"input": "x"})
+
+
+def test_http_transport_connection_refused_is_transient():
+    sess = HttpSession(timeout=2)
+    prov = NomicProvider(url="http://127.0.0.1:9/nomic")  # discard port
+    with pytest.raises(TransientProviderError):
+        prov.embed(sess, "x")
+
+
+def test_http_transport_through_spark_udf(embed_server, spark):
+    """End-to-end: executor python workers call the live local server
+    through the pandas_udf provider seam — the full production path of
+    the reference's embedding stage, minus only the remote hostname."""
+    url = f"{embed_server}/nomic"
+    udf = make_provider_embedder(
+        lambda: NomicProvider(url=url), lambda: HttpSession(timeout=10)
+    )
+    df = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(20)], "id int, text string"
+    ).repartition(4)
+    rows = df.select("id", "text", udf(F.col("text")).alias("e")).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.e == pytest.approx(hash_embed_one(r.text, 8), abs=1e-6)
+
+
+# ---------------------------------------------------------------- rate
+# limiting semantics
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def test_rate_limit_flags_cap_and_order(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1, same minute: 3 events -> cap 2 admits the 2 earliest
+        (3, t0.replace(second=30), 1, 1.0),
+        (1, t0.replace(second=10), 1, 1.0),
+        (2, t0.replace(second=20), 1, 1.0),
+        # user 1, next minute: counter resets
+        (4, t0.replace(minute=1), 1, 1.0),
+        # user 2 unaffected by user 1's burst
+        (5, t0.replace(second=59), 2, 1.0),
+        # same-ts tie broken by event_id
+        (7, t0.replace(minute=2), 3, 1.0),
+        (6, t0.replace(minute=2), 3, 1.0),
+        (8, t0.replace(minute=2), 3, 1.0),
+    ]
+    out = lifecycle.rate_limit_flags(
+        _events_df(spark, rows), cap=2, bucket="minute"
+    )
+    adm = {r.event_id: r.admitted for r in out.collect()}
+    assert adm == {
+        1: True, 2: True, 3: False, 4: True, 5: True,
+        6: True, 7: True, 8: False,
+    }
+
+
+def test_rate_limit_admission_report(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, t0.replace(second=i), 1, 1.0) for i in range(5)
+    ] + [(10, t0.replace(minute=30), 1, 1.0)]
+    rep = lifecycle.rate_limit_admission(
+        _events_df(spark, rows), cap=2, bucket="minute"
+    ).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert (r.n_events, r.n_admitted, r.n_rejected, r.n_limited_windows) == (
+        6, 3, 3, 1,
+    )
+
+
+# ---------------------------------------------------------------- NFC
+# normalization semantics
+
+
+def test_normalize_text_nfc_and_whitespace(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Cafe\u0301  du\u00a0Parc "),  # combining acute + NBSP
+            (2, "Caf\u00e9 du Parc"),  # precomposed, already clean
+            (3, None),
+            (4, "a\t\tb\r\nc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in textanalysis.normalize_text_report(docs).collect()
+    }
+    # 1 and 2 normalize to the SAME bytes -> identical md5 (the dedup
+    # motivation for this operator)
+    assert out[1].norm_md5 == out[2].norm_md5
+    assert out[1].changed and not out[2].changed
+    assert out[3].norm_md5 is None and out[3].changed is None
+    assert out[4].n_norm == 5  # "a b c"
+
+
+# ---------------------------------------------------------------- retrieval
+# metrics semantics
+
+
+def test_retrieval_eval_perfect_and_absent(spark):
+    # label 1: three identical vectors -> perfect retrieval at rank 1
+    # label 2: one vector only -> n_relevant 0, no hits, mrr 0
+    rows = [
+        (1, [1.0, 0.0], 1),
+        (2, [1.0, 0.0], 1),
+        (3, [1.0, 0.0], 1),
+        (4, [0.0, 1.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.qlabel: r for r in similarity.retrieval_eval(df, k=2).collect()}
+    assert out[1].qid == 1
+    assert out[1].hits_at_k == 2 and out[1].n_relevant == 2
+    assert out[1].recall_at_k == 1.0 and out[1].first_rel_rank == 1
+    assert out[1].mrr_at_k == 1.0
+    assert out[2].hits_at_k == 0 and out[2].n_relevant == 0
+    assert out[2].mrr_at_k == 0.0 and out[2].first_rel_rank == 0
+
+
+# ---------------------------------------------------------------- OHLC /
+# moments semantics
+
+
+def test_resample_ohlc_open_close_by_ts_then_id(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # one 5-min bucket; same-ts ties at open broken by event_id
+        (2, t0, "a", 10.0),
+        (1, t0, "a", 20.0),       # id 1 wins open
+        (3, t0.replace(minute=4), "a", 30.0),  # latest ts wins close
+        (4, t0.replace(minute=7), "a", 5.0),   # second bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        r.bucket_s: r
+        for r in aggregates.resample_ohlc(df, interval_sec=300).collect()
+    }
+    b0 = out[int(t0.replace(tzinfo=dt.timezone.utc).timestamp())]
+    assert (b0.open, b0.close, b0.high, b0.low, b0.volume) == (
+        20.0, 30.0, 30.0, 10.0, 3,
+    )
+    assert b0.value_sum == 60.0
+    assert out[b0.bucket_s + 300].volume == 1
+
+
+def test_higher_moments_exact_small_case(spark):
+    # values 1,2,4,8: mu=3.75, population m2=7.1875
+    df = spark.createDataFrame(
+        [("g", v) for v in (1, 2, 4, 8)], "g string, v long"
+    )
+    r = aggregates.higher_moments(df, "g", "v").collect()[0]
+    assert r.n == 4
+    assert r.median == 3.0
+    assert r.mean == 3.75
+    mu, vals = 3.75, [1, 2, 4, 8]
+    m2 = sum((x - mu) ** 2 for x in vals) / 4
+    m3 = sum((x - mu) ** 3 for x in vals) / 4
+    m4 = sum((x - mu) ** 4 for x in vals) / 4
+    assert r.stddev_pop == pytest.approx(m2 ** 0.5, abs=1e-6)
+    assert r.skewness == pytest.approx(m3 / m2 ** 1.5, abs=1e-6)
+    assert r.exkurtosis == pytest.approx(m4 / m2 ** 2 - 3, abs=1e-6)
+
+
+# ---------------------------------------------------------------- plan
+# shape + exchange budgets (measured at introduction)
+
+BUDGET_R6B = {
+    "events_rate_limit": 3,     # (user,win) window + distinct 2-phase agg
+    "retrieval_metrics": 3,     # top-k window + per-qid agg + label counts
+    "text_normalize": 0,        # map-only pandas_udf pass
+    "agg_higher_moments": 1,    # one hash agg (percentile rides it)
+    "ntile_segments": 1,        # segment window; groupBy reuses partitioning
+    "events_resample_ohlc": 1,  # one map-side-combined hash agg
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET_R6B))
+def test_exchange_budget_r6b(name, spark):
+    df = registry.queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= BUDGET_R6B[name], (
+        f"{name}: plan has {n} hash/range exchanges, budget is "
+        f"{BUDGET_R6B[name]} — a new shuffle entered this query's plan"
+    )
+
+
+def test_retrieval_metrics_broadcasts_queries(spark):
+    """The corpus must never shuffle for scoring: the query set and the
+    label-count table enter as broadcast joins."""
+    df = registry.queries()["retrieval_metrics"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") >= 2
