@@ -382,3 +382,77 @@ def streaming_running_totals_v2(events_stream):
             timeMode="none",
         )
     )
+
+
+# ---------------------------------------------------------------- rate
+# limiting (streaming form of operators/lifecycle.rate_limit_flags)
+
+RATE_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, win_start timestamp, "
+    "admitted boolean"
+)
+RATE_STATE_SCHEMA = "used long"
+RATE_STATE_TTL_MS = 3600 * 1000  # evict closed windows after an hour
+
+
+def streaming_rate_limit(
+    events_stream, cap: int = 100, bucket: str = "minute",
+    bounded_state: bool = False,
+):
+    """Cross-microbatch fixed-window admission control: at most `cap`
+    events admitted per (user, time-window), no matter how the events
+    split across micro-batches.
+
+    State is one counter per open (user, window) — O(active windows),
+    not O(events). Semantics note vs the batch operator
+    (operators/lifecycle.rate_limit_flags): the stream admits in
+    ARRIVAL order (a real rate limiter's behavior — you cannot bump an
+    already-admitted request when an earlier-timestamped one arrives
+    late), the batch replay admits in EVENT-TIME order; the two agree
+    exactly when arrival order respects event time, which the parity
+    test pins. Within one micro-batch, rows are ordered by (ts,
+    event_id) before admission so single-batch decisions are
+    deterministic.
+
+    bounded_state=True arms the processing-time TTL so counters for
+    long-closed windows are evicted — required for unbounded streams.
+    """
+    keyed = events_stream.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.date_trunc(bucket, F.col("ts")).alias("win_start"),
+    )
+
+    def admit(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        used = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], ignore_index=True)
+        admit_n = max(0, min(len(batch), cap - used))
+        batch["admitted"] = [True] * admit_n + [False] * (
+            len(batch) - admit_n
+        )
+        state.update((used + admit_n,))
+        try:
+            state.setTimeoutDuration(RATE_STATE_TTL_MS)
+        except Exception:
+            pass  # NoTimeout mode
+        return iter(
+            [batch[["event_id", "ts", "user_id", "win_start", "admitted"]]]
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if bounded_state
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("user_id", "win_start").applyInPandasWithState(
+        admit,
+        outputStructType=RATE_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

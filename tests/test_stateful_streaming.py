@@ -254,3 +254,74 @@ def test_running_totals_v2_matches_v1(spark, multi_batch_src):
     v1 = run(stateful.streaming_running_totals, "rt_v1", "update")
     v2 = run(stateful.streaming_running_totals_v2, "rt_v2", "update")
     assert v1 == v2 == {1: (3, 8.0), 2: (2, 7.0)}
+
+
+@pytest.fixture()
+def flood_src(spark):
+    """One user flooding a single minute ACROSS two micro-batches (the
+    cap must carry over), plus a quiet user and a later window."""
+    d = tempfile.mkdtemp(prefix="dp2s_rate_")
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    batches = [
+        [(1, "2024-01-01 00:00:05", 1, "c", 1.0, "{}"),
+         (2, "2024-01-01 00:00:10", 1, "c", 1.0, "{}"),
+         (9, "2024-01-01 00:00:15", 2, "c", 1.0, "{}")],
+        [(3, "2024-01-01 00:00:20", 1, "c", 1.0, "{}"),
+         (4, "2024-01-01 00:00:25", 1, "c", 1.0, "{}")],
+        [(5, "2024-01-01 00:01:30", 1, "c", 1.0, "{}")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.parquet(os.path.join(d, f"b{i}"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_rate_limit_cap_carries_across_batches(spark, flood_src):
+    out = stateful.streaming_rate_limit(_stream(spark, flood_src), cap=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("srate")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from srate").collect()
+    adm = {r.event_id: r.admitted for r in rows}
+    # user 1, minute 0: events 1,2 (batch 0) + 3,4 (batch 1) against
+    # cap 3 -> 4 must be rejected, which only happens if the counter
+    # state survived the micro-batch boundary
+    assert adm == {1: True, 2: True, 3: True, 4: False,
+                   5: True, 9: True}
+
+
+def test_streaming_rate_limit_matches_batch_replay(spark, flood_src):
+    """Arrival order == event-time order here, so the streaming flags
+    must equal the batch operator's event-time replay exactly."""
+    from data_pipeline2_spark.operators.lifecycle import rate_limit_flags
+    from data_pipeline2_spark.schemas import EVENTS
+
+    out = stateful.streaming_rate_limit(_stream(spark, flood_src), cap=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("srate_parity")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_adm = {
+        r.event_id: r.admitted
+        for r in spark.sql("select * from srate_parity").collect()
+    }
+    static = spark.read.schema(EVENTS).parquet(flood_src + "/*")
+    batch_adm = {
+        r.event_id: r.admitted
+        for r in rate_limit_flags(static, cap=3).collect()
+    }
+    assert stream_adm == batch_adm
