@@ -509,3 +509,43 @@ def resample_ohlc(
         F.count(F.lit(1)).alias("volume"),
         exact_sum(F.col("v"), scale=6).alias("value_sum"),
     )
+
+
+def seasonal_baseline(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hour-of-day seasonal profile per group: each (group, hour 0-23)
+    bucket's mean value against the group's overall mean, with the
+    peak-hour flag. The seasonality complement to the z-score/MAD
+    outlier keys — those flag individual events, this computes the
+    baseline a scheduler or anomaly detector subtracts first.
+
+    Two exact-decimal aggregations (one keyed by (group, hod), one by
+    group) joined with the small side broadcast — the profile table is
+    O(groups × 24) however large the corpus.
+
+    → (group, hod, n, hod_mean, overall_mean, ratio, is_peak)
+    """
+    hod = F.hour(F.col(ts_col)).alias("hod")
+    per_hod = events.groupBy(F.col(group_col), hod).agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col(value_col), scale=6).alias("hsum"),
+    )
+    overall = events.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("on"),
+        exact_sum(F.col(value_col), scale=6).alias("osum"),
+    )
+    hod_mean = F.col("hsum") / F.col("n")
+    overall_mean = F.col("osum") / F.col("on")
+    return per_hod.join(F.broadcast(overall), group_col).select(
+        group_col,
+        "hod",
+        "n",
+        F.round(hod_mean, 6).alias("hod_mean"),
+        F.round(overall_mean, 6).alias("overall_mean"),
+        F.round(hod_mean / overall_mean, 6).alias("ratio"),
+        (hod_mean > overall_mean).alias("is_peak"),
+    )

@@ -1270,3 +1270,53 @@ def leakage_safe_split(
         .agg(F.count(F.lit(1)).cast("long").alias("leak_pairs"))
     )
     return summary.crossJoin(F.broadcast(leaks))
+
+
+# ---------------------------------------------------------------- FastSS
+# edit-distance-1 fuzzy join (round 6)
+
+
+def deletion_variants(words: DataFrame, word_col: str = "w") -> DataFrame:
+    """FastSS k=1 neighborhood: each word maps to itself plus every
+    single-character deletion → (w, v) rows.
+
+    Bostroem/Karlgren FastSS observation: two strings at edit distance
+    <= 1 ALWAYS share a member of their deletion-1 neighborhoods
+    (substitution: delete the differing position in both; indel: the
+    shorter string is itself a deletion of the longer; equality:
+    the strings themselves). So a plain equi-join on the variant key
+    finds every candidate pair with zero all-pairs work.
+    """
+    variants = (
+        f"array_union(array({word_col}), "
+        f"transform(sequence(1, length({word_col})), "
+        f"i -> concat(substring({word_col}, 1, i - 1), "
+        f"substring({word_col}, i + 1, length({word_col}) - i))))"
+    )
+    return words.select(
+        F.col(word_col).alias("w"), F.explode(F.expr(variants)).alias("v")
+    )
+
+
+def fuzzy_join_ed1(
+    left_words: DataFrame, right_words: DataFrame
+) -> DataFrame:
+    """All (left, right) word pairs with levenshtein distance <= 1 —
+    the typo-matching join (dirty query log vs clean vocabulary,
+    near-identical entity names) without an all-pairs scan.
+
+    Candidates come from the deletion-neighborhood equi-join (complete
+    for ed <= 1, so recall is exactly 1.0 — unlike the probabilistic
+    LSH families); each candidate is then verified with the exact
+    levenshtein built-in. At scale both sides shuffle only VOCABULARY
+    rows times (len+1) variants — corpus size never enters the join.
+    Expected output columns on each input: a single `w` string column.
+
+    → (w1, w2, dist) with dist ∈ {0, 1}
+    """
+    lv = deletion_variants(left_words).withColumnRenamed("w", "w1")
+    rv = deletion_variants(right_words).withColumnRenamed("w", "w2")
+    cand = lv.join(rv, "v").select("w1", "w2").distinct()
+    return cand.select(
+        "w1", "w2", F.levenshtein("w1", "w2").alias("dist")
+    ).filter(F.col("dist") <= 1)

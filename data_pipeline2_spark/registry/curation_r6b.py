@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 
 from data_pipeline2_spark.operators import (
     aggregates,
+    dedup,
     lifecycle,
     similarity,
     textanalysis,
@@ -274,3 +275,94 @@ def q_events_resample_ohlc(spark, sf_dir):
     return aggregates.resample_ohlc(
         _t(spark, sf_dir, "events"), interval_sec=300
     )
+
+
+# ---------------------------------------------------------------- fuzzy
+# join / seasonality
+
+# deletion-1 neighborhood (word itself + every single-char deletion) —
+# the oracle replays the identical variant generation
+_VARS_SQL = """
+  SELECT w, w AS v FROM {src}
+  UNION ALL
+  SELECT w, substr(w, 1, i - 1) || substr(w, i + 1, length(w) - i) AS v
+  FROM {src}, LATERAL unnest(generate_series(1, length(w))) AS t(i)
+"""
+
+
+@_register(
+    "fuzzy_join_ed1",
+    f"""
+    WITH words AS (
+      SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), clean AS (
+      SELECT w FROM words
+      WHERE length(w) >= 4 AND regexp_matches(w, '^[a-z]+$')
+    ), dirty AS (
+      SELECT DISTINCT substr(w, 1, 2) || substr(w, 4, length(w) - 3) AS w
+      FROM clean WHERE length(w) >= 5
+    ), lv AS ({_VARS_SQL.format(src='dirty')}),
+    rv AS ({_VARS_SQL.format(src='clean')}),
+    cand AS (
+      SELECT DISTINCT lv.w AS w1, rv.w AS w2
+      FROM lv JOIN rv ON lv.v = rv.v
+    )
+    SELECT w1, w2, CAST(levenshtein(w1, w2) AS INT) AS dist
+    FROM cand WHERE levenshtein(w1, w2) <= 1
+    """,
+)
+def q_fuzzy_join_ed1(spark, sf_dir):
+    """FastSS edit-distance-1 join of a deterministically-derived dirty
+    vocabulary (3rd-char-deletion typos) against the clean corpus
+    vocabulary — complete-recall candidate generation via the
+    deletion-neighborhood equi-join, exact levenshtein verify."""
+    docs = _t(spark, sf_dir, "documents")
+    clean = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(
+            (F.length("w") >= 4) & F.col("w").rlike("^[a-z]+$")
+        )
+        .distinct()
+    )
+    dirty = (
+        clean.filter(F.length("w") >= 5)
+        .select(
+            F.concat(
+                F.expr("substring(w, 1, 2)"),
+                F.expr("substring(w, 4, length(w) - 3)"),
+            ).alias("w")
+        )
+        .distinct()
+    )
+    return dedup.fuzzy_join_ed1(dirty, clean)
+
+
+@_register(
+    "events_seasonal_baseline",
+    """
+    WITH per_hod AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(25, 6))) AS DOUBLE) AS hsum
+      FROM events GROUP BY event_type, hour(ts)
+    ), overall AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS onn,
+             CAST(sum(CAST(value AS DECIMAL(25, 6))) AS DOUBLE) AS osum
+      FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, p.hod, p.n,
+           round(p.hsum / p.n, 6) AS hod_mean,
+           round(o.osum / o.onn, 6) AS overall_mean,
+           round((p.hsum / p.n) / (o.osum / o.onn), 6) AS ratio,
+           (p.hsum / p.n) > (o.osum / o.onn) AS is_peak
+    FROM per_hod p JOIN overall o USING (event_type)
+    """,
+)
+def q_events_seasonal_baseline(spark, sf_dir):
+    """Hour-of-day seasonal profile per event type (bucket mean vs
+    overall mean, peak flag) — the baseline table the outlier keys
+    subtract; O(groups x 24) output at any corpus size."""
+    return aggregates.seasonal_baseline(_t(spark, sf_dir, "events"))

@@ -321,6 +321,8 @@ BUDGET_R6B = {
     "agg_higher_moments": 1,    # one hash agg (percentile rides it)
     "ntile_segments": 1,        # segment window; groupBy reuses partitioning
     "events_resample_ohlc": 1,  # one map-side-combined hash agg
+    "fuzzy_join_ed1": 2,        # vocab distincts; variant join + dedup
+    "events_seasonal_baseline": 2,  # two aggs; profile join broadcasts
 }
 
 
@@ -343,3 +345,46 @@ def test_retrieval_metrics_broadcasts_queries(spark):
     df = registry.queries()["retrieval_metrics"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastExchange") >= 2
+
+
+# ---------------------------------------------------------------- FastSS
+# fuzzy join / seasonal baseline semantics
+
+
+def test_fuzzy_join_ed1_complete_for_all_edit_kinds(spark):
+    from data_pipeline2_spark.operators.dedup import fuzzy_join_ed1
+
+    left = spark.createDataFrame(
+        [("wird",), ("word",), ("wordy",), ("wor",), ("zzzz",)], "w string"
+    )
+    right = spark.createDataFrame([("word",), ("ward",)], "w string")
+    pairs = {
+        (r.w1, r.w2, r.dist) for r in fuzzy_join_ed1(left, right).collect()
+    }
+    assert ("wird", "word", 1) in pairs   # substitution
+    assert ("word", "word", 0) in pairs   # equality
+    assert ("wordy", "word", 1) in pairs  # deletion
+    assert ("wor", "word", 1) in pairs    # insertion
+    assert ("wird", "ward", 1) in pairs   # substitution to the other side
+    assert not any(p[0] == "zzzz" for p in pairs)  # nothing within ed 1
+
+
+def test_seasonal_baseline_peak_flag(spark):
+    import datetime as dtm
+
+    from data_pipeline2_spark.operators.aggregates import seasonal_baseline
+
+    rows = []
+    # type "a": value 10 at hour 9 (x2), value 1 at hour 3 (x2)
+    for i, (h, v) in enumerate([(9, 10.0), (9, 10.0), (3, 1.0), (3, 1.0)]):
+        rows.append((i, dtm.datetime(2024, 1, 1, h, 0, 0), 1, "a", v, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.hod: r for r in seasonal_baseline(df).collect()}
+    assert out[9].is_peak and not out[3].is_peak
+    assert out[9].hod_mean == 10.0 and out[9].overall_mean == 5.5
+    assert out[9].ratio == round(10.0 / 5.5, 6)
+    assert out[3].n == 2
