@@ -1872,3 +1872,74 @@ def retrieval_eval(
             6,
         ).alias("mrr_at_k"),
     )
+
+
+def topic_cluster_terms(
+    embeddings: DataFrame,
+    docs: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    top_n: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus topic summary: cluster documents by embedding (the
+    deterministic distributed k-means), then surface each cluster's
+    top-n most DISTINCTIVE terms by lift — (term freq within cluster) /
+    (term freq corpus-wide) — rather than raw counts, which stopword-
+    heavy corpora would dominate.
+
+    The composition pattern for corpus exploration at scale: the
+    k-means fit is O(k·dim) driver state per round, cluster-term
+    counting is two hash aggs over exploded tokens, the global token
+    table joins back broadcast (vocabulary-sized), and the per-cluster
+    top-n is a window over (cluster, term) aggregates — nothing holds
+    document text after tokenization. Ranking uses the ROUNDED lift so
+    cross-engine ulp noise cannot flip ties (the kmeans argmin
+    convention), with (count desc, term) as the total tie order.
+
+    → (cluster, rank, w, cnt, lift)
+    """
+    from data_pipeline2_spark.functions.text import tokens as _tokens
+
+    cents, assign = _kmeans_trajectory(embeddings, k, n_iter, id_col, vec_col)
+    assigned = assign(cents).select(
+        F.col("_id").alias("__vid"), "cluster"
+    )
+    toks = (
+        docs.filter(F.col(text_col).isNotNull())
+        .join(assigned, F.col(doc_id_col) == F.col("__vid"))
+        .select(
+            "cluster",
+            F.explode(_tokens(F.lower(F.col(text_col)))).alias("w"),
+        )
+    )
+    cw = toks.groupBy("cluster", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    ctot = toks.groupBy("cluster").agg(F.count(F.lit(1)).alias("ct"))
+    wtot = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wt"))
+    gtot = toks.agg(F.count(F.lit(1)).alias("gt"))
+    lift = F.round(
+        (F.col("cnt") / F.col("ct")) / (F.col("wt") / F.col("gt")), 6
+    )
+    scored = (
+        cw.join(F.broadcast(ctot), "cluster")
+        .join(F.broadcast(wtot), "w")
+        .crossJoin(F.broadcast(gtot))
+        .select("cluster", "w", "cnt", lift.alias("lift"))
+    )
+    w_rank = Window.partitionBy("cluster").orderBy(
+        F.desc("lift"), F.desc("cnt"), F.col("w")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.col("cluster").cast("int"),
+            F.col("rank").cast("int"),
+            "w",
+            "cnt",
+            "lift",
+        )
+    )

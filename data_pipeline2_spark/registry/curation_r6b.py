@@ -366,3 +366,64 @@ def q_events_seasonal_baseline(spark, sf_dir):
     overall mean, peak flag) — the baseline table the outlier keys
     subtract; O(groups x 24) output at any corpus size."""
     return aggregates.seasonal_baseline(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------- topic
+# exploration (kmeans x term-lift composition)
+
+
+def _topic_terms_sql(k: int = 8, n_iter: int = 2, top_n: int = 5) -> str:
+    from data_pipeline2_spark.registry.curation_r5 import _WS_LOWER
+    from data_pipeline2_spark.registry.vector_partsupp import (
+        _kmeans_cte_parts,
+    )
+
+    parts, _ = _kmeans_cte_parts(k, n_iter, 64)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+    toks AS (
+      SELECT af.cluster, unnest({_WS_LOWER}) AS w
+      FROM documents d JOIN af ON af.vec_id = d.doc_id
+      WHERE d.text IS NOT NULL
+    ), cw AS (
+      SELECT cluster, w, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY cluster, w
+    ), ctot AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS ct
+      FROM toks GROUP BY cluster
+    ), wtot AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wt FROM toks GROUP BY w
+    ), gtot AS (SELECT CAST(count(*) AS BIGINT) AS gt FROM toks),
+    scored AS (
+      SELECT cw.cluster, cw.w, cw.cnt,
+             round((cw.cnt / ctot.ct) / (wtot.wt / gtot.gt), 6) AS lift
+      FROM cw JOIN ctot USING (cluster) JOIN wtot USING (w)
+      CROSS JOIN gtot
+    ), r AS (
+      SELECT cluster, w, cnt, lift,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY lift DESC, cnt DESC, w) AS rank
+      FROM scored)
+    SELECT CAST(cluster AS INT) AS cluster, CAST(rank AS INT) AS rank,
+           w, cnt, lift
+    FROM r WHERE rank <= {top_n}
+    """
+    )
+
+
+@_register("topic_cluster_terms", _topic_terms_sql())
+def q_topic_cluster_terms(spark, sf_dir):
+    """Embedding k-means clusters labeled with their top-5 terms by
+    lift (within-cluster vs corpus-wide frequency) — the corpus
+    exploration composite: deterministic distributed fit, token aggs,
+    broadcast joins, windowed top-n; the DuckDB oracle replays the
+    whole trajectory including the identical centroid walk."""
+    return similarity.topic_cluster_terms(
+        _t(spark, sf_dir, "embeddings"),
+        _t(spark, sf_dir, "documents"),
+        k=8,
+        n_iter=2,
+        top_n=5,
+    )

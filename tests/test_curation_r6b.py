@@ -323,6 +323,8 @@ BUDGET_R6B = {
     "events_resample_ohlc": 1,  # one map-side-combined hash agg
     "fuzzy_join_ed1": 2,        # vocab distincts; variant join + dedup
     "events_seasonal_baseline": 2,  # two aggs; profile join broadcasts
+    "topic_cluster_terms": 8,   # assign window + doc join + 3 token
+                                # aggs + lift joins + top-n window
 }
 
 
@@ -388,3 +390,40 @@ def test_seasonal_baseline_peak_flag(spark):
     assert out[9].hod_mean == 10.0 and out[9].overall_mean == 5.5
     assert out[9].ratio == round(10.0 / 5.5, 6)
     assert out[3].n == 2
+
+
+def test_topic_cluster_terms_surfaces_distinctive_vocab(spark):
+    from data_pipeline2_spark.operators.similarity import topic_cluster_terms
+
+    # two well-separated clusters with disjoint distinctive vocabulary
+    # plus one shared stopword-like term everywhere
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [1.0, 0.1], 0),
+            (2, [0.0, 1.0], 1),
+            (3, [0.1, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "the quark quark boson"),
+            (1, "the quark lepton"),
+            (2, "the sonnet stanza stanza"),
+            (3, "the sonnet rhyme"),
+        ],
+        "doc_id long, text string",
+    )
+    out = topic_cluster_terms(emb, docs, k=2, n_iter=1, top_n=2).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r.w)
+    all_terms = {w for ws in by_cluster.values() for w in ws}
+    # "the" appears in every doc -> lift 1.0 everywhere, never beats the
+    # cluster-specific terms
+    assert "the" not in all_terms
+    physics = {"quark", "boson", "lepton"}
+    poetry = {"sonnet", "stanza", "rhyme"}
+    sets = [set(ws) for ws in by_cluster.values()]
+    assert any(s <= physics for s in sets) and any(s <= poetry for s in sets)
