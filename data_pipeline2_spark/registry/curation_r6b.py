@@ -427,3 +427,59 @@ def q_topic_cluster_terms(spark, sf_dir):
         n_iter=2,
         top_n=5,
     )
+
+
+# ---------------------------------------------------------------- MRL
+# truncation eval (dimension-reduction trade-off, measured in-plan)
+
+
+@_register(
+    "retrieval_metrics_mrl16",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, embedding[1:16] AS embedding, label FROM embeddings
+    ), q AS (
+      SELECT label AS qlabel, min(vec_id) AS qid FROM emb GROUP BY label
+    ), qv AS (
+      SELECT q.qid, q.qlabel, e.embedding AS qvec
+      FROM q JOIN emb e ON e.vec_id = q.qid
+    ), s AS (
+      SELECT qv.qid, qv.qlabel, e.vec_id,
+             CASE WHEN e.label = qv.qlabel THEN 1 ELSE 0 END AS rel,
+             round({_cos_sql('e.embedding', 'qv.qvec')}, 6) AS score
+      FROM emb e CROSS JOIN qv
+      WHERE e.vec_id <> qv.qid
+    ), r AS (
+      SELECT qid, qlabel, rel,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+      FROM s
+    ), t AS (SELECT * FROM r WHERE rank <= 10),
+    pq AS (
+      SELECT qid, qlabel,
+             CAST(sum(rel) AS BIGINT) AS hits_at_k,
+             min(CASE WHEN rel = 1 THEN rank END) AS frr
+      FROM t GROUP BY qid, qlabel
+    ), rc AS (
+      SELECT label AS qlabel, CAST(count(*) - 1 AS BIGINT) AS n_relevant
+      FROM emb GROUP BY label
+    )
+    SELECT pq.qid, pq.qlabel, rc.n_relevant, pq.hits_at_k,
+           round(pq.hits_at_k / greatest(rc.n_relevant, 1), 6)
+             AS recall_at_k,
+           CAST(coalesce(pq.frr, 0) AS INT) AS first_rel_rank,
+           round(CASE WHEN pq.frr IS NOT NULL THEN 1.0 / pq.frr
+                      ELSE 0.0 END, 6) AS mrr_at_k
+    FROM pq JOIN rc USING (qlabel)
+    """,
+)
+def q_retrieval_metrics_mrl16(spark, sf_dir):
+    """Matryoshka-style truncation eval: the SAME retrieval metrics
+    computed over only the first 16 of 64 embedding dimensions —
+    diffing this against `retrieval_metrics` measures, in-plan, exactly
+    what recall a 4x storage/compute cut costs (cosine needs no
+    re-normalization; the norms change, the ranking math doesn't)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding"), "label"
+    )
+    return similarity.retrieval_eval(emb, k=10)

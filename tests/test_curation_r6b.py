@@ -325,6 +325,7 @@ BUDGET_R6B = {
     "events_seasonal_baseline": 2,  # two aggs; profile join broadcasts
     "topic_cluster_terms": 8,   # assign window + doc join + 3 token
                                 # aggs + lift joins + top-n window
+    "retrieval_metrics_mrl16": 3,  # same plan as retrieval_metrics
 }
 
 
