@@ -549,3 +549,63 @@ def seasonal_baseline(
         F.round(hod_mean / overall_mean, 6).alias("ratio"),
         (hod_mean > overall_mean).alias("is_peak"),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+) -> DataFrame:
+    """Robust per-group statistics: winsorize at the exact [lo_p, hi_p]
+    percentiles (clip, not drop), then exact-decimal mean and population
+    stddev of the clipped values, plus how many rows each bound clipped.
+
+    The outlier-robust complement to `higher_moments`: one exact
+    percentile pass to find the bounds (same percentile-interpolation
+    contract as DuckDB quantile_cont), then one hash agg over clipped
+    values with decimal accumulation — two shuffles of group-width
+    rows, corpus scanned twice (at 100 TB swap pass one to
+    percentile_approx: same API, documented relaxation).
+
+    → (group, n, p_lo, p_hi, wins_mean, wins_stddev,
+       n_clipped_lo, n_clipped_hi)
+    """
+    v = F.col(value_col)
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(v, lo_p).alias("p_lo"),
+        F.percentile(v, hi_p).alias("p_hi"),
+    )
+    clipped = df.join(F.broadcast(bounds), group_col).select(
+        F.col(group_col),
+        v.alias("_v"),
+        "p_lo",
+        "p_hi",
+        F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi")).alias("_w"),
+    )
+    agg = clipped.groupBy(group_col, "p_lo", "p_hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("_w"), scale=6, precision=32).alias("s1"),
+        F.sum(
+            (F.col("_w") * F.col("_w")).cast("decimal(32,6)")
+        ).cast("double").alias("s2"),
+        F.sum((F.col("_v") < F.col("p_lo")).cast("long")).alias(
+            "n_clipped_lo"
+        ),
+        F.sum((F.col("_v") > F.col("p_hi")).cast("long")).alias(
+            "n_clipped_hi"
+        ),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    return agg.select(
+        group_col,
+        "n",
+        F.round(F.col("p_lo"), 6).alias("p_lo"),
+        F.round(F.col("p_hi"), 6).alias("p_hi"),
+        F.round(mean, 6).alias("wins_mean"),
+        F.round(F.sqrt(var), 6).alias("wins_stddev"),
+        "n_clipped_lo",
+        "n_clipped_hi",
+    )

@@ -483,3 +483,45 @@ def q_retrieval_metrics_mrl16(spark, sf_dir):
         "vec_id", F.slice("embedding", 1, 16).alias("embedding"), "label"
     )
     return similarity.retrieval_eval(emb, k=10)
+
+
+@_register(
+    "winsorized_stats",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p_lo,
+             quantile_cont(value, 0.95) AS p_hi
+      FROM events GROUP BY event_type
+    ), c AS (
+      SELECT e.event_type, e.value AS v, b.p_lo, b.p_hi,
+             least(greatest(e.value, b.p_lo), b.p_hi) AS w
+      FROM events e JOIN b USING (event_type)
+    ), a AS (
+      SELECT event_type, p_lo, p_hi,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(w AS DECIMAL(32, 6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(w * w AS DECIMAL(32, 6))) AS DOUBLE) AS s2,
+             CAST(sum(CASE WHEN v < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_lo,
+             CAST(sum(CASE WHEN v > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_hi
+      FROM c GROUP BY event_type, p_lo, p_hi
+    )
+    SELECT event_type, n,
+           round(p_lo, 6) AS p_lo,
+           round(p_hi, 6) AS p_hi,
+           round(s1 / n, 6) AS wins_mean,
+           round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS wins_stddev,
+           n_clipped_lo, n_clipped_hi
+    FROM a
+    """,
+)
+def q_winsorized_stats(spark, sf_dir):
+    """Winsorized (p05/p95-clipped) mean and stddev of event values per
+    type with clip counts — the robust-stats complement to
+    agg_higher_moments; bounds from exact percentiles, moments from
+    exact decimal sums of the clipped values."""
+    return aggregates.winsorized_stats(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )

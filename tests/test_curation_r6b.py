@@ -326,6 +326,7 @@ BUDGET_R6B = {
     "topic_cluster_terms": 8,   # assign window + doc join + 3 token
                                 # aggs + lift joins + top-n window
     "retrieval_metrics_mrl16": 3,  # same plan as retrieval_metrics
+    "winsorized_stats": 2,      # percentile agg + clipped-moment agg
 }
 
 
@@ -428,3 +429,18 @@ def test_topic_cluster_terms_surfaces_distinctive_vocab(spark):
     poetry = {"sonnet", "stanza", "rhyme"}
     sets = [set(ws) for ws in by_cluster.values()]
     assert any(s <= physics for s in sets) and any(s <= poetry for s in sets)
+
+
+def test_winsorized_stats_clips_outliers(spark):
+    from data_pipeline2_spark.operators.aggregates import winsorized_stats
+
+    # 9 ones and one huge outlier: p95 lands between, the outlier is
+    # clipped to it, and the winsorized mean stays near 1
+    rows = [("a", 1.0)] * 9 + [("a", 1000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = winsorized_stats(df, "g", "v").collect()[0]
+    assert r.n == 10 and r.n_clipped_hi == 1 and r.n_clipped_lo == 0
+    assert r.p_hi < 1000.0
+    # clipped mean = (9*1 + p_hi) / 10, far below the raw mean 100.9
+    assert r.wins_mean == round((9 + r.p_hi) / 10, 6)
+    assert r.wins_mean < 100
