@@ -617,3 +617,117 @@ def url_canonical_groups(
             F.min("doc_id").alias("keep_id"),
         )
     )
+
+
+def ngram_novelty(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: what fraction of a doc's distinct
+    word shingles appear for the FIRST time in the corpus at this doc
+    (first occurrence = lowest doc_id, the arrival-order proxy).
+
+    The memorization/contamination signal of Lee et al. 2022 turned
+    into a curation metric: a novelty near 0 means the doc is stitched
+    from already-seen n-grams (boilerplate, template spam, near-dup
+    tails that survived dedup); sort ascending and you have the
+    re-review queue. Shuffles carry 60-bit shingle fingerprints only
+    (the minhash discipline): one first-occurrence aggregation keyed by
+    fingerprint, one join-back, one per-doc rollup.
+
+    → (doc_id, n_shingles, n_novel, novelty)
+    """
+    from data_pipeline2_spark.operators.dedup import doc_shingles
+
+    fp = doc_shingles(
+        documents, shingle_n, id_col=id_col, text_col=text_col
+    ).select("doc_id", shingle_hash64(F.col("shingle")).alias("sh64"))
+    first = fp.groupBy("sh64").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        fp.join(first, "sh64")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+def bigram_logprob(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average bigram conditional log-probability →
+    (doc_id, n_bigrams, logprob_sum_scaled, avg_logprob).
+
+    The depth upgrade of `unigram_logprob`: score = Σ ln p(w2|w1) /
+    n_bigrams with p(w2|w1) = corpus-count(w1 w2) / corpus-count(w1),
+    unsmoothed (every observed bigram has a positive count by
+    construction, so no zero branch exists). Same integerize-first
+    idiom: term = floor(ln(p)·1e10) as BIGINT, making the log-sum
+    associative and partition-order-free.
+
+    Scale shape: bigram table keyed by (w1, w2) — Zipf-headed like the
+    unigram table, AQE skew-join absorbs it; the per-doc bigram stream
+    is a posexplode + lead window clustered by doc_id (no extra
+    shuffle beyond the doc hash). Docs with < 2 tokens drop out (no
+    bigrams), exactly as in the oracle.
+    """
+    from pyspark.sql.window import Window
+
+    from data_pipeline2_spark.plans.partitioning import ensure_parallelism
+
+    t = F.col(text_col)
+    docs = ensure_parallelism(
+        documents.filter(t.isNotNull()), id_col
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.transform(tokens(t), lambda w: F.lower(w))).alias(
+            "p", "w1"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    bg = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    uni = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    term = F.floor(
+        F.log(F.col("c2").cast("double") / F.col("c1").cast("double"))
+        * F.lit(float(_LOGPROB_SCALE))
+    ).cast("long")
+    scored = bg.join(big, ["w1", "w2"]).join(uni, "w1")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(term).cast("long").alias("logprob_sum_scaled"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "logprob_sum_scaled",
+            F.round(
+                F.col("logprob_sum_scaled")
+                / F.lit(float(_LOGPROB_SCALE))
+                / F.col("n_bigrams"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -24,10 +24,12 @@ from data_pipeline2_spark.operators import (
     aggregates,
     dedup,
     lifecycle,
+    quality,
     similarity,
     textanalysis,
 )
 from data_pipeline2_spark.registry._core import _cos_sql, _register, _t
+from data_pipeline2_spark.registry.analytics_ext import _TOKS_SH_CTES
 
 # ---------------------------------------------------------------- rate
 # limiting (reference .env.example:45)
@@ -525,3 +527,71 @@ def q_winsorized_stats(spark, sf_dir):
     return aggregates.winsorized_stats(
         _t(spark, sf_dir, "events"), "event_type", "value"
     )
+
+
+# ---------------------------------------------------------------- corpus
+# novelty / bigram LM
+
+
+@_register(
+    "ngram_novelty",
+    f"""
+    WITH {_TOKS_SH_CTES},
+    fp AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS sh64
+      FROM sh
+    ), first AS (
+      SELECT sh64, min(doc_id) AS first_doc FROM fp GROUP BY sh64
+    ), agg AS (
+      SELECT f.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN fi.first_doc = f.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM fp f JOIN first fi USING (sh64) GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           round(n_novel / n_shingles, 6) AS novelty
+    FROM agg
+    """,
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc fraction of 3-gram shingle fingerprints first seen at
+    this doc (arrival order = doc_id) — the Lee-et-al memorization
+    signal as a curation metric; novelty ~ 0 = stitched boilerplate."""
+    return quality.ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "bigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      FROM documents WHERE len(trim(text)) > 0
+    ), flat AS (
+      SELECT doc_id, unnest(ws) AS w1 FROM toks
+    ), uni AS (SELECT w1, count(*) AS c1 FROM flat GROUP BY w1),
+    bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM toks WHERE len(ws) >= 2)
+    ), big AS (
+      SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+    ), terms AS (
+      SELECT g.doc_id,
+             CAST(floor(ln(b.c2::DOUBLE / u.c1::DOUBLE)
+                        * {float(10_000_000_000)}) AS BIGINT) AS term
+      FROM bg g JOIN big b USING (w1, w2) JOIN uni u USING (w1)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(term) AS BIGINT) AS logprob_sum_scaled,
+           round(sum(term) / {float(10_000_000_000)} / count(*), 6)
+             AS avg_logprob
+    FROM terms GROUP BY doc_id
+    """,
+)
+def q_bigram_logprob(spark, sf_dir):
+    """Average bigram conditional log-prob per doc (unsmoothed KenLM-
+    style depth upgrade of unigram_logprob; floor-integerized terms
+    keep the log-sum associative and partition-order-free)."""
+    return quality.bigram_logprob(_t(spark, sf_dir, "documents"))

@@ -327,6 +327,8 @@ BUDGET_R6B = {
                                 # aggs + lift joins + top-n window
     "retrieval_metrics_mrl16": 3,  # same plan as retrieval_metrics
     "winsorized_stats": 2,      # percentile agg + clipped-moment agg
+    "ngram_novelty": 4,         # shingle window + first-seen agg + join
+    "bigram_logprob": 6,        # doc window + uni/bigram aggs + 2 joins
 }
 
 
@@ -444,3 +446,43 @@ def test_winsorized_stats_clips_outliers(spark):
     # clipped mean = (9*1 + p_hi) / 10, far below the raw mean 100.9
     assert r.wins_mean == round((9 + r.p_hi) / 10, 6)
     assert r.wins_mean < 100
+
+
+def test_ngram_novelty_flags_stitched_docs(spark):
+    from data_pipeline2_spark.operators.quality import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),     # all shingles first-seen
+            (2, "alpha beta gamma delta"),     # verbatim copy: novelty 0
+            (3, "omega psi chi phi"),          # fresh again
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(docs, shingle_n=3).collect()}
+    assert out[1].novelty == 1.0
+    assert out[2].novelty == 0.0 and out[2].n_novel == 0
+    assert out[3].novelty == 1.0
+    assert out[1].n_shingles == 2  # 4 tokens -> two 3-gram shingles
+
+
+def test_bigram_logprob_orders_fluency(spark):
+    import math
+
+    from data_pipeline2_spark.operators.quality import bigram_logprob
+
+    # "a b" occurs 3x out of 4 bigrams starting with "a"; "a x" once.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"), (2, "a b"), (3, "a b"),
+            (4, "a x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    # common continuation scores higher (less negative) than the rare one
+    assert out[1].avg_logprob > out[4].avg_logprob
+    assert out[1].avg_logprob == round(
+        math.floor(math.log(3 / 4) * 1e10) / 1e10, 6
+    )
+    assert out[4].n_bigrams == 1
