@@ -595,3 +595,47 @@ def q_bigram_logprob(spark, sf_dir):
     style depth upgrade of unigram_logprob; floor-integerized terms
     keep the log-sum associative and partition-order-free)."""
     return quality.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------- Spark 4
+# VariantType semi-structured path
+
+
+@_register(
+    "events_variant_agg",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+             AS k_sum,
+           CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT)
+             AS k_min,
+           CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT)
+             AS k_max,
+           CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS INT))
+                AS BIGINT) AS k_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_variant_agg(spark, sf_dir):
+    """Semi-structured aggregation through Spark 4's VariantType:
+    parse_json once into the binary variant encoding, variant_get the
+    typed field, aggregate — the engine's modern replacement for
+    repeated get_json_object string re-parsing (reference metadata is
+    free-form Dict[str, Any], models/document.py:21). At lake scale the
+    variant column is what you PERSIST (parse on ingest, shredded
+    storage prunes paths); this key proves the extraction semantics
+    against a JSON-path oracle."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count_distinct(F.col("k")).alias("k_distinct"),
+        )
+    )

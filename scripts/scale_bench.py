@@ -53,6 +53,13 @@ OPS = [
     "token_rarity",      # exploded-token join vs the unigram table
     "source_overlap",    # shingle-grouped source sets, map-side pairs
     "gopher_quality",    # map-only baseline (should scale ~linearly)
+    # round-6 additions: the new shuffle-bearing operators (embedding-
+    # joined keys like topic_cluster_terms are excluded — the replica
+    # multiplies documents/events, not the 500-row embeddings table)
+    "ngram_novelty",     # shingle fingerprint first-seen agg + join
+    "bigram_logprob",    # uni/bigram tables + per-doc join-aggs
+    "fuzzy_join_ed1",    # vocabulary-sized deletion-variant join
+    "events_rate_limit", # (user,minute) window + per-user report
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 

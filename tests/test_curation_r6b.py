@@ -329,6 +329,7 @@ BUDGET_R6B = {
     "winsorized_stats": 2,      # percentile agg + clipped-moment agg
     "ngram_novelty": 4,         # shingle window + first-seen agg + join
     "bigram_logprob": 6,        # doc window + uni/bigram aggs + 2 joins
+    "events_variant_agg": 2,    # distinct-agg two-phase over variant field
 }
 
 
