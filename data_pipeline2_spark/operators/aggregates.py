@@ -452,14 +452,23 @@ def higher_moments(
         + F.lit(6.0) * mu * mu * (F.col("s2") / n)
         - F.lit(3.0) * mu * mu * mu * mu
     )
+    # constant-value groups: m2 is 0 (or a ~1e-16 float artifact) and
+    # skew/kurtosis are undefined — return NULL explicitly rather than
+    # letting 0/0 diverge across engines (Spark NULL vs DuckDB NaN/inf)
     return agg.select(
         F.col(group_col),
         F.col("n"),
         F.round(F.col("med"), round_to).alias("median"),
         F.round(mu, round_to).alias("mean"),
-        F.round(F.sqrt(m2), round_to).alias("stddev_pop"),
-        F.round(m3 / F.pow(m2, F.lit(1.5)), round_to).alias("skewness"),
-        F.round(m4 / (m2 * m2) - F.lit(3.0), round_to).alias("exkurtosis"),
+        F.round(
+            F.sqrt(F.greatest(m2, F.lit(0.0))), round_to
+        ).alias("stddev_pop"),
+        F.when(
+            m2 > 0, F.round(m3 / F.pow(m2, F.lit(1.5)), round_to)
+        ).alias("skewness"),
+        F.when(
+            m2 > 0, F.round(m4 / (m2 * m2) - F.lit(3.0), round_to)
+        ).alias("exkurtosis"),
     )
 
 
@@ -598,7 +607,11 @@ def winsorized_stats(
         ),
     )
     mean = F.col("s1") / F.col("n")
-    var = F.col("s2") / F.col("n") - mean * mean
+    # clamp the ~1e-16 float artifact a constant group can produce —
+    # sqrt of it is NaN on Spark and an out-of-range ERROR on DuckDB
+    var = F.greatest(
+        F.col("s2") / F.col("n") - mean * mean, F.lit(0.0)
+    )
     return agg.select(
         group_col,
         "n",

@@ -151,7 +151,9 @@ def rate_limit_admission(
 ) -> DataFrame:
     """Per-key admission report under `rate_limit_flags` semantics:
     how many events a key sent, how many the limiter admitted/rejected,
-    and in how many distinct windows the key hit the limit.
+    and in how many distinct windows the key had rejections (a window
+    with exactly `cap` events is saturated but rejection-free and does
+    NOT count — this reports dropped traffic, not utilization).
 
     → (key, n_events, n_admitted, n_rejected, n_limited_windows)
     """

@@ -706,7 +706,13 @@ def image_ahash(assets: DataFrame, codec: str = "gif") -> DataFrame:
                 bsum = bsum.astype(np.int64)  # int weights < 2^53: exact
                 npx = np.bincount(blk, minlength=64).astype(np.int64)
                 total = int(red.sum())
-                bits = (bsum * (w * h)) > (total * npx)
+                # python-int cross-multiply: bsum*(w*h) overflows int64
+                # around 14k x 14k images; 64 exact bigint compares are
+                # free next to the decode
+                bits = [
+                    int(bsum[k]) * (w * h) > total * int(npx[k])
+                    for k in range(64)
+                ]
                 hi = sum(1 << (k - 32) for k in range(32, 64) if bits[k])
                 lo = sum(1 << k for k in range(32) if bits[k])
                 rows.append((int(aid), w, h, int(hi), int(lo)))

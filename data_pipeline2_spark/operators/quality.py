@@ -588,7 +588,9 @@ def canonicalize_url(url: Column) -> Column:
     head = F.lower(F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+)", 1))
     head = F.regexp_replace(head, "://www\\.", "://")
     rest = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+", "")
-    rest = F.regexp_replace(rest, "(utm_[a-z]+|ref)=[^&]*&", "")
+    # lookbehind keeps the separator AND prevents matching inside
+    # unrelated parameter names (href=, pref= must survive)
+    rest = F.regexp_replace(rest, "(?<=[?&])(utm_[a-z]+|ref)=[^&]*&", "")
     rest = F.regexp_replace(rest, "[?&](utm_[a-z]+|ref)=[^&]*$", "")
     rest = F.regexp_replace(rest, "\\?&", "?")
     rest = F.regexp_replace(rest, "[?&]$", "")

@@ -1170,7 +1170,10 @@ def nfc_normalize_udf():
         def one(x):
             if x is None:
                 return None
-            return pat.sub(" ", unicodedata.normalize("NFC", x)).strip()
+            # strip only plain spaces: after the class collapse the
+            # edges can only hold ' ' or codepoints OUTSIDE the portable
+            # class (e.g. \x0b), which the DuckDB trim() also leaves
+            return pat.sub(" ", unicodedata.normalize("NFC", x)).strip(" ")
 
         return s.map(one)
 
@@ -1190,13 +1193,17 @@ def normalize_text_report(
     norm = nfc_normalize_udf()(F.col(text_col))
     out = docs.select(
         F.col(id_col),
+        F.col(text_col).alias("__raw"),
         F.length(F.col(text_col)).alias("n_raw"),
         norm.alias("__norm"),
     )
+    # changed compares the STRINGS, not lengths: an NBSP->space rewrite
+    # preserves codepoint count but changes bytes, and `changed` is what
+    # tells a consumer which docs to re-hash
     return out.select(
         id_col,
         "n_raw",
         F.length("__norm").alias("n_norm"),
-        (F.length("__norm") != F.col("n_raw")).alias("changed"),
+        (F.col("__norm") != F.col("__raw")).alias("changed"),
         F.md5(F.encode(F.col("__norm"), "UTF-8")).alias("norm_md5"),
     )

@@ -287,7 +287,12 @@ def q_ivm_agg_delta(spark, sf_dir):
     )
 
 
-_Z_BITS = 8
+# 16 interleave bits per dimension: covers user_id < 65536 without
+# aliasing (sf0.1 peaks at 1499; the x10 replica at ~15k). 8 bits
+# aliased users 256 apart onto one z-value at bench scale, turning the
+# "bounded tiles" claim false exactly where it matters — the bit width
+# must DOMINATE the key domain, never truncate it (r6 review fix).
+_Z_BITS = 16
 _Z_FILE_SPAN = 64
 
 

@@ -29,6 +29,7 @@ from data_pipeline2_spark.operators import (
     textanalysis,
 )
 from data_pipeline2_spark.registry._core import _cos_sql, _register, _t
+from data_pipeline2_spark.operators.quality import _LOGPROB_SCALE
 from data_pipeline2_spark.registry.analytics_ext import _TOKS_SH_CTES
 
 # ---------------------------------------------------------------- rate
@@ -69,27 +70,29 @@ def q_events_rate_limit(spark, sf_dir):
 # evaluation
 
 
-@_register(
-    "retrieval_metrics",
-    f"""
-    WITH q AS (
-      SELECT label AS qlabel, min(vec_id) AS qid
-      FROM embeddings GROUP BY label
+# shared recall@k / MRR@k oracle chain, parameterized by the embedding
+# source (full-width vs truncated) so the two keys that are meant to be
+# DIFFED against each other can never drift apart (r6 review fix)
+def _retrieval_sql(src: str, k: int = 10) -> str:
+    return f"""
+    WITH emb AS ({src}),
+    q AS (
+      SELECT label AS qlabel, min(vec_id) AS qid FROM emb GROUP BY label
     ), qv AS (
       SELECT q.qid, q.qlabel, e.embedding AS qvec
-      FROM q JOIN embeddings e ON e.vec_id = q.qid
+      FROM q JOIN emb e ON e.vec_id = q.qid
     ), s AS (
       SELECT qv.qid, qv.qlabel, e.vec_id,
              CASE WHEN e.label = qv.qlabel THEN 1 ELSE 0 END AS rel,
              round({_cos_sql('e.embedding', 'qv.qvec')}, 6) AS score
-      FROM embeddings e CROSS JOIN qv
+      FROM emb e CROSS JOIN qv
       WHERE e.vec_id <> qv.qid
     ), r AS (
       SELECT qid, qlabel, rel,
              row_number() OVER (
                PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
       FROM s
-    ), t AS (SELECT * FROM r WHERE rank <= 10),
+    ), t AS (SELECT * FROM r WHERE rank <= {k}),
     pq AS (
       SELECT qid, qlabel,
              CAST(sum(rel) AS BIGINT) AS hits_at_k,
@@ -97,7 +100,7 @@ def q_events_rate_limit(spark, sf_dir):
       FROM t GROUP BY qid, qlabel
     ), rc AS (
       SELECT label AS qlabel, CAST(count(*) - 1 AS BIGINT) AS n_relevant
-      FROM embeddings GROUP BY label
+      FROM emb GROUP BY label
     )
     SELECT pq.qid, pq.qlabel, rc.n_relevant, pq.hits_at_k,
            round(pq.hits_at_k / greatest(rc.n_relevant, 1), 6)
@@ -106,7 +109,12 @@ def q_events_rate_limit(spark, sf_dir):
            round(CASE WHEN pq.frr IS NOT NULL THEN 1.0 / pq.frr
                       ELSE 0.0 END, 6) AS mrr_at_k
     FROM pq JOIN rc USING (qlabel)
-    """,
+    """
+
+
+@_register(
+    "retrieval_metrics",
+    _retrieval_sql("SELECT vec_id, embedding, label FROM embeddings"),
 )
 def q_retrieval_metrics(spark, sf_dir):
     """recall@10 / MRR@10 of exact cosine retrieval against label
@@ -138,7 +146,7 @@ _NORM_WS_CLASS = "'[ \\t\\r\\n\\f' || chr(160) || ']+'"
     SELECT doc_id,
            CAST(length(raw) AS INT) AS n_raw,
            CAST(length(norm) AS INT) AS n_norm,
-           length(norm) <> length(raw) AS changed,
+           norm <> raw AS changed,
            md5(norm) AS norm_md5
     FROM n
     """,
@@ -176,17 +184,20 @@ def q_text_normalize(spark, sf_dir):
     SELECT l_returnflag, n,
            round(med, 6) AS median,
            round(s1 / cn, 6) AS mean,
-           round(sqrt(s2 / cn - (s1 / cn) * (s1 / cn)), 6) AS stddev_pop,
-           round((s3 / cn - 3.0 * (s1 / cn) * (s2 / cn)
-                  + 2.0 * (s1 / cn) * (s1 / cn) * (s1 / cn))
-                 / pow(s2 / cn - (s1 / cn) * (s1 / cn), 1.5), 6)
-             AS skewness,
-           round((s4 / cn - 4.0 * (s1 / cn) * (s3 / cn)
-                  + 6.0 * (s1 / cn) * (s1 / cn) * (s2 / cn)
-                  - 3.0 * (s1 / cn) * (s1 / cn) * (s1 / cn) * (s1 / cn))
-                 / ((s2 / cn - (s1 / cn) * (s1 / cn))
-                    * (s2 / cn - (s1 / cn) * (s1 / cn))) - 3.0, 6)
-             AS exkurtosis
+           round(sqrt(greatest(s2 / cn - (s1 / cn) * (s1 / cn), 0.0)), 6)
+             AS stddev_pop,
+           CASE WHEN (s2 / cn - (s1 / cn) * (s1 / cn)) > 0 THEN
+             round((s3 / cn - 3.0 * (s1 / cn) * (s2 / cn)
+                    + 2.0 * (s1 / cn) * (s1 / cn) * (s1 / cn))
+                   / pow(s2 / cn - (s1 / cn) * (s1 / cn), 1.5), 6)
+           END AS skewness,
+           CASE WHEN (s2 / cn - (s1 / cn) * (s1 / cn)) > 0 THEN
+             round((s4 / cn - 4.0 * (s1 / cn) * (s3 / cn)
+                    + 6.0 * (s1 / cn) * (s1 / cn) * (s2 / cn)
+                    - 3.0 * (s1 / cn) * (s1 / cn) * (s1 / cn) * (s1 / cn))
+                   / ((s2 / cn - (s1 / cn) * (s1 / cn))
+                      * (s2 / cn - (s1 / cn) * (s1 / cn))) - 3.0, 6)
+           END AS exkurtosis
     FROM (SELECT *, CAST(n AS DOUBLE) AS cn FROM a)
     """,
 )
@@ -437,43 +448,7 @@ def q_topic_cluster_terms(spark, sf_dir):
 
 @_register(
     "retrieval_metrics_mrl16",
-    f"""
-    WITH emb AS (
-      SELECT vec_id, embedding[1:16] AS embedding, label FROM embeddings
-    ), q AS (
-      SELECT label AS qlabel, min(vec_id) AS qid FROM emb GROUP BY label
-    ), qv AS (
-      SELECT q.qid, q.qlabel, e.embedding AS qvec
-      FROM q JOIN emb e ON e.vec_id = q.qid
-    ), s AS (
-      SELECT qv.qid, qv.qlabel, e.vec_id,
-             CASE WHEN e.label = qv.qlabel THEN 1 ELSE 0 END AS rel,
-             round({_cos_sql('e.embedding', 'qv.qvec')}, 6) AS score
-      FROM emb e CROSS JOIN qv
-      WHERE e.vec_id <> qv.qid
-    ), r AS (
-      SELECT qid, qlabel, rel,
-             row_number() OVER (
-               PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
-      FROM s
-    ), t AS (SELECT * FROM r WHERE rank <= 10),
-    pq AS (
-      SELECT qid, qlabel,
-             CAST(sum(rel) AS BIGINT) AS hits_at_k,
-             min(CASE WHEN rel = 1 THEN rank END) AS frr
-      FROM t GROUP BY qid, qlabel
-    ), rc AS (
-      SELECT label AS qlabel, CAST(count(*) - 1 AS BIGINT) AS n_relevant
-      FROM emb GROUP BY label
-    )
-    SELECT pq.qid, pq.qlabel, rc.n_relevant, pq.hits_at_k,
-           round(pq.hits_at_k / greatest(rc.n_relevant, 1), 6)
-             AS recall_at_k,
-           CAST(coalesce(pq.frr, 0) AS INT) AS first_rel_rank,
-           round(CASE WHEN pq.frr IS NOT NULL THEN 1.0 / pq.frr
-                      ELSE 0.0 END, 6) AS mrr_at_k
-    FROM pq JOIN rc USING (qlabel)
-    """,
+    _retrieval_sql("SELECT vec_id, embedding[1:16] AS embedding, label FROM embeddings"),
 )
 def q_retrieval_metrics_mrl16(spark, sf_dir):
     """Matryoshka-style truncation eval: the SAME retrieval metrics
@@ -514,7 +489,8 @@ def q_retrieval_metrics_mrl16(spark, sf_dir):
            round(p_lo, 6) AS p_lo,
            round(p_hi, 6) AS p_hi,
            round(s1 / n, 6) AS wins_mean,
-           round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS wins_stddev,
+           round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6)
+             AS wins_stddev,
            n_clipped_lo, n_clipped_hi
     FROM a
     """,
@@ -580,12 +556,12 @@ def q_ngram_novelty(spark, sf_dir):
     ), terms AS (
       SELECT g.doc_id,
              CAST(floor(ln(b.c2::DOUBLE / u.c1::DOUBLE)
-                        * {float(10_000_000_000)}) AS BIGINT) AS term
+                        * {float(_LOGPROB_SCALE)}) AS BIGINT) AS term
       FROM bg g JOIN big b USING (w1, w2) JOIN uni u USING (w1)
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(term) AS BIGINT) AS logprob_sum_scaled,
-           round(sum(term) / {float(10_000_000_000)} / count(*), 6)
+           round(sum(term) / {float(_LOGPROB_SCALE)} / count(*), 6)
              AS avg_logprob
     FROM terms GROUP BY doc_id
     """,

@@ -487,3 +487,98 @@ def test_bigram_logprob_orders_fluency(spark):
         math.floor(math.log(3 / 4) * 1e10) / 1e10, 6
     )
     assert out[4].n_bigrams == 1
+
+
+# ---------------------------------------------------------------- r6
+# review-fix regressions
+
+
+def test_normalize_changed_flag_catches_length_preserving_rewrites(spark):
+    """NBSP -> space preserves codepoint count; `changed` must still
+    fire (it compares strings, not lengths)."""
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in textanalysis.normalize_text_report(docs).collect()
+    }
+    assert out[1].n_raw == out[1].n_norm == 3
+    assert out[1].changed is True
+    assert out[2].changed is False
+    assert out[1].norm_md5 == out[2].norm_md5
+
+
+def test_normalize_strip_is_portable_not_unicode_wide(spark):
+    """Python .strip() would eat \\x0b; the portable contract (and the
+    DuckDB oracle) must leave codepoints outside the declared class."""
+    docs = spark.createDataFrame(
+        [(1, "abc\x0b"), (2, "abc ")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in textanalysis.normalize_text_report(docs).collect()
+    }
+    assert out[1].n_norm == 4  # vertical tab survives
+    assert out[2].n_norm == 3  # trailing space trimmed
+
+
+def test_canonicalize_url_spares_lookalike_params(spark):
+    """href=/pref= must never be mistaken for the ref tracking param."""
+    from data_pipeline2_spark.operators.quality import canonicalize_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://ex.com/a?href=/x&id=7"),
+            (2, "https://ex.com/a?pref=1&b=2"),
+            (3, "https://ex.com/a?utm_a=1&utm_b=2&x=3"),  # consecutive
+            (4, "https://ex.com/a?fref=x"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert got[1] == "https://ex.com/a?href=/x&id=7"
+    assert got[2] == "https://ex.com/a?pref=1&b=2"
+    assert got[3] == "https://ex.com/a?x=3"
+    assert got[4] == "https://ex.com/a?fref=x"
+
+
+def test_zorder_bits_cover_bench_scale_user_domain(spark):
+    """users 256 apart must NOT alias onto one z-value (the 8-bit bug:
+    at sf0.1 user_id reaches 1499)."""
+    from data_pipeline2_spark.plans.zorder import zorder_key
+    from data_pipeline2_spark.registry.curation_r6 import _Z_BITS
+
+    df = spark.createDataFrame(
+        [(5, 3), (261, 3), (1499, 3)], "x long, y long"
+    )
+    zs = [
+        r.z
+        for r in df.select(
+            zorder_key([F.col("x"), F.col("y")], bits=_Z_BITS).alias("z")
+        ).collect()
+    ]
+    assert len(set(zs)) == 3
+
+
+def test_higher_moments_constant_group_is_null_not_nan(spark):
+    df = spark.createDataFrame(
+        [("c", 7)] * 5, "g string, v long"
+    )
+    r = aggregates.higher_moments(df, "g", "v").collect()[0]
+    assert r.stddev_pop == 0.0
+    assert r.skewness is None and r.exkurtosis is None
+    assert r.mean == 7.0 and r.median == 7.0
+
+
+def test_winsorized_constant_group_stddev_zero(spark):
+    from data_pipeline2_spark.operators.aggregates import winsorized_stats
+
+    df = spark.createDataFrame([("c", 2.5)] * 4, "g string, v double")
+    r = winsorized_stats(df, "g", "v").collect()[0]
+    assert r.wins_stddev == 0.0 and r.wins_mean == 2.5
