@@ -582,3 +582,39 @@ def test_winsorized_constant_group_stddev_zero(spark):
     df = spark.createDataFrame([("c", 2.5)] * 4, "g string, v double")
     r = winsorized_stats(df, "g", "v").collect()[0]
     assert r.wins_stddev == 0.0 and r.wins_mean == 2.5
+
+
+def test_rate_limit_matches_python_reference_model(spark):
+    """Seeded random traffic through the Spark limiter vs a direct
+    python model of the spec (sort by (ts, id) within (user, minute),
+    admit first cap) — the randomized check unit cases can't cover."""
+    import random
+
+    rng = random.Random(42)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for eid in range(400):
+        rows.append(
+            (
+                eid,
+                t0 + dt.timedelta(seconds=rng.randrange(0, 1800)),
+                rng.randrange(1, 6),
+                1.0,
+            )
+        )
+    cap = 3
+    out = lifecycle.rate_limit_flags(
+        _events_df(spark, rows), cap=cap, bucket="minute"
+    )
+    got = {r.event_id: r.admitted for r in out.collect()}
+
+    from collections import defaultdict
+
+    windows = defaultdict(list)
+    for eid, ts, uid, _ in rows:
+        windows[(uid, ts.replace(second=0, microsecond=0))].append((ts, eid))
+    want = {}
+    for evs in windows.values():
+        for rank, (_, eid) in enumerate(sorted(evs), 1):
+            want[eid] = rank <= cap
+    assert got == want

@@ -756,3 +756,39 @@ def test_merge_upsert_idempotent_and_commutes_with_reapply(spark):
     a = sorted((r.k, r.s, r.c) for r in once.collect())
     b = sorted((r.k, r.s, r.c) for r in twice.collect())
     assert a == b
+
+
+# ---------------------------------------------------------------- FastSS
+# (round 6): the deletion-neighborhood candidate rule must be COMPLETE
+# for edit distance <= 1 — the Spark/SQL join can only verify pairs the
+# variant equi-join surfaces, so completeness of the pure rule is the
+# whole recall guarantee.
+
+
+def _del_neighborhood(w: str) -> set:
+    return {w} | {w[:i] + w[i + 1:] for i in range(len(w))}
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.text(alphabet="abcde", min_size=0, max_size=8),
+    st.text(alphabet="abcde", min_size=0, max_size=8),
+)
+@settings(max_examples=500, deadline=None)
+def test_fastss_deletion_neighborhood_complete_for_ed1(a, b):
+    if _lev(a, b) <= 1:
+        # candidate rule MUST fire (completeness — recall 1.0)
+        assert _del_neighborhood(a) & _del_neighborhood(b)
+    elif _lev(a, b) > 2:
+        # and it never fires at distance > 2 (candidate precision bound:
+        # two deletion-1 neighborhoods can only meet within ed 2)
+        assert not (_del_neighborhood(a) & _del_neighborhood(b))
