@@ -622,3 +622,49 @@ def winsorized_stats(
         "n_clipped_lo",
         "n_clipped_hi",
     )
+
+
+def distribution_entropy(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+    scale: int = 10_000_000_000,
+) -> DataFrame:
+    """Per-key Shannon entropy (nats) of a categorical distribution —
+    e.g. how varied each user's event-type mix is (0 = monomaniac,
+    ln(|types|) = uniform). The profile feature behind bot/spam
+    detection and stratified sampling weights.
+
+    Exactness: H = -Σ p_t ln p_t is a float sum, so each term
+    integerizes first (the unigram_logprob idiom): per (key, cat)
+    contribution = cnt_t · floor(ln(cnt_t / total) · scale), an exact
+    BIGINT whose sum is associative; H = -S / scale / total. Two hash
+    aggregations + one co-partitioned join — the (key, cat) agg output
+    is already hash(key)-clustered, so the totals join adds no
+    corpus-width shuffle.
+
+    → (key, n_events, n_cats, entropy)
+    """
+    counts = df.groupBy(key_col, cat_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.groupBy(key_col).agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_cats")
+    )
+    term = F.col("cnt") * F.floor(
+        F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+        * F.lit(float(scale))
+    ).cast("long")
+    return (
+        counts.join(totals, key_col)
+        .groupBy(key_col, "total", "n_cats")
+        .agg(F.sum(term).alias("s"))
+        .select(
+            key_col,
+            F.col("total").cast("long").alias("n_events"),
+            F.col("n_cats").cast("long").alias("n_cats"),
+            F.round(
+                -(F.col("s") / F.lit(float(scale))) / F.col("total"), 6
+            ).alias("entropy"),
+        )
+    )

@@ -1943,3 +1943,91 @@ def topic_cluster_terms(
             "lift",
         )
     )
+
+
+def sparse_cosine_topk(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: float = 1.0,
+) -> DataFrame:
+    """Doc-doc similarity without embeddings: term-frequency cosine via
+    the inverted-index self-join → top-k neighbors per document.
+
+    The sparse complement to knn_batch: dot products accumulate as
+    EXACT integer Σ tf_a·tf_b over shared terms (associative — no float
+    sum anywhere until the final norm division), norms come from exact
+    Σ tf² integers, so the score is engine-portable to the last ulp
+    before rounding. TF (not TF-IDF) weighting keeps the arithmetic
+    integer-exact; IDF reweighting slots in via the floor-integerized
+    log idiom with the identical plan.
+
+    Scale: the pair blow-up lives entirely in the posting-list join —
+    a term in d documents contributes d² pairs, so `df_cap` (fraction
+    of docs a term may appear in before it is dropped from the index,
+    the classic stopword prune) is the knob that keeps the join
+    near-linear on natural vocabularies. Candidate pairs shuffle as
+    (id_a, id_b, int) triples; text never leaves the tf stage.
+
+    → (doc_a, rank, doc_b, score)
+    """
+    from data_pipeline2_spark.functions.text import tokens as _tokens
+
+    base = docs.filter(F.col(text_col).isNotNull())
+    tf = (
+        base.select(
+            F.col(id_col).alias("doc"),
+            F.explode(_tokens(F.lower(F.col(text_col)))).alias("w"),
+        )
+        .groupBy("doc", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if df_cap < 1.0:
+        n_docs = base.select(
+            F.count(F.lit(1)).alias("__n")
+        )
+        dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("__df"))
+        keep = dfreq.crossJoin(F.broadcast(n_docs)).filter(
+            F.col("__df") <= F.col("__n") * F.lit(df_cap)
+        )
+        tf = tf.join(keep.select("w"), "w")
+    norms = tf.groupBy("doc").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("sq")
+    )
+    a = tf.select(
+        F.col("doc").alias("doc_a"), "w", F.col("tf").alias("tf_a")
+    )
+    b = tf.select(
+        F.col("doc").alias("doc_b"), "w", F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("sq").alias("sa"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("sq").alias("sb"))
+    scored = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("sa").cast("double"))
+                   * F.sqrt(F.col("sb").cast("double"))),
+                SCORE_ROUND,
+            ).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_a").orderBy(
+        F.desc("score"), F.col("doc_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("doc_a", F.col("rank").cast("int"), "doc_b", "score")
+    )

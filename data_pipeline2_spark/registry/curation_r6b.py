@@ -615,3 +615,83 @@ def q_events_variant_agg(spark, sf_dir):
             F.count_distinct(F.col("k")).alias("k_distinct"),
         )
     )
+
+
+# ---------------------------------------------------------------- entropy /
+# sparse similarity
+
+
+@_register(
+    "events_type_entropy",
+    f"""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ), totals AS (
+      SELECT user_id, sum(cnt) AS total, count(*) AS n_cats
+      FROM counts GROUP BY user_id
+    ), terms AS (
+      SELECT c.user_id, t.total, t.n_cats,
+             c.cnt * CAST(floor(ln(c.cnt::DOUBLE / t.total::DOUBLE)
+                                * {float(_LOGPROB_SCALE)}) AS BIGINT) AS term
+      FROM counts c JOIN totals t USING (user_id)
+    )
+    SELECT user_id,
+           CAST(total AS BIGINT) AS n_events,
+           CAST(n_cats AS BIGINT) AS n_cats,
+           round(-(sum(term) / {float(_LOGPROB_SCALE)}) / total, 6)
+             AS entropy
+    FROM terms GROUP BY user_id, total, n_cats
+    """,
+)
+def q_events_type_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type mix (0 = single-type
+    bot, ln(n_types) = uniform) — floor-integerized log terms keep the
+    entropy sum associative and partition-order-free."""
+    return aggregates.distribution_entropy(
+        _t(spark, sf_dir, "events"), "user_id", "event_type"
+    )
+
+
+@_register(
+    "sparse_cosine_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(CASE WHEN len(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                    END) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), tf AS (
+      SELECT doc, w, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc, w
+    ), norms AS (
+      SELECT doc, sum(tf * tf) AS sq FROM tf GROUP BY doc
+    ), dots AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+      FROM tf a JOIN tf b USING (w)
+      WHERE a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    ), scored AS (
+      SELECT d.doc_a, d.doc_b,
+             round(d.dot / (sqrt(na.sq::DOUBLE) * sqrt(nb.sq::DOUBLE)), 6)
+               AS score
+      FROM dots d JOIN norms na ON na.doc = d.doc_a
+                  JOIN norms nb ON nb.doc = d.doc_b
+    ), r AS (
+      SELECT doc_a, doc_b, score,
+             row_number() OVER (
+               PARTITION BY doc_a ORDER BY score DESC, doc_b) AS rank
+      FROM scored)
+    SELECT doc_a, CAST(rank AS INT) AS rank, doc_b, score
+    FROM r WHERE rank <= 5
+    """,
+)
+def q_sparse_cosine_topk(spark, sf_dir):
+    """Inverted-index TF-cosine document similarity, top-5 neighbors
+    per doc — exact integer dot products through the posting-list
+    self-join; the sparse complement to the embedding kNN stack."""
+    return similarity.sparse_cosine_topk(
+        _t(spark, sf_dir, "documents"), k=5
+    )

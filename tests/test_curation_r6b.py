@@ -330,6 +330,9 @@ BUDGET_R6B = {
     "ngram_novelty": 4,         # shingle window + first-seen agg + join
     "bigram_logprob": 6,        # doc window + uni/bigram aggs + 2 joins
     "events_variant_agg": 2,    # distinct-agg two-phase over variant field
+    "events_type_entropy": 3,   # (user,type) agg + totals + final rollup
+    "sparse_cosine_topk": 8,    # tf agg + posting self-join + dots +
+                                # norm joins + per-doc top-k window
 }
 
 
@@ -618,3 +621,47 @@ def test_rate_limit_matches_python_reference_model(spark):
         for rank, (_, eid) in enumerate(sorted(evs), 1):
             want[eid] = rank <= cap
     assert got == want
+
+
+def test_distribution_entropy_bounds(spark):
+    import math
+
+    from data_pipeline2_spark.operators.aggregates import (
+        distribution_entropy,
+    )
+
+    rows = (
+        [(1, "a")] * 8                                  # monomaniac: H=0
+        + [(2, "a"), (2, "b"), (2, "c"), (2, "d")]      # uniform: ln 4
+        + [(3, "a")] * 3 + [(3, "b")]                   # skewed: between
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {
+        r.user_id: r
+        for r in distribution_entropy(df, "user_id", "event_type").collect()
+    }
+    assert out[1].entropy == 0.0 and out[1].n_cats == 1
+    assert out[2].entropy == round(math.log(4), 6)
+    assert 0.0 < out[3].entropy < out[2].entropy
+
+
+def test_sparse_cosine_topk_identical_docs_score_one(spark):
+    from data_pipeline2_spark.operators.similarity import sparse_cosine_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta"),
+            (2, "alpha beta beta"),      # identical tf vector -> score 1
+            (3, "gamma delta"),          # disjoint from 1/2 -> no pair
+            (4, "alpha gamma"),          # partial overlap with both
+        ],
+        "doc_id long, text string",
+    )
+    out = sparse_cosine_topk(docs, k=3).collect()
+    pairs = {(r.doc_a, r.doc_b): r.score for r in out}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert 0.0 < pairs[(3, 4)] < 1.0
+    # rank 1 for doc 1 is its identical twin
+    r1 = [r for r in out if r.doc_a == 1 and r.rank == 1][0]
+    assert r1.doc_b == 2
