@@ -60,3 +60,34 @@ def test_bucketed_join_has_no_shuffle(spark, warehouse):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(joined.collect()) == sorted(base.collect())
+
+
+def test_bucketed_rate_limit_window_has_no_shuffle(spark):
+    """hash(user_id) bucketing satisfies the rate limiter's
+    (user_id, window) ClusteredDistribution — all rows of one
+    (user, minute) cell share the user bucket — so admission over a
+    user-bucketed event lake is a ZERO-exchange local sort. This is the
+    lake-layout lever for the admission/sessionize family (same
+    clustering serves sessionization, EWMA, top_paths)."""
+    from data_pipeline2_spark.operators.lifecycle import rate_limit_flags
+
+    events = load_table(spark, SF, "events")
+    try:
+        (
+            events.write.mode("overwrite")
+            .bucketBy(8, "user_id")
+            .sortBy("user_id", "ts")
+            .saveAsTable("events_b")
+        )
+        flagged = rate_limit_flags(spark.table("events_b"), cap=1)
+        plan = flagged._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        # values identical to the unbucketed path
+        base = {
+            r.event_id: r.admitted
+            for r in rate_limit_flags(events, cap=1).collect()
+        }
+        got = {r.event_id: r.admitted for r in flagged.collect()}
+        assert got == base
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_b")
