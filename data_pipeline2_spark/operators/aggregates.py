@@ -495,6 +495,8 @@ def resample_ohlc(
 
     → (group, bucket_s, open, high, low, close, volume, value_sum)
     """
+    if interval_sec <= 0:
+        raise ValueError(f"interval_sec must be > 0, got {interval_sec}")
     bucket = (
         F.floor(F.col(ts_col).cast("double") / F.lit(float(interval_sec)))
         .cast("long")
@@ -581,6 +583,10 @@ def winsorized_stats(
     → (group, n, p_lo, p_hi, wins_mean, wins_stddev,
        n_clipped_lo, n_clipped_hi)
     """
+    if not (0.0 <= lo_p < hi_p <= 1.0):
+        raise ValueError(
+            f"need 0 <= lo_p < hi_p <= 1, got ({lo_p}, {hi_p})"
+        )
     v = F.col(value_col)
     bounds = df.groupBy(group_col).agg(
         F.percentile(v, lo_p).alias("p_lo"),
@@ -643,8 +649,15 @@ def distribution_entropy(
     is already hash(key)-clustered, so the totals join adds no
     corpus-width shuffle.
 
+    Overflow bound: |term| <= cnt · ln(total) · scale, so the default
+    scale=1e10 is exact while any (key, cat) count stays under ~3·10^7
+    — beyond that (whale keys at lake scale) drop scale a decade per
+    decade of count; precision loss is in the 10th decimal.
+
     → (key, n_events, n_cats, entropy)
     """
+    if scale <= 0:
+        raise ValueError(f"scale must be > 0, got {scale}")
     counts = df.groupBy(key_col, cat_col).agg(
         F.count(F.lit(1)).alias("cnt")
     )

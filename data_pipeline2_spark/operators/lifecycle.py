@@ -132,6 +132,8 @@ def rate_limit_flags(
 
     → input columns + (win_start timestamp, admitted boolean)
     """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
     win = F.date_trunc(bucket, F.col(ts_col))
     w = Window.partitionBy(F.col(key_col), win).orderBy(
         F.col(ts_col), F.col(id_col)

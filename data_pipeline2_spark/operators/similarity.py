@@ -1820,6 +1820,8 @@ def retrieval_eval(
     → (qid, qlabel, n_relevant, hits_at_k, recall_at_k,
        first_rel_rank, mrr_at_k)
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     wq = Window.partitionBy(label_col).orderBy(F.col(id_col))
     queries = (
         embeddings.withColumn("__rn", F.row_number().over(wq))
@@ -1904,6 +1906,11 @@ def topic_cluster_terms(
     """
     from data_pipeline2_spark.functions.text import tokens as _tokens
 
+    if k < 1 or n_iter < 0 or top_n < 1:
+        raise ValueError(
+            f"need k >= 1, n_iter >= 0, top_n >= 1; "
+            f"got ({k}, {n_iter}, {top_n})"
+        )
     cents, assign = _kmeans_trajectory(embeddings, k, n_iter, id_col, vec_col)
     assigned = assign(cents).select(
         F.col("_id").alias("__vid"), "cluster"
@@ -1974,6 +1981,10 @@ def sparse_cosine_topk(
     """
     from data_pipeline2_spark.functions.text import tokens as _tokens
 
+    if k < 1 or not (0.0 < df_cap <= 1.0):
+        raise ValueError(
+            f"need k >= 1 and 0 < df_cap <= 1; got ({k}, {df_cap})"
+        )
     base = docs.filter(F.col(text_col).isNotNull())
     tf = (
         base.select(

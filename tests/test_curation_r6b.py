@@ -665,3 +665,33 @@ def test_sparse_cosine_topk_identical_docs_score_one(spark):
     # rank 1 for doc 1 is its identical twin
     r1 = [r for r in out if r.doc_a == 1 and r.rank == 1][0]
     assert r1.doc_b == 2
+
+
+def test_new_operator_arg_guards(spark):
+    """Misconfiguration fails fast at plan-build time, not mid-job."""
+    from data_pipeline2_spark.operators.aggregates import (
+        distribution_entropy,
+        resample_ohlc,
+        winsorized_stats,
+    )
+    from data_pipeline2_spark.operators.similarity import (
+        retrieval_eval,
+        sparse_cosine_topk,
+        topic_cluster_terms,
+    )
+
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        lifecycle.rate_limit_flags(df, cap=0)
+    with pytest.raises(ValueError):
+        winsorized_stats(df, "id", "id", lo_p=0.9, hi_p=0.1)
+    with pytest.raises(ValueError):
+        resample_ohlc(df, interval_sec=0)
+    with pytest.raises(ValueError):
+        retrieval_eval(df, k=0)
+    with pytest.raises(ValueError):
+        topic_cluster_terms(df, df, k=0)
+    with pytest.raises(ValueError):
+        sparse_cosine_topk(df, df_cap=0.0)
+    with pytest.raises(ValueError):
+        distribution_entropy(df, "id", "id", scale=0)
