@@ -452,9 +452,12 @@ def higher_moments(
         + F.lit(6.0) * mu * mu * (F.col("s2") / n)
         - F.lit(3.0) * mu * mu * mu * mu
     )
-    # constant-value groups: m2 is 0 (or a ~1e-16 float artifact) and
-    # skew/kurtosis are undefined — return NULL explicitly rather than
-    # letting 0/0 diverge across engines (Spark NULL vs DuckDB NaN/inf)
+    # constant-value groups: m2 is 0 (or a float artifact once the
+    # power sums exceed 2^53) and skew/kurtosis are undefined — return
+    # NULL explicitly rather than letting 0/0 diverge across engines
+    # (Spark NULL vs DuckDB NaN/inf). The guard is RELATIVE
+    # (m2 > 1e-12·(mu²+1)): an absolute m2 > 0 would pass a ~1e-16
+    # artifact and divide garbage by garbage^1.5
     return agg.select(
         F.col(group_col),
         F.col("n"),
@@ -464,10 +467,12 @@ def higher_moments(
             F.sqrt(F.greatest(m2, F.lit(0.0))), round_to
         ).alias("stddev_pop"),
         F.when(
-            m2 > 0, F.round(m3 / F.pow(m2, F.lit(1.5)), round_to)
+            m2 > F.lit(1e-12) * (mu * mu + F.lit(1.0)),
+            F.round(m3 / F.pow(m2, F.lit(1.5)), round_to),
         ).alias("skewness"),
         F.when(
-            m2 > 0, F.round(m4 / (m2 * m2) - F.lit(3.0), round_to)
+            m2 > F.lit(1e-12) * (mu * mu + F.lit(1.0)),
+            F.round(m4 / (m2 * m2) - F.lit(3.0), round_to),
         ).alias("exkurtosis"),
     )
 
@@ -644,10 +649,11 @@ def distribution_entropy(
     Exactness: H = -Σ p_t ln p_t is a float sum, so each term
     integerizes first (the unigram_logprob idiom): per (key, cat)
     contribution = cnt_t · floor(ln(cnt_t / total) · scale), an exact
-    BIGINT whose sum is associative; H = -S / scale / total. Two hash
-    aggregations + one co-partitioned join — the (key, cat) agg output
-    is already hash(key)-clustered, so the totals join adds no
-    corpus-width shuffle.
+    BIGINT whose sum is associative; H = -S / scale / total. Three
+    key-width exchanges ((key,cat) agg, per-key totals, the join-back —
+    hash(key,cat) partitioning does NOT satisfy the per-key clustering,
+    so Spark re-shuffles the agg OUTPUT, never the corpus); all three
+    carry category-cardinality rows, not events.
 
     Overflow bound: |term| <= cnt · ln(total) · scale, so the default
     scale=1e10 is exact while any (key, cat) count stays under ~3·10^7

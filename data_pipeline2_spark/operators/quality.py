@@ -582,8 +582,10 @@ def unigram_logprob(
 def canonicalize_url(url: Column) -> Column:
     """Canonical URL form: lowercase scheme://host (www. stripped),
     fragment dropped, tracking params (utm_*, ref) removed, separators
-    cleaned. Pure regexp chain — engine-portable (conservative RE2
-    syntax, mirrored verbatim in the DuckDB oracle)."""
+    cleaned. Pure regexp chain on the Java engine; NOTE the mid-string
+    rule uses a lookbehind (?<=[?&]) — Java-only, RE2 cannot compile it
+    — so the DuckDB oracle verifies via a closed-form expected URL, not
+    by replaying this chain."""
     u = F.regexp_replace(url, "#.*$", "")  # fragment
     head = F.lower(F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+)", 1))
     head = F.regexp_replace(head, "://www\\.", "://")

@@ -2018,10 +2018,21 @@ def sparse_cosine_topk(
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
     )
+    # the dot computation dedups to the half-matrix (a < b); neighbor
+    # RANKING needs the full matrix — mirror each pair before the
+    # window or every doc but the lowest-id one gets a truncated,
+    # mis-ranked neighbor list
+    sym = dots.unionByName(
+        dots.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "dot",
+        )
+    )
     na = norms.select(F.col("doc").alias("doc_a"), F.col("sq").alias("sa"))
     nb = norms.select(F.col("doc").alias("doc_b"), F.col("sq").alias("sb"))
     scored = (
-        dots.join(na, "doc_a")
+        sym.join(na, "doc_a")
         .join(nb, "doc_b")
         .select(
             "doc_a",

@@ -186,12 +186,14 @@ def q_text_normalize(spark, sf_dir):
            round(s1 / cn, 6) AS mean,
            round(sqrt(greatest(s2 / cn - (s1 / cn) * (s1 / cn), 0.0)), 6)
              AS stddev_pop,
-           CASE WHEN (s2 / cn - (s1 / cn) * (s1 / cn)) > 0 THEN
+           CASE WHEN (s2 / cn - (s1 / cn) * (s1 / cn))
+                > 1e-12 * ((s1 / cn) * (s1 / cn) + 1.0) THEN
              round((s3 / cn - 3.0 * (s1 / cn) * (s2 / cn)
                     + 2.0 * (s1 / cn) * (s1 / cn) * (s1 / cn))
                    / pow(s2 / cn - (s1 / cn) * (s1 / cn), 1.5), 6)
            END AS skewness,
-           CASE WHEN (s2 / cn - (s1 / cn) * (s1 / cn)) > 0 THEN
+           CASE WHEN (s2 / cn - (s1 / cn) * (s1 / cn))
+                > 1e-12 * ((s1 / cn) * (s1 / cn) + 1.0) THEN
              round((s4 / cn - 4.0 * (s1 / cn) * (s3 / cn)
                     + 6.0 * (s1 / cn) * (s1 / cn) * (s2 / cn)
                     - 3.0 * (s1 / cn) * (s1 / cn) * (s1 / cn) * (s1 / cn))
@@ -673,12 +675,16 @@ def q_events_type_entropy(spark, sf_dir):
       FROM tf a JOIN tf b USING (w)
       WHERE a.doc < b.doc
       GROUP BY a.doc, b.doc
+    ), sym AS (
+      SELECT doc_a, doc_b, dot FROM dots
+      UNION ALL
+      SELECT doc_b AS doc_a, doc_a AS doc_b, dot FROM dots
     ), scored AS (
       SELECT d.doc_a, d.doc_b,
              round(d.dot / (sqrt(na.sq::DOUBLE) * sqrt(nb.sq::DOUBLE)), 6)
                AS score
-      FROM dots d JOIN norms na ON na.doc = d.doc_a
-                  JOIN norms nb ON nb.doc = d.doc_b
+      FROM sym d JOIN norms na ON na.doc = d.doc_a
+                 JOIN norms nb ON nb.doc = d.doc_b
     ), r AS (
       SELECT doc_a, doc_b, score,
              row_number() OVER (

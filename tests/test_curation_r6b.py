@@ -331,8 +331,9 @@ BUDGET_R6B = {
     "bigram_logprob": 6,        # doc window + uni/bigram aggs + 2 joins
     "events_variant_agg": 2,    # distinct-agg two-phase over variant field
     "events_type_entropy": 3,   # (user,type) agg + totals + final rollup
-    "sparse_cosine_topk": 8,    # tf agg + posting self-join + dots +
-                                # norm joins + per-doc top-k window
+    "sparse_cosine_topk": 11,   # tf agg + posting self-join + dots +
+                                # half-matrix mirror + norm joins +
+                                # per-doc top-k window
 }
 
 
@@ -659,12 +660,15 @@ def test_sparse_cosine_topk_identical_docs_score_one(spark):
     )
     out = sparse_cosine_topk(docs, k=3).collect()
     pairs = {(r.doc_a, r.doc_b): r.score for r in out}
-    assert pairs[(1, 2)] == 1.0
-    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert pairs[(1, 2)] == 1.0 and pairs[(2, 1)] == 1.0  # symmetric
+    assert (1, 3) not in pairs and (3, 1) not in pairs
     assert 0.0 < pairs[(3, 4)] < 1.0
-    # rank 1 for doc 1 is its identical twin
-    r1 = [r for r in out if r.doc_a == 1 and r.rank == 1][0]
-    assert r1.doc_b == 2
+    # EVERY doc gets a neighbor list, ranked over the full matrix:
+    # doc 2's nearest neighbor is its identical twin doc 1 (the
+    # half-matrix bug ranked doc 3 first and gave doc 4 no list)
+    rank1 = {r.doc_a: r.doc_b for r in out if r.rank == 1}
+    assert rank1[1] == 2 and rank1[2] == 1
+    assert 4 in rank1
 
 
 def test_new_operator_arg_guards(spark):
