@@ -735,3 +735,53 @@ def bigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def ngram_novelty_vs_store(
+    new_docs: DataFrame,
+    store_fp: DataFrame,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental form of `ngram_novelty`: score an ARRIVING batch
+    against a persisted fingerprint store instead of the whole corpus —
+    the shape a running ingest pipeline actually uses (the
+    dedup_near_incremental discipline applied to novelty).
+
+    `store_fp` holds one `sh64` column of 60-bit shingle fingerprints
+    accumulated so far (16 bytes/row however large the history; old
+    TEXT is never re-read). A shingle is novel iff absent from the
+    store — batch-internal repeats are NOT discounted, so the batch
+    variant over old+new and this operator agree only on the first
+    occurrence per store epoch; union the batch's own fingerprints into
+    the store afterwards to advance the epoch.
+
+    → (doc_id, n_shingles, n_novel, novelty)
+    """
+    from data_pipeline2_spark.operators.dedup import doc_shingles
+
+    fp = doc_shingles(
+        new_docs, shingle_n, id_col=id_col, text_col=text_col
+    ).select("doc_id", shingle_hash64(F.col("shingle")).alias("sh64"))
+    seen = store_fp.select("sh64").distinct().withColumn(
+        "__seen", F.lit(1)
+    )
+    return (
+        fp.join(seen, "sh64", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.col("__seen").isNull().cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+    )

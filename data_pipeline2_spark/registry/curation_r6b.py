@@ -701,3 +701,44 @@ def q_sparse_cosine_topk(spark, sf_dir):
     return similarity.sparse_cosine_topk(
         _t(spark, sf_dir, "documents"), k=5
     )
+
+
+@_register(
+    "ngram_novelty_incremental",
+    f"""
+    WITH {_TOKS_SH_CTES},
+    fp AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS sh64
+      FROM sh
+    ), store AS (
+      SELECT DISTINCT sh64 FROM fp WHERE doc_id < 400
+    ), newfp AS (
+      SELECT doc_id, sh64 FROM fp WHERE doc_id >= 400
+    )
+    SELECT n.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN s.sh64 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(sum(CASE WHEN s.sh64 IS NULL THEN 1 ELSE 0 END)
+                 / count(*), 6) AS novelty
+    FROM newfp n LEFT JOIN store s USING (sh64)
+    GROUP BY n.doc_id
+    """,
+)
+def q_ngram_novelty_incremental(spark, sf_dir):
+    """Arriving batch (doc_id >= 400) scored against the fingerprint
+    store of doc_id < 400 (the dedup_near_incremental split
+    convention) — novelty without re-reading historical text."""
+    docs = _t(spark, sf_dir, "documents")
+    from data_pipeline2_spark.operators.dedup import (
+        doc_shingles,
+        shingle_hash64,
+    )
+
+    store_fp = doc_shingles(docs.filter(F.col("doc_id") < 400), 3).select(
+        shingle_hash64(F.col("shingle")).alias("sh64")
+    )
+    return quality.ngram_novelty_vs_store(
+        docs.filter(F.col("doc_id") >= 400), store_fp
+    )

@@ -334,6 +334,8 @@ BUDGET_R6B = {
     "sparse_cosine_topk": 11,   # tf agg + posting self-join + dots +
                                 # half-matrix mirror + norm joins +
                                 # per-doc top-k window
+    "ngram_novelty_incremental": 4,  # two shingle windows + store
+                                     # distinct + per-doc rollup
 }
 
 
@@ -699,3 +701,33 @@ def test_new_operator_arg_guards(spark):
         sparse_cosine_topk(df, df_cap=0.0)
     with pytest.raises(ValueError):
         distribution_entropy(df, "id", "id", scale=0)
+
+
+def test_ngram_novelty_incremental_vs_store(spark):
+    from data_pipeline2_spark.operators.dedup import (
+        doc_shingles,
+        shingle_hash64,
+    )
+    from data_pipeline2_spark.operators.quality import ngram_novelty_vs_store
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),   # fully seen -> novelty 0
+            (11, "omega psi chi phi"),        # fully new -> novelty 1
+            (12, "omega psi chi phi"),        # repeat WITHIN batch: still
+                                              # novel vs the store epoch
+        ],
+        "doc_id long, text string",
+    )
+    store = doc_shingles(old, 3).select(
+        shingle_hash64(F.col("shingle")).alias("sh64")
+    )
+    out = {
+        r.doc_id: r for r in ngram_novelty_vs_store(new, store).collect()
+    }
+    assert out[10].novelty == 0.0
+    assert out[11].novelty == 1.0
+    assert out[12].novelty == 1.0  # epoch semantics, not batch-internal
