@@ -412,9 +412,10 @@ def higher_moments(
     engines (population vs sample adjustment, Bessel corrections), and
     double power sums are partition-order-dependent. Here `value_col`
     must hold integral values (cast to bigint); the four power sums
-    S1..S4 are exact bigints — associative, shuffle-safe, identical on
-    any engine — and the moments derive from one fixed double formula
-    over those exact sums:
+    S1..S4 are exact integers (S1 bigint, S2..S4 decimal(38,0) — see
+    the accumulator comment for the |v| bound) — associative,
+    shuffle-safe, identical on any engine — and the moments derive
+    from one fixed double formula over those exact sums:
 
         mu  = S1/n
         m2  = S2/n - mu^2                       (population variance)
@@ -431,13 +432,21 @@ def higher_moments(
 
     → (group, n, median, mean, stddev_pop, skewness, exkurtosis)
     """
+    # S2..S4 accumulate as decimal(38,0), not bigint: a single v^4
+    # exceeds int64 around |v| ~ 55k and Spark's non-ANSI long sum
+    # wraps SILENTLY — wrong skew/kurtosis with no error. Decimal
+    # overflow at least nulls out loudly. Exactness bound: |v| must
+    # stay below ~3.1e9 (v^4 < 10^38) and each group's Σv^4 < 10^38;
+    # beyond that, switch to centered one-pass streaming moments.
     v = F.col(value_col).cast("long")
+    vd = v.cast("decimal(19,0)")
+    v2d = (vd * vd).cast("decimal(38,0)")
     agg = df.groupBy(group_col).agg(
         F.count(v).alias("n"),
         F.sum(v).alias("s1"),
-        F.sum(v * v).alias("s2"),
-        F.sum(v * v * v).alias("s3"),
-        F.sum(v * v * v * v).alias("s4"),
+        F.sum(v2d).alias("s2"),
+        F.sum((v2d * vd).cast("decimal(38,0)")).alias("s3"),
+        F.sum((v2d * v2d).cast("decimal(38,0)")).alias("s4"),
         F.percentile(v, 0.5).alias("med"),
     )
     n = F.col("n").cast("double")

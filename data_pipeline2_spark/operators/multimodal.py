@@ -726,33 +726,100 @@ def image_ahash(assets: DataFrame, codec: str = "gif") -> DataFrame:
     )
 
 
-def ahash_dup_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
+def ahash_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 7,
+    exact: bool = False,
+    bands: int = 8,
+) -> DataFrame:
     """Near-duplicate image pairs by aHash Hamming distance →
     (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming.
 
-    All-pairs here (the fixture sets are small); at media-lake scale
-    bucket by hash bands first (split the 64 bits into 4x16-bit bands,
-    equi-join on any matching band — the simhash/LSH trick: a pair
-    within Hamming 10 must agree exactly on >= 1 of 4 bands when
-    distance < 4... pigeonhole guarantees a shared band for d <= 3 and
-    high recall beyond) and verify with the same xor-popcount below.
+    DEFAULT path is the banded LSH equi-join (the multi-index hashing
+    trick, Norouzi et al.): split the 64 bits into `bands` equal
+    slices, explode each hash into (band_idx, band_val) rows, self
+    equi-join on the band, verify candidates with the exact
+    xor-popcount, dedup pairs that collide on several bands. A pair at
+    Hamming distance d has its d differing bits inside at most d
+    bands, so with d <= bands-1 at least one band matches exactly —
+    the banded join is pigeonhole-COMPLETE (identical results to
+    all-pairs) for max_hamming <= bands-1, which the default (7 <= 8-1)
+    satisfies. Beyond that regime the join is a candidate generator
+    with partial recall (measured per-distance by the
+    image_ahash_band_eval registry key; on the synthetic fixtures
+    recall at 8 <= d <= 24 is the recorded curve, trending to ~0 as d
+    approaches uniform-random distance).
+
+    Scale shape: the corpus shuffles as bands x 24-byte rows keyed by
+    (band_idx, band_val); join fan-out is quadratic only within one
+    band-value bucket — near-dup clusters, never the corpus. No
+    CartesianProduct anywhere (plan-asserted in test_plans.py).
+
+    exact=True keeps the O(N^2) all-pairs crossJoin for fixture-scale
+    ground truth (the dedup_near_embedding `exact` precedent) — never
+    export it; at a media-lake 1e8 images that is 1e16 comparisons.
     """
-    a = hashes.select(
-        F.col("asset_id").alias("id_a"),
-        F.col("hash_hi").alias("__ha"),
-        F.col("hash_lo").alias("__la"),
-    )
-    b = hashes.select(
-        F.col("asset_id").alias("id_b"),
-        F.col("hash_hi").alias("__hb"),
-        F.col("hash_lo").alias("__lb"),
-    )
     ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))) + F.bit_count(
         F.col("__la").bitwiseXOR(F.col("__lb"))
     )
+    if exact:
+        a = hashes.select(
+            F.col("asset_id").alias("id_a"),
+            F.col("hash_hi").alias("__ha"),
+            F.col("hash_lo").alias("__la"),
+        )
+        b = hashes.select(
+            F.col("asset_id").alias("id_b"),
+            F.col("hash_hi").alias("__hb"),
+            F.col("hash_lo").alias("__lb"),
+        )
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
+    if bands not in (2, 4, 8, 16, 32):
+        raise ValueError(f"bands must divide both 32-bit halves; got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def band_val(k: int):
+        # hash_lo holds bits 0..31, hash_hi bits 32..63; width divides
+        # 32 so no band straddles the halves. Both halves are built as
+        # sums of 1<<k with k<32, hence non-negative: shiftright is a
+        # pure logical shift here.
+        bit0 = k * width
+        src = F.col("hash_lo") if bit0 < 32 else F.col("hash_hi")
+        return F.shiftright(src, bit0 % 32).bitwiseAND(F.lit(mask))
+
+    banded = hashes.select(
+        "asset_id",
+        "hash_hi",
+        "hash_lo",
+        F.posexplode(
+            F.array(*[band_val(k) for k in range(bands)])
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        F.col("asset_id").alias("id_a"),
+        F.col("hash_hi").alias("__ha"),
+        F.col("hash_lo").alias("__la"),
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("asset_id").alias("id_b"),
+        F.col("hash_hi").alias("__hb"),
+        F.col("hash_lo").alias("__lb"),
+        "band_idx",
+        "band_val",
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

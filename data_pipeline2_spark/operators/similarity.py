@@ -2003,6 +2003,11 @@ def sparse_cosine_topk(
             F.col("__df") <= F.col("__n") * F.lit(df_cap)
         )
         tf = tf.join(keep.select("w"), "w")
+    # tf feeds THREE consumers (norms + both posting-join sides) and
+    # Spark replicates the tokenize→agg(→prune) subtree into each —
+    # eager localCheckpoint materializes it once (dedup.py precedent
+    # for multi-consumer subplans)
+    tf = tf.localCheckpoint(eager=True)
     norms = tf.groupBy("doc").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("sq")
     )

@@ -43,6 +43,7 @@ from data_pipeline2_spark.registry import analytics_ext  # noqa: E402,F401  isor
 from data_pipeline2_spark.registry import curation_r5  # noqa: E402,F401  isort:skip
 from data_pipeline2_spark.registry import curation_r6  # noqa: E402,F401  isort:skip
 from data_pipeline2_spark.registry import curation_r6b  # noqa: E402,F401  isort:skip
+from data_pipeline2_spark.registry import curation_r7  # noqa: E402,F401  isort:skip
 
 # Repo root (CORRECTNESS_r*.json location): registry/ is one package
 # level below the data_pipeline2_spark package, which sits in the root.
@@ -128,9 +129,12 @@ def _driver_verified_keys() -> set:
 # green rows verified the old plan, so they re-queue immediately behind
 # the never-verified keys for a fresh driver check. Emptied once the
 # round's CORRECTNESS file shows them green again.
-# r6: both packing keys now shard (VERDICT r5 item 1 — no exported plan
-# may carry a single-task global window).
-_RECHECK = frozenset({"pretrain_pack", "dataset_interleave"})
+# r7: image_ahash_pairs now exports the banded plan with a tightened
+# pigeonhole-complete threshold and sparse_cosine_topk exports with the
+# df_cap stopword prune engaged (VERDICT r6 items 1–2) — both oracles
+# changed with them, so both re-queue. (r6's packing-key entries went
+# green in CORRECTNESS_r06 and left the set.)
+_RECHECK = frozenset({"image_ahash_pairs", "sparse_cosine_topk"})
 
 
 def _driver_order() -> list[QuerySpec]:

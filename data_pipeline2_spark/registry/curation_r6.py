@@ -401,7 +401,12 @@ def q_image_ahash(spark, sf_dir):
     return multimodal.image_ahash(multimodal.gif_assets(docs), codec="gif")
 
 
-_AHASH_MAX_HAMMING = 24
+# r7 (VERDICT r6 item 1): threshold tightened from 24 into the banded
+# join's pigeonhole-complete regime (d <= bands-1 = 7) so the exported
+# plan is the scale-safe band equi-join AND still value-identical to
+# the all-pairs oracle. Recall beyond the complete regime is measured
+# by image_ahash_band_eval (curation_r7.py).
+_AHASH_MAX_HAMMING = 7
 
 
 @_register(
@@ -418,8 +423,10 @@ _AHASH_MAX_HAMMING = 24
 )
 def q_image_ahash_pairs(spark, sf_dir):
     """Near-duplicate image pairs by aHash Hamming distance — the
-    image-dedup application of image_ahash (threshold wide enough that
-    the synthetic fixtures yield a non-trivial pair set)."""
+    image-dedup application of image_ahash. The Spark side runs the
+    banded 8x8-bit LSH equi-join (no CartesianProduct, plan-asserted);
+    at max_hamming=7 the banding is pigeonhole-complete, so the
+    all-pairs DuckDB oracle above is value-identical."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     hashes = multimodal.image_ahash(
         multimodal.gif_assets(docs), codec="gif"

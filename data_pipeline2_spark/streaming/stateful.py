@@ -436,10 +436,11 @@ def streaming_rate_limit(
             len(batch) - admit_n
         )
         state.update((used + admit_n,))
-        try:
+        # timeout mode is known from the argument — setting a duration
+        # under NoTimeout raises, and a blanket except here would also
+        # swallow genuine state-handling errors
+        if bounded_state:
             state.setTimeoutDuration(RATE_STATE_TTL_MS)
-        except Exception:
-            pass  # NoTimeout mode
         return iter(
             [batch[["event_id", "ts", "user_id", "win_start", "admitted"]]]
         )

@@ -215,10 +215,22 @@ def test_image_ahash_invariants(spark):
         k: (v.hash_hi, v.hash_lo) for k, v in again.items()
     }
     # hamming(a, a) = 0 and pairs are ordered id_a < id_b
-    pairs = ahash_dup_pairs(hashes, max_hamming=64).collect()
+    pairs = ahash_dup_pairs(hashes, max_hamming=64, exact=True).collect()
     assert all(p.id_a < p.id_b for p in pairs)
     n = len(rows)
     assert len(pairs) == n * (n - 1) // 2  # <=64 keeps every pair
+    # banded default is pigeonhole-COMPLETE within d <= bands-1: the
+    # banded pair set at the default threshold equals exact all-pairs
+    # filtered to the same threshold, values included
+    banded = {
+        (p.id_a, p.id_b, p.hamming)
+        for p in ahash_dup_pairs(hashes, max_hamming=7).collect()
+    }
+    exact7 = {
+        (p.id_a, p.id_b, p.hamming)
+        for p in ahash_dup_pairs(hashes, max_hamming=7, exact=True).collect()
+    }
+    assert banded == exact7
 
 
 def test_image_ahash_near_duplicate_images_have_small_hamming(spark):

@@ -331,9 +331,12 @@ BUDGET_R6B = {
     "bigram_logprob": 6,        # doc window + uni/bigram aggs + 2 joins
     "events_variant_agg": 2,    # distinct-agg two-phase over variant field
     "events_type_entropy": 3,   # (user,type) agg + totals + final rollup
-    "sparse_cosine_topk": 11,   # tf agg + posting self-join + dots +
-                                # half-matrix mirror + norm joins +
-                                # per-doc top-k window
+    "sparse_cosine_topk": 11,   # posting self-join + dots + half-matrix
+                                # mirror + norm joins + per-doc top-k
+                                # window; the tokenize→tf→df_cap-prune
+                                # prefix runs once behind an eager
+                                # localCheckpoint (r7: prune engaged,
+                                # VERDICT r6 item 2)
     "ngram_novelty_incremental": 4,  # two shingle windows + store
                                      # distinct + per-doc rollup
 }

@@ -144,7 +144,9 @@ BUDGET_R6_NEW = {
     "ivm_agg_delta": 8,         # delta algebra + IVM merge + recompute arm
     "zorder_layout": 1,         # one groupBy on the z-range (key is map-side)
     "image_ahash": 0,           # map-only decode + hash
-    "image_ahash_pairs": 0,     # broadcast-able all-pairs over 16-B hashes
+    "image_ahash_pairs": 2,     # r7: banded LSH equi-join + pair distinct
+                                # (replaced the r6 all-pairs crossJoin —
+                                # sub-quadratic beats exchange-free here)
 }
 
 
