@@ -711,37 +711,76 @@ def _kmeans_trajectory(
     collect to the driver (k×dim doubles) and re-broadcast per round,
     the MLlib iteration pattern; all heavy work stays distributed.
     """
-    spark = embeddings.sparkSession
+    # The casted projection is read by the init collect plus EVERY
+    # assign round (n_iter fit rounds + the caller's final assignment)
+    # — materialize it once instead of re-running scan+cast per round
+    # (the MLlib pattern: iterative fits cache their input working
+    # set). Lazy: the init collect triggers it, so no dedicated job.
+    proj = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).localCheckpoint(eager=False)
 
     init = (
-        embeddings.orderBy(id_col)
+        proj.orderBy("_id")
         .limit(k)
         .select(
-            F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6)).alias(
-                "cvec"
-            )
+            F.transform(F.col("_v"), lambda x: F.round(x, 6)).alias("cvec")
         )
         .collect()
     )
     cents = [(i, list(r["cvec"])) for i, r in enumerate(init)]
 
+    spark = embeddings.sparkSession
+
     def assign(cent_rows):
-        cdf = spark.createDataFrame(
-            cent_rows, "cid int, cvec array<double>"
+        # Centroids ride in as ONE broadcast row holding an
+        # array<struct<cid,cvec>> column, and the argmin is an
+        # array_min over (dist, cid) structs — lexicographic struct
+        # ordering IS the rounded-dist-then-lowest-cid tie rule.
+        # Assignment is therefore MAP-ONLY (1xN broadcast cross join,
+        # no k-x row blowup, no per-row window, zero exchanges).
+        #
+        # Centroid values flow as DATA through a broadcast 1-row
+        # array<struct> column, never as plan literals: two measured
+        # dead ends are recorded here so they are not retried —
+        # (a) inlining the k x dim doubles as literals (plain or
+        # CreateArray-folded) makes every Lloyd round a novel codegen
+        # unit, and the per-round whole-stage recompile dwarfs the
+        # compute; (b) unrolling the distance fold as explicit getItem
+        # chains sent Catalyst's recursive transforms quadratic
+        # (~30 s/fit on the ~4k-node left-deep tree). The
+        # zip_with/aggregate fold is interpreted per element but
+        # linear and plan-stable.
+        cents_df = spark.createDataFrame(
+            [([(int(cid), [float(x) for x in cvec])
+               for cid, cvec in cent_rows],)],
+            "cents array<struct<cid:int,cvec:array<double>>>",
         )
-        scored = embeddings.select(
-            F.col(id_col).alias("_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-        ).crossJoin(F.broadcast(cdf)).withColumn(
-            "dist", F.round(_sq_dist(F.col("_v"), F.col("cvec")), 6)
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    F.round(_sq_dist(F.col("_v"), c["cvec"]), 6).alias(
+                        "dist"
+                    ),
+                    c["cid"].alias("cid"),
+                ),
+            )
         )
-        w = Window.partitionBy("_id").orderBy("dist", "cid")
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("_id", "_v", F.col("cid").alias("cluster"), "dist")
+        return proj.crossJoin(F.broadcast(cents_df)).select(
+            "_id",
+            "_v",
+            best["cid"].alias("cluster"),
+            best["dist"].alias("dist"),
         )
 
+    # Mean recompute stays the posexplode → (cluster,pos) partial agg
+    # → (cluster) collect_list chain: a single 64-column decimal agg
+    # (one buffer per dimension) was measured ~20% SLOWER per round —
+    # the dim-x posexplode rows partial-aggregate map-side, so the
+    # exchange carries k x dim tiny rows either way and the two-level
+    # shape keeps whole-stage codegen on the hot path.
     for _ in range(n_iter):
         assigned = assign(cents)
         means = (
@@ -1923,10 +1962,19 @@ def topic_cluster_terms(
             F.explode(_tokens(F.lower(F.col(text_col)))).alias("w"),
         )
     )
+    # ALL totals derive from the (cluster, w) count table rather than
+    # re-aggregating the raw token stream: the rollup branches still
+    # re-run the join+explode subtree (independent stages of one job —
+    # they execute concurrently), but their SHUFFLES now carry
+    # (cluster, w, cnt) rows instead of the full exploded token stream
+    # — vocabulary-sized exchanges, not corpus-sized
+    # (Σ per-(cluster,w) counts == direct counts, so values are
+    # unchanged). An eager localCheckpoint of cw was measured slower
+    # here: it serializes stages that otherwise overlap.
     cw = toks.groupBy("cluster", "w").agg(F.count(F.lit(1)).alias("cnt"))
-    ctot = toks.groupBy("cluster").agg(F.count(F.lit(1)).alias("ct"))
-    wtot = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wt"))
-    gtot = toks.agg(F.count(F.lit(1)).alias("gt"))
+    ctot = cw.groupBy("cluster").agg(F.sum("cnt").alias("ct"))
+    wtot = cw.groupBy("w").agg(F.sum("cnt").alias("wt"))
+    gtot = cw.agg(F.sum("cnt").alias("gt"))
     lift = F.round(
         (F.col("cnt") / F.col("ct")) / (F.col("wt") / F.col("gt")), 6
     )
