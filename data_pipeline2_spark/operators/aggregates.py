@@ -696,3 +696,107 @@ def distribution_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    h_mult: int = 3,
+) -> DataFrame:
+    """Per-key one-sided CUSUM drift detection over bucketed event
+    rates → (key, bucket_ts, n_events, score, drift).
+
+    The classic recursive form S_t = max(0, S_{t-1} + (x_t - mean))
+    looks window-inexpressible, but it has the closed form
+    S_t = cum_t - min(cum_1..t) with cum the running sum of
+    (x_t - mean) — two ORDERED WINDOW functions (running sum + running
+    min), no recursion, no UDF. `drift` fires when S_t exceeds
+    h_mult·mean, the standard threshold parameterization.
+
+    Exactness: mean = total/n_buckets is kept RATIONAL — every term is
+    scaled by the per-key bucket count (term = n·x_t − total, an exact
+    bigint), so cum/min/score are integer-exact and the single closing
+    division round(S/n, 6) is the only float op. Scale shape: the
+    bucket aggregation partial-combines map-side; both windows
+    partition by key (each key's timeline is bucket-cardinality
+    sized). A key with one global sequence would serialize into one
+    task — hence per-key, the same contract as events_ewma.
+    """
+    from pyspark.sql import Window
+
+    counts = events.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    totals = counts.groupBy("key").agg(
+        F.sum("x").alias("total"), F.count(F.lit(1)).alias("nb")
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    term = F.col("nb") * F.col("x") - F.col("total")  # nb*(x - mean), exact
+    scored = (
+        counts.join(totals, "key")
+        .withColumn("__cum", F.sum(term).over(w))
+        .withColumn("__smin", F.min(F.col("__cum")).over(w))
+        # one-sided CUSUM: reset-at-zero == subtract the running min,
+        # floored at the current point (cum - min >= 0 by construction)
+        .withColumn("__s", F.col("__cum") - F.col("__smin"))
+    )
+    return scored.select(
+        F.col("key").alias(key_col),
+        "bucket_ts",
+        F.col("x").cast("long").alias("n_events"),
+        F.round(F.col("__s") / F.col("nb"), 6).alias("score"),
+        (F.col("__s") > F.lit(int(h_mult)) * F.col("total")).alias("drift"),
+    )
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Acquisition-cohort lifetime-value matrix → (cohort_month,
+    month_offset, n_customers, n_orders, revenue).
+
+    Customers cohort by their FIRST order month; every order lands in
+    (cohort, months-since-acquisition) with exact decimal revenue —
+    the retention/LTV curve read off any analytics warehouse, here as
+    one reusable operator (the revenue sibling of events_retention's
+    activity triangle).
+
+    Scale shape: the first-order lookup is a keyed min-aggregate
+    joined back on the customer key (two customer-width exchanges);
+    the matrix aggregation partial-combines to cohort x offset cells.
+    Month arithmetic is integer (year*12+month), immune to the
+    months_between fractional-day semantics that differ per engine.
+    """
+    first = orders.groupBy(F.col(cust_col).alias("__cust")).agg(
+        F.min(F.date_trunc("month", F.col(date_col))).alias("__cohort")
+    )
+    mnum = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    enriched = orders.join(
+        first, orders[cust_col] == F.col("__cust")
+    ).select(
+        F.col("__cohort").alias("cohort_month"),
+        (
+            mnum(F.date_trunc("month", F.col(date_col)))
+            - mnum(F.col("__cohort"))
+        ).cast("int").alias("month_offset"),
+        F.col("__cust"),
+        F.col(amount_col).alias("__amt"),
+    )
+    return (
+        enriched.groupBy("cohort_month", "month_offset")
+        .agg(
+            F.count_distinct(F.col("__cust")).alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(exact_sum(F.col("__amt")), 2).alias("revenue"),
+        )
+    )

@@ -1019,3 +1019,83 @@ def ivm_group_agg(
             ).alias("consistent"),
         )
     )
+
+
+def interval_overlap_join(
+    intervals: DataFrame,
+    id_col: str = "iid",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Self-join intervals on temporal OVERLAP → (id_a, id_b,
+    overlap_seconds), id_a < id_b, overlap strictly positive
+    (half-open [start, end) semantics — touching endpoints don't
+    overlap).
+
+    The naive formulation — inequality-only join on
+    a.start < b.end AND b.start < a.end — has no equi-key, so every
+    engine degenerates to a nested-loop cartesian. The scale shape is
+    the LSH/banding idiom applied to TIME: explode each interval into
+    its covered coarse buckets (hour grain), equi-join on the bucket,
+    verify the exact overlap predicate, dedup pairs that co-occur in
+    several buckets. Complete by construction (two overlapping
+    intervals share at least one covering bucket) and the join fan-out
+    is quadratic only within one bucket's co-active set — never the
+    interval table. The per-row explode factor is interval_span /
+    bucket_span; pick `bucket` so typical spans cover a handful of
+    buckets (sessions → hour, reservations → day).
+    """
+    spans = intervals.select(
+        F.col(id_col).alias("__iid"),
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+    ).filter(F.col("__s") < F.col("__e"))
+    bucketed = spans.select(
+        "__iid",
+        "__s",
+        "__e",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket, F.col("__s")),
+                # half-open end: an interval ending exactly on a bucket
+                # boundary does NOT cover that bucket
+                F.date_trunc(
+                    bucket, F.col("__e") - F.expr("interval 1 microsecond")
+                ),
+                F.expr(f"interval 1 {bucket}"),
+            )
+        ).alias("__b"),
+    )
+    a = bucketed.select(
+        F.col("__iid").alias("id_a"),
+        F.col("__s").alias("__sa"),
+        F.col("__e").alias("__ea"),
+        "__b",
+    )
+    b = bucketed.select(
+        F.col("__iid").alias("id_b"),
+        F.col("__s").alias("__sb"),
+        F.col("__e").alias("__eb"),
+        "__b",
+    )
+    # exact bigint microsecond arithmetic, divided once: timestamp →
+    # double casts truncate differently across engines, unix_micros
+    # does not
+    overlap = (
+        F.unix_micros(F.least(F.col("__ea"), F.col("__eb")))
+        - F.unix_micros(F.greatest(F.col("__sa"), F.col("__sb")))
+    ) / F.lit(1_000_000.0)
+    return (
+        a.join(b, "__b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("__sa") < F.col("__eb")) & (F.col("__sb") < F.col("__ea"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(overlap, 6).alias("overlap_seconds"),
+        )
+        .distinct()
+    )

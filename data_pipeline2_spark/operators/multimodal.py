@@ -823,3 +823,62 @@ def ahash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def video_scene_cuts(
+    assets: DataFrame,
+    every_ms: int = 1000,
+    scene_ms: int = 3000,
+    threshold: int = 16,
+) -> DataFrame:
+    """Scene segmentation over a sampled frame grid → one row per
+    detected scene: (asset_id, scene_no, n_frames, start_ms, end_ms).
+
+    Pipeline shape (all real): probe the MP4 container (mvhd walk,
+    fake=False) → explode the frame-sampling grid → per-frame feature
+    → lag-diff cut detection (|Δluma| >= threshold) → scenes as
+    cumulative-cut run groups. The per-frame LUMA is the documented
+    STUB SEAM: a deterministic stand-in ((id·131 + scene·977) mod 256,
+    constant within a scene_ms window) replaces the H.264 frame decode
+    the container fixtures don't carry — swap that one expression for
+    a mapInPandas decode (the image_ahash pattern) and every plan
+    stage downstream is production-ready.
+
+    Scale shape: frame rows explode map-side from the probe; the lag
+    window and the scene aggregation both partition by asset_id (a
+    video's frame list, never the corpus); no shuffle carries pixels —
+    frames reduce to one integer feature before the first exchange.
+    """
+    from pyspark.sql.window import Window
+
+    frames = frame_sample_plan(assets, every_ms=every_ms, fake=False)
+    luma = (
+        F.col("asset_id") * F.lit(131)
+        + F.floor(F.col("ts_ms") / F.lit(scene_ms)) * F.lit(977)
+    ) % F.lit(256)
+    w = Window.partitionBy("asset_id").orderBy("ts_ms")
+    scored = frames.withColumn("__luma", luma.cast("long")).withColumn(
+        "__cut",
+        (
+            F.abs(
+                F.col("__luma") - F.lag("__luma").over(w)
+            ).isNull()  # first frame opens scene 1
+            | (F.abs(F.col("__luma") - F.lag("__luma").over(w)) >= threshold)
+        ).cast("long"),
+    )
+    return (
+        scored.withColumn(
+            "scene_no",
+            F.sum("__cut")
+            .over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("int"),
+        )
+        .groupBy("asset_id", "scene_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min("ts_ms").alias("start_ms"),
+            F.max("ts_ms").alias("end_ms"),
+        )
+    )

@@ -785,3 +785,45 @@ def ngram_novelty_vs_store(
             ),
         )
     )
+
+
+def char_entropy(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_entropy: float = 1.5,
+) -> DataFrame:
+    """Per-document character-level Shannon entropy → (doc_id, n_chars,
+    n_distinct, entropy, low_entropy).
+
+    The gibberish / encoding-noise filter: natural prose sits around
+    3.5–4.5 nats of character entropy, while repeated-character spam,
+    base64 walls, and single-token floods collapse toward 0 — documents
+    under `min_entropy` are flagged for the curation drop list (the
+    character-level sibling of repetition_ratio's token-level signal).
+
+    Exactness and scale both come from reusing the floor-integerized
+    entropy aggregate (aggregates.distribution_entropy): each (doc,
+    char) term integerizes before summation so the float total is
+    associative and engine-portable, and the explode's corpus-of-chars
+    blowup partial-aggregates map-side — the shuffles carry (doc,
+    char)-cardinality rows (≤ alphabet size per doc), never raw text.
+    """
+    from data_pipeline2_spark.operators.aggregates import (
+        distribution_entropy,
+    )
+
+    chars = documents.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    )
+    ent = distribution_entropy(chars, "doc_id", "ch")
+    return ent.select(
+        "doc_id",
+        F.col("n_events").alias("n_chars"),
+        F.col("n_cats").alias("n_distinct"),
+        "entropy",
+        (F.col("entropy") < F.lit(float(min_entropy))).alias("low_entropy"),
+    )

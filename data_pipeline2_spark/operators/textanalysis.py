@@ -1207,3 +1207,99 @@ def normalize_text_report(
         (F.col("__norm") != F.col("__raw")).alias("changed"),
         F.md5(F.encode(F.col("__norm"), "UTF-8")).alias("norm_md5"),
     )
+
+
+def rm3_expansion(
+    documents: DataFrame,
+    queries: DataFrame,
+    fb_k: int = 5,
+    top_terms: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    qtext_col: str = "query",
+) -> DataFrame:
+    """RM3-style pseudo-relevance-feedback query expansion → per query
+    the top expansion terms mined from its BM25 feedback set:
+    (qid, rank, term, weight).
+
+    The relevance-model recipe (Lavrenko & Croft): retrieve the top
+    fb_k documents per query, weight every term in them by
+    Σ_d tf(term, d) · score(d) — term prominence inside documents the
+    ranker already believes in — and drop the original query terms.
+    The batch sibling of the reference's single-shot ES `match` search:
+    expansion runs offline over the whole query log, and the expanded
+    terms feed the next retrieval round (bm25_batch / hybrid_search).
+
+    Exactness: doc scores are the 6-dp-rounded BM25 outputs; each
+    (term, doc) weight contribution tf·score is exact in
+    DECIMAL(28,6) (integer tf x 6-dp score), so the per-(qid, term)
+    sum is associative and the closing round(·, 6) engine-portable.
+
+    Scale shape: the feedback set is (n_queries x fb_k) rows —
+    broadcast; tokens explode ONLY feedback documents (left-semi
+    prune before the explode, same discipline as bm25_search_batch);
+    ranking is one window over (qid, term) aggregates.
+    """
+    from pyspark.sql.window import Window
+
+    if fb_k < 1 or top_terms < 1:
+        raise ValueError(
+            f"need fb_k >= 1 and top_terms >= 1; got ({fb_k}, {top_terms})"
+        )
+    # the feedback set feeds TWO consumers (the doc prune and the
+    # weight join) and is n_queries x fb_k rows — materialize it once
+    # or the entire BM25 subtree re-executes per consumer
+    fb = (
+        bm25_search_batch(
+            documents,
+            queries,
+            k=fb_k,
+            id_col=id_col,
+            text_col=text_col,
+            qid_col=qid_col,
+            qtext_col=qtext_col,
+        )
+        .select(
+            "qid",
+            "doc_id",
+            F.col("score").cast("decimal(18,6)").alias("__sc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    fb_docs = fb.select("doc_id").distinct()
+    toks = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .join(F.broadcast(fb_docs), "doc_id", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qterms = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col(qtext_col))))
+        ).alias("term"),
+    )
+    weighted = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .groupBy("qid", "term")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("tf") * F.col("__sc")).cast("decimal(28,6)")
+                ).cast("double"),
+                6,
+            ).alias("weight")
+        )
+        .join(F.broadcast(qterms), ["qid", "term"], "left_anti")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("weight"), F.col("term"))
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_terms)
+        .select("qid", F.col("rank").cast("int"), "term", "weight")
+    )

@@ -81,3 +81,325 @@ def q_image_ahash_band_eval(spark, sf_dir):
             F.coalesce(F.col("n_found"), F.lit(0)) / F.col("n_true"), 6
         ).alias("recall"),
     )
+
+
+# ------------------------------------------------------------ governance
+
+from data_pipeline2_spark.operators import governance  # noqa: E402
+
+
+@_register(
+    "k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           count(*) >= 5 AS anonymous
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the (nation, market-segment) quasi-
+    identifier tuple: every equivalence class sized, classes under
+    k=5 flagged — the release-gate worklist for suppression or
+    generalization before a corpus ships."""
+    return governance.k_anonymity_audit(
+        _t(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        k=5,
+    )
+
+
+@_register(
+    "gdpr_delete_cascade",
+    """
+    WITH req AS (
+      SELECT DISTINCT doc_id AS d FROM documents WHERE doc_id % 97 = 0
+    ),
+    d0 AS (SELECT count(*) AS nb FROM documents),
+    d1 AS (SELECT count(*) AS na FROM documents
+           WHERE doc_id NOT IN (SELECT d FROM req)),
+    e0 AS (SELECT count(*) AS nb FROM embeddings),
+    e1 AS (SELECT count(*) AS na FROM embeddings
+           WHERE vec_id NOT IN (SELECT d FROM req)),
+    orp AS (
+      SELECT count(*) AS n_orph FROM embeddings e
+      WHERE e.vec_id NOT IN (SELECT d FROM req)
+        AND e.vec_id NOT IN (
+          SELECT doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT d FROM req))
+    )
+    SELECT 'documents' AS entity, d0.nb::BIGINT AS n_before,
+           (d0.nb - d1.na)::BIGINT AS n_deleted, d1.na::BIGINT AS n_after,
+           0::BIGINT AS n_orphans_after
+    FROM d0, d1
+    UNION ALL
+    SELECT 'embeddings', e0.nb::BIGINT, (e0.nb - e1.na)::BIGINT,
+           e1.na::BIGINT, orp.n_orph::BIGINT
+    FROM e0, e1, orp
+    """,
+)
+def q_gdpr_delete_cascade(spark, sf_dir):
+    """Right-to-be-forgotten cascade audit: a deterministic request
+    set (doc_id % 97 == 0) deletes documents and cascades to their
+    embeddings via broadcast anti-joins; the audit rows carry the
+    post-state orphan count as the compliance proof (0 = clean)."""
+    docs = _t(spark, sf_dir, "documents")
+    req = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    return governance.delete_cascade_audit(
+        docs, _t(spark, sf_dir, "embeddings"), req
+    )
+
+
+# ------------------------------------------------------------ quality
+
+from data_pipeline2_spark.operators import quality  # noqa: E402
+
+_ENT_SCALE = "10000000000.0"
+
+
+@_register(
+    "char_entropy",
+    f"""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c
+      FROM documents WHERE text IS NOT NULL AND len(text) > 0
+    ), counts AS (
+      SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, sum(cnt) AS total, count(*) AS n_cats
+      FROM counts GROUP BY 1
+    ), terms AS (
+      SELECT co.doc_id, t.total, t.n_cats,
+             co.cnt * CAST(floor(
+               ln(co.cnt::DOUBLE / t.total::DOUBLE) * {_ENT_SCALE}
+             ) AS BIGINT) AS term
+      FROM counts co JOIN tot t USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(total AS BIGINT) AS n_chars,
+           CAST(n_cats AS BIGINT) AS n_distinct,
+           round(-(sum(term) / {_ENT_SCALE}) / total, 6) AS entropy,
+           round(-(sum(term) / {_ENT_SCALE}) / total, 6) < 1.5
+             AS low_entropy
+    FROM terms GROUP BY doc_id, total, n_cats
+    """,
+)
+def q_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the gibberish /
+    encoding-noise curation filter (floor-integerized log terms keep
+    the per-doc sums associative and engine-portable; the idiom of
+    events_type_entropy applied at character granularity)."""
+    return quality.char_entropy(_t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------ aggregates
+
+from data_pipeline2_spark.operators import aggregates  # noqa: E402
+
+
+@_register(
+    "events_cusum_drift",
+    """
+    WITH c AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+             count(*) AS x
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT user_id, sum(x) AS total, count(*) AS nb FROM c GROUP BY 1
+    ), s AS (
+      SELECT c.user_id, c.bucket_ts, c.x, t.total, t.nb,
+             sum(t.nb * c.x - t.total) OVER (
+               PARTITION BY c.user_id ORDER BY c.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM c JOIN t USING (user_id)
+    ), m AS (
+      SELECT *, min(cum) OVER (
+               PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS smin
+      FROM s
+    )
+    SELECT user_id, bucket_ts, CAST(x AS BIGINT) AS n_events,
+           round((cum - smin) / nb, 6) AS score,
+           (cum - smin) > 3 * total AS drift
+    FROM m
+    """,
+)
+def q_events_cusum_drift(spark, sf_dir):
+    """One-sided CUSUM drift detection per user over hourly event
+    rates — the recursive S_t = max(0, S_{t-1} + (x_t - mean)) in its
+    closed window form cum - running_min(cum), with mean kept rational
+    so every intermediate is an exact bigint."""
+    return aggregates.cusum_changepoints(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "cohort_ltv",
+    """
+    WITH f AS (
+      SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY 1
+    ), e AS (
+      SELECT f.cohort AS cohort_month,
+             CAST((year(date_trunc('month', o.o_orderdate)) * 12
+                   + month(date_trunc('month', o.o_orderdate)))
+                  - (year(f.cohort) * 12 + month(f.cohort)) AS INT)
+               AS month_offset,
+             o.o_custkey AS cust, o.o_totalprice AS amt
+      FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+    )
+    SELECT cohort_month, month_offset,
+           CAST(count(DISTINCT cust) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(amt AS DECIMAL(25,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q_cohort_ltv(spark, sf_dir):
+    """Acquisition-cohort LTV matrix over orders: customers cohort by
+    first-order month, revenue lands in (cohort, months-since) cells
+    with exact decimal sums — the revenue sibling of events_retention."""
+    return aggregates.cohort_ltv(_t(spark, sf_dir, "orders"))
+
+
+# ------------------------------------------------------------ joins
+
+from data_pipeline2_spark.operators import joins as _joins  # noqa: E402
+
+
+@_register(
+    "join_interval_overlap",
+    """
+    WITH iv AS (
+      SELECT user_id * 1000 + day(date_trunc('day', ts)) AS iid,
+             min(ts) AS s, max(ts) AS e
+      FROM events WHERE event_type = 'error'
+      GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT a.iid AS id_a, b.iid AS id_b,
+           round((epoch_us(least(a.e, b.e))
+                  - epoch_us(greatest(a.s, b.s))) / 1000000.0, 6)
+             AS overlap_seconds
+    FROM iv a JOIN iv b
+      ON a.iid < b.iid AND a.s < b.e AND b.s < a.e
+    WHERE a.s < a.e AND b.s < b.e
+    """,
+)
+def q_join_interval_overlap(spark, sf_dir):
+    """Interval overlap self-join (banded by hour buckets — the LSH
+    idiom applied to time): per-user daily error-activity spans,
+    paired across users wherever the spans overlap. The oracle is the
+    naive inequality join; the engine plan is the bucket-exploded
+    equi-join that survives a lake-sized interval table."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    iv = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("__d")
+        )
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+        .select(
+            (
+                F.col("user_id") * 1000 + F.dayofmonth(F.col("__d"))
+            ).alias("iid"),
+            "start_ts",
+            "end_ts",
+        )
+    )
+    return _joins.interval_overlap_join(iv, bucket="hour")
+
+
+# ------------------------------------------------------------ retrieval
+
+from data_pipeline2_spark.operators import textanalysis  # noqa: E402
+from data_pipeline2_spark.registry.curation_r5 import (  # noqa: E402
+    _BM25_BATCH_QUERIES,
+    _bm25_batch_ctes,
+)
+
+
+@_register(
+    "rm3_expansion",
+    f"""
+    WITH {_bm25_batch_ctes(_BM25_BATCH_QUERIES)},
+    fb AS (
+      SELECT qid, doc_id, CAST(score AS DECIMAL(18,6)) AS sc
+      FROM bscored WHERE rn <= 5
+    ), ftoks AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+      WHERE doc_id IN (SELECT DISTINCT doc_id FROM fb)
+      GROUP BY doc_id, term
+    ), wgt AS (
+      SELECT f.qid, t.term,
+             round(CAST(sum(CAST(t.tf * f.sc AS DECIMAL(28,6)))
+                        AS DOUBLE), 6) AS weight
+      FROM ftoks t JOIN fb f USING (doc_id)
+      GROUP BY f.qid, t.term
+    ), ex AS (
+      SELECT * FROM wgt w WHERE NOT EXISTS (
+        SELECT 1 FROM qt WHERE qt.qid = w.qid AND qt.term = w.term)
+    ), r AS (
+      SELECT qid, term, weight,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY weight DESC, term) AS rank
+      FROM ex
+    )
+    SELECT qid, CAST(rank AS INT) AS rank, term, weight
+    FROM r WHERE rank <= 10
+    """,
+)
+def q_rm3_expansion(spark, sf_dir):
+    """RM3 pseudo-relevance-feedback expansion over the shared BM25
+    batch queries: top-5 feedback docs per query, expansion terms
+    weighted by decimal-exact Σ tf·score, original query terms
+    excluded — the offline query-rewrite stage feeding the next
+    retrieval round."""
+    queries = spark.createDataFrame(
+        _BM25_BATCH_QUERIES, "qid int, query string"
+    )
+    return textanalysis.rm3_expansion(
+        _t(spark, sf_dir, "documents"), queries, fb_k=5, top_terms=10
+    )
+
+
+# ------------------------------------------------------------ multimodal
+
+
+@_register(
+    "video_scene_cuts",
+    """
+    WITH d AS (
+      SELECT doc_id AS asset_id, 1000 + (doc_id % 97) * 137 AS dur
+      FROM documents WHERE doc_id < 150
+    ), fr AS (
+      SELECT asset_id, CAST(f * 1000 AS BIGINT) AS ts_ms,
+             (asset_id * 131 + (f * 1000 // 3000) * 977) % 256 AS luma
+      FROM (SELECT asset_id,
+                   unnest(generate_series(0, greatest(dur // 1000, 1) - 1))
+                     AS f
+            FROM d)
+    ), cuts AS (
+      SELECT asset_id, ts_ms,
+             CASE WHEN lag(luma) OVER w IS NULL THEN 1
+                  WHEN abs(luma - lag(luma) OVER w) >= 16 THEN 1
+                  ELSE 0 END AS cut
+      FROM fr WINDOW w AS (PARTITION BY asset_id ORDER BY ts_ms)
+    ), sc AS (
+      SELECT asset_id, ts_ms,
+             CAST(sum(cut) OVER (
+               PARTITION BY asset_id ORDER BY ts_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+               AS scene_no
+      FROM cuts
+    )
+    SELECT asset_id, scene_no, CAST(count(*) AS BIGINT) AS n_frames,
+           min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+    FROM sc GROUP BY 1, 2
+    """,
+)
+def q_video_scene_cuts(spark, sf_dir):
+    """Scene segmentation over the real-MP4 frame grid (mvhd container
+    walk drives the durations; the per-frame luma is the documented
+    deterministic stub for the H.264 decode): lag-diff cut detection +
+    cumulative run groups → per-scene spans."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return multimodal.video_scene_cuts(multimodal.mp4_assets(docs))

@@ -1,0 +1,283 @@
+"""Round-7 operator tests: governance (delete cascade, k-anonymity),
+char entropy, CUSUM drift, cohort LTV, interval-overlap join, RM3
+expansion, video scene cuts — semantics on closed-form fixtures plus
+the plan-shape/exchange-budget gates every new operator carries.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline2_spark import registry
+
+from .conftest import SF_SMOKE as SF
+
+QUERIES = registry.queries()
+
+
+# -------------------------------------------------------- governance
+
+
+def test_delete_cascade_removes_requested_and_proves_no_orphans(spark):
+    from data_pipeline2_spark.operators.governance import (
+        delete_cascade_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    embs = spark.createDataFrame(
+        [(i, i % 3) for i in range(8)], "vec_id long, label int"
+    )
+    req = spark.createDataFrame([(2,), (5,), (99,)], "doc_id long")
+    rows = {r.entity: r for r in delete_cascade_audit(docs, embs, req).collect()}
+    d, e = rows["documents"], rows["embeddings"]
+    # 99 is not present: deletes are set-intersections, not assertions
+    assert (d.n_before, d.n_deleted, d.n_after) == (10, 2, 8)
+    assert (e.n_before, e.n_deleted, e.n_after) == (8, 2, 6)
+    assert d.n_orphans_after == 0 and e.n_orphans_after == 0
+
+
+def test_delete_cascade_orphan_detector_fires(spark):
+    from data_pipeline2_spark.operators.governance import (
+        delete_cascade_audit,
+    )
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    # vec 7 has no parent document at all -> orphan survives the cascade
+    embs = spark.createDataFrame([(1, 0), (7, 0)], "vec_id long, label int")
+    req = docs.limit(0).select("doc_id")
+    rows = {r.entity: r for r in delete_cascade_audit(docs, embs, req).collect()}
+    assert rows["embeddings"].n_orphans_after == 1
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from data_pipeline2_spark.operators.governance import k_anonymity_audit
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("b", 1)] * 2,
+        "seg string, nat int",
+    )
+    out = {(r.seg, r.nat): r for r in
+           k_anonymity_audit(df, ["seg", "nat"], k=3).collect()}
+    assert out[("a", 1)].anonymous and out[("a", 1)].n == 5
+    assert not out[("b", 1)].anonymous and out[("b", 1)].n == 2
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, ["seg"], k=1)
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, [], k=3)
+
+
+# ------------------------------------------------------ char entropy
+
+
+def test_char_entropy_known_values(spark):
+    from data_pipeline2_spark.operators.quality import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),          # one symbol -> H = 0
+            (2, "abab"),          # two equiprobable -> H = ln 2
+            (3, "abcd"),          # four equiprobable -> H = ln 4
+            (4, None),            # null text drops out
+            (5, ""),              # empty text drops out
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in char_entropy(docs, min_entropy=0.5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].entropy == 0.0 and out[1].low_entropy
+    assert out[2].entropy == round(math.log(2), 6) and not out[2].low_entropy
+    assert out[3].entropy == round(math.log(4), 6)
+    assert (out[3].n_chars, out[3].n_distinct) == (4, 4)
+
+
+# -------------------------------------------------------- CUSUM drift
+
+
+def test_cusum_closed_form_matches_recursive_reference(spark):
+    """The window formulation cum - running_min(cum) must equal the
+    textbook recursion S_t = max(0, S_{t-1} + (x_t - mean)) — checked
+    per key against a driver-side replay on the same counts."""
+    from data_pipeline2_spark.operators.aggregates import (
+        cusum_changepoints,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: flat 2/hour then a burst of 10s -> drift should fire
+    seq = [2, 2, 2, 2, 10, 10, 10, 10]
+    eid = 0
+    for h, n in enumerate(seq):
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h), 1))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = sorted(
+        cusum_changepoints(ev, h_mult=1).collect(),
+        key=lambda r: r.bucket_ts,
+    )
+    total, nb = sum(seq), len(seq)
+    s, expected = 0, []
+    for x in seq:
+        s = max(0, s + (nb * x - total))  # integer-scaled recursion
+        expected.append(round(s / nb, 6))
+    assert [r.score for r in out] == expected
+    assert [r.drift for r in out] == [s_ > 1 * total for s_ in
+                                      [e * nb for e in expected]]
+    # the burst is detected, the flat prefix is quiet
+    assert not out[0].drift and out[-1].drift
+
+
+# --------------------------------------------------------- cohort LTV
+
+
+def test_cohort_ltv_offsets_and_revenue(spark):
+    from data_pipeline2_spark.operators.aggregates import cohort_ltv
+
+    t = dt.datetime
+    orders = spark.createDataFrame(
+        [
+            (1, 10, 100.0, t(2024, 1, 5)),
+            (2, 10, 50.0, t(2024, 3, 20)),   # +2 months
+            (3, 20, 70.0, t(2024, 2, 28)),
+            (4, 20, 30.0, t(2024, 2, 1)),    # same month -> offset 0
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    )
+    out = {(r.cohort_month.month, r.month_offset): r
+           for r in cohort_ltv(orders).collect()}
+    assert out[(1, 0)].revenue == 100.0 and out[(1, 2)].revenue == 50.0
+    feb = out[(2, 0)]
+    assert feb.revenue == 100.0 and feb.n_orders == 2 and feb.n_customers == 1
+
+
+# ----------------------------------------------- interval overlap join
+
+
+def test_interval_overlap_join_semantics(spark):
+    from data_pipeline2_spark.operators.joins import interval_overlap_join
+
+    t = dt.datetime
+    iv = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1, 10, 0), t(2024, 1, 1, 12, 0)),
+            (2, t(2024, 1, 1, 11, 30), t(2024, 1, 1, 13, 0)),  # overlaps 1
+            (3, t(2024, 1, 1, 12, 0), t(2024, 1, 1, 14, 0)),   # touches 1
+            (4, t(2024, 1, 2, 9, 0), t(2024, 1, 2, 10, 0)),    # disjoint day
+            (5, t(2024, 1, 1, 9, 0), t(2024, 1, 1, 9, 0)),     # empty
+        ],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    out = {(r.id_a, r.id_b): r.overlap_seconds
+           for r in interval_overlap_join(iv).collect()}
+    assert out[(1, 2)] == 1800.0
+    assert (1, 3) not in out          # half-open: touching != overlap
+    assert out[(2, 3)] == 3600.0
+    assert all(4 not in pair and 5 not in pair for pair in out)
+    # completeness vs the naive quadratic reference on the same rows
+    naive = set()
+    rows = iv.collect()
+    for a in rows:
+        for b in rows:
+            if (a.iid < b.iid and a.start_ts < b.end_ts
+                    and b.start_ts < a.end_ts
+                    and a.start_ts < a.end_ts and b.start_ts < b.end_ts):
+                naive.add((a.iid, b.iid))
+    assert set(out) == naive
+
+
+def test_interval_overlap_join_is_not_cartesian(spark):
+    plan = QUERIES["join_interval_overlap"](
+        spark, SF
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------ RM3 expansion
+
+
+def test_rm3_excludes_query_terms_and_ranks_feedback_terms(spark):
+    from data_pipeline2_spark.operators.textanalysis import rm3_expansion
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle partition tuning"),
+            (2, "spark shuffle skew salting"),
+            (3, "gardening tips for tomatoes"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame([(1, "spark shuffle")], "qid int, query string")
+    out = rm3_expansion(docs, queries, fb_k=2, top_terms=5).collect()
+    terms = [r.term for r in out]
+    assert "spark" not in terms and "shuffle" not in terms
+    assert set(terms) <= {"partition", "tuning", "skew", "salting"}
+    assert [r.rank for r in out] == sorted(r.rank for r in out)
+    with pytest.raises(ValueError):
+        rm3_expansion(docs, queries, fb_k=0)
+
+
+# ---------------------------------------------------- video scene cuts
+
+
+def test_video_scene_cuts_spans_and_boundaries(spark):
+    from data_pipeline2_spark.operators import multimodal
+
+    ids = spark.createDataFrame([(7,), (100,)], "doc_id long")
+    out = multimodal.video_scene_cuts(multimodal.mp4_assets(ids)).collect()
+    by_asset = {}
+    for r in sorted(out, key=lambda r: (r.asset_id, r.scene_no)):
+        by_asset.setdefault(r.asset_id, []).append(r)
+    for aid, scenes in by_asset.items():
+        # scenes tile the sampled grid: contiguous, non-overlapping
+        assert scenes[0].scene_no == 1 and scenes[0].start_ms == 0
+        for a, b in zip(scenes, scenes[1:]):
+            assert b.scene_no == a.scene_no + 1
+            assert b.start_ms == a.end_ms + 1000
+        # the fixture changes luma every 3 s on a 1 s grid
+        assert all(s.n_frames <= 3 for s in scenes)
+        dur = 1000 + (aid % 97) * 137
+        n_frames = sum(s.n_frames for s in scenes)
+        assert n_frames == max(dur // 1000, 1)
+
+
+# --------------------------------------------------- exchange budgets
+
+BUDGET_R7 = {
+    "image_ahash_band_eval": 4,   # truth agg + banded join + distinct +
+                                  # recall join (ground-truth arm is the
+                                  # documented fixture-scale crossJoin)
+    "k_anonymity": 1,             # one hash agg on the quasi tuple
+    "gdpr_delete_cascade": 4,     # per-entity count aggs; deletes are
+                                  # broadcast anti-joins (no shuffle)
+    "char_entropy": 3,            # (doc,ch) agg + totals + join-back
+    "events_cusum_drift": 4,      # bucket agg + totals + 2 windows share
+                                  # the per-key sort
+    "cohort_ltv": 3,              # first-order agg + join-back + matrix
+    "join_interval_overlap": 3,   # interval agg + bucket join + dedup
+    "rm3_expansion": 7,           # bm25 postings (checkpointed fb) +
+                                  # feedback tf agg + weight agg + rank
+    "video_scene_cuts": 1,        # per-asset window + scene agg share
+                                  # one asset-keyed exchange
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET_R7))
+def test_exchange_budget_r7(name, spark):
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= BUDGET_R7[name], (
+        f"{name}: plan has {n} hash/range exchanges, budget is "
+        f"{BUDGET_R7[name]} — a new shuffle entered this query's plan"
+    )
