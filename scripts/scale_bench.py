@@ -60,6 +60,14 @@ OPS = [
     "bigram_logprob",    # uni/bigram tables + per-doc join-aggs
     "fuzzy_join_ed1",    # vocabulary-sized deletion-variant join
     "events_rate_limit", # (user,minute) window + per-user report
+    # round-7 additions: the new shuffle-bearing operators
+    "char_entropy",          # (doc,char) agg + per-doc rollup
+    "events_cusum_drift",    # bucket agg + per-user ordered windows
+    "join_interval_overlap", # bucket-banded interval self-join
+    "sparse_cosine_topk",    # posting self-join under the df_cap prune
+    "rm3_expansion",         # bm25 postings + feedback term weighting
+    # (image_ahash_pairs excluded: its registry key pins doc_id < 120,
+    # which the id-offset replica scheme never multiplies)
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 
