@@ -800,3 +800,78 @@ def cohort_ltv(
             F.round(exact_sum(F.col("__amt")), 2).alias("revenue"),
         )
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    split_predicate: Column,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket_width: float = 25.0,
+    scale: int = 1_000_000,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Population Stability Index between two slices of one frame →
+    (group, n_buckets, n_base, n_curr, psi, drifted).
+
+    PSI = Σ_i (p_i − q_i)·ln(p_i/q_i) over value buckets — the
+    standard ML-ops drift score between a baseline population
+    (split_predicate true) and the current one (false); > 0.2 is the
+    conventional "investigate" threshold. Buckets are fixed-width
+    (floor(value/width)) and counts are Laplace-smoothed (+1 on the
+    union of observed buckets) so empty cells stay finite.
+
+    Exactness: with smoothed counts c1,c2 and totals T1,T2 the term
+    (c1/T1 − c2/T2)·ln((c1·T2)/(c2·T1)) multiplies out to the exact
+    bigint (c1·T2 − c2·T1) times the floor-integerized log
+    (distribution_entropy idiom); one closing division by T1·T2·scale.
+    Overflow bound: |c·T| · ln(·) · scale must stay under 2^63 — the
+    default scale=1e6 is exact to per-group totals ~10^5; drop scale a
+    decade per decade of count beyond that.
+
+    Scale shape: one (group, bucket, side) aggregation over the frame
+    (map-side combined), then group-width rollups — shuffles carry
+    bucket-cardinality rows, never events.
+    """
+    if scale <= 0 or bucket_width <= 0:
+        raise ValueError(
+            f"need scale > 0 and bucket_width > 0; got ({scale}, {bucket_width})"
+        )
+    sides = df.select(
+        F.col(group_col).alias("g"),
+        F.floor(F.col(value_col) / F.lit(float(bucket_width))).alias("bkt"),
+        F.when(split_predicate, F.lit(1)).otherwise(F.lit(0)).alias("is_base"),
+    )
+    counts = sides.groupBy("g", "bkt").agg(
+        (F.sum("is_base") + F.lit(1)).alias("c1"),       # Laplace +1
+        (F.sum(F.lit(1) - F.col("is_base")) + F.lit(1)).alias("c2"),
+    )
+    totals = counts.groupBy("g").agg(
+        F.sum("c1").alias("t1"),
+        F.sum("c2").alias("t2"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    num = F.col("c1") * F.col("t2")
+    den = F.col("c2") * F.col("t1")
+    term = (num - den) * F.floor(
+        F.log(num.cast("double") / den.cast("double")) * F.lit(float(scale))
+    ).cast("long")
+    psi = F.round(
+        F.col("s")
+        / (F.col("t1") * F.col("t2")).cast("double")
+        / F.lit(float(scale)),
+        6,
+    )
+    return (
+        counts.join(totals, "g")
+        .groupBy("g", "t1", "t2", "n_buckets")
+        .agg(F.sum(term).alias("s"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.col("t1").cast("long").alias("n_base"),
+            F.col("t2").cast("long").alias("n_curr"),
+            psi.alias("psi"),
+            (psi > F.lit(float(threshold))).alias("drifted"),
+        )
+    )

@@ -1320,3 +1320,115 @@ def fuzzy_join_ed1(
     return cand.select(
         "w1", "w2", F.levenshtein("w1", "w2").alias("dist")
     ).filter(F.col("dist") <= 1)
+
+
+def kcore_nodes(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Fixed-round k-core peel over an undirected pair set →
+    (doc_id, degree) for nodes surviving `rounds` peels, with their
+    degree in the final subgraph.
+
+    k-core (Seidman) finds the DENSE heart of the near-dup graph —
+    boilerplate families and template farms sit in high cores, while
+    incidental one-off matches peel away as degree-<k leaves. Each
+    round recomputes degrees and drops nodes below k; the true core is
+    the fixpoint, and a FIXED round count keeps the operator
+    oracle-replayable (the DuckDB side unrolls the identical rounds —
+    the kmeans fixed-iteration convention). On fixture-sized graphs
+    the peel converges within the default rounds; at lake scale raise
+    `rounds` or iterate driver-side on the converged==previous count.
+
+    Scale shape: per round, one degree aggregation (edge-width) plus
+    two semi-joins (edges against surviving nodes). Edges localCheckpoint
+    per round — each round's edge set feeds three consumers and is
+    candidate-pair sized, orders of magnitude under the corpus.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError(f"need k >= 1 and rounds >= 1; got ({k}, {rounds})")
+    edges = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint(eager=True)
+
+    def degrees(e: DataFrame) -> DataFrame:
+        ends = e.select(F.col("a").alias("n")).unionByName(
+            e.select(F.col("b").alias("n"))
+        )
+        return ends.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+
+    for _ in range(rounds):
+        keep = degrees(edges).filter(F.col("deg") >= k).select("n")
+        edges = (
+            edges.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+
+    return degrees(edges).select(
+        F.col("n").alias("doc_id"), F.col("deg").cast("long").alias("degree")
+    )
+
+
+def dedup_token_savings(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source accounting of what exact dedup buys → (source,
+    n_docs, n_tokens, n_docs_kept, n_tokens_kept, token_savings).
+
+    The budget question every pretraining run asks before paying for
+    dedup: how many TOKENS does each source actually contribute after
+    exact dedup, and what fraction was duplicate weight? Keep rule is
+    global-first (lowest doc id per content hash, the dedup_exact
+    convention), so a document syndicated across sources is credited
+    to the source that carried its first copy — cross-source duplicate
+    mass shows up as the other sources' savings.
+
+    Scale shape: one md5 hash per doc (map-side), one first-per-hash
+    aggregation (hash-width shuffle of (md5, id) pairs), a broadcast-
+    able join-back of keeper ids, and a source-width rollup. Token
+    counts ride the same scan; text never shuffles.
+    """
+    from data_pipeline2_spark.functions.text import tokens as _tokens
+
+    base = documents.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("__h"),
+        F.size(_tokens(F.lower(F.col(text_col)))).cast("long").alias("__nt"),
+    )
+    keepers = (
+        base.groupBy("__h").agg(F.min("__id").alias("__kid")).select("__kid")
+    )
+    return (
+        base.join(keepers, base["__id"] == keepers["__kid"], "left_outer")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+            F.sum(
+                F.col("__kid").isNotNull().cast("long")
+            ).alias("n_docs_kept"),
+            F.sum(
+                F.when(F.col("__kid").isNotNull(), F.col("__nt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_tokens_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_docs_kept",
+            "n_tokens_kept",
+            F.round(
+                F.lit(1.0) - F.col("n_tokens_kept") / F.col("n_tokens"), 6
+            ).alias("token_savings"),
+        )
+    )

@@ -403,3 +403,134 @@ def q_video_scene_cuts(spark, sf_dir):
     cumulative run groups → per-scene spans."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return multimodal.video_scene_cuts(multimodal.mp4_assets(docs))
+
+
+# ---------------------------------------------------- graph / accounting
+
+from data_pipeline2_spark.operators import dedup as _dedup  # noqa: E402
+from data_pipeline2_spark.registry.ingest_chunk import (  # noqa: E402
+    _MINHASH_SQL,
+)
+
+_KCORE_K, _KCORE_ROUNDS = 2, 3
+
+
+def _kcore_rounds_sql(k: int, rounds: int) -> tuple[str, str]:
+    """Unrolled fixed-round peel CTEs (the kmeans fixed-iteration
+    convention applied to graph peeling)."""
+    parts = ["e0 AS (SELECT doc_a AS a, doc_b AS b FROM p)"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS (SELECT n, count(*) AS deg FROM "
+            f"(SELECT a AS n FROM e{r-1} UNION ALL SELECT b AS n "
+            f"FROM e{r-1}) GROUP BY n)"
+        )
+        parts.append(f"k{r} AS (SELECT n FROM d{r} WHERE deg >= {k})")
+        parts.append(
+            f"e{r} AS (SELECT e.a, e.b FROM e{r-1} e "
+            f"JOIN k{r} x ON e.a = x.n JOIN k{r} y ON e.b = y.n)"
+        )
+    final = (
+        f"SELECT n AS doc_id, CAST(count(*) AS BIGINT) AS degree FROM "
+        f"(SELECT a AS n FROM e{rounds} UNION ALL SELECT b AS n "
+        f"FROM e{rounds}) GROUP BY n"
+    )
+    return ",\n    ".join(parts), final
+
+
+_KC_PARTS, _KC_FINAL = _kcore_rounds_sql(_KCORE_K, _KCORE_ROUNDS)
+
+
+@_register(
+    "dedup_kcore",
+    f"""
+    WITH p AS ({_MINHASH_SQL}),
+    {_KC_PARTS}
+    {_KC_FINAL}
+    """,
+)
+def q_dedup_kcore(spark, sf_dir):
+    """k-core peel (k=2, 3 unrolled rounds) over the verified minhash
+    near-dup graph: the dense boilerplate/template families survive,
+    incidental one-off matches peel away — the density layer on top of
+    dedup_clusters' connectivity."""
+    pairs = _dedup.dedup_near_minhash(_t(spark, sf_dir, "documents"))
+    return _dedup.kcore_nodes(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+@_register(
+    "dedup_token_savings",
+    """
+    WITH base AS (
+      SELECT doc_id AS id, source, md5(text) AS h,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text)),
+                                                 '\\s+')) END AS nt
+      FROM documents WHERE text IS NOT NULL
+    ), keep AS (
+      SELECT min(id) AS kid FROM base GROUP BY h
+    ), flagged AS (
+      SELECT b.source, b.nt,
+             CASE WHEN k.kid IS NULL THEN 0 ELSE 1 END AS kept
+      FROM base b LEFT JOIN keep k ON b.id = k.kid
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(kept) AS BIGINT) AS n_docs_kept,
+           CAST(sum(kept * nt) AS BIGINT) AS n_tokens_kept,
+           round(1.0 - sum(kept * nt) / sum(nt), 6) AS token_savings
+    FROM flagged GROUP BY source
+    """,
+)
+def q_dedup_token_savings(spark, sf_dir):
+    """Per-source token accounting of exact dedup (global-first keep
+    rule): the budget question — how many tokens does each source
+    contribute AFTER dedup, and what fraction was duplicate weight."""
+    return _dedup.dedup_token_savings(_t(spark, sf_dir, "documents"))
+
+
+_PSI_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+@_register(
+    "events_psi_drift",
+    f"""
+    WITH s AS (
+      SELECT event_type AS g,
+             CAST(floor(value / 25.0) AS BIGINT) AS bkt,
+             CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT_TS}' THEN 1
+                  ELSE 0 END AS is_base
+      FROM events
+    ), counts AS (
+      SELECT g, bkt, sum(is_base) + 1 AS c1, sum(1 - is_base) + 1 AS c2
+      FROM s GROUP BY 1, 2
+    ), tot AS (
+      SELECT g, sum(c1) AS t1, sum(c2) AS t2, count(*) AS n_buckets
+      FROM counts GROUP BY 1
+    ), terms AS (
+      SELECT c.g, t.t1, t.t2, t.n_buckets,
+             (c.c1 * t.t2 - c.c2 * t.t1)
+             * CAST(floor(ln((c.c1 * t.t2)::DOUBLE
+                             / (c.c2 * t.t1)::DOUBLE)
+                          * 1000000.0) AS BIGINT) AS term
+      FROM counts c JOIN tot t USING (g)
+    )
+    SELECT g AS event_type,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(t1 AS BIGINT) AS n_base,
+           CAST(t2 AS BIGINT) AS n_curr,
+           round(sum(term) / (t1 * t2)::DOUBLE / 1000000.0, 6) AS psi,
+           round(sum(term) / (t1 * t2)::DOUBLE / 1000000.0, 6) > 0.2
+             AS drifted
+    FROM terms GROUP BY g, t1, t2, n_buckets
+    """,
+)
+def q_events_psi_drift(spark, sf_dir):
+    """Population Stability Index per event type between the first 15
+    days and the rest — the ML-ops drift gate, with floor-integerized
+    log terms so the bucket sum is associative and engine-portable."""
+    ev = _t(spark, sf_dir, "events")
+    return aggregates.psi_drift(
+        ev, F.col("ts") < F.lit(_PSI_SPLIT_TS).cast("timestamp")
+    )

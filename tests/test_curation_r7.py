@@ -281,3 +281,103 @@ def test_exchange_budget_r7(name, spark):
         f"{name}: plan has {n} hash/range exchanges, budget is "
         f"{BUDGET_R7[name]} — a new shuffle entered this query's plan"
     )
+
+
+# ------------------------------------------------------------ k-core
+
+
+def test_kcore_peels_leaves_keeps_dense_core(spark):
+    from data_pipeline2_spark.operators.dedup import kcore_nodes
+
+    # triangle {1,2,3} (2-core) with pendant chain 3-4-5 (peels away)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)],
+        "doc_a long, doc_b long",
+    )
+    out = {r.doc_id: r.degree for r in
+           kcore_nodes(pairs, k=2, rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # k above the densest structure empties the graph
+    assert kcore_nodes(pairs, k=3, rounds=3).count() == 0
+    with pytest.raises(ValueError):
+        kcore_nodes(pairs, k=0)
+
+
+def test_kcore_fixed_rounds_converge_on_chain(spark):
+    from data_pipeline2_spark.operators.dedup import kcore_nodes
+
+    # a pure chain needs ONE peel per end vertex pair: 3 rounds fully
+    # dissolve a 7-node path under k=2 (each round strips both ends)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "doc_a long, doc_b long"
+    )
+    assert kcore_nodes(chain, k=2, rounds=3).count() == 0
+
+
+# --------------------------------------------------- token accounting
+
+
+def test_dedup_token_savings_global_first_attribution(spark):
+    from data_pipeline2_spark.operators.dedup import dedup_token_savings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "web"),     # keeper (first copy)
+            (2, "alpha beta gamma", "books"),   # dup of 1 -> books pays
+            (3, "unique text here four", "books"),
+            (4, None, "web"),                   # null text drops out
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in dedup_token_savings(docs).collect()}
+    assert out["web"].n_docs == 1 and out["web"].token_savings == 0.0
+    b = out["books"]
+    assert (b.n_docs, b.n_docs_kept) == (2, 1)
+    assert (b.n_tokens, b.n_tokens_kept) == (7, 4)
+    assert b.token_savings == round(1.0 - 4 / 7, 6)
+
+
+# ---------------------------------------------------------- PSI drift
+
+
+def test_psi_drift_fires_on_shifted_distribution(spark):
+    from data_pipeline2_spark.operators.aggregates import psi_drift
+
+    rows = []
+    # 'stable': identical halves; 'shifted': disjoint value ranges
+    for i in range(200):
+        rows.append(("stable", float(i % 100), i < 100))
+        rows.append(("shifted", float(i % 100) if i < 100 else 400.0 + i % 100, i < 100))
+    df = spark.createDataFrame(
+        [(g, v, b) for g, v, b in rows],
+        "event_type string, value double, base boolean",
+    )
+    out = {r.event_type: r for r in
+           psi_drift(df, F.col("base"), bucket_width=25.0).collect()}
+    assert not out["stable"].drifted and out["stable"].psi < 0.01
+    assert out["shifted"].drifted and out["shifted"].psi > 1.0
+    with pytest.raises(ValueError):
+        psi_drift(df, F.col("base"), bucket_width=0)
+
+
+BUDGET_R7_B2 = {
+    "dedup_kcore": 1,            # final degree agg (peel rounds run
+                                 # behind per-round checkpoints)
+    "dedup_token_savings": 2,    # keeper agg + source rollup (join-back
+                                 # rides the hash partitioning)
+    "events_psi_drift": 3,       # (type,bucket,side) agg + totals +
+                                 # final rollup
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET_R7_B2))
+def test_exchange_budget_r7_b2(name, spark):
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= BUDGET_R7_B2[name], (
+        f"{name}: plan has {n} hash/range exchanges, budget is "
+        f"{BUDGET_R7_B2[name]} — a new shuffle entered this query's plan"
+    )
