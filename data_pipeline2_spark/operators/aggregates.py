@@ -875,3 +875,76 @@ def psi_drift(
             (psi > F.lit(float(threshold))).alias("drifted"),
         )
     )
+
+
+def kmv_distinct(
+    documents: DataFrame,
+    k: int = 16,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch per group PLUS the
+    merged all-groups row → (scope, n_exact, kmv_estimate, rel_error).
+
+    KMV (Bar-Yossef et al.): keep the k smallest hash values of a set;
+    estimate distinct = (k-1) / U_(k) with U_(k) the k-th smallest
+    normalized hash. The property that matters at lake scale is
+    MERGEABILITY: min-k(union of min-k sets) == min-k(union of the
+    full sets), so per-partition/per-source sketches of a few hundred
+    bytes union into a global estimate without re-touching data — the
+    'ALL' row here is computed from exactly that union and the oracle
+    replays it. Fewer than k distinct values degenerates to the exact
+    count (the sketch IS the set).
+
+    Exactness: hashes are the 60-bit md5-prefix fingerprints
+    (dedup.shingle_hash64) — deterministic, engine-portable — and the
+    estimate is one double division of exact integers, so the sketch
+    error itself is reproducible bit-for-bit. n_exact rides along to
+    make every row self-grading (rel_error column).
+
+    Scale shape: one distinct-hash aggregation, one per-group top-k
+    window over hash order (group-width), and group-cardinality
+    rollups. The exact count is for grading — drop it at lake scale
+    and the plan is sketch-only.
+    """
+    from pyspark.sql import Window
+
+    from data_pipeline2_spark.operators.dedup import shingle_hash64
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    space = float(1 << 60)
+    hashes = (
+        documents.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("scope"),
+            shingle_hash64(F.col(text_col)).alias("h"),
+        )
+        .distinct()
+    )
+    merged = hashes.select(F.lit("ALL").alias("scope"), "h").distinct()
+    both = hashes.unionByName(merged)
+    w = Window.partitionBy("scope").orderBy("h")
+    ranked = both.withColumn("rn", F.row_number().over(w))
+    stats = both.groupBy("scope").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    kth = ranked.filter(F.col("rn") == k).select(
+        "scope", F.col("h").alias("hk")
+    )
+    est = F.when(
+        F.col("hk").isNull(), F.col("n_exact").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(space) / F.col("hk"), 6)
+    )
+    return (
+        stats.join(kth, "scope", "left")
+        .select(
+            "scope",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            est.alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_error"),
+        )
+    )

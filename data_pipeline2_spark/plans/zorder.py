@@ -83,3 +83,80 @@ def zorder_write(
         .parquet(path)
     )
     return df.sparkSession.read.parquet(path)
+
+
+def zone_map_prune_eval(
+    df,
+    x_col,
+    y_col,
+    x_point: int,
+    y_point: int,
+    bits: int = 16,
+    z_span: int = 64,
+    lin_width: int = 64,
+    lin_span: int = 150,
+):
+    """Data-skipping selectivity, measured: the same rows laid out two
+    ways — linear (sorted by x, the single-column clustering every
+    naive pipeline ships) vs z-order — with per-file (x, y) zone maps,
+    then the fraction of files a point predicate on EACH dimension can
+    skip → (layout, n_files, hit_x, hit_y, prune_x, prune_y).
+
+    The number this produces is the whole argument for z-ordering: the
+    linear layout prunes ~perfectly on its leading column and not at
+    all on the other (every file's y-span is the full range), while
+    the z-order layout prunes on BOTH (bounded squares). File
+    surrogates are key ranges (floor(key/span)), not row counts, so
+    the evaluation is one aggregation per layout — no global ordering
+    window anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    layouts = {
+        "linear_x": F.floor(
+            (F.col("x") * F.lit(lin_width) + F.col("y")) / F.lit(lin_span)
+        ),
+        "zorder": F.floor(
+            zorder_key([F.col("x"), F.col("y")], bits=bits) / F.lit(z_span)
+        ),
+    }
+    outs = []
+    for name, file_expr in layouts.items():
+        zone = base.groupBy(file_expr.alias("file_id")).agg(
+            F.min("x").alias("x_lo"),
+            F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"),
+            F.max("y").alias("y_hi"),
+        )
+        hx = (
+            (F.col("x_lo") <= x_point) & (F.col("x_hi") >= x_point)
+        ).cast("long")
+        hy = (
+            (F.col("y_lo") <= y_point) & (F.col("y_hi") >= y_point)
+        ).cast("long")
+        outs.append(
+            zone.agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum(hx).alias("hit_x"),
+                F.sum(hy).alias("hit_y"),
+            ).select(
+                F.lit(name).alias("layout"),
+                "n_files",
+                "hit_x",
+                "hit_y",
+                F.round(
+                    F.lit(1.0) - F.col("hit_x") / F.col("n_files"), 6
+                ).alias("prune_x"),
+                F.round(
+                    F.lit(1.0) - F.col("hit_y") / F.col("n_files"), 6
+                ).alias("prune_y"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -534,3 +534,121 @@ def q_events_psi_drift(spark, sf_dir):
     return aggregates.psi_drift(
         ev, F.col("ts") < F.lit(_PSI_SPLIT_TS).cast("timestamp")
     )
+
+
+# ---------------------------------------------------- sketches / layout
+
+_KMV_K = 16
+_KMV_SPACE = str(float(1 << 60))
+
+
+@_register(
+    "kmv_distinct_sketch",
+    f"""
+    WITH h0 AS (
+      SELECT DISTINCT source AS scope,
+             CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+      FROM documents WHERE text IS NOT NULL
+    ), hb AS (
+      SELECT scope, h FROM h0
+      UNION ALL
+      SELECT DISTINCT 'ALL' AS scope, h FROM h0
+    ), r AS (
+      SELECT scope, h,
+             row_number() OVER (PARTITION BY scope ORDER BY h) AS rn
+      FROM hb
+    ), st AS (
+      SELECT scope, count(*) AS n_exact FROM hb GROUP BY scope
+    ), kth AS (
+      SELECT scope, h AS hk FROM r WHERE rn = {_KMV_K}
+    )
+    SELECT st.scope, CAST(st.n_exact AS BIGINT) AS n_exact,
+           CASE WHEN kth.hk IS NULL THEN st.n_exact::DOUBLE
+                ELSE round({_KMV_K - 1}.0 * {_KMV_SPACE} / kth.hk, 6)
+           END AS kmv_estimate,
+           round(abs(CASE WHEN kth.hk IS NULL THEN st.n_exact::DOUBLE
+                          ELSE round({_KMV_K - 1}.0 * {_KMV_SPACE}
+                                     / kth.hk, 6) END
+                     - st.n_exact) / st.n_exact, 6) AS rel_error
+    FROM st LEFT JOIN kth USING (scope)
+    """,
+)
+def q_kmv_distinct_sketch(spark, sf_dir):
+    """K-Minimum-Values distinct sketch per source + the merged ALL
+    row — the mergeable-sketch complement to approx_count_distinct's
+    HLL: per-source sketches union into the global estimate without
+    re-touching data, and the 60-bit md5-prefix hashes make the whole
+    sketch (including its error) bit-reproducible on both engines."""
+    return aggregates.kmv_distinct(
+        _t(spark, sf_dir, "documents"), k=_KMV_K
+    )
+
+
+from data_pipeline2_spark.plans.zorder import (  # noqa: E402
+    zone_map_prune_eval,
+)
+from data_pipeline2_spark.registry.curation_r6 import (  # noqa: E402
+    _z_interleave_sql,
+)
+
+_ZM_XPT, _ZM_YPT = 42, 14
+
+
+@_register(
+    "zone_map_prune_eval",
+    f"""
+    WITH e AS (
+      SELECT user_id::BIGINT AS x,
+             date_part('day', ts)::BIGINT - 1 AS y
+      FROM events WHERE ts IS NOT NULL
+    ), z AS (
+      SELECT x, y, {_z_interleave_sql('x', 'y')} AS zv FROM e
+    ), zf AS (
+      SELECT zv // 64 AS file_id,
+             min(x) AS x_lo, max(x) AS x_hi,
+             min(y) AS y_lo, max(y) AS y_hi
+      FROM z GROUP BY 1
+    ), lf AS (
+      SELECT (x * 64 + y) // 150 AS file_id,
+             min(x) AS x_lo, max(x) AS x_hi,
+             min(y) AS y_lo, max(y) AS y_hi
+      FROM e GROUP BY 1
+    ), agg AS (
+      SELECT 'linear_x' AS layout, count(*) AS n_files,
+             sum(CASE WHEN x_lo <= {_ZM_XPT} AND x_hi >= {_ZM_XPT}
+                 THEN 1 ELSE 0 END) AS hit_x,
+             sum(CASE WHEN y_lo <= {_ZM_YPT} AND y_hi >= {_ZM_YPT}
+                 THEN 1 ELSE 0 END) AS hit_y
+      FROM lf
+      UNION ALL
+      SELECT 'zorder', count(*),
+             sum(CASE WHEN x_lo <= {_ZM_XPT} AND x_hi >= {_ZM_XPT}
+                 THEN 1 ELSE 0 END),
+             sum(CASE WHEN y_lo <= {_ZM_YPT} AND y_hi >= {_ZM_YPT}
+                 THEN 1 ELSE 0 END)
+      FROM zf
+    )
+    SELECT layout, CAST(n_files AS BIGINT) AS n_files,
+           CAST(hit_x AS BIGINT) AS hit_x,
+           CAST(hit_y AS BIGINT) AS hit_y,
+           round(1.0 - hit_x / n_files, 6) AS prune_x,
+           round(1.0 - hit_y / n_files, 6) AS prune_y
+    FROM agg
+    """,
+)
+def q_zone_map_prune_eval(spark, sf_dir):
+    """Data-skipping selectivity measured over two layouts of the same
+    events: linear (sorted by user_id — prunes only its leading
+    column) vs z-order (bounded squares — prunes BOTH dimensions).
+    The quantified justification for zorder_layout's write path."""
+    evt = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return zone_map_prune_eval(
+        evt.select(
+            F.col("user_id").alias("x"),
+            (F.dayofmonth("ts") - 1).alias("y"),
+        ),
+        "x",
+        "y",
+        x_point=_ZM_XPT,
+        y_point=_ZM_YPT,
+    )

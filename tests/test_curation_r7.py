@@ -381,3 +381,61 @@ def test_exchange_budget_r7_b2(name, spark):
         f"{name}: plan has {n} hash/range exchanges, budget is "
         f"{BUDGET_R7_B2[name]} — a new shuffle entered this query's plan"
     )
+
+
+# ----------------------------------------------------------- KMV sketch
+
+
+def test_kmv_exact_below_k_and_merge_consistency(spark):
+    from data_pipeline2_spark.operators.aggregates import kmv_distinct
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}", "a" if i < 5 else "b") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    out = {r.scope: r for r in kmv_distinct(docs, k=16).collect()}
+    # below k: sketch degenerates to the exact count, zero error
+    a = out["a"]
+    assert a.n_exact == 5 and a.kmv_estimate == 5.0 and a.rel_error == 0.0
+    # merged row sees the union (30 distinct texts), estimator engaged
+    assert out["ALL"].n_exact == 30 and out["ALL"].kmv_estimate != 30.0
+    # KMV mergeability: the ALL sketch equals the sketch of the union —
+    # recompute with every doc in ONE source and compare estimates
+    single = docs.withColumn("source", F.lit("one"))
+    ref = {r.scope: r for r in kmv_distinct(single, k=16).collect()}
+    assert out["ALL"].kmv_estimate == ref["ALL"].kmv_estimate
+    with pytest.raises(ValueError):
+        kmv_distinct(docs, k=1)
+
+
+def test_zone_map_zorder_prunes_both_dimensions(spark):
+    out = {r.layout: r for r in
+           QUERIES["zone_map_prune_eval"](spark, SF).collect()}
+    lin, zo = out["linear_x"], out["zorder"]
+    # the linear layout cannot prune its trailing dimension at all
+    assert lin.prune_y == 0.0 and lin.prune_x > 0.5
+    # z-order prunes BOTH dimensions
+    assert zo.prune_x > 0.5 and zo.prune_y > 0.5
+
+
+BUDGET_R7_B3 = {
+    "kmv_distinct_sketch": 6,   # distinct hashes feed the union, the
+                                # per-scope rank window AND the exact-
+                                # count grading agg — the n_exact
+                                # column forces the full distinct; the
+                                # sketch-only production plan drops it
+    "zone_map_prune_eval": 4,   # two zone-map aggs + two 1-row rollups
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET_R7_B3))
+def test_exchange_budget_r7_b3(name, spark):
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= BUDGET_R7_B3[name], (
+        f"{name}: plan has {n} hash/range exchanges, budget is "
+        f"{BUDGET_R7_B3[name]} — a new shuffle entered this query's plan"
+    )
