@@ -948,3 +948,63 @@ def kmv_distinct(
             ).alias("rel_error"),
         )
     )
+
+
+def theil_sen_trend(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Per-key Theil–Sen trend over bucketed event rates → (key,
+    n_buckets, n_pairs, slope_median, rising).
+
+    Theil–Sen = the MEDIAN of all pairwise slopes — the robust trend
+    line (up to ~29% outlier contamination does not move it), where an
+    OLS fit follows every burst. The activity-trend detector behind
+    "is this user/source growing or decaying", immune to the single
+    spike that drags a least-squares slope.
+
+    Scale shape: the pairwise blow-up is per key and quadratic only in
+    the key's BUCKET COUNT (a 30-day daily series = 435 pairs), never
+    in events; the bucket aggregation partial-combines map-side, and
+    the median is exact `percentile` (the distribution_stats contract
+    — swap for percentile_approx when per-key pair sets stop fitting).
+    Slopes are (bigint Δcount)/(bigint Δdays) — one well-defined double
+    division each, so the interpolated median matches the oracle.
+    """
+    # the bucketed series feeds THREE consumers (both pair-join sides
+    # + the bucket count) — materialize the key x bucket reduction once
+    # rather than re-scanning events per consumer
+    daily = events.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("d"),
+    ).agg(F.count(F.lit(1)).alias("x")).localCheckpoint(eager=True)
+    a = daily.select(
+        "key", F.col("d").alias("da"), F.col("x").alias("xa")
+    )
+    b = daily.select(
+        "key", F.col("d").alias("db"), F.col("x").alias("xb")
+    )
+    slope = (F.col("xb") - F.col("xa")) / F.datediff(
+        F.col("db"), F.col("da")
+    ).cast("double")
+    pairs = (
+        a.join(b, "key")
+        .filter(F.col("da") < F.col("db"))
+        .select("key", slope.alias("s"))
+    )
+    counts = daily.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_buckets")
+    )
+    med = pairs.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.percentile(F.col("s"), 0.5), 6).alias("slope_median"),
+    )
+    return counts.join(med, "key", "left").select(
+        F.col("key").alias(key_col),
+        F.col("n_buckets").cast("long"),
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce(F.col("slope_median"), F.lit(0.0)).alias("slope_median"),
+        (F.coalesce(F.col("slope_median"), F.lit(0.0)) > 0).alias("rising"),
+    )

@@ -1303,3 +1303,49 @@ def rm3_expansion(
         .filter(F.col("rank") <= top_terms)
         .select("qid", F.col("rank").cast("int"), "term", "weight")
     )
+
+
+def textrank_terms(
+    documents: DataFrame,
+    window: int = 2,
+    top_edges: int = 100,
+    n_iter: int = 3,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction → (rank, term, pagerank): PageRank
+    over the term co-occurrence graph (Mihalcea & Tarau) — the corpus's
+    structurally central vocabulary, as opposed to merely frequent
+    (heavy_hitters) or cluster-distinctive (topic_cluster_terms) terms.
+
+    Pure composition: term_cooccurrence builds the edge list (top
+    `top_edges` pairs — the standard TextRank pruning, which also
+    bounds the graph to vocabulary scale regardless of corpus size),
+    dedup.pagerank_pairs walks the fixed-iteration rounded trajectory
+    over it, and the final ranking is one window over <= 2·top_edges
+    nodes — a deliberately tiny global sort, never corpus-ordered.
+    The edge list localCheckpoints: PageRank consumes it in every
+    unrolled iteration (joins + degree + node set) and it is ~100 rows.
+    """
+    from pyspark.sql.window import Window
+
+    from data_pipeline2_spark.operators.dedup import pagerank_pairs
+
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    edges = term_cooccurrence(
+        documents, window=window, top=top_edges,
+        id_col=id_col, text_col=text_col,
+    ).localCheckpoint(eager=True)
+    ranks = pagerank_pairs(edges, n_iter=n_iter, id_a="w1", id_b="w2")
+    w = Window.orderBy(F.desc("pagerank"), F.col("node"))
+    return (
+        ranks.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.col("rank").cast("int"),
+            F.col("node").alias("term"),
+            "pagerank",
+        )
+    )

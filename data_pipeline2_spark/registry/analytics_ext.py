@@ -290,9 +290,9 @@ def q_join_skew_salted(spark, sf_dir):
     )
 
 
-@_register(
-    "term_cooccurrence",
-    """
+# shared with textrank_terms (curation_r7) — the co-occurrence edge
+# list is the graph TextRank ranks over
+_COOC_SQL = """
     WITH toks AS (
       SELECT doc_id, unnest(ws) AS w,
              unnest(generate_series(1, len(ws))) AS p
@@ -305,7 +305,12 @@ def q_join_skew_salted(spark, sf_dir):
       ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 2
     GROUP BY 1, 2
     ORDER BY pairs DESC, w1, w2 LIMIT 100
-    """,
+    """
+
+
+@_register(
+    "term_cooccurrence",
+    _COOC_SQL,
 )
 def q_term_cooccurrence(spark, sf_dir):
     return textanalysis.term_cooccurrence(_t(spark, sf_dir, "documents"))
@@ -628,10 +633,14 @@ def q_compact_table(spark, sf_dir):
     return writers.compact_small_files(spark, path, target_mb=128)
 
 
-def _pagerank_sql(n_iter: int = 3, damping: float = 0.85) -> str:
-    """Unrolled PageRank CTE chain over the near-dup pairs graph —
+def _pagerank_sql(
+    n_iter: int = 3, damping: float = 0.85, parts_only: bool = False
+) -> str | tuple[str, str]:
+    """Unrolled PageRank CTE chain over a `pairs(doc_a, doc_b)` CTE —
     identical per-iteration 8-decimal rounding as the engine, so both
-    walk the same trajectory (the k-means oracle trick)."""
+    walk the same trajectory (the k-means oracle trick).
+    parts_only=True returns (cte_chain, final_rank_relation) so other
+    keys (textrank_terms) can wrap the ranks in further CTEs."""
     parts = [f"""edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL SELECT doc_b, doc_a FROM pairs
@@ -655,6 +664,8 @@ def _pagerank_sql(n_iter: int = 3, damping: float = 0.85) -> str:
       FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.dst, nn
     )""")
         prev = f"r{i}"
+    if parts_only:
+        return ",\n".join(parts), prev
     return (
         ",\n".join(parts)
         + f"\n    SELECT node, round(rank, 6) AS pagerank FROM {prev}"

@@ -652,3 +652,69 @@ def q_zone_map_prune_eval(spark, sf_dir):
         x_point=_ZM_XPT,
         y_point=_ZM_YPT,
     )
+
+
+# ------------------------------------------------- textrank / robust trend
+
+from data_pipeline2_spark.registry.analytics_ext import (  # noqa: E402
+    _COOC_SQL,
+    _pagerank_sql,
+)
+
+_TR_PARTS, _TR_FINAL = _pagerank_sql(parts_only=True)
+
+
+@_register(
+    "textrank_terms",
+    f"""
+    WITH cooc AS ({_COOC_SQL}),
+    pairs AS (SELECT w1 AS doc_a, w2 AS doc_b FROM cooc),
+    {_TR_PARTS},
+    fin AS (SELECT node, round(rank, 6) AS pagerank FROM {_TR_FINAL}),
+    rk AS (
+      SELECT node AS term, pagerank,
+             row_number() OVER (ORDER BY pagerank DESC, node) AS rn
+      FROM fin
+    )
+    SELECT CAST(rn AS INT) AS rank, term, pagerank
+    FROM rk WHERE rn <= 20
+    """,
+)
+def q_textrank_terms(spark, sf_dir):
+    """TextRank keyword extraction: PageRank over the top-100 term
+    co-occurrence edges — structurally central vocabulary, composed
+    from term_cooccurrence + the oracled fixed-iteration pagerank."""
+    return textanalysis.textrank_terms(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "events_theil_sen",
+    """
+    WITH daily AS (
+      SELECT user_id AS key, date_trunc('day', ts) AS d, count(*) AS x
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.key,
+             (b.x - a.x) / CAST(date_diff('day', a.d, b.d) AS DOUBLE) AS s
+      FROM daily a JOIN daily b ON a.key = b.key AND a.d < b.d
+    ), med AS (
+      SELECT key, count(*) AS n_pairs,
+             round(quantile_cont(s, 0.5), 6) AS slope_median
+      FROM pairs GROUP BY key
+    ), cnt AS (
+      SELECT key, count(*) AS n_buckets FROM daily GROUP BY key
+    )
+    SELECT cnt.key AS user_id,
+           CAST(cnt.n_buckets AS BIGINT) AS n_buckets,
+           CAST(COALESCE(med.n_pairs, 0) AS BIGINT) AS n_pairs,
+           COALESCE(med.slope_median, 0.0) AS slope_median,
+           COALESCE(med.slope_median, 0.0) > 0 AS rising
+    FROM cnt LEFT JOIN med USING (key)
+    """,
+)
+def q_events_theil_sen(spark, sf_dir):
+    """Per-user Theil–Sen activity trend (median of pairwise slopes
+    over daily counts): the robust growing-or-decaying detector — a
+    single burst day cannot drag it the way it drags an OLS slope.
+    Pairwise blow-up is quadratic only in each key's bucket count."""
+    return aggregates.theil_sen_trend(_t(spark, sf_dir, "events"))

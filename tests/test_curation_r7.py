@@ -439,3 +439,78 @@ def test_exchange_budget_r7_b3(name, spark):
         f"{name}: plan has {n} hash/range exchanges, budget is "
         f"{BUDGET_R7_B3[name]} — a new shuffle entered this query's plan"
     )
+
+
+# ------------------------------------------------------------ TextRank
+
+
+def test_textrank_ranks_connected_hub_terms(spark):
+    from data_pipeline2_spark.operators.textanalysis import textrank_terms
+
+    # 'spark' co-occurs with everything (hub); leaf terms hang off it
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle"),
+            (2, "spark join"),
+            (3, "spark window"),
+            (4, "spark agg"),
+            (5, "garden tomato"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textrank_terms(docs, top_n=10).collect()
+    ranks = {r.term: r.rank for r in out}
+    assert ranks["spark"] == 1          # the hub dominates
+    assert all(ranks["spark"] < ranks[t] for t in ("shuffle", "join"))
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == list(
+        range(1, len(out) + 1)
+    )
+    with pytest.raises(ValueError):
+        textrank_terms(docs, top_n=0)
+
+
+# ----------------------------------------------------------- Theil–Sen
+
+
+def test_theil_sen_is_robust_to_one_burst(spark):
+    from data_pipeline2_spark.operators.aggregates import theil_sen_trend
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # user 1: clean +1/day growth 1..7; user 2: flat 3/day with one
+    # 30-event burst — OLS would call user 2 rising, Theil–Sen won't
+    for day in range(7):
+        for _ in range(1 + day):
+            rows.append((eid, base + dt.timedelta(days=day), 1)); eid += 1
+        n = 30 if day == 3 else 3
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(days=day), 2)); eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r.user_id: r for r in theil_sen_trend(ev).collect()}
+    assert out[1].rising and out[1].slope_median == 1.0
+    assert not out[2].rising and out[2].slope_median == 0.0
+    assert out[1].n_buckets == 7 and out[1].n_pairs == 21
+
+
+BUDGET_R7_B4 = {
+    "textrank_terms": 14,       # cooc tokens window + pair agg + the
+                                # 3 unrolled pagerank rounds' joins/aggs
+                                # — every one over the ~100-row
+                                # checkpointed edge list, vocabulary-
+                                # bounded at any corpus size
+    "events_theil_sen": 4,      # pair join + median agg + bucket-count
+                                # join (daily series checkpointed once)
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET_R7_B4))
+def test_exchange_budget_r7_b4(name, spark):
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= BUDGET_R7_B4[name], (
+        f"{name}: plan has {n} hash/range exchanges, budget is "
+        f"{BUDGET_R7_B4[name]} — a new shuffle entered this query's plan"
+    )
