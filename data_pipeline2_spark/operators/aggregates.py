@@ -742,9 +742,17 @@ def cusum_changepoints(
     scored = (
         counts.join(totals, "key")
         .withColumn("__cum", F.sum(term).over(w))
-        .withColumn("__smin", F.min(F.col("__cum")).over(w))
-        # one-sided CUSUM: reset-at-zero == subtract the running min,
-        # floored at the current point (cum - min >= 0 by construction)
+        # one-sided CUSUM: reset-at-zero == cum minus the running min
+        # of the cums INCLUDING the empty prefix (cum_0 = 0) — without
+        # the 0 floor, a series that starts ABOVE its mean understates
+        # S until the first dip (caught by the closed-form-vs-recursion
+        # property test)
+        .withColumn(
+            "__smin",
+            F.least(
+                F.lit(0).cast("long"), F.min(F.col("__cum")).over(w)
+            ),
+        )
         .withColumn("__s", F.col("__cum") - F.col("__smin"))
     )
     return scored.select(

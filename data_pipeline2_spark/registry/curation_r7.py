@@ -212,9 +212,9 @@ from data_pipeline2_spark.operators import aggregates  # noqa: E402
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM c JOIN t USING (user_id)
     ), m AS (
-      SELECT *, min(cum) OVER (
+      SELECT *, least(0, min(cum) OVER (
                PARTITION BY user_id ORDER BY bucket_ts
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS smin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS smin
       FROM s
     )
     SELECT user_id, bucket_ts, CAST(x AS BIGINT) AS n_events,

@@ -133,6 +133,31 @@ def test_cusum_closed_form_matches_recursive_reference(spark):
     # the burst is detected, the flat prefix is quiet
     assert not out[0].drift and out[-1].drift
 
+    # series STARTING ABOVE its mean: the first score must be the
+    # positive first term, not 0 — the empty-prefix (cum_0 = 0) floor
+    # in the running min (a fixture starting below the mean would have
+    # masked its omission; the property test caught it)
+    seq2 = [10, 10, 2, 2]
+    rows2, eid2 = [], 0
+    for h, n in enumerate(seq2):
+        for _ in range(n):
+            rows2.append((eid2, base + dt.timedelta(hours=h), 7))
+            eid2 += 1
+    ev2 = spark.createDataFrame(
+        rows2, "event_id long, ts timestamp, user_id long"
+    )
+    out2 = sorted(
+        cusum_changepoints(ev2, h_mult=1).collect(),
+        key=lambda r: r.bucket_ts,
+    )
+    total2, nb2 = sum(seq2), len(seq2)
+    s2, exp2 = 0, []
+    for x in seq2:
+        s2 = max(0, s2 + (nb2 * x - total2))
+        exp2.append(round(s2 / nb2, 6))
+    assert [r.score for r in out2] == exp2
+    assert out2[0].score > 0.0
+
 
 # --------------------------------------------------------- cohort LTV
 

@@ -792,3 +792,97 @@ def test_fastss_deletion_neighborhood_complete_for_ed1(a, b):
         # and it never fires at distance > 2 (candidate precision bound:
         # two deletion-1 neighborhoods can only meet within ed 2)
         assert not (_del_neighborhood(a) & _del_neighborhood(b))
+
+
+# ----------------------------------------------- round-7 kernel invariants
+
+
+@given(
+    st.integers(min_value=0, max_value=(1 << 64) - 1),
+    st.sets(st.integers(min_value=0, max_value=63), min_size=0, max_size=7),
+)
+@settings(max_examples=300, deadline=None)
+def test_ahash_banding_pigeonhole_complete_within_7_bits(h, flips):
+    """The invariant image_ahash_pairs' banded default stands on: two
+    64-bit hashes within Hamming distance 7 share at least one of the
+    8 x 8-bit bands, extracted exactly as the operator extracts them
+    (lo = bits 0..31, hi = bits 32..63, width-8 slices per half)."""
+    other = h
+    for b in flips:
+        other ^= 1 << b
+    lo_a, hi_a = h & 0xFFFFFFFF, h >> 32
+    lo_b, hi_b = other & 0xFFFFFFFF, other >> 32
+
+    def bands(lo, hi):
+        out = []
+        for k in range(8):
+            bit0 = k * 8
+            src = lo if bit0 < 32 else hi
+            out.append((src >> (bit0 % 32)) & 0xFF)
+        return out
+
+    assert any(x == y for x, y in zip(bands(lo_a, hi_a), bands(lo_b, hi_b)))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_cusum_closed_form_equals_recursion(xs):
+    """events_cusum_drift's window form cum_t - min(cum_{<=t}) must
+    equal the textbook recursion S_t = max(0, S_{t-1} + term_t) for
+    ANY integer term sequence (terms here are nb*x - total, but the
+    identity holds for arbitrary integers)."""
+    total, nb = sum(xs), len(xs)
+    terms = [nb * x - total for x in xs]
+    s_rec, rec = 0, []
+    for t in terms:
+        s_rec = max(0, s_rec + t)
+        rec.append(s_rec)
+    # the operator's form: running min over the cums INCLUDING the
+    # empty prefix (cum_0 = 0), because the recursion resets AT zero
+    cum, mn, closed = 0, 0, []
+    for t in terms:
+        cum += t
+        mn = min(mn, cum)
+        closed.append(cum - mn)
+    assert closed == rec
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**7),
+            st.integers(min_value=1, max_value=10**7),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_interval_bucket_banding_complete(spans):
+    """join_interval_overlap's structural completeness: two overlapping
+    half-open intervals always share a covered bucket, with buckets
+    computed exactly as the operator computes them (floor of start, and
+    floor of end-1 for the half-open end)."""
+    B = 3600 * 10**6  # an hour in microseconds, the operator's grain
+
+    def buckets(s, e):
+        return set(range(s // B, (e - 1) // B + 1))
+
+    iv = [(s, s + d) for s, d in spans]
+    for i, (sa, ea) in enumerate(iv):
+        for sb, eb in iv[i + 1:]:
+            if sa < eb and sb < ea:  # overlap (half-open)
+                assert buckets(sa, ea) & buckets(sb, eb)
+
+
+@given(
+    st.sets(st.integers(min_value=1, max_value=10**12), min_size=1, max_size=200),
+    st.sets(st.integers(min_value=1, max_value=10**12), min_size=1, max_size=200),
+    st.integers(min_value=2, max_value=16),
+)
+@settings(max_examples=300, deadline=None)
+def test_kmv_merge_of_sketches_equals_sketch_of_union(a, b, k):
+    """kmv_distinct_sketch's mergeability: the k smallest of the union
+    of two k-smallest sketches equal the k smallest of the full union."""
+    mink = lambda s: sorted(s)[:k]  # noqa: E731
+    assert mink(set(mink(a)) | set(mink(b))) == mink(a | b)
