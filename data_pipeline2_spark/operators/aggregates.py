@@ -1016,3 +1016,70 @@ def theil_sen_trend(
         F.coalesce(F.col("slope_median"), F.lit(0.0)).alias("slope_median"),
         (F.coalesce(F.col("slope_median"), F.lit(0.0)) > 0).alias("rising"),
     )
+
+
+def ab_chi2(
+    df: DataFrame,
+    variant_col: Column,
+    cat_col: str = "event_type",
+    crit: float = 9.488,
+) -> DataFrame:
+    """Chi-square homogeneity test between two variants over a
+    categorical distribution → ONE row: (n_total, dof, chi2,
+    significant).
+
+    The A/B gate: does the category mix differ between variants more
+    than chance allows? Computed as chi2 = N·Σ o²/(rt·ct) − N — the
+    contingency-table identity that needs ONLY the observed cells: a
+    zero cell contributes 0 to Σ o²/(rt·ct) while its expected count
+    still lands in the closing −N, so empty (variant, category) cells
+    (which a groupBy never materializes) are handled exactly — the
+    naive Σ (o−e)²/e over grouped rows silently drops them. Cell terms
+    round to 12 dp and accumulate as DECIMAL(28,12) so the sum is
+    associative (the bm25 contribution idiom). `crit` is the rejection
+    threshold for the table's dof (default 9.488 = chi2_0.95 at dof 4);
+    exact for o²·N < 2^53-scale doubles (counts to ~1e5 per cell).
+
+    Scale shape: one (variant, category) aggregation over the frame,
+    then constant-width rollups — K x 2 cells regardless of rows.
+    """
+    # the 2 x K cell table feeds FIVE consumers (margins, total, k, and
+    # the term join) — materialize the corpus reduction once
+    cells = (
+        df.select(
+            variant_col.cast("long").alias("v"), F.col(cat_col).alias("c")
+        )
+        .groupBy("v", "c")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    rt = cells.groupBy("v").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("c").agg(F.sum("o").alias("ct"))
+    nn = cells.agg(F.sum("o").alias("nn"))
+    k_cats = cells.select("c").distinct().agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    cell_term = F.round(
+        F.col("o").cast("double")
+        * F.col("o")
+        * F.col("nn")
+        / (F.col("rt").cast("double") * F.col("ct")),
+        12,
+    ).cast("decimal(28,12)")
+    chi2 = F.round(
+        F.sum(cell_term).cast("double") - F.first(F.col("nn")), 6
+    )
+    return (
+        cells.join(F.broadcast(rt), "v")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(nn))
+        .agg(chi2.alias("chi2"))
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(k_cats))
+        .select(
+            F.col("nn").cast("long").alias("n_total"),
+            (F.col("k") - 1).cast("int").alias("dof"),
+            "chi2",
+            (F.col("chi2") > F.lit(float(crit))).alias("significant"),
+        )
+    )

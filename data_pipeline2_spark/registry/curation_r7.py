@@ -718,3 +718,73 @@ def q_events_theil_sen(spark, sf_dir):
     single burst day cannot drag it the way it drags an OLS slope.
     Pairwise blow-up is quadratic only in each key's bucket count."""
     return aggregates.theil_sen_trend(_t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------- audio VAD / A-B test
+
+
+@_register(
+    "audio_vad_segments",
+    """
+    WITH d AS (
+      SELECT doc_id AS asset_id,
+             500 + (doc_id % 41) * 250 AS n,
+             8 + doc_id % 32 AS p,
+             200 + doc_id % 56 AS high
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT asset_id, CAST(k + 1 AS INT) AS seg_no,
+           CAST(2 * k * p AS BIGINT) AS start_sample,
+           CAST(least((2 * k + 1) * p, n) - 2 * k * p AS BIGINT)
+             AS n_samples,
+           CAST(high AS INT) AS level
+    FROM (SELECT asset_id, n, p, high,
+                 unnest(generate_series(0, (n - 1) // (2 * p))) AS k
+          FROM d)
+    """,
+)
+def q_audio_vad_segments(spark, sf_dir):
+    """Activity segmentation over the REAL byte-level WAV PCM decode:
+    runs of amplitude >= 128 become segments (numpy run detection per
+    asset inside the Arrow batch — map-only, no shuffle carries
+    samples). The square-wave fixtures make every high half-period one
+    closed-form segment, so the oracle verifies decode + segmentation
+    end-to-end."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return multimodal.audio_vad_segments(docs)
+
+
+@_register(
+    "events_ab_chi2",
+    """
+    WITH cells AS (
+      SELECT user_id % 2 AS v, event_type AS c, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ), rt AS (SELECT v, sum(o) AS rt FROM cells GROUP BY v),
+    ct AS (SELECT c, sum(o) AS ct FROM cells GROUP BY c),
+    nn AS (SELECT sum(o) AS nn FROM cells),
+    kk AS (SELECT count(DISTINCT c) AS k FROM cells),
+    terms AS (
+      SELECT CAST(round(
+               cells.o::DOUBLE * cells.o * nn.nn
+               / (rt.rt::DOUBLE * ct.ct), 12)
+             AS DECIMAL(28,12)) AS t
+      FROM cells JOIN rt USING (v) JOIN ct USING (c) CROSS JOIN nn
+    ), s AS (SELECT round(CAST(sum(t) AS DOUBLE)
+                          - (SELECT nn FROM nn), 6) AS chi2 FROM terms)
+    SELECT CAST(nn.nn AS BIGINT) AS n_total,
+           CAST(kk.k - 1 AS INT) AS dof,
+           s.chi2,
+           s.chi2 > 9.488 AS significant
+    FROM s, nn, kk
+    """,
+)
+def q_events_ab_chi2(spark, sf_dir):
+    """Chi-square homogeneity A/B gate: does the event-type mix differ
+    between the user_id-parity variants beyond chance? Exact integer
+    contingency algebra inside one double division per cell, 12-dp
+    decimal-summed — the experimentation primitive on top of the
+    events analytics family."""
+    return aggregates.ab_chi2(
+        _t(spark, sf_dir, "events"), F.col("user_id") % 2
+    )

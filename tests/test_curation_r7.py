@@ -539,3 +539,71 @@ def test_exchange_budget_r7_b4(name, spark):
         f"{name}: plan has {n} hash/range exchanges, budget is "
         f"{BUDGET_R7_B4[name]} — a new shuffle entered this query's plan"
     )
+
+
+# ----------------------------------------------------------- audio VAD
+
+
+def test_audio_vad_segment_structure(spark):
+    from data_pipeline2_spark.operators import multimodal
+
+    ids = spark.createDataFrame([(3,), (40,)], "doc_id long")
+    segs = multimodal.audio_vad_segments(ids).collect()
+    by_asset = {}
+    for r in sorted(segs, key=lambda r: (r.asset_id, r.seg_no)):
+        by_asset.setdefault(r.asset_id, []).append(r)
+    for aid, rows in by_asset.items():
+        n = 500 + (aid % 41) * 250
+        p = 8 + aid % 32
+        high = 200 + aid % 56
+        # every segment is a high half-period: period-aligned start,
+        # full length except a clipped tail, constant level
+        assert rows[0].seg_no == 1
+        for i, r in enumerate(rows):
+            assert r.seg_no == i + 1
+            assert r.start_sample == 2 * i * p
+            assert r.level == high
+            assert r.n_samples == min((2 * i + 1) * p, n) - 2 * i * p
+        assert rows[-1].start_sample + rows[-1].n_samples <= n
+
+
+# ------------------------------------------------------------ A/B chi2
+
+
+def test_ab_chi2_detects_shifted_mix_and_passes_identical(spark):
+    from data_pipeline2_spark.operators.aggregates import ab_chi2
+
+    same = spark.createDataFrame(
+        [(i, "a" if i % 4 < 2 else "b") for i in range(400)],
+        "user_id long, event_type string",
+    )
+    out = ab_chi2(same, F.col("user_id") % 2).collect()[0]
+    # parity variants see the identical mix -> chi2 == 0
+    assert out.chi2 == 0.0 and not out.significant and out.dof == 1
+    assert out.n_total == 400
+    skew = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(400)],
+        "user_id long, event_type string",
+    )
+    out2 = ab_chi2(skew, F.col("user_id") % 2, crit=3.841).collect()[0]
+    # variant 0 is all-'a', variant 1 all-'b': maximal dependence
+    assert out2.significant and out2.chi2 == 400.0
+
+
+BUDGET_R7_B5 = {
+    "audio_vad_segments": 0,    # map-only decode + run detection
+    "events_ab_chi2": 4,        # cell agg + two margin rollups + final
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET_R7_B5))
+def test_exchange_budget_r7_b5(name, spark):
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= BUDGET_R7_B5[name], (
+        f"{name}: plan has {n} hash/range exchanges, budget is "
+        f"{BUDGET_R7_B5[name]} — a new shuffle entered this query's plan"
+    )
