@@ -1083,3 +1083,160 @@ def ab_chi2(
             (F.col("chi2") > F.lit(float(crit))).alias("significant"),
         )
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_gap_days: int = 3,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Kaplan–Meier survival over user lifetimes → one row per churn
+    time: (duration_days, n_at_risk, n_churned, log_survival).
+
+    Lifetime = days between a user's first and last event; a user
+    CHURNS at their last event unless it falls within `censor_gap_days`
+    of the observation end (then they are censored — still alive when
+    the data stops, the standard right-censoring rule). The KM
+    estimator S(t) = Π_{t_i <= t} (1 - d_i / n_i) is a cumulative
+    PRODUCT, which engines cannot sum associatively — so the output is
+    the LOG-domain curve: each factor contributes the exact bigint
+    floor(ln((n_i - d_i)/n_i)·scale), the running sum is a window over
+    the churn-time table, and log_survival = round(cum/scale, 6).
+    exp() is deliberately NOT applied — libm last-ulp differences
+    across engines would break value parity, and survival comparisons
+    are monotone in the log domain anyway.
+
+    Scale shape: two corpus aggregations (per-user lifetime, then
+    per-duration counts); the running-product window orders a table
+    bounded by DISTINCT DURATIONS (observation-window days), not users
+    — dimension-sized, the same contract as the global KM curve any
+    survival library prints.
+    """
+    from pyspark.sql import Window
+
+    if scale <= 0 or censor_gap_days < 0:
+        raise ValueError(
+            f"need scale > 0 and censor_gap_days >= 0; "
+            f"got ({scale}, {censor_gap_days})"
+        )
+    life = events.groupBy(F.col(key_col).alias("key")).agg(
+        F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")
+    )
+    horizon = events.agg(F.max(ts_col).alias("end_ts"))
+    per_user = life.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.col("last_ts"), F.col("first_ts")).alias("dur"),
+        (
+            F.datediff(F.col("end_ts"), F.col("last_ts"))
+            > F.lit(int(censor_gap_days))
+        ).alias("churned"),
+    )
+    # risk sets by duration: n_at_risk(d) = users with dur >= d — a
+    # running total from the top of the duration-sorted table
+    by_dur = per_user.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_ending"),
+        F.sum(F.col("churned").cast("long")).alias("n_churned"),
+    )
+    w_desc = (
+        Window.orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = by_dur.withColumn("n_at_risk", F.sum("n_ending").over(w_desc))
+    # everyone-at-risk-churns (possible only at the LAST churn time —
+    # no one remains at risk afterwards): survival is exactly 0 and
+    # ln(0) = -inf, which floor/cast handle differently per engine —
+    # emit NULL log_survival for that terminal row instead
+    dead = F.col("n_churned") >= F.col("n_at_risk")
+    term = F.when(dead, F.lit(None).cast("long")).otherwise(
+        F.floor(
+            F.log(
+                (F.col("n_at_risk") - F.col("n_churned")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            )
+            * F.lit(float(scale))
+        ).cast("long")
+    )
+    return (
+        risk.filter(F.col("n_churned") > 0)
+        .withColumn("__t", term)
+        .withColumn("__dead", dead)
+        .withColumn("__cum", F.sum("__t").over(w_asc))
+        .select(
+            F.col("dur").cast("int").alias("duration_days"),
+            F.col("n_at_risk").cast("long"),
+            F.col("n_churned").cast("long"),
+            F.when(F.col("__dead"), F.lit(None).cast("double"))
+            .otherwise(
+                F.round(F.col("__cum") / F.lit(float(scale)), 6)
+            )
+            .alias("log_survival"),
+        )
+    )
+
+
+def pareto_concentration(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Revenue-concentration (Pareto) curve → one row per customer
+    decile: (tile, n_customers, revenue, revenue_share, cum_share).
+
+    The "top 10% of customers produce X% of revenue" curve: customers
+    rank by exact decimal revenue (ties broken by key for determinism),
+    ntile into `n_tiles` equal-count buckets, and shares cumulate from
+    the highest-revenue tile down. Revenue is decimal-exact end to end;
+    shares divide once and round.
+
+    Scale shape: one per-key aggregation, one ntile window over the
+    AGGREGATED customer table (key-cardinality, not orders), and an
+    n_tiles-row rollup + cumulative window — the final windows order
+    tile counts, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    per_key = orders.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(
+            F.col(amount_col).cast("decimal(25,2)")
+        ).alias("rev")
+    )
+    w_rank = Window.orderBy(F.desc("rev"), F.col("key"))
+    tiled = per_key.withColumn("tile", F.ntile(n_tiles).over(w_rank))
+    by_tile = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").alias("trev"),
+    )
+    total = by_tile.agg(F.sum("trev").alias("grand"))
+    w_cum = (
+        Window.orderBy("tile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        by_tile.crossJoin(F.broadcast(total))
+        .withColumn("__cum", F.sum("trev").over(w_cum))
+        .select(
+            F.col("tile").cast("int"),
+            F.col("n_customers").cast("long"),
+            F.round(F.col("trev").cast("double"), 2).alias("revenue"),
+            # cast BEFORE dividing: decimal/decimal result scales
+            # differ between engines; double/double does not
+            F.round(
+                F.col("trev").cast("double")
+                / F.col("grand").cast("double"),
+                6,
+            ).alias("revenue_share"),
+            F.round(
+                F.col("__cum").cast("double")
+                / F.col("grand").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+    )

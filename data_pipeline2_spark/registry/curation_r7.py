@@ -788,3 +788,93 @@ def q_events_ab_chi2(spark, sf_dir):
     return aggregates.ab_chi2(
         _t(spark, sf_dir, "events"), F.col("user_id") % 2
     )
+
+
+# ------------------------------------------------ survival / concentration
+
+
+@_register(
+    "events_kaplan_meier",
+    """
+    WITH life AS (
+      SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1
+    ), horizon AS (SELECT max(ts) AS e FROM events),
+    pu AS (
+      SELECT date_diff('day', f, l) AS dur,
+             date_diff('day', l, e) > 3 AS churned
+      FROM life, horizon
+    ), bd AS (
+      SELECT dur, count(*) AS n_ending,
+             sum(CASE WHEN churned THEN 1 ELSE 0 END) AS n_churned
+      FROM pu GROUP BY dur
+    ), rk AS (
+      SELECT *, sum(n_ending) OVER (
+               ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS n_at_risk
+      FROM bd
+    ), tm AS (
+      SELECT dur, n_at_risk, n_churned,
+             CASE WHEN n_churned >= n_at_risk THEN NULL
+                  ELSE CAST(floor(ln((n_at_risk - n_churned)::DOUBLE
+                       / n_at_risk::DOUBLE) * 1000000000.0) AS BIGINT)
+             END AS t,
+             n_churned >= n_at_risk AS dead
+      FROM rk WHERE n_churned > 0
+    ), cm AS (
+      SELECT *, sum(t) OVER (
+               ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM tm
+    )
+    SELECT CAST(dur AS INT) AS duration_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_churned AS BIGINT) AS n_churned,
+           CASE WHEN dead THEN NULL
+                ELSE round(cum / 1000000000.0, 6) END AS log_survival
+    FROM cm
+    """,
+)
+def q_events_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier survival over user lifetimes (churn = last event
+    more than 3 days before the observation end; later finishers are
+    right-censored). The cumulative product ships in the LOG domain
+    with floor-integerized factors — associative, engine-portable, and
+    exp-free (libm last-ulp differences would break value parity)."""
+    return aggregates.kaplan_meier(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "orders_pareto",
+    """
+    WITH pk AS (
+      SELECT o_custkey AS key,
+             sum(CAST(o_totalprice AS DECIMAL(25,2))) AS rev
+      FROM orders GROUP BY 1
+    ), tl AS (
+      SELECT key, rev, ntile(10) OVER (ORDER BY rev DESC, key) AS tile
+      FROM pk
+    ), bt AS (
+      SELECT tile, count(*) AS n_customers, sum(rev) AS trev
+      FROM tl GROUP BY tile
+    ), g AS (SELECT sum(trev) AS grand FROM bt),
+    cm AS (
+      SELECT *, sum(trev) OVER (
+               ORDER BY tile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM bt
+    )
+    SELECT CAST(tile AS INT) AS tile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           round(CAST(trev AS DOUBLE), 2) AS revenue,
+           round(trev::DOUBLE / grand::DOUBLE, 6) AS revenue_share,
+           round(cum::DOUBLE / grand::DOUBLE, 6) AS cum_share
+    FROM cm, g
+    """,
+)
+def q_orders_pareto(spark, sf_dir):
+    """Revenue-concentration (Pareto) curve: customers ranked by exact
+    decimal revenue into deciles, shares cumulating from the top —
+    the 'top 10% produce X%' number every revenue dashboard leads
+    with; all windows order key- or tile-cardinality tables."""
+    return aggregates.pareto_concentration(_t(spark, sf_dir, "orders"))

@@ -607,3 +607,109 @@ def test_exchange_budget_r7_b5(name, spark):
         f"{name}: plan has {n} hash/range exchanges, budget is "
         f"{BUDGET_R7_B5[name]} — a new shuffle entered this query's plan"
     )
+
+
+# --------------------------------------------------------- Kaplan–Meier
+
+
+def test_kaplan_meier_matches_reference_estimator(spark):
+    from data_pipeline2_spark.operators.aggregates import kaplan_meier
+
+    base = dt.datetime(2024, 1, 1)
+    # users with lifetimes 0..5 days; observation ends day 10 so all
+    # churn except the two longest (within the 3-day censor gap of a
+    # user ending day 8+)
+    spans = {1: 2, 2: 2, 3: 5, 4: 8, 5: 9}
+    rows, eid = [], 0
+    for uid, d in spans.items():
+        rows.append((eid, base, uid)); eid += 1
+        rows.append((eid, base + dt.timedelta(days=d), uid)); eid += 1
+    rows.append((eid, base + dt.timedelta(days=10), 99))  # horizon pin
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r.duration_days: r for r in kaplan_meier(ev).collect()}
+    # churn levels: dur 2 (u1,u2) and dur 5 (u3); u4/u5 end within the
+    # censor gap of the horizon and u99 (the single-event horizon pin,
+    # dur 0) is censored too, so no duration-0 level appears
+    import math as m
+
+    def ref(levels):
+        res = {}
+        scale = 1_000_000_000
+        cum = 0
+        for d, (n, dd) in sorted(levels.items()):
+            cum += m.floor(m.log((n - dd) / n) * scale)
+            res[d] = round(cum / scale, 6)
+        return res
+
+    # at-risk sets: dur 2 -> 5 users (all but the dur-0 pin); dur 5 -> 3
+    expected = ref({2: (5, 2), 5: (3, 1)})
+    assert {d: r.log_survival for d, r in out.items()} == expected
+    assert out[5].n_at_risk == 3 and out[5].n_churned == 1
+    # monotone non-increasing survival
+    vals = [out[d].log_survival for d in sorted(out)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_kaplan_meier_total_churn_yields_null_tail(spark):
+    from data_pipeline2_spark.operators.aggregates import kaplan_meier
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # both users end long before the horizon: the last churn time has
+    # n_at_risk == n_churned -> survival 0 -> NULL log_survival
+    rows += [(0, base, 1), (1, base + dt.timedelta(days=2), 1)]
+    rows += [(2, base, 2), (3, base + dt.timedelta(days=2), 2)]
+    rows += [(4, base + dt.timedelta(days=30), 3)]  # horizon pin
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r.duration_days: r for r in kaplan_meier(ev).collect()}
+    # the horizon-pin user is censored at dur 0 (no churn level there);
+    # the only churn level is dur 2, where everyone at risk churns
+    assert set(out) == {2}
+    assert out[2].log_survival is None          # survival exactly 0
+
+
+# --------------------------------------------------------------- Pareto
+
+
+def test_pareto_concentration_shares(spark):
+    from data_pipeline2_spark.operators.aggregates import (
+        pareto_concentration,
+    )
+
+    orders = spark.createDataFrame(
+        [(i, i % 10, float(100 if i % 10 == 0 else 10)) for i in range(100)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    out = sorted(
+        pareto_concentration(orders, n_tiles=5).collect(),
+        key=lambda r: r.tile,
+    )
+    # customer 0 holds 1000 of 1900 total; 5 tiles over 10 customers
+    assert out[0].cum_share > 0.5
+    assert out[-1].cum_share == 1.0
+    shares = [r.revenue_share for r in out]
+    assert all(a >= b for a, b in zip(shares, shares[1:]))
+    assert sum(r.n_customers for r in out) == 10
+    with pytest.raises(ValueError):
+        pareto_concentration(orders, n_tiles=1)
+
+
+BUDGET_R7_B6 = {
+    "events_kaplan_meier": 4,   # lifetime agg + duration agg + the two
+                                # duration-table windows
+    "orders_pareto": 5,         # per-key agg + ntile + tile agg + cum
+                                # window (all key/tile-cardinality)
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET_R7_B6))
+def test_exchange_budget_r7_b6(name, spark):
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= BUDGET_R7_B6[name], (
+        f"{name}: plan has {n} hash/range exchanges, budget is "
+        f"{BUDGET_R7_B6[name]} — a new shuffle entered this query's plan"
+    )
