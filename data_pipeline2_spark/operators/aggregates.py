@@ -931,7 +931,10 @@ def kmv_distinct(
         .distinct()
     )
     merged = hashes.select(F.lit("ALL").alias("scope"), "h").distinct()
-    both = hashes.unionByName(merged)
+    # the (scope, hash) set feeds THREE consumers (rank window, exact
+    # counts, k-th extraction) — materialize the distinct set once; it
+    # is the same O(distinct) volume the counting shuffle carries anyway
+    both = hashes.unionByName(merged).localCheckpoint(eager=True)
     w = Window.partitionBy("scope").orderBy("h")
     ranked = both.withColumn("rn", F.row_number().over(w))
     stats = both.groupBy("scope").agg(

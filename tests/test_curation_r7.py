@@ -444,11 +444,11 @@ def test_zone_map_zorder_prunes_both_dimensions(spark):
 
 
 BUDGET_R7_B3 = {
-    "kmv_distinct_sketch": 6,   # distinct hashes feed the union, the
-                                # per-scope rank window AND the exact-
-                                # count grading agg — the n_exact
-                                # column forces the full distinct; the
-                                # sketch-only production plan drops it
+    "kmv_distinct_sketch": 2,   # rank window + stats/kth joins over
+                                # the once-checkpointed distinct set
+                                # (the n_exact grading column forces
+                                # the full distinct; a sketch-only
+                                # production plan drops it)
     "zone_map_prune_eval": 4,   # two zone-map aggs + two 1-row rollups
 }
 
