@@ -1197,22 +1197,40 @@ def pareto_concentration(
     the highest-revenue tile down. Revenue is decimal-exact end to end;
     shares divide once and round.
 
-    Scale shape: one per-key aggregation, one ntile window over the
-    AGGREGATED customer table (key-cardinality, not orders), and an
-    n_tiles-row rollup + cumulative window — the final windows order
-    tile counts, never the corpus.
+    Scale shape: one per-key aggregation, then the DISTRIBUTED global
+    rank (relational.distributed_rank — range repartition + parallel
+    per-partition windows + broadcast offsets; a bare ntile() window
+    would single-task-sort the whole customer table, the pretrain_pack
+    anti-pattern) with the SQL ntile bucketing derived arithmetically
+    from (rank, N): the first N mod k tiles take ceil(N/k) rows. The
+    final rollup + cumulative window order tile counts, never keys.
     """
     from pyspark.sql import Window
 
+    from data_pipeline2_spark.operators.relational import distributed_rank
+
     if n_tiles < 2:
         raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    # per-key revenue feeds the ranker AND the total count
     per_key = orders.groupBy(F.col(key_col).alias("key")).agg(
         F.sum(
             F.col(amount_col).cast("decimal(25,2)")
         ).alias("rev")
+    ).localCheckpoint(eager=True)
+    ranked = distributed_rank(per_key, [F.desc("rev"), F.col("key")])
+    n_total = per_key.agg(F.count(F.lit(1)).alias("__n"))
+    size = F.floor(F.col("__n") / n_tiles)
+    rem = F.col("__n") % n_tiles
+    boundary = (size + 1) * rem
+    tile = F.when(
+        F.col("rank") <= boundary,
+        F.floor((F.col("rank") - 1) / (size + 1)) + 1,
+    ).otherwise(
+        rem + F.floor((F.col("rank") - 1 - boundary) / size) + 1
     )
-    w_rank = Window.orderBy(F.desc("rev"), F.col("key"))
-    tiled = per_key.withColumn("tile", F.ntile(n_tiles).over(w_rank))
+    tiled = ranked.crossJoin(F.broadcast(n_total)).withColumn(
+        "tile", tile.cast("int")
+    )
     by_tile = tiled.groupBy("tile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("rev").alias("trev"),

@@ -129,3 +129,58 @@ def phrase_match(
         F.lit(" "),
     )
     return df.filter(haystack.contains(f" {needle} "))
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global 1-based rank WITHOUT a single-task window — the
+    zipWithIndex pattern in pure DataFrame terms.
+
+    A bare `row_number() OVER (ORDER BY ...)` collapses the whole
+    frame into one window partition: the anti-pattern this repo
+    polices everywhere (pretrain_pack, r5). Here the frame range-
+    repartitions on the sort keys (a DISTRIBUTED sort), each partition
+    ranks locally in parallel, and partition-count offsets (a
+    partition-cardinality table) broadcast back: rank = offset +
+    local row_number. The range partitioner samples its boundaries,
+    so partition ASSIGNMENT is nondeterministic — but offsets are
+    computed from actual counts, so the resulting rank is the exact
+    global order position regardless of where boundaries fell.
+
+    Requires `order_cols` to be a TOTAL order (append a unique key);
+    rows that tie on every sort key may split across range partitions
+    and would rank nondeterministically.
+    """
+    spark = df.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    # the range-sorted working set feeds TWO consumers (offset counts
+    # + the ranking window) and must also be FROZEN: re-executing a
+    # sampled range partitioner could place boundary rows differently
+    # between the two reads — zipWithIndex materializes for the same
+    # two reasons
+    part = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        part.withColumn("__rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            rank_col, (F.col("__off") + F.col("__rn")).cast("long")
+        )
+        .drop("__pid", "__rn", "__off")
+    )

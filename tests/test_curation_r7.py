@@ -697,8 +697,10 @@ def test_pareto_concentration_shares(spark):
 BUDGET_R7_B6 = {
     "events_kaplan_meier": 4,   # lifetime agg + duration agg + the two
                                 # duration-table windows
-    "orders_pareto": 5,         # per-key agg + ntile + tile agg + cum
-                                # window (all key/tile-cardinality)
+    "orders_pareto": 6,         # distributed rank (range repartition +
+                                # pid windows + offsets) + tile agg +
+                                # cum window — NO single-task global
+                                # ntile window anywhere
 }
 
 
@@ -713,3 +715,40 @@ def test_exchange_budget_r7_b6(name, spark):
         f"{name}: plan has {n} hash/range exchanges, budget is "
         f"{BUDGET_R7_B6[name]} — a new shuffle entered this query's plan"
     )
+
+
+def test_distributed_rank_equals_global_window(spark):
+    from pyspark.sql import Window
+
+    from data_pipeline2_spark.operators.relational import distributed_rank
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(500)], "k long, v long"
+    )
+    order = [F.desc("v"), F.col("k")]
+    got = {
+        r.k: r.rank for r in distributed_rank(df, order).collect()
+    }
+    ref = {
+        r.k: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == ref
+    # deterministic under a different partition count
+    got3 = {
+        r.k: r.rank
+        for r in distributed_rank(df, order, n_partitions=3).collect()
+    }
+    assert got3 == ref
+    # and the plan carries no single-task global window: every window
+    # is partitioned by the range-partition id
+    plan = distributed_rank(
+        df, order
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[row_number", plan):
+        seg = plan[m.start():m.start() + 200]
+        assert "__pid" in seg, seg
