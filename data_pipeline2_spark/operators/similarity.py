@@ -2006,6 +2006,7 @@ def sparse_cosine_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     df_cap: float = 1.0,
+    df_cap_abs: int | None = None,
 ) -> DataFrame:
     """Doc-doc similarity without embeddings: term-frequency cosine via
     the inverted-index self-join → top-k neighbors per document.
@@ -2042,13 +2043,23 @@ def sparse_cosine_topk(
         .groupBy("doc", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    if df_cap < 1.0:
+    if df_cap < 1.0 or df_cap_abs is not None:
+        # the effective cap is min(n·frac, abs): a RELATIVE cap alone
+        # is structurally toothless over heterogeneous sub-corpora —
+        # the x10 scale run proved it (disjoint per-shard vocabularies:
+        # no term reaches 10% of the merged corpus, yet per-shard
+        # stopwords with df ~ shard size drove the posting join to
+        # 3633x shuffle). scikit's max_df int/float duality, for the
+        # same reason.
         n_docs = base.select(
             F.count(F.lit(1)).alias("__n")
         )
+        bound = F.col("__n") * F.lit(df_cap)
+        if df_cap_abs is not None:
+            bound = F.least(bound, F.lit(float(df_cap_abs)))
         dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("__df"))
         keep = dfreq.crossJoin(F.broadcast(n_docs)).filter(
-            F.col("__df") <= F.col("__n") * F.lit(df_cap)
+            F.col("__df") <= bound
         )
         tf = tf.join(keep.select("w"), "w")
     # tf feeds THREE consumers (norms + both posting-join sides) and

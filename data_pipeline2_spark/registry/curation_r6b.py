@@ -674,7 +674,7 @@ def q_events_type_entropy(spark, sf_dir):
     ), tf AS (
       SELECT tf0.doc, tf0.w, tf0.tf
       FROM tf0 JOIN dfq USING (w) CROSS JOIN nd
-      WHERE dfc <= n * 0.1
+      WHERE dfc <= least(n * 0.1, 2000.0)
     ), norms AS (
       SELECT doc, sum(tf * tf) AS sq FROM tf GROUP BY doc
     ), dots AS (
@@ -707,13 +707,17 @@ def q_sparse_cosine_topk(spark, sf_dir):
     per doc — exact integer dot products through the posting-list
     self-join; the sparse complement to the embedding kNN stack.
 
-    r7 (VERDICT r6 item 2): exported with df_cap=0.1 — the stopword
-    prune that bounds the posting self-join (a term in d docs emits d²
-    pairs; stopwords put d ~ N, making the join quadratic in corpus
-    size). The oracle mirrors the identical DF filter, so norms and
-    scores are computed over the pruned vocabulary on BOTH engines."""
+    r7 (VERDICT r6 item 2): exported with df_cap=0.1 AND an absolute
+    cap of 2000 — the stopword prune that bounds the posting self-join
+    (a term in d docs emits d² pairs). The absolute arm closes the
+    hole the x10 run measured: over heterogeneous sub-corpora a
+    relative cap never binds (no term reaches 10% of the merged corpus
+    while per-shard stopwords keep df ~ shard size). The oracle
+    mirrors the identical least(n·frac, abs) filter; at the driver's
+    sf0.01 the absolute arm is inactive (50 < 2000), so values are
+    unchanged."""
     return similarity.sparse_cosine_topk(
-        _t(spark, sf_dir, "documents"), k=5, df_cap=0.1
+        _t(spark, sf_dir, "documents"), k=5, df_cap=0.1, df_cap_abs=2000
     )
 
 
