@@ -1261,3 +1261,111 @@ def pareto_concentration(
             ).alias("cum_share"),
         )
     )
+
+
+def burstiness(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Per-key Fano factor of bucketed event rates → (key, n_buckets,
+    mean_rate, fano, bursty).
+
+    Fano = variance / mean of the per-bucket counts: a Poisson
+    (organic) arrival process sits at ~1, schedulers and bots collapse
+    toward 0, bursty scraping blows past `threshold` — the
+    dispersion-based bot signal next to events_type_entropy's variety
+    signal. Counts are integers, so Σx and Σx² are exact bigints and
+    mean/variance/fano are fixed-order double ops on exact sums.
+
+    Note the denominator convention: buckets a key never touched are
+    NOT imputed as zeros (n = observed buckets) — the same convention
+    as events_cusum_drift; impute the grid first (gap_fill) if the
+    zero-inclusive dispersion is wanted.
+    """
+    counts = events.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    agg = counts.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    fano = F.round((F.col("ss") / F.col("n") - mean * mean) / mean, 6)
+    return agg.select(
+        F.col("key").alias(key_col),
+        F.col("n").cast("long").alias("n_buckets"),
+        F.round(mean, 6).alias("mean_rate"),
+        fano.alias("fano"),
+        (fano > F.lit(float(threshold))).alias("bursty"),
+    )
+
+
+def conversion_latency(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    from_type: str = "view",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """Funnel latency summary → ONE row: (n_users, n_converted,
+    conv_rate, median_latency_sec, p90_latency_sec).
+
+    Time from a user's FIRST `from_type` to their first `to_type` at
+    or after it — the funnel's companion number (events_funnel counts
+    who converts; this measures how long conversion takes). Latencies
+    are exact bigint microsecond differences divided once; the
+    percentiles are exact `percentile` (the distribution_stats
+    contract — swap for percentile_approx at lake scale).
+
+    Scale shape: two keyed min-aggregations + one key join; the
+    percentile aggregates the per-user latency table (key-cardinality).
+    """
+    first_from = events.filter(F.col(type_col) == from_type).groupBy(
+        F.col(key_col).alias("key")
+    ).agg(F.min(ts_col).alias("__f"))
+    to_ev = events.filter(F.col(type_col) == to_type).select(
+        F.col(key_col).alias("key"), F.col(ts_col).alias("__t")
+    )
+    conv = (
+        first_from.join(to_ev, "key")
+        .filter(F.col("__t") >= F.col("__f"))
+        .groupBy("key")
+        .agg(F.min("__t").alias("__c"), F.min("__f").alias("__f0"))
+    )
+    # __f is functionally dependent on key; min() carries it through
+    # the aggregate (all copies equal) so the join needs no second pass
+    lat = conv.select(
+        "key",
+        (
+            (F.unix_micros(F.col("__c")) - F.unix_micros(F.col("__f0")))
+            / F.lit(1_000_000.0)
+        ).alias("lat"),
+    )
+    n_users = first_from.agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        lat.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.percentile(F.col("lat"), 0.5), 6).alias(
+                "median_latency_sec"
+            ),
+            F.round(F.percentile(F.col("lat"), 0.9), 6).alias(
+                "p90_latency_sec"
+            ),
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            F.col("n_users").cast("long"),
+            F.col("n_converted").cast("long"),
+            F.round(
+                F.col("n_converted") / F.col("n_users"), 6
+            ).alias("conv_rate"),
+            "median_latency_sec",
+            "p90_latency_sec",
+        )
+    )

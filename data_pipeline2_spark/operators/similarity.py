@@ -2117,3 +2117,49 @@ def sparse_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("doc_a", F.col("rank").cast("int"), "doc_b", "score")
     )
+
+
+def embedding_zscore_outliers(
+    embeddings: DataFrame,
+    threshold: float = 110.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector standardized outlier score → (vec_id, score,
+    outlier): Σ_dims ((v_i − μ_i)/σ_i)² — the diagonal-covariance
+    Mahalanobis distance, the embedding-corpus quality gate (encoder
+    glitches, truncated vectors, and wrong-normalization batches land
+    far in the tail; for a healthy corpus the score concentrates
+    around the dimensionality).
+
+    Composes embedding_dim_stats for the per-dimension moments (the
+    rounded stats are the shared contract, so the oracle replays the
+    identical μ/σ²), broadcasts the dim-sized table back onto the
+    exploded vectors, and accumulates per-dimension contributions
+    rounded to 12 dp as DECIMAL(28,12) — associative, so the per-vector
+    sum is partition-order-free (the bm25 idiom). Zero-variance (dead)
+    dimensions contribute 0 rather than dividing by zero.
+
+    `threshold` defaults near dim + 4·sqrt(2·dim) for the 64-dim
+    fixtures — the ~4-sigma chi-square tail.
+    """
+    stats = embedding_dim_stats(embeddings, vec_col=vec_col)
+    ex = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "__v"),
+    )
+    dev = F.col("__v").cast("double") - F.col("mean_v")
+    t = F.when(
+        F.col("var_v") > 0, F.round(dev * dev / F.col("var_v"), 12)
+    ).otherwise(F.lit(0.0)).cast("decimal(28,12)")
+    score = F.round(F.sum(t).cast("double"), 6)
+    return (
+        ex.join(F.broadcast(stats), "pos")
+        .groupBy("vec_id")
+        .agg(score.alias("score"))
+        .select(
+            "vec_id",
+            "score",
+            (F.col("score") > F.lit(float(threshold))).alias("outlier"),
+        )
+    )

@@ -878,3 +878,109 @@ def q_orders_pareto(spark, sf_dir):
     the 'top 10% produce X%' number every revenue dashboard leads
     with; all windows order key- or tile-cardinality tables."""
     return aggregates.pareto_concentration(_t(spark, sf_dir, "orders"))
+
+
+# ------------------------------------------- outliers / dispersion / funnel
+
+from data_pipeline2_spark.operators import similarity  # noqa: E402
+from data_pipeline2_spark.registry.curation_r5 import (  # noqa: E402
+    _EMB_EXPAND,
+    _V_SUM,
+    _V_SUMSQ,
+)
+
+
+@_register(
+    "embedding_zscore_outliers",
+    f"""
+    WITH ex AS ({_EMB_EXPAND}
+    ), st AS (
+      SELECT i, count(*) AS n, {_V_SUM} AS s, {_V_SUMSQ} AS ss
+      FROM ex GROUP BY i
+    ), ms AS (
+      SELECT i, round(s / n, 6) AS m,
+             round(ss / n - (s / n) * (s / n), 6) AS var
+      FROM st
+    ), terms AS (
+      SELECT ex.vec_id,
+             CAST(round(CASE WHEN ms.var > 0
+                    THEN (ex.v - ms.m) * (ex.v - ms.m) / ms.var
+                    ELSE 0.0 END, 12) AS DECIMAL(28,12)) AS t
+      FROM ex JOIN ms USING (i)
+    )
+    SELECT vec_id, round(CAST(sum(t) AS DOUBLE), 6) AS score,
+           round(CAST(sum(t) AS DOUBLE), 6) > 110.0 AS outlier
+    FROM terms GROUP BY vec_id
+    """,
+)
+def q_embedding_zscore_outliers(spark, sf_dir):
+    """Diagonal-Mahalanobis embedding outlier score per vector
+    (Σ z_i² against the corpus per-dimension moments) — the
+    embedding-batch quality gate; composes embedding_dim_stats'
+    rounded moments so both engines standardize identically."""
+    return similarity.embedding_zscore_outliers(
+        _t(spark, sf_dir, "embeddings")
+    )
+
+
+@_register(
+    "events_burstiness",
+    """
+    WITH c AS (
+      SELECT user_id AS key, date_trunc('hour', ts) AS b, count(*) AS x
+      FROM events GROUP BY 1, 2
+    ), a AS (
+      SELECT key, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+      FROM c GROUP BY key
+    )
+    SELECT key AS user_id,
+           CAST(n AS BIGINT) AS n_buckets,
+           round(s / n, 6) AS mean_rate,
+           round((ss / n - (s / n) * (s / n)) / (s / n), 6) AS fano,
+           round((ss / n - (s / n) * (s / n)) / (s / n), 6) > 2.0
+             AS bursty
+    FROM a
+    """,
+)
+def q_events_burstiness(spark, sf_dir):
+    """Per-user Fano factor (variance/mean of hourly rates): Poisson
+    arrivals sit near 1, schedulers collapse toward 0, bursty scraping
+    exceeds the threshold — the dispersion bot signal next to
+    events_type_entropy's variety signal; exact integer sums under
+    fixed-order double arithmetic."""
+    return aggregates.burstiness(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "events_conversion_latency",
+    """
+    WITH ff AS (
+      SELECT user_id AS key, min(ts) AS f FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), conv AS (
+      SELECT ff.key, min(e.ts) AS c, min(ff.f) AS f0
+      FROM ff JOIN events e
+        ON e.user_id = ff.key AND e.event_type = 'purchase'
+       AND e.ts >= ff.f
+      GROUP BY ff.key
+    ), lat AS (
+      SELECT key, (epoch_us(c) - epoch_us(f0)) / 1000000.0 AS lat
+      FROM conv
+    ), agg AS (
+      SELECT count(*) AS n_converted,
+             round(quantile_cont(lat, 0.5), 6) AS median_latency_sec,
+             round(quantile_cont(lat, 0.9), 6) AS p90_latency_sec
+      FROM lat
+    ), nu AS (SELECT count(*) AS n_users FROM ff)
+    SELECT CAST(nu.n_users AS BIGINT) AS n_users,
+           CAST(agg.n_converted AS BIGINT) AS n_converted,
+           round(agg.n_converted / nu.n_users, 6) AS conv_rate,
+           agg.median_latency_sec, agg.p90_latency_sec
+    FROM agg, nu
+    """,
+)
+def q_events_conversion_latency(spark, sf_dir):
+    """Funnel latency: first 'view' → first at-or-after 'purchase' per
+    user, exact microsecond differences, exact percentiles — how long
+    conversion takes, next to events_funnel's who-converts count."""
+    return aggregates.conversion_latency(_t(spark, sf_dir, "events"))

