@@ -900,9 +900,17 @@ def kmv_distinct(
     MERGEABILITY: min-k(union of min-k sets) == min-k(union of the
     full sets), so per-partition/per-source sketches of a few hundred
     bytes union into a global estimate without re-touching data — the
-    'ALL' row here is computed from exactly that union and the oracle
-    replays it. Fewer than k distinct values degenerates to the exact
-    count (the sketch IS the set).
+    'ALL' row's ESTIMATE here is computed from exactly that union: the
+    per-group rn <= k rows (G·k values, kilobytes) re-rank on the
+    driver-side-tiny merged frame, and the full hash set is never
+    re-touched for it (ADVICE r7: the previous plan built ALL from the
+    full distinct set and merely CLAIMED merge semantics; the oracle
+    replays the full-set construction, which matches by mergeability).
+    The ALL row's n_exact is a separate global distinct COUNT — it is
+    the self-grading column, explicitly not part of the sketch path,
+    and drops with the other n_exact at lake scale. Fewer than k
+    distinct values degenerates to the exact count (the sketch IS the
+    set).
 
     Exactness: hashes are the 60-bit md5-prefix fingerprints
     (dedup.shingle_hash64) — deterministic, engine-portable — and the
@@ -929,19 +937,49 @@ def kmv_distinct(
             shingle_hash64(F.col(text_col)).alias("h"),
         )
         .distinct()
+        # feeds the rank window AND both exact-count aggregations —
+        # materialize the distinct set once; it is the same O(distinct)
+        # volume the counting shuffle carries anyway
+        .localCheckpoint(eager=True)
     )
-    merged = hashes.select(F.lit("ALL").alias("scope"), "h").distinct()
-    # the (scope, hash) set feeds THREE consumers (rank window, exact
-    # counts, k-th extraction) — materialize the distinct set once; it
-    # is the same O(distinct) volume the counting shuffle carries anyway
-    both = hashes.unionByName(merged).localCheckpoint(eager=True)
     w = Window.partitionBy("scope").orderBy("h")
-    ranked = both.withColumn("rn", F.row_number().over(w))
-    stats = both.groupBy("scope").agg(
-        F.count(F.lit(1)).alias("n_exact")
+    # per-group k-min sketches: G·k rows total — THIS is the sketch a
+    # lake deployment would persist (kilobytes per group). The rn <= k
+    # filter triggers Spark's WindowGroupLimit rewrite: each map task
+    # keeps only its local k smallest per scope BEFORE the exchange, so
+    # the window shuffle carries O(partitions·groups·k), not the corpus.
+    sketches = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
     )
-    kth = ranked.filter(F.col("rn") == k).select(
-        "scope", F.col("h").alias("hk")
+    # ALL = merge of the per-group sketches, never the full hash set:
+    # dedup the union'd sketch values, re-rank, keep the k smallest.
+    # The merged frame is G·k rows, so the const-key window is trivial.
+    merged = (
+        sketches.select(F.lit("ALL").alias("scope"), "h")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("scope").orderBy("h")),
+        )
+        .filter(F.col("rn") <= k)
+    )
+    kth = (
+        sketches.unionByName(merged)
+        .filter(F.col("rn") == k)
+        .select("scope", F.col("h").alias("hk"))
+    )
+    # n_exact is the self-grading column, deliberately outside the
+    # sketch path: per-group counts partial-combine map-side (the
+    # exchange carries one row per scope per task), and the ALL row is
+    # one global count-distinct over the checkpointed set — the single
+    # corpus-volume exchange left in the plan, and the one a lake
+    # deployment drops along with the other n_exact
+    stats = hashes.groupBy("scope").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    ).unionByName(
+        hashes.agg(
+            F.count_distinct(F.col("h")).alias("n_exact")
+        ).select(F.lit("ALL").alias("scope"), "n_exact")
     )
     est = F.when(
         F.col("hk").isNull(), F.col("n_exact").cast("double")
@@ -981,9 +1019,28 @@ def theil_sen_trend(
     in events; the bucket aggregation partial-combines map-side, and
     the median is exact `percentile` (the distribution_stats contract
     — swap for percentile_approx when per-key pair sets stop fitting).
-    Slopes are (bigint Δcount)/(bigint Δdays) — one well-defined double
-    division each, so the interpolated median matches the oracle.
+    Slopes are (bigint Δcount)/(bigint Δbuckets) — one well-defined
+    double division each, so the interpolated median matches the
+    oracle. The denominator is computed in BUCKET units from exact
+    epoch microseconds (ADVICE r7: the former day-granular datediff
+    made every sub-day bucket produce zero deltas and Inf/NaN slopes
+    that silently polluted the median); variable-span buckets
+    (month/quarter/year) raise rather than mislabel.
     """
+    spans_us = {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+        "week": 7 * 86_400_000_000,
+    }
+    if bucket not in spans_us:
+        raise ValueError(
+            f"bucket must be one of {sorted(spans_us)} (fixed spans; "
+            f"month/quarter/year have no constant bucket width), "
+            f"got {bucket!r}"
+        )
+    span = spans_us[bucket]
     # the bucketed series feeds THREE consumers (both pair-join sides
     # + the bucket count) — materialize the key x bucket reduction once
     # rather than re-scanning events per consumer
@@ -997,8 +1054,11 @@ def theil_sen_trend(
     b = daily.select(
         "key", F.col("d").alias("db"), F.col("x").alias("xb")
     )
-    slope = (F.col("xb") - F.col("xa")) / F.datediff(
-        F.col("db"), F.col("da")
+    # Δbuckets is exact: both endpoints are date_trunc'd to the bucket
+    # boundary, so the micros difference is an integer multiple of span
+    slope = (F.col("xb") - F.col("xa")) / (
+        (F.unix_micros(F.col("db")) - F.unix_micros(F.col("da")))
+        / F.lit(span)
     ).cast("double")
     pairs = (
         a.join(b, "key")
@@ -1021,14 +1081,27 @@ def theil_sen_trend(
     )
 
 
+# chi-square upper-tail 0.05 critical values, dof 1..40 (the standard
+# published table) — the `significant` gate derives its threshold from
+# the COMPUTED dof via this table (ADVICE r7: a fixed 9.488 was
+# silently wrong for any category cardinality other than 5)
+CHI2_CRIT_95 = (
+    3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507,
+    16.919, 18.307, 19.675, 21.026, 22.362, 23.685, 24.996, 26.296,
+    27.587, 28.869, 30.144, 31.410, 32.671, 33.924, 35.172, 36.415,
+    37.652, 38.885, 40.113, 41.337, 42.557, 43.773, 44.985, 46.194,
+    47.400, 48.602, 49.802, 50.998, 52.192, 53.384, 54.572, 55.758,
+)
+
+
 def ab_chi2(
     df: DataFrame,
     variant_col: Column,
     cat_col: str = "event_type",
-    crit: float = 9.488,
+    crit: float | None = None,
 ) -> DataFrame:
     """Chi-square homogeneity test between two variants over a
-    categorical distribution → ONE row: (n_total, dof, chi2,
+    categorical distribution → ONE row: (n_total, dof, chi2, crit,
     significant).
 
     The A/B gate: does the category mix differ between variants more
@@ -1039,9 +1112,12 @@ def ab_chi2(
     (which a groupBy never materializes) are handled exactly — the
     naive Σ (o−e)²/e over grouped rows silently drops them. Cell terms
     round to 12 dp and accumulate as DECIMAL(28,12) so the sum is
-    associative (the bm25 contribution idiom). `crit` is the rejection
-    threshold for the table's dof (default 9.488 = chi2_0.95 at dof 4);
-    exact for o²·N < 2^53-scale doubles (counts to ~1e5 per cell).
+    associative (the bm25 contribution idiom); exact for o²·N <
+    2^53-scale doubles (counts to ~1e5 per cell). The rejection
+    threshold comes from CHI2_CRIT_95 indexed by the COMPUTED dof —
+    pass an explicit `crit` to override; dof outside the table (> 40
+    categories-1) yields NULL crit/significant rather than a silently
+    wrong verdict.
 
     Scale shape: one (variant, category) aggregation over the frame,
     then constant-width rollups — K x 2 cells regardless of rows.
@@ -1072,6 +1148,15 @@ def ab_chi2(
     chi2 = F.round(
         F.sum(cell_term).cast("double") - F.first(F.col("nn")), 6
     )
+    if crit is not None:
+        crit_col = F.lit(float(crit))
+    else:
+        # try_element_at: 1-based, NULL out of range — dof > 40 (or a
+        # degenerate dof 0) degrades to NULL, never a wrong threshold
+        crit_col = F.try_element_at(
+            F.array(*[F.lit(float(v)) for v in CHI2_CRIT_95]),
+            (F.col("k") - 1).cast("int"),
+        )
     return (
         cells.join(F.broadcast(rt), "v")
         .join(F.broadcast(ct), "c")
@@ -1083,7 +1168,8 @@ def ab_chi2(
             F.col("nn").cast("long").alias("n_total"),
             (F.col("k") - 1).cast("int").alias("dof"),
             "chi2",
-            (F.col("chi2") > F.lit(float(crit))).alias("significant"),
+            crit_col.alias("crit"),
+            (F.col("chi2") > crit_col).alias("significant"),
         )
     )
 
@@ -1092,16 +1178,22 @@ def kaplan_meier(
     events: DataFrame,
     key_col: str = "user_id",
     ts_col: str = "ts",
-    censor_gap_days: int = 3,
+    censor_gap_hours: int = 72,
     scale: int = 1_000_000_000,
 ) -> DataFrame:
     """Kaplan–Meier survival over user lifetimes → one row per churn
     time: (duration_days, n_at_risk, n_churned, log_survival).
 
     Lifetime = days between a user's first and last event; a user
-    CHURNS at their last event unless it falls within `censor_gap_days`
-    of the observation end (then they are censored — still alive when
-    the data stops, the standard right-censoring rule). The KM
+    CHURNS at their last event unless it falls within
+    `censor_gap_hours` of the observation end (then they are censored
+    — still alive when the data stops, the standard right-censoring
+    rule). The gap compares exact epoch MICROSECONDS, not calendar-day
+    boundary counts — a day-granular gap made every user censored on
+    fixtures whose whole span is dense hourly traffic (the r7 vacuous
+    oracle: zero churners at every SF because no user's last-event gap
+    reached 3 calendar days), and boundary-count semantics differ
+    between engines anyway. The KM
     estimator S(t) = Π_{t_i <= t} (1 - d_i / n_i) is a cumulative
     PRODUCT, which engines cannot sum associatively — so the output is
     the LOG-domain curve: each factor contributes the exact bigint
@@ -1119,10 +1211,10 @@ def kaplan_meier(
     """
     from pyspark.sql import Window
 
-    if scale <= 0 or censor_gap_days < 0:
+    if scale <= 0 or censor_gap_hours < 0:
         raise ValueError(
-            f"need scale > 0 and censor_gap_days >= 0; "
-            f"got ({scale}, {censor_gap_days})"
+            f"need scale > 0 and censor_gap_hours >= 0; "
+            f"got ({scale}, {censor_gap_hours})"
         )
     life = events.groupBy(F.col(key_col).alias("key")).agg(
         F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")
@@ -1131,8 +1223,8 @@ def kaplan_meier(
     per_user = life.crossJoin(F.broadcast(horizon)).select(
         F.datediff(F.col("last_ts"), F.col("first_ts")).alias("dur"),
         (
-            F.datediff(F.col("end_ts"), F.col("last_ts"))
-            > F.lit(int(censor_gap_days))
+            F.unix_micros(F.col("end_ts")) - F.unix_micros(F.col("last_ts"))
+            > F.lit(int(censor_gap_hours) * 3_600_000_000)
         ).alias("churned"),
     )
     # risk sets by duration: n_at_risk(d) = users with dur >= d — a

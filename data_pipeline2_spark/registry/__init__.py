@@ -129,12 +129,26 @@ def _driver_verified_keys() -> set:
 # green rows verified the old plan, so they re-queue immediately behind
 # the never-verified keys for a fresh driver check. Emptied once the
 # round's CORRECTNESS file shows them green again.
-# r7: image_ahash_pairs now exports the banded plan with a tightened
-# pigeonhole-complete threshold and sparse_cosine_topk exports with the
-# df_cap stopword prune engaged (VERDICT r6 items 1–2) — both oracles
-# changed with them, so both re-queue. (r6's packing-key entries went
-# green in CORRECTNESS_r06 and left the set.)
-_RECHECK = frozenset({"image_ahash_pairs", "sparse_cosine_topk"})
+# r8 (r7's two entries went green in CORRECTNESS_r07 and left the
+# set): the four ADVICE-r7 fixes plus the VERDICT-r7 item-1 fix all
+# changed exported semantics or the exported plan —
+#   events_kaplan_meier: churn horizon now 24 h of exact epoch time
+#     (was 3 calendar days, vacuous at every SF);
+#   join_interval_overlap: month-safe epoch-day interval ids;
+#   events_ab_chi2: dof-derived critical value + new crit column;
+#   events_theil_sen: bucket-unit slope denominator (day results
+#     identical, but the expression changed);
+#   kmv_distinct_sketch: ALL row now built from the per-group sketch
+#     union (values identical by mergeability, plan reshaped).
+_RECHECK = frozenset(
+    {
+        "events_kaplan_meier",
+        "join_interval_overlap",
+        "events_ab_chi2",
+        "events_theil_sen",
+        "kmv_distinct_sketch",
+    }
+)
 
 
 def _driver_order() -> list[QuerySpec]:

@@ -270,7 +270,9 @@ from data_pipeline2_spark.operators import joins as _joins  # noqa: E402
     "join_interval_overlap",
     """
     WITH iv AS (
-      SELECT user_id * 1000 + day(date_trunc('day', ts)) AS iid,
+      SELECT user_id * 100000
+               + date_diff('day', DATE '1970-01-01',
+                           CAST(date_trunc('day', ts) AS DATE)) AS iid,
              min(ts) AS s, max(ts) AS e
       FROM events WHERE event_type = 'error'
       GROUP BY user_id, date_trunc('day', ts)
@@ -289,7 +291,11 @@ def q_join_interval_overlap(spark, sf_dir):
     idiom applied to time): per-user daily error-activity spans,
     paired across users wherever the spans overlap. The oracle is the
     naive inequality join; the engine plan is the bucket-exploded
-    equi-join that survives a lake-sized interval table."""
+    equi-join that survives a lake-sized interval table. The interval
+    id is a MONTH-SAFE epoch-day ordinal (user_id·100000 + days since
+    1970-01-01): the r7 dayofmonth encoding collided across months for
+    any fixture spanning a month boundary (ADVICE r7), silently
+    merging distinct intervals on both engine and oracle sides."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
     iv = (
         ev.groupBy(
@@ -298,7 +304,8 @@ def q_join_interval_overlap(spark, sf_dir):
         .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
         .select(
             (
-                F.col("user_id") * 1000 + F.dayofmonth(F.col("__d"))
+                F.col("user_id") * 100000
+                + F.datediff(F.col("__d"), F.lit("1970-01-01"))
             ).alias("iid"),
             "start_ts",
             "end_ts",
@@ -771,12 +778,21 @@ def q_audio_vad_segments(spark, sf_dir):
              AS DECIMAL(28,12)) AS t
       FROM cells JOIN rt USING (v) JOIN ct USING (c) CROSS JOIN nn
     ), s AS (SELECT round(CAST(sum(t) AS DOUBLE)
-                          - (SELECT nn FROM nn), 6) AS chi2 FROM terms)
+                          - (SELECT nn FROM nn), 6) AS chi2 FROM terms),
+    cv AS (SELECT ([3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
+                    15.507, 16.919, 18.307, 19.675, 21.026, 22.362,
+                    23.685, 24.996, 26.296, 27.587, 28.869, 30.144,
+                    31.410, 32.671, 33.924, 35.172, 36.415, 37.652,
+                    38.885, 40.113, 41.337, 42.557, 43.773, 44.985,
+                    46.194, 47.400, 48.602, 49.802, 50.998, 52.192,
+                    53.384, 54.572, 55.758])[CAST(kk.k AS INT) - 1]
+             AS crit FROM kk)
     SELECT CAST(nn.nn AS BIGINT) AS n_total,
            CAST(kk.k - 1 AS INT) AS dof,
            s.chi2,
-           s.chi2 > 9.488 AS significant
-    FROM s, nn, kk
+           cv.crit,
+           s.chi2 > cv.crit AS significant
+    FROM s, nn, kk, cv
     """,
 )
 def q_events_ab_chi2(spark, sf_dir):
@@ -801,7 +817,7 @@ def q_events_ab_chi2(spark, sf_dir):
     ), horizon AS (SELECT max(ts) AS e FROM events),
     pu AS (
       SELECT date_diff('day', f, l) AS dur,
-             date_diff('day', l, e) > 3 AS churned
+             epoch_us(e) - epoch_us(l) > 86400000000 AS churned
       FROM life, horizon
     ), bd AS (
       SELECT dur, count(*) AS n_ending,
@@ -837,11 +853,18 @@ def q_events_ab_chi2(spark, sf_dir):
 )
 def q_events_kaplan_meier(spark, sf_dir):
     """Kaplan–Meier survival over user lifetimes (churn = last event
-    more than 3 days before the observation end; later finishers are
-    right-censored). The cumulative product ships in the LOG domain
-    with floor-integerized factors — associative, engine-portable, and
+    more than 24 HOURS of exact epoch time before the observation end;
+    later finishers are right-censored). The 24 h horizon is derived
+    from the fixture's inter-event cadence: the r7 3-calendar-day gap
+    made every user censored at every SF, so the driver green row
+    compared two EMPTY frames (VERDICT r7 item 1) — at 24 h sf0.001/
+    0.01/0.1 churn 1/14/141 users, so the estimator itself is now under
+    oracle. The cumulative product ships in the LOG domain with
+    floor-integerized factors — associative, engine-portable, and
     exp-free (libm last-ulp differences would break value parity)."""
-    return aggregates.kaplan_meier(_t(spark, sf_dir, "events"))
+    return aggregates.kaplan_meier(
+        _t(spark, sf_dir, "events"), censor_gap_hours=24
+    )
 
 
 @_register(

@@ -444,11 +444,18 @@ def test_zone_map_zorder_prunes_both_dimensions(spark):
 
 
 BUDGET_R7_B3 = {
-    "kmv_distinct_sketch": 2,   # rank window + stats/kth joins over
-                                # the once-checkpointed distinct set
-                                # (the n_exact grading column forces
-                                # the full distinct; a sketch-only
-                                # production plan drops it)
+    "kmv_distinct_sketch": 5,   # RAISED 2->5 in r8 for the honest
+                                # merge shape (ADVICE r7: ALL now built
+                                # from the per-group sketches, not the
+                                # full set): two WindowGroupLimit-
+                                # capped sketch windows + the G*k-row
+                                # merged-sketch distinct are all
+                                # sketch-volume exchanges; the per-
+                                # scope count partial-combines; the
+                                # ONLY corpus-volume exchange is the
+                                # ALL n_exact count-distinct, which is
+                                # the grading column a sketch-only
+                                # production plan drops
     "zone_map_prune_eval": 4,   # two zone-map aggs + two 1-row rollups
 }
 
