@@ -1,0 +1,114 @@
+"""Round-8 operator tests: exact-substring spans (the Lee et al. 2022
+50-token exact-substring dedup standard) — span maximality, positions,
+sub-threshold rejection, the boilerplate df cap, and the plan budget.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline2_spark.operators.dedup import exact_substring_spans
+
+from .conftest import SF_ORACLE
+
+SF = SF_ORACLE
+
+
+def _doc(*token_groups):
+    return " ".join(" ".join(g) for g in token_groups)
+
+
+def _u(prefix, n, start=0):
+    return [f"{prefix}{i}" for i in range(start, start + n)]
+
+
+def test_exact_substring_span_maximal_and_positioned(spark):
+    shared = _u("s", 60)
+    docs = spark.createDataFrame(
+        [
+            (1, _doc(_u("a", 20), shared, _u("b", 15))),
+            (2, _doc(_u("c", 5), shared, _u("d", 30))),
+        ],
+        "doc_id long, text string",
+    )
+    out = exact_substring_spans(docs, n_tokens=50).collect()
+    # ONE maximal span, not eleven window-sized fragments
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.span_tokens == 60
+    # 1-based token positions of the span start in each doc
+    assert r.a_start == 21 and r.b_start == 6
+
+
+def test_exact_substring_below_threshold_not_reported(spark):
+    shared = _u("s", 49)  # one token short of the standard
+    docs = spark.createDataFrame(
+        [
+            (1, _doc(_u("a", 10), shared)),
+            (2, _doc(_u("c", 10), shared)),
+        ],
+        "doc_id long, text string",
+    )
+    assert exact_substring_spans(docs, n_tokens=50).count() == 0
+
+
+def test_exact_substring_two_disjoint_spans_two_rows(spark):
+    s1, s2 = _u("x", 50), _u("y", 55)
+    docs = spark.createDataFrame(
+        [
+            (1, _doc(s1, _u("a", 10), s2)),
+            (2, _doc(s2, _u("b", 20), s1)),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.span_tokens for r in exact_substring_spans(docs, n_tokens=50).collect()}
+    assert out == {50, 55}
+
+
+def test_exact_substring_df_cap_excludes_boilerplate(spark):
+    boiler = _u("s", 50)
+    # the boilerplate window appears in 5 docs > cap 4 -> excluded;
+    # the pairwise-only span between docs 100/101 survives
+    rows = [(i, _doc([f"u{i}_{j}" for j in range(3)], boiler)) for i in range(5)]
+    pair = _u("p", 52)
+    rows += [(100, _doc(pair)), (101, _doc(pair, _u("z", 5)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_substring_spans(docs, n_tokens=50, df_cap_abs=4).collect()
+    assert {(r.doc_a, r.doc_b) for r in out} == {(100, 101)}
+    assert out[0].span_tokens == 52
+
+
+def test_exact_substring_case_folded_and_validated(spark):
+    shared = _u("s", 50)
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(t.upper() for t in shared)),
+            (2, " ".join(shared)),
+        ],
+        "doc_id long, text string",
+    )
+    assert exact_substring_spans(docs, n_tokens=50).count() == 1
+    with pytest.raises(ValueError):
+        exact_substring_spans(docs, n_tokens=1)
+    with pytest.raises(ValueError):
+        exact_substring_spans(docs, df_cap_abs=1)
+
+
+def test_exact_substring_spans_exchange_budget(spark):
+    from data_pipeline2_spark import registry
+
+    fn = registry.queries()["exact_substring_spans"]
+    df = fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    # post-checkpoint plan: self-join (broadcast at test SF, <= 2
+    # candidate-sized exchanges at scale) + the diagonal-island window;
+    # everything upstream of the candidate checkpoint is two map-only
+    # fingerprint scans + one df-filter shuffle, all corpus-linear
+    assert n <= 3, (
+        f"exact_substring_spans: {n} hash/range exchanges post-"
+        f"checkpoint, budget 3 — a new shuffle entered the plan"
+    )
