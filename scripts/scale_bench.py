@@ -24,6 +24,21 @@ replica perturbs content deterministically:
 
 Usage: python scripts/scale_bench.py [--factor 10] [--reps 2]
 Prints one JSON line per operator and a markdown table on stderr.
+
+--skew (VERDICT r7 item 3): real 100 TB event data is zipfian, not
+uniform — the uniform replica multiplies rows per user evenly, so it
+never exercises the "full shuffle on a skewed key" failure class. With
+--skew, replicas r >= 1 REMAP their keys onto a geometrically
+shrinking prefix of the base key space (user_id % (n_users >> r),
+o_custkey % (n_cust >> r)): the hottest users/customers accumulate
+events from every replica (the last replica lands ~F*rows/2^(F-1) on
+a handful of keys), approximating a zipf head while staying fully
+deterministic. Ops run against BOTH the uniform and the skewed x-F
+lake in one session, and the report carries skew/uniform wall ratios
+per key. --skew also runs the salted-join engagement demo: the same
+hot-key join with broadcast + AQE skew handling disabled, plain vs
+plans/skew.salted_join, to prove the salted path actually spreads the
+hot key rather than just existing.
 """
 
 from __future__ import annotations
@@ -68,11 +83,26 @@ OPS = [
     "rm3_expansion",         # bm25 postings + feedback term weighting
     # (image_ahash_pairs excluded: its registry key pins doc_id < 120,
     # which the id-offset replica scheme never multiplies)
+    # round-8 additions
+    "exact_substring_spans",  # fingerprint-bucketed span join: the
+                              # word-suffixed replicas keep every match
+                              # within its replica, so candidate volume
+                              # (and the span output) scales ~linearly
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 
+# per-user / per-key window operators + the hot-key joins — the ops the
+# zipfian replica is built to stress (VERDICT r7 item 3)
+SKEW_OPS = [
+    "events_session",
+    "events_cusum_drift",
+    "events_rate_limit",
+    "events_burstiness",
+    "cohort_ltv",
+]
 
-def build_replica(out_dir: str, factor: int) -> None:
+
+def build_replica(out_dir: str, factor: int, skew: bool = False) -> None:
     import duckdb
 
     con = duckdb.connect()
@@ -108,22 +138,49 @@ def build_replica(out_dir: str, factor: int) -> None:
         ) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
+    if skew:
+        # zipf-ish head: replica r collapses onto the first
+        # n_users >> r base users, so user 0..k accumulate events from
+        # every replica while the tail keeps the base density
+        n_users = con.sql(
+            f"SELECT count(DISTINCT user_id) FROM '{BASE}/events.parquet'"
+        ).fetchone()[0]
+        uid = (
+            f"CASE WHEN r = 0 THEN user_id ELSE user_id % "
+            f"greatest(1, {n_users} >> least(r, 62)) END"
+        )
+    else:
+        uid = (
+            f"user_id + r * (SELECT max(user_id) + 1 "
+            f"FROM '{BASE}/events.parquet')"
+        )
     con.sql(
         f"""
         COPY (
           SELECT event_id + r * (SELECT max(event_id) + 1 FROM '{BASE}/events.parquet') AS event_id,
-                 user_id + r * (SELECT max(user_id) + 1 FROM '{BASE}/events.parquet') AS user_id,
+                 {uid} AS user_id,
                  * EXCLUDE (event_id, user_id, r)
           FROM '{BASE}/events.parquet', {rep}
         ) TO '{out_dir}/events.parquet' (FORMAT PARQUET)
         """
     )
     step = "(SELECT max(o_orderkey) + 1 FROM '{b}/orders.parquet')".format(b=BASE)
+    if skew:
+        n_cust = con.sql(
+            f"SELECT count(DISTINCT o_custkey) FROM '{BASE}/orders.parquet'"
+        ).fetchone()[0]
+        ckey = (
+            f"CASE WHEN r = 0 THEN o_custkey ELSE o_custkey % "
+            f"greatest(1, {n_cust} >> least(r, 62)) END"
+        )
+    else:
+        ckey = "o_custkey"
     con.sql(
         f"""
         COPY (
           SELECT o_orderkey + r * {step} AS o_orderkey,
-                 * EXCLUDE (o_orderkey, r)
+                 {ckey} AS o_custkey,
+                 * EXCLUDE (o_orderkey, o_custkey, r)
           FROM '{BASE}/orders.parquet', {rep}
         ) TO '{out_dir}/orders.parquet' (FORMAT PARQUET)
         """
@@ -180,18 +237,102 @@ def run(spark, qmap, sf_dir: str, reps: int) -> dict:
     return out
 
 
+def salted_demo(spark, sf_dir: str, reps: int, factor: int = 10) -> dict:
+    """Prove the salted path ENGAGES on a hot key, with broadcast and
+    AQE skew-join handling disabled (the regime salted_join exists for
+    — a build side too big to broadcast and an engine that can't split
+    the hot partition): plain shuffle join vs plans/skew.salted_join.
+    Confs are restored afterwards; row counts must agree (salting is a
+    rewrite, not an approximation).
+
+    The zipfian replica's geometric head (~10x mass on the hottest
+    keys) measured a TIE at local[32] — 32 threads absorb a 10x-hot
+    partition, so that run proved only correctness, not engagement.
+    This demo therefore builds the named failure mode explicitly:
+    orders replicated x`factor` in-plan with HALF the rows remapped to
+    ONE custkey — the plain join must push 50% of the fact table
+    through a single task, which no thread count hides."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.plans.skew import salted_join
+    from data_pipeline2_spark.registry import _t
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        okey = F.col("o_orderkey") * factor + F.col("r")
+        orders = (
+            base.withColumn(
+                "r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+            )
+            .select(
+                okey.alias("o_orderkey"),
+                F.when((okey % 2) == 0, F.lit(1))
+                .otherwise(F.col("o_custkey"))
+                .alias("custkey"),
+            )
+            # materialize once so both modes join the same static input
+            # instead of re-running the explode inside the timing window
+            .localCheckpoint(eager=True)
+        )
+        cust = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("custkey"), "c_mktsegment"
+        )
+        out = {}
+        for mode in ("plain", "salted"):
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                if mode == "plain":
+                    n = orders.join(cust, "custkey").count()
+                else:
+                    n = salted_join(
+                        orders, cust, ["custkey"], "o_orderkey", n_salts=32
+                    ).count()
+                wall = round(time.perf_counter() - t0, 3)
+                if best is None or wall < best["wall"]:
+                    best = {"wall": wall, "rows": n}
+            out[mode] = best
+            print(f"# salted_demo {mode}: {best}", file=sys.stderr)
+        assert out["plain"]["rows"] == out["salted"]["rows"], (
+            "salted_join changed the row count — rewrite bug"
+        )
+        out["speedup"] = round(
+            out["plain"]["wall"] / max(out["salted"]["wall"], 1e-9), 2
+        )
+        return out
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--skew", action="store_true",
+                    help="zipfian-key replica: run SKEW_OPS on uniform "
+                         "AND skewed x-factor lakes + the salted-join "
+                         "engagement demo")
     ap.add_argument("--ops", type=str, default="",
                     help="comma-separated subset of OPS to run")
     args = ap.parse_args()
+    if args.skew:
+        OPS[:] = SKEW_OPS
     if args.ops:
+        known = OPS
         wanted = set(args.ops.split(","))
-        unknown = wanted - set(OPS)
+        unknown = wanted - set(known)
         if unknown:
-            ap.error(f"unknown ops: {sorted(unknown)} (known: {OPS})")
+            ap.error(f"unknown ops: {sorted(unknown)} (known: {known})")
         OPS[:] = [o for o in OPS if o in wanted]
 
     from data_pipeline2_spark import registry
@@ -199,9 +340,16 @@ def main() -> None:
 
     os.environ.setdefault("SPARK_GRAFT_TABLE_CACHE", "0")
     big = tempfile.mkdtemp(prefix="dp2s_scale_")
+    skewdir = tempfile.mkdtemp(prefix="dp2s_skew_") if args.skew else None
     try:
         print(f"# building x{args.factor} replica in {big}", file=sys.stderr)
         build_replica(big, args.factor)
+        if args.skew:
+            print(
+                f"# building x{args.factor} ZIPFIAN replica in {skewdir}",
+                file=sys.stderr,
+            )
+            build_replica(skewdir, args.factor, skew=True)
         spark = get_spark(
             "data_pipeline2_spark-scale-bench",
             extra_conf={
@@ -217,6 +365,7 @@ def main() -> None:
             qmap[name](spark, "/root/testdata/sf0.001").count()
         small = run(spark, qmap, BASE, args.reps)
         bigres = run(spark, qmap, big, args.reps)
+        skewres = run(spark, qmap, skewdir, args.reps) if args.skew else None
         report = {
             "factor": args.factor,
             "base": small,
@@ -234,6 +383,20 @@ def main() -> None:
                 if "error" not in small[n] and "error" not in bigres[n]
             },
         }
+        if args.skew:
+            report["skewed"] = skewres
+            # the number the VERDICT r7 gate reads: same volume, same
+            # op — how much does zipfian key mass alone cost?
+            report["skew_over_uniform"] = {
+                n: round(
+                    skewres[n]["wall"] / max(bigres[n]["wall"], 1e-9), 2
+                )
+                for n in OPS
+                if "error" not in skewres[n] and "error" not in bigres[n]
+            }
+            report["salted_demo"] = salted_demo(
+                spark, BASE, args.reps, factor=args.factor
+            )
         print(json.dumps(report))
         hdr = (
             "| query | sf0.1 wall | x10 wall | ratio | sf0.1 shW MB | "
@@ -253,8 +416,31 @@ def main() -> None:
                 f"{b['shuffle_write_mb']} | {report['ratios'][n]['shuffle_write']} |",
                 file=sys.stderr,
             )
+        if args.skew:
+            print(
+                "| query | x10 uniform wall | x10 zipf wall | "
+                "zipf/uniform | zipf shW MB |",
+                file=sys.stderr,
+            )
+            print("|---" * 5 + "|", file=sys.stderr)
+            for n in OPS:
+                b, z = bigres[n], skewres[n]
+                if "error" in b or "error" in z:
+                    print(
+                        f"| {n} | ERROR: {b.get('error') or z.get('error')} |",
+                        file=sys.stderr,
+                    )
+                    continue
+                print(
+                    f"| {n} | {b['wall']} | {z['wall']} | "
+                    f"{report['skew_over_uniform'][n]} | "
+                    f"{z['shuffle_write_mb']} |",
+                    file=sys.stderr,
+                )
     finally:
         shutil.rmtree(big, ignore_errors=True)
+        if skewdir:
+            shutil.rmtree(skewdir, ignore_errors=True)
 
 
 if __name__ == "__main__":
