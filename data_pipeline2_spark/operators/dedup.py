@@ -973,6 +973,84 @@ def exact_substring_spans(
     )
 
 
+def winnow_fingerprints(
+    documents: DataFrame,
+    k: int = 25,
+    w: int = 26,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowed document fingerprints → (doc_id, pos, fp): the
+    Schleimer–Wilkerson–Aiken 2003 winnowing scheme (the MOSS
+    algorithm) over token k-grams — from each sliding window of `w`
+    consecutive k-gram hashes keep the minimum (ties to the LEFTMOST
+    position, via lexicographic struct-min on (hash, pos); identical
+    selections from adjacent windows collapse).
+
+    The published guarantee: any exact shared substring of at least
+    w + k - 1 tokens contributes at least one IDENTICAL fingerprint to
+    both documents, while expected selection density is 2/(w+1) of
+    positions — the defaults (k=25, w=26) bind the guarantee to the
+    50-token exact-substring dedup standard (Lee et al. 2022) at ~13x
+    fewer index entries than exact_substring_spans' every-position
+    fingerprinting. This is the INDEX a lake deployment persists;
+    exact_substring_spans is the exhaustive verifier run on winnow-
+    bucketed candidates.
+
+    Scale shape: gram hashing is map-only (in-row token-array slices);
+    ONE exchange clusters each doc's gram sequence for the w-window
+    struct-min; the distinct on (doc_id, pos) reuses that partitioning
+    (grouping keys contain doc_id — no second exchange). Output is
+    ~2/(w+1) of corpus positions.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1 or w < 2:
+        raise ValueError(f"need k >= 1 and w >= 2, got ({k}, {w})")
+    docs = ensure_parallelism(
+        documents.filter(
+            F.col(text_col).isNotNull()
+            & (F.length(F.trim(F.col(text_col))) > 0)
+        ),
+        id_col,
+    )
+    need = k + w - 1  # shortest doc with at least one full hash window
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("ws"),
+    ).filter(F.size("ws") >= need)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("ws") - F.lit(k - 1))
+        ).alias("p"),
+        "ws",
+    ).select(
+        "doc_id",
+        "p",
+        shingle_hash64(
+            F.array_join(F.slice(F.col("ws"), F.col("p"), k), " ")
+        ).alias("h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    sel = (
+        grams.withColumn("s", F.min(F.struct("h", "p")).over(win))
+        # only full windows select (the standard guarantee quantifies
+        # over complete windows); p is dense from 1 so p >= w works
+        .filter(F.col("p") >= w)
+        .select(
+            "doc_id",
+            F.col("s.p").alias("pos"),
+            F.col("s.h").alias("fp"),
+        )
+    )
+    return sel.groupBy("doc_id", "pos").agg(F.first("fp").alias("fp"))
+
+
 def near_dup_stats(
     documents: DataFrame,
     shingle_n: int = 3,

@@ -63,3 +63,170 @@ def q_exact_substring_spans(spark, sf_dir):
         n_tokens=_ESS_N,
         df_cap_abs=_ESS_CAP,
     )
+
+
+# winnowing parameters bound to the 50-token standard: any shared span
+# of >= K + W - 1 = 50 tokens is guaranteed a shared fingerprint
+_WIN_K, _WIN_W = 25, 26
+
+_WINNOW_CTES = f"""
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+    ), g AS (
+      SELECT doc_id, i AS p,
+             CAST('0x' || substring(
+               md5(array_to_string(ws[i:i+{_WIN_K - 1}], ' ')), 1, 15)
+             AS BIGINT) AS h
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - {_WIN_K - 1}))
+                     AS i
+            FROM toks WHERE len(ws) >= {_WIN_K + _WIN_W - 1})
+    ), m AS (
+      SELECT doc_id, p, min({{'h': h, 'p': p}}) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS s
+      FROM g
+    ), wfp AS (
+      SELECT DISTINCT doc_id, s.p AS pos, s.h AS fp
+      FROM m WHERE p >= {_WIN_W}
+    )
+"""
+
+
+@_register(
+    "winnow_fingerprints",
+    f"""
+    WITH {_WINNOW_CTES}
+    SELECT doc_id, CAST(pos AS INT) AS pos, fp FROM wfp
+    """,
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowed token-25-gram fingerprints, window 26 (Schleimer et
+    al. 2003, the MOSS scheme): the persisted dedup INDEX — ~2/(w+1)
+    of positions selected, yet any >= 50-token shared substring is
+    GUARANTEED a shared fingerprint (k + w - 1 = 50, binding the
+    published guarantee to the Lee et al. exact-substring standard).
+    Struct-min tie-break (leftmost position) is lexicographic in both
+    engines, so the selection is value-oracled, not just counted."""
+    return dedup.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=_WIN_K, w=_WIN_W
+    )
+
+
+@_register(
+    "winnow_span_recall_eval",
+    f"""
+    WITH {_WINNOW_CTES},
+    ewins AS (
+      SELECT doc_id, i AS p,
+             md5(array_to_string(ws[i:i+{_ESS_N - 1}], ' ')) AS h
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - {_ESS_N - 1}))
+                     AS i
+            FROM toks WHERE len(ws) >= {_ESS_N})
+    ), ehd AS (
+      SELECT h FROM ewins GROUP BY h
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_ESS_CAP}
+    ), ecand AS (SELECT ewins.* FROM ewins JOIN ehd USING (h)),
+    span_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ecand a JOIN ecand b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    fp_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM wfp a JOIN wfp b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    cov AS (
+      SELECT count(*) AS n_span_pairs,
+             sum(CASE WHEN fp_pairs.doc_a IS NOT NULL
+                 THEN 1 ELSE 0 END) AS n_covered
+      FROM span_pairs LEFT JOIN fp_pairs USING (doc_a, doc_b)
+    ),
+    dens AS (
+      SELECT count(*) AS n_fingerprints,
+             (SELECT count(*) FROM g) AS n_positions
+      FROM wfp
+    )
+    SELECT CAST(cov.n_span_pairs AS BIGINT) AS n_span_pairs,
+           CAST(cov.n_covered AS BIGINT) AS n_covered_pairs,
+           cov.n_covered = cov.n_span_pairs AS guarantee_holds,
+           CAST(dens.n_fingerprints AS BIGINT) AS n_fingerprints,
+           CAST(dens.n_positions AS BIGINT) AS n_positions,
+           round(dens.n_fingerprints::DOUBLE / dens.n_positions, 6)
+             AS density
+    FROM cov, dens
+    """,
+)
+def q_winnow_span_recall_eval(spark, sf_dir):
+    """MEASURED winnowing guarantee + density (the image_ahash_band_eval
+    precedent: export the recall evidence, don't just assert the
+    theorem): every document pair sharing a >= 50-token exact span
+    (the exact_substring_spans candidate-pair construction) must share
+    a winnowed fingerprint — n_covered_pairs == n_span_pairs — while
+    the index holds ~2/(w+1) of gram positions (density column). The
+    guarantee quantifies over PAIRS, not span instances, because a
+    shared fingerprint bucket is what seeds the pair for exhaustive
+    verification in a winnow-then-verify pipeline."""
+    from pyspark.sql.window import Window  # noqa: F401  (parity of import shape)
+
+    docs = _t(spark, sf_dir, "documents")
+    wfp = dedup.winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
+    # candidate-pair construction of exact_substring_spans, pair level
+    spans = dedup.exact_substring_spans(
+        docs, n_tokens=_ESS_N, df_cap_abs=_ESS_CAP
+    )
+    span_pairs = spans.select("doc_a", "doc_b").distinct()
+    a = wfp.select(F.col("fp").alias("fa"), F.col("doc_id").alias("doc_a"))
+    b = wfp.select(F.col("fp").alias("fb"), F.col("doc_id").alias("doc_b"))
+    fp_pairs = (
+        a.join(b, F.col("fa") == F.col("fb"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cov = (
+        span_pairs.join(
+            fp_pairs.withColumn("__hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_span_pairs"),
+            F.sum(
+                F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+            ).alias("n_covered"),
+        )
+    )
+    n_positions = (
+        docs.filter(
+            F.col("text").isNotNull()
+            & (F.length(F.trim(F.col("text"))) > 0)
+        )
+        .select(
+            F.size(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("n")
+        )
+        .filter(F.col("n") >= _WIN_K + _WIN_W - 1)
+        .agg(F.sum(F.col("n") - F.lit(_WIN_K - 1)).alias("n_positions"))
+    )
+    n_fps = wfp.agg(F.count(F.lit(1)).alias("n_fingerprints"))
+    return (
+        cov.crossJoin(F.broadcast(n_fps))
+        .crossJoin(F.broadcast(n_positions))
+        .select(
+            F.col("n_span_pairs").cast("long"),
+            F.col("n_covered").cast("long").alias("n_covered_pairs"),
+            (F.col("n_covered") == F.col("n_span_pairs")).alias(
+                "guarantee_holds"
+            ),
+            F.col("n_fingerprints").cast("long"),
+            F.col("n_positions").cast("long"),
+            F.round(
+                F.col("n_fingerprints")
+                / F.col("n_positions").cast("double"),
+                6,
+            ).alias("density"),
+        )
+    )

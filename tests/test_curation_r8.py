@@ -95,6 +95,71 @@ def test_exact_substring_case_folded_and_validated(spark):
         exact_substring_spans(docs, df_cap_abs=1)
 
 
+def test_winnow_guarantee_on_constructed_span(spark):
+    """The published winnowing guarantee, on a fixture where we KNOW
+    the shared span: k + w - 1 = 50, so a 50-token shared span must
+    put at least one identical (pos-independent) fingerprint in both
+    docs — even though the span sits at different offsets."""
+    from data_pipeline2_spark.operators.dedup import winnow_fingerprints
+
+    shared = _u("s", 50)
+    docs = spark.createDataFrame(
+        [
+            (1, _doc(_u("a", 17), shared, _u("b", 4))),
+            (2, _doc(_u("c", 3), shared, _u("d", 29))),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=25, w=26).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+
+
+def test_winnow_density_and_determinism(spark):
+    from data_pipeline2_spark.operators.dedup import winnow_fingerprints
+
+    # one long unique-token doc: selection density should be near the
+    # theoretical 2/(w+1), and two runs must select identical sets
+    doc = [(1, " ".join(f"t{i * 7919 % 104729}" for i in range(400)))]
+    docs = spark.createDataFrame(doc, "doc_id long, text string")
+    out1 = {(r.pos, r.fp) for r in winnow_fingerprints(docs, k=5, w=9).collect()}
+    out2 = {(r.pos, r.fp) for r in winnow_fingerprints(docs, k=5, w=9).collect()}
+    assert out1 == out2
+    n_positions = 400 - 4
+    density = len(out1) / n_positions
+    assert 0.1 < density < 0.35  # 2/(w+1) = 0.2, generous band
+    with pytest.raises(ValueError):
+        winnow_fingerprints(docs, k=5, w=1)
+
+
+def test_winnow_short_docs_excluded(spark):
+    from data_pipeline2_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(_u("a", 49))), (2, " ".join(_u("b", 50)))],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(docs, k=25, w=26).collect()
+    # doc 1 has no complete hash window (needs k+w-1 = 50 tokens)
+    assert {r.doc_id for r in out} == {2}
+
+
+def test_winnow_fingerprints_single_exchange(spark):
+    from data_pipeline2_spark import registry
+
+    df = registry.queries()["winnow_fingerprints"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    # gram hashing is map-only; ONE doc-keyed exchange feeds the
+    # w-window struct-min AND the (doc_id, pos) dedup (partitioning
+    # reused — grouping keys contain doc_id)
+    assert n <= 1, f"winnow_fingerprints: {n} exchanges, budget 1"
+
+
 def test_exact_substring_spans_exchange_budget(spark):
     from data_pipeline2_spark import registry
 
