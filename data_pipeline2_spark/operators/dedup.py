@@ -973,6 +973,84 @@ def exact_substring_spans(
     )
 
 
+def exact_substring_dedup_stats(
+    documents: DataFrame,
+    n_tokens: int = 50,
+    df_cap_abs: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The APPLY step of exact-substring dedup → per affected doc:
+    (doc_id, n_tokens, n_cut_spans, tokens_removed, tokens_kept,
+    removed_ratio). Lee et al. 2022 remove all but ONE occurrence of
+    each duplicated substring; the deterministic keep rule here is
+    lowest-doc-id-keeps: every maximal shared span cuts its doc_b
+    occurrence (exact_substring_spans emits doc_a < doc_b), so the
+    smallest doc id in any duplication chain retains its copy.
+
+    Cut intervals from different partners overlap freely; the removal
+    accounting merges them per doc with the gaps-and-islands interval
+    union (running max-end window, new island when start exceeds every
+    prior end) — token counts are exact, not double-counted.
+
+    Scale shape: on top of exact_substring_spans (corpus-linear, see
+    there); the interval merge windows over CUT SPANS per doc — output-
+    sized, orders below corpus volume. Docs with nothing to cut are
+    not emitted (at lake scale almost all docs are clean; emitting
+    them would make the report corpus-sized for zero information).
+    """
+    from pyspark.sql.window import Window
+
+    spans = exact_substring_spans(
+        documents, n_tokens, df_cap_abs, id_col, text_col
+    )
+    cuts = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("span_tokens") - 1).alias("e"),
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_end = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        F.col("s") > F.coalesce(prev_end, F.lit(-1))
+    ).cast("int")
+    isl = cuts.withColumn(
+        "g",
+        F.sum(new_island).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_doc = (
+        isl.groupBy("doc_id", "g")
+        .agg(
+            (F.max("e") - F.min("s") + 1).alias("cut_len")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cut_spans"),
+            F.sum("cut_len").alias("tokens_removed"),
+        )
+    )
+    ntok = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("n_tokens"),
+    )
+    return per_doc.join(ntok, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("long"),
+        F.col("n_cut_spans").cast("long"),
+        F.col("tokens_removed").cast("long"),
+        (F.col("n_tokens") - F.col("tokens_removed"))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.round(
+            F.col("tokens_removed") / F.col("n_tokens").cast("double"), 6
+        ).alias("removed_ratio"),
+    )
+
+
 def winnow_fingerprints(
     documents: DataFrame,
     k: int = 25,

@@ -16,11 +16,10 @@ from data_pipeline2_spark.registry._core import _register, _t
 _ESS_N = 50
 _ESS_CAP = 16
 
-
-@_register(
-    "exact_substring_spans",
-    f"""
-    WITH toks AS (
+# spans construction shared by the report key, the apply key, and the
+# winnowing recall eval — ends in a CTE named `spans`
+_ESS_CTES = f"""
+    toks AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
       FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
     ), wins AS (
@@ -43,12 +42,21 @@ _ESS_CAP = 16
       SELECT *, pa - row_number() OVER (
                PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
       FROM mt
+    ), spans AS (
+      SELECT doc_a, doc_b,
+             CAST(min(pa) AS INT) AS a_start,
+             CAST(min(pb) AS INT) AS b_start,
+             CAST(max(pa) - min(pa) + {_ESS_N} AS INT) AS span_tokens
+      FROM isl GROUP BY doc_a, doc_b, diag, grp
     )
-    SELECT doc_a, doc_b,
-           CAST(min(pa) AS INT) AS a_start,
-           CAST(min(pb) AS INT) AS b_start,
-           CAST(max(pa) - min(pa) + {_ESS_N} AS INT) AS span_tokens
-    FROM isl GROUP BY doc_a, doc_b, diag, grp
+"""
+
+
+@_register(
+    "exact_substring_spans",
+    f"""
+    WITH {_ESS_CTES}
+    SELECT * FROM spans
     """,
 )
 def q_exact_substring_spans(spark, sf_dir):
@@ -59,6 +67,68 @@ def q_exact_substring_spans(spark, sf_dir):
     oracle replays the identical construction in SQL, so span starts
     and lengths are value-checked, not just counted."""
     return dedup.exact_substring_spans(
+        _t(spark, sf_dir, "documents"),
+        n_tokens=_ESS_N,
+        df_cap_abs=_ESS_CAP,
+    )
+
+
+@_register(
+    "exact_substring_dedup_stats",
+    f"""
+    WITH {_ESS_CTES},
+    cuts AS (
+      SELECT doc_b AS doc_id, b_start AS s,
+             b_start + span_tokens - 1 AS e
+      FROM spans
+    ), flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1)
+                  THEN 1 ELSE 0 END AS ni
+      FROM cuts
+    ), grouped AS (
+      SELECT doc_id, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS g
+      FROM flagged
+    ), merged AS (
+      SELECT doc_id, max(e) - min(s) + 1 AS cut_len
+      FROM grouped GROUP BY doc_id, g
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_cut_spans,
+             sum(cut_len) AS tokens_removed
+      FROM merged GROUP BY doc_id
+    ), nt AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text)),
+                                                 '\\s+'))
+             END AS n_tokens
+      FROM documents
+    )
+    SELECT per_doc.doc_id,
+           CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+           CAST(per_doc.n_cut_spans AS BIGINT) AS n_cut_spans,
+           CAST(per_doc.tokens_removed AS BIGINT) AS tokens_removed,
+           CAST(nt.n_tokens - per_doc.tokens_removed AS BIGINT)
+             AS tokens_kept,
+           round(per_doc.tokens_removed::DOUBLE / nt.n_tokens, 6)
+             AS removed_ratio
+    FROM per_doc JOIN nt USING (doc_id)
+    """,
+)
+def q_exact_substring_dedup_stats(spark, sf_dir):
+    """The APPLY step of 50-token exact-substring dedup: every maximal
+    shared span cuts its higher-doc-id occurrence (lowest id keeps its
+    copy — the deterministic remove-all-but-one rule of Lee et al.
+    2022), overlapping cuts merged by the gaps-and-islands interval
+    union so token accounting is exact. Per affected doc: counts,
+    removed/kept tokens, removal ratio."""
+    return dedup.exact_substring_dedup_stats(
         _t(spark, sf_dir, "documents"),
         n_tokens=_ESS_N,
         df_cap_abs=_ESS_CAP,

@@ -95,6 +95,37 @@ def test_exact_substring_case_folded_and_validated(spark):
         exact_substring_spans(docs, df_cap_abs=1)
 
 
+def test_exact_substring_dedup_stats_merges_overlapping_cuts(spark):
+    """Doc 3 shares one 60-token span with doc 1 and an overlapping
+    70-token span with doc 2 (the two cut intervals overlap inside
+    doc 3): removal accounting must count the interval UNION once,
+    and only higher-id docs get cut (lowest id keeps its copy)."""
+    from data_pipeline2_spark.operators.dedup import (
+        exact_substring_dedup_stats,
+    )
+
+    block = _u("s", 80)
+    docs = spark.createDataFrame(
+        [
+            (1, _doc(block[:60])),          # matches doc3 tokens 1..60
+            (2, _doc(block[10:])),          # matches doc3 tokens 11..80
+            (3, _doc(block, _u("z", 5))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           exact_substring_dedup_stats(docs, n_tokens=50).collect()}
+    # doc1 keeps everything; doc2 is cut by its doc1-shared overlap
+    # (tokens 1..50 of doc2 == doc1 tokens 11..60); doc3 cut by both
+    assert 1 not in out
+    assert out[3].n_cut_spans == 1          # [1..60] U [11..80] = [1..80]
+    assert out[3].tokens_removed == 80
+    assert out[3].tokens_kept == 5
+    assert out[2].tokens_removed == 50
+    r3 = out[3]
+    assert abs(r3.removed_ratio - 80 / 85) < 1e-6
+
+
 def test_winnow_guarantee_on_constructed_span(spark):
     """The published winnowing guarantee, on a fixture where we KNOW
     the shared span: k + w - 1 = 50, so a 50-token shared span must
