@@ -208,3 +208,100 @@ def test_exact_substring_spans_exchange_budget(spark):
         f"exact_substring_spans: {n} hash/range exchanges post-"
         f"checkpoint, budget 3 — a new shuffle entered the plan"
     )
+
+
+# ------------------------------------------- q12/q21 (prepared, gated)
+
+
+def test_q12_shipmode_priority_semantics(spark):
+    """dbgen semantics on a constructed lineitem WITH the columns the
+    driver testdata lacks: only ship < commit < receipt lines count,
+    split by order priority."""
+    import datetime as dt
+
+    from data_pipeline2_spark.operators.joins import shipmode_priority
+
+    d = dt.date
+    orders = spark.createDataFrame(
+        [(1, "1-URGENT"), (2, "5-LOW"), (3, "2-HIGH")],
+        "o_orderkey long, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            # counted: ship < commit < receipt
+            (1, "MAIL", d(2024, 1, 1), d(2024, 1, 5), d(2024, 1, 9)),
+            (2, "MAIL", d(2024, 1, 1), d(2024, 1, 5), d(2024, 1, 9)),
+            (3, "SHIP", d(2024, 1, 1), d(2024, 1, 5), d(2024, 1, 9)),
+            # NOT counted: shipped after committing
+            (1, "MAIL", d(2024, 1, 6), d(2024, 1, 5), d(2024, 1, 9)),
+            # NOT counted: received before committing
+            (2, "SHIP", d(2024, 1, 1), d(2024, 1, 5), d(2024, 1, 3)),
+        ],
+        "l_orderkey long, l_shipmode string, l_shipdate date, "
+        "l_commitdate date, l_receiptdate date",
+    )
+    out = {r.l_shipmode: r for r in shipmode_priority(orders, li).collect()}
+    assert out["MAIL"].high_line_count == 1  # order 1 urgent
+    assert out["MAIL"].low_line_count == 1   # order 2 low
+    assert out["SHIP"].high_line_count == 1  # order 3 high
+    assert out["SHIP"].low_line_count == 0
+    only = shipmode_priority(orders, li, modes=["MAIL"]).collect()
+    assert {r.l_shipmode for r in only} == {"MAIL"}
+
+
+def test_q21_suppliers_waiting_semantics(spark):
+    """The EXISTS/NOT-EXISTS pair as an aggregated per-order
+    predicate: supplier waits iff its late line sits on a finalized
+    multi-supplier order where NO other supplier was late."""
+    import datetime as dt
+
+    from data_pipeline2_spark.operators.joins import suppliers_waiting
+
+    d = dt.date
+    supplier = spark.createDataFrame(
+        [(10, "S10"), (20, "S20"), (30, "S30")],
+        "s_suppkey long, s_name string",
+    )
+    orders = spark.createDataFrame(
+        [(1, "F"), (2, "F"), (3, "O"), (4, "F")],
+        "o_orderkey long, o_orderstatus string",
+    )
+    late = (d(2024, 1, 5), d(2024, 1, 9))   # commit, receipt (late)
+    ok = (d(2024, 1, 5), d(2024, 1, 4))     # on time
+    li = spark.createDataFrame(
+        [
+            # order 1: supp 10 late, supp 20 on time -> S10 waits
+            (1, 10, *late), (1, 20, *ok),
+            # order 2: both late -> nobody counts (another late exists)
+            (2, 10, *late), (2, 20, *late),
+            # order 3: like order 1 but status O -> excluded
+            (3, 10, *late), (3, 20, *ok),
+            # order 4: single-supplier late -> excluded (no co-supplier)
+            (4, 30, *late),
+        ],
+        "l_orderkey long, l_suppkey long, l_commitdate date, "
+        "l_receiptdate date",
+    )
+    out = {r.s_name: r.numwait for r in
+           suppliers_waiting(supplier, li, orders).collect()}
+    assert out == {"S10": 1}
+
+
+def test_q12_q21_registration_gated_on_testdata_columns(spark):
+    """The keys self-register the round the driver testdata ships
+    l_receiptdate/l_commitdate/l_shipmode — and MUST stay dormant
+    while it doesn't (a registered key the driver can't run would
+    fail the whole correctness window)."""
+    import pyarrow.parquet as pq
+
+    from data_pipeline2_spark import registry
+    from data_pipeline2_spark.registry.curation_r8 import (
+        _lineitem_has_q12_columns,
+    )
+
+    have = {"l_receiptdate", "l_commitdate", "l_shipmode"} <= set(
+        pq.read_schema("/root/testdata/sf0.01/lineitem.parquet").names
+    )
+    assert _lineitem_has_q12_columns() == have
+    assert ("q12_shipmode_priority" in registry.queries()) == have
+    assert ("q21_suppliers_waiting" in registry.queries()) == have
