@@ -886,3 +886,123 @@ def test_kmv_merge_of_sketches_equals_sketch_of_union(a, b, k):
     of two k-smallest sketches equal the k smallest of the full union."""
     mink = lambda s: sorted(s)[:k]  # noqa: E731
     assert mink(set(mink(a)) | set(mink(b))) == mink(a | b)
+
+
+# ---------------------------------------------- round-8: substring dedup
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=5), min_size=60, max_size=120),
+    st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=30),
+    st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=30),
+    st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_diagonal_run_identity_recovers_planted_span(block, pre, post, n):
+    """exact_substring_spans' core identity: window starts matching on
+    a (doc_a, doc_b) diagonal form runs, and a run of length r is
+    exactly one shared span of r + n - 1 tokens. Model check: plant a
+    shared block behind disjoint prefixes (token value spaces are kept
+    disjoint so the ONLY cross-doc matches come from the block) and
+    assert the diagonal-run reconstruction reports the maximal span."""
+    a = [f"p{t}" for t in pre] + [f"s{t}" for t in block]
+    b = [f"q{t}" for t in post] + [f"s{t}" for t in block]
+
+    def wins(toks):
+        return {
+            i: tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    wa, wb = wins(a), wins(b)
+    matches = [
+        (pa, pb) for pa, ha in wa.items() for pb, hb in wb.items()
+        if ha == hb
+    ]
+    # group by diagonal, merge consecutive runs
+    spans = []
+    by_diag = {}
+    for pa, pb in sorted(matches):
+        by_diag.setdefault(pa - pb, []).append(pa)
+    for diag, pas in by_diag.items():
+        run_start = prev = pas[0]
+        for p in pas[1:] + [None]:
+            if p is None or p != prev + 1:
+                spans.append((run_start, run_start - diag,
+                              prev - run_start + n))
+                if p is not None:
+                    run_start = p
+            prev = p if p is not None else prev
+    # the planted block must be recovered as ONE maximal span with
+    # exact positions and length
+    expect = (len(pre), len(post), len(block))
+    assert expect in spans
+    # and no reported span may exceed the true shared content
+    for pa, pb, ln in spans:
+        assert a[pa:pa + ln] == b[pb:pb + ln]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=3), min_size=50, max_size=90),
+    st.lists(st.integers(min_value=0, max_value=3), min_size=0, max_size=25),
+    st.lists(st.integers(min_value=0, max_value=3), min_size=0, max_size=25),
+    st.integers(min_value=2, max_value=6),
+    st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_winnow_guarantee_property(block, pre, post, k, w):
+    """The Schleimer et al. guarantee under the operator's exact
+    tie-break (min over (hash, position) structs, leftmost wins): two
+    docs sharing a contiguous block of >= k + w - 1 tokens must share
+    a selected fingerprint — for EVERY (k, w) and even with repeated
+    grams inside the block (equal hashes in a window resolve to the
+    same relative gram on both sides because tie-break order matches
+    content order)."""
+    if len(block) < k + w - 1:
+        block = block + [9] * (k + w - 1 - len(block))
+    a = [f"p{t}" for t in pre] + [f"s{t}" for t in block]
+    b = [f"q{t}" for t in post] + [f"s{t}" for t in block]
+
+    def winnow(toks):
+        grams = [tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        sel = set()
+        for i in range(w - 1, len(grams)):
+            best = min((grams[j], j) for j in range(i - w + 1, i + 1))
+            sel.add(best[0])  # the FINGERPRINT (content), not position
+        return sel
+
+    assert winnow(a) & winnow(b), "guaranteed shared fingerprint missing"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=200),
+            st.integers(min_value=1, max_value=60),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_interval_union_islands_model(spans):
+    """exact_substring_dedup_stats' interval merge: the gaps-and-
+    islands rewrite (new island when start exceeds every prior end,
+    in (start, end) order) must count exactly the size of the set
+    union of the closed integer intervals."""
+    iv = sorted((s, s + d - 1) for s, d in spans)
+    total, n_islands = 0, 0
+    cur_s = cur_e = None
+    for s, e in iv:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                total += cur_e - cur_s + 1
+            cur_s, cur_e = s, e
+            n_islands += 1
+        else:
+            cur_e = max(cur_e, e)
+    total += cur_e - cur_s + 1
+    truth = set()
+    for s, e in iv:
+        truth.update(range(s, e + 1))
+    assert total == len(truth)
+    assert n_islands >= 1
