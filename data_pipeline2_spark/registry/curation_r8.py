@@ -1,9 +1,12 @@
 """Round-8 registry keys: exact-substring dedup at the published
-50-token standard.
+50-token standard (report + apply), the winnowed fingerprint index
+with its measured guarantee, and the auto-gated TPC-H q12/q21 pair.
 
 Reference anchors: BASELINE.json north_star's dedup mandate; Lee et
 al. 2022 (arXiv:2107.06499) define the 50-token exact-substring
-criterion this family implements at corpus scale.
+criterion; Schleimer/Wilkerson/Aiken 2003 (SIGMOD) define winnowing;
+TPC-H spec Q12/Q21 for the gated pair (blocked on testdata columns,
+COVERAGE.md request).
 """
 
 from __future__ import annotations
