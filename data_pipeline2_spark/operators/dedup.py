@@ -854,6 +854,7 @@ def exact_substring_spans(
     df_cap_abs: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    restrict_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal cross-document EXACT shared token spans of length >=
     `n_tokens` → (doc_a, doc_b, a_start, b_start, span_tokens): the
@@ -900,6 +901,20 @@ def exact_substring_spans(
         )
     from pyspark.sql.window import Window
 
+    if restrict_pairs is not None:
+        # winnow-then-verify scale path: only docs appearing in a
+        # candidate pair emit windows at all (the corpus-sized win —
+        # at 100 TB almost every doc is pair-free and never fingerprints
+        # here), and matches outside the candidate pairs are dropped.
+        # The df cap then counts documents WITHIN the restricted set:
+        # documented scope difference vs the unrestricted key, and
+        # exactly what the oracle replays.
+        keep = (
+            restrict_pairs.select(F.col("doc_a").alias(id_col))
+            .unionByName(restrict_pairs.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        documents = documents.join(keep, id_col, "semi")
     docs = ensure_parallelism(
         documents.filter(
             F.col(text_col).isNotNull()
@@ -952,6 +967,12 @@ def exact_substring_spans(
     mt = a.join(b, (F.col("ha") == F.col("hb"))).filter(
         F.col("doc_a") < F.col("doc_b")
     ).select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    if restrict_pairs is not None:
+        mt = mt.join(
+            restrict_pairs.select("doc_a", "doc_b").distinct(),
+            ["doc_a", "doc_b"],
+            "semi",
+        )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     isl = mt.withColumn("grp", F.col("pa") - F.row_number().over(w))
     return (

@@ -305,6 +305,74 @@ def q_winnow_span_recall_eval(spark, sf_dir):
     )
 
 
+@_register(
+    "exact_substring_spans_winnowed",
+    f"""
+    WITH {_WINNOW_CTES},
+    fpp AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ), kd AS (
+      SELECT doc_a AS doc_id FROM fpp
+      UNION SELECT doc_b FROM fpp
+    ), wins2 AS (
+      SELECT doc_id, i AS p,
+             md5(array_to_string(ws[i:i+{_ESS_N - 1}], ' ')) AS h
+      FROM (SELECT toks.doc_id, ws,
+                   unnest(generate_series(1, len(ws) - {_ESS_N - 1}))
+                     AS i
+            FROM toks JOIN kd USING (doc_id)
+            WHERE len(ws) >= {_ESS_N})
+    ), hd2 AS (
+      SELECT h FROM wins2 GROUP BY h
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_ESS_CAP}
+    ), cand2 AS (SELECT wins2.* FROM wins2 JOIN hd2 USING (h)),
+    mt2 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.p AS pa, b.p AS pb, a.p - b.p AS diag
+      FROM cand2 a JOIN cand2 b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+      JOIN fpp ON a.doc_id = fpp.doc_a AND b.doc_id = fpp.doc_b
+    ), isl2 AS (
+      SELECT *, pa - row_number() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+      FROM mt2
+    )
+    SELECT doc_a, doc_b,
+           CAST(min(pa) AS INT) AS a_start,
+           CAST(min(pb) AS INT) AS b_start,
+           CAST(max(pa) - min(pa) + {_ESS_N} AS INT) AS span_tokens
+    FROM isl2 GROUP BY doc_a, doc_b, diag, grp
+    """,
+)
+def q_exact_substring_spans_winnowed(spark, sf_dir):
+    """The winnow-then-verify SCALE PATH for 50-token exact-substring
+    dedup: the winnowed index (~2/(w+1) of positions) buckets candidate
+    pairs, and only docs appearing in a candidate pair emit full window
+    fingerprints — at lake scale almost every doc is pair-free and
+    skips the exhaustive pass entirely. Because k + w - 1 = 50 binds
+    the winnowing guarantee to the span threshold, the output EQUALS
+    exact_substring_spans on every corpus where the df-cap scope
+    difference is inert (pytest-asserted on the fixture; the cap counts
+    docs within the restricted set, documented in the operator)."""
+    docs = _t(spark, sf_dir, "documents")
+    wfp = dedup.winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
+    a = wfp.select(F.col("fp").alias("fa"), F.col("doc_id").alias("doc_a"))
+    b = wfp.select(F.col("fp").alias("fb"), F.col("doc_id").alias("doc_b"))
+    fpp = (
+        a.join(b, F.col("fa") == F.col("fb"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return dedup.exact_substring_spans(
+        docs,
+        n_tokens=_ESS_N,
+        df_cap_abs=_ESS_CAP,
+        restrict_pairs=fpp,
+    )
+
+
 # ------------------------------------------------- q12/q21 (auto-gated)
 #
 # Blocked on driver testdata since round 4: the generated lineitem has

@@ -305,3 +305,22 @@ def test_q12_q21_registration_gated_on_testdata_columns(spark):
     assert _lineitem_has_q12_columns() == have
     assert ("q12_shipmode_priority" in registry.queries()) == have
     assert ("q21_suppliers_waiting" in registry.queries()) == have
+
+
+def test_winnowed_scale_path_equals_exact_key(spark):
+    """The winnow-then-verify pipeline is LOSSLESS at the 50-token
+    threshold (k + w - 1 = 50): the restricted extractor's output must
+    equal the exhaustive key's, row for row."""
+    from data_pipeline2_spark import registry
+
+    q = registry.queries()
+    cols = ["doc_a", "doc_b", "a_start", "b_start", "span_tokens"]
+    exact = sorted(
+        tuple(r[c] for c in cols)
+        for r in q["exact_substring_spans"](spark, SF).collect()
+    )
+    winnowed = sorted(
+        tuple(r[c] for c in cols)
+        for r in q["exact_substring_spans_winnowed"](spark, SF).collect()
+    )
+    assert exact == winnowed and len(exact) > 0
