@@ -309,9 +309,13 @@ def q_winnow_span_recall_eval(spark, sf_dir):
     "exact_substring_spans_winnowed",
     f"""
     WITH {_WINNOW_CTES},
-    fpp AS (
+    fpc AS (
+      SELECT fp FROM wfp GROUP BY fp
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_ESS_CAP}
+    ), fpp AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      FROM wfp a JOIN fpc USING (fp)
+      JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
     ), kd AS (
       SELECT doc_a AS doc_id FROM fpp
       UNION SELECT doc_b FROM fpp
@@ -357,8 +361,22 @@ def q_exact_substring_spans_winnowed(spark, sf_dir):
     docs within the restricted set, documented in the operator)."""
     docs = _t(spark, sf_dir, "documents")
     wfp = dedup.winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
-    a = wfp.select(F.col("fp").alias("fa"), F.col("doc_id").alias("doc_a"))
-    b = wfp.select(F.col("fp").alias("fb"), F.col("doc_id").alias("doc_b"))
+    # fp df cap BEFORE the pair join — the sparse_cosine/exact-key
+    # lesson applied to the index itself: a boilerplate fingerprint
+    # shared by thousands of docs would otherwise build a quadratic
+    # pair block. Inert on the fixture (max fp df = 3 at sf0.01) so
+    # equality with the exhaustive key holds; at lake scale a span
+    # whose ONLY selected fingerprint is boilerplate is excluded, the
+    # same stance the exhaustive key takes for all-boilerplate spans.
+    eligible = (
+        wfp.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _ESS_CAP))
+        .select("fp")
+    )
+    wfpc = wfp.join(eligible, "fp")
+    a = wfpc.select(F.col("fp").alias("fa"), F.col("doc_id").alias("doc_a"))
+    b = wfpc.select(F.col("fp").alias("fb"), F.col("doc_id").alias("doc_b"))
     fpp = (
         a.join(b, F.col("fa") == F.col("fb"))
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -88,6 +88,10 @@ OPS = [
                               # word-suffixed replicas keep every match
                               # within its replica, so candidate volume
                               # (and the span output) scales ~linearly
+    "exact_substring_spans_winnowed",  # winnow-then-verify: only docs
+                              # in a winnow-candidate pair emit full
+                              # window fingerprints — shuffle should
+                              # undercut the exhaustive key's
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 

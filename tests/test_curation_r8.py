@@ -324,3 +324,21 @@ def test_winnowed_scale_path_equals_exact_key(spark):
         for r in q["exact_substring_spans_winnowed"](spark, SF).collect()
     )
     assert exact == winnowed and len(exact) > 0
+
+
+def test_winnowed_spans_exchange_budget(spark):
+    from data_pipeline2_spark import registry
+
+    df = registry.queries()["exact_substring_spans_winnowed"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    # post-checkpoint: the (doc_a, doc_b) restrict semi-join shuffles
+    # both sides (2 pair-volume exchanges; the island window REUSES the
+    # pair partitioning — subset clustering satisfies the window's
+    # distribution) + the unmaterialized winnow-index subtree (doc
+    # windows, fp-df cap groupBy, capped fp self-join — all index-
+    # volume, ~2/(w+1) of positions). Nothing here is corpus-volume;
+    # the corpus-sized work is the two map-only fingerprint scans.
+    assert n <= 8, f"exact_substring_spans_winnowed: {n} exchanges, budget 8"
