@@ -91,6 +91,20 @@ def main(sf_dir: str, out_dir: str):
     docs = docs.join(doomed, "doc_id", "left_anti")
     print(f"near-deduped:      {docs.count():>8} docs")
 
+    # 4b. exact-substring pass (Lee et al. 2022's 50-token standard):
+    #     report the maximal cross-doc shared spans that survive
+    #     doc-level dedup, and account for what the apply step would
+    #     cut (lowest doc id keeps its copy, overlapping cuts merged)
+    span_stats = dedup.exact_substring_dedup_stats(docs, n_tokens=50)
+    agg = span_stats.agg(
+        F.count(F.lit(1)).alias("docs_cut"),
+        F.coalesce(F.sum("tokens_removed"), F.lit(0)).alias("tok_cut"),
+    ).collect()[0]
+    print(
+        f"substring pass:    {agg.docs_cut:>8} docs carry >=50-token "
+        f"duplicated spans ({agg.tok_cut} tokens would be cut)"
+    )
+
     # 5. chunk to a 64-token budget (context-window chunking)
     chunks = chunking.chunk_metadata_enrich(
         chunking.chunk_sentence(docs, 400), "sentence"
