@@ -243,8 +243,6 @@ def q_winnow_span_recall_eval(spark, sf_dir):
     guarantee quantifies over PAIRS, not span instances, because a
     shared fingerprint bucket is what seeds the pair for exhaustive
     verification in a winnow-then-verify pipeline."""
-    from pyspark.sql.window import Window  # noqa: F401  (parity of import shape)
-
     docs = _t(spark, sf_dir, "documents")
     wfp = dedup.winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
     # candidate-pair construction of exact_substring_spans, pair level
@@ -380,6 +378,97 @@ def q_exact_substring_spans_winnowed(spark, sf_dir):
     fpp = (
         a.join(b, F.col("fa") == F.col("fb"))
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return dedup.exact_substring_spans(
+        docs,
+        n_tokens=_ESS_N,
+        df_cap_abs=_ESS_CAP,
+        restrict_pairs=fpp,
+    )
+
+
+# incremental split point: doc_id < _INC_BASE plays the already-
+# indexed corpus, doc_id >= _INC_BASE the incoming batch
+_INC_BASE = 250
+
+
+@_register(
+    "exact_substring_spans_incremental",
+    f"""
+    WITH {_WINNOW_CTES},
+    fpc AS (
+      SELECT fp FROM wfp GROUP BY fp
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_ESS_CAP}
+    ), fpp AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM wfp a JOIN fpc USING (fp)
+      JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      WHERE NOT (a.doc_id < {_INC_BASE} AND b.doc_id < {_INC_BASE})
+    ), kd AS (
+      SELECT doc_a AS doc_id FROM fpp
+      UNION SELECT doc_b FROM fpp
+    ), wins2 AS (
+      SELECT doc_id, i AS p,
+             md5(array_to_string(ws[i:i+{_ESS_N - 1}], ' ')) AS h
+      FROM (SELECT toks.doc_id, ws,
+                   unnest(generate_series(1, len(ws) - {_ESS_N - 1}))
+                     AS i
+            FROM toks JOIN kd USING (doc_id)
+            WHERE len(ws) >= {_ESS_N})
+    ), hd2 AS (
+      SELECT h FROM wins2 GROUP BY h
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_ESS_CAP}
+    ), cand2 AS (SELECT wins2.* FROM wins2 JOIN hd2 USING (h)),
+    mt2 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.p AS pa, b.p AS pb, a.p - b.p AS diag
+      FROM cand2 a JOIN cand2 b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+      JOIN fpp ON a.doc_id = fpp.doc_a AND b.doc_id = fpp.doc_b
+    ), isl2 AS (
+      SELECT *, pa - row_number() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+      FROM mt2
+    )
+    SELECT doc_a, doc_b,
+           CAST(min(pa) AS INT) AS a_start,
+           CAST(min(pb) AS INT) AS b_start,
+           CAST(max(pa) - min(pa) + {_ESS_N} AS INT) AS span_tokens
+    FROM isl2 GROUP BY doc_a, doc_b, diag, grp
+    """,
+)
+def q_exact_substring_spans_incremental(spark, sf_dir):
+    """The CONTINUOUS-INGESTION shape of exact-substring dedup (the
+    dedup_incremental precedent): docs below the split play the
+    already-indexed corpus, docs at/above it the incoming batch, and
+    only pairs TOUCHING the batch are extracted — base-vs-base pairs
+    were settled when the base was indexed, so a daily increment pays
+    for its own spans, never the lake's. The winnow index buckets the
+    candidate pairs (in production it is read back from the persisted
+    fingerprint table rather than recomputed; the plan from the pair
+    filter onward is identical either way)."""
+    docs = _t(spark, sf_dir, "documents")
+    wfp = dedup.winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
+    eligible = (
+        wfp.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _ESS_CAP))
+        .select("fp")
+    )
+    wfpc = wfp.join(eligible, "fp")
+    a = wfpc.select(F.col("fp").alias("fa"), F.col("doc_id").alias("doc_a"))
+    b = wfpc.select(F.col("fp").alias("fb"), F.col("doc_id").alias("doc_b"))
+    fpp = (
+        a.join(b, F.col("fa") == F.col("fb"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            ~(
+                (F.col("doc_a") < _INC_BASE)
+                & (F.col("doc_b") < _INC_BASE)
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )

@@ -342,3 +342,23 @@ def test_winnowed_spans_exchange_budget(spark):
     # volume, ~2/(w+1) of positions). Nothing here is corpus-volume;
     # the corpus-sized work is the two map-only fingerprint scans.
     assert n <= 8, f"exact_substring_spans_winnowed: {n} exchanges, budget 8"
+
+
+def test_incremental_key_is_batch_touching_subset_of_exact(spark):
+    """exact_substring_spans_incremental must equal the exhaustive key
+    filtered to pairs touching the incoming batch (doc_id >= 250) —
+    base-vs-base pairs were settled when the base was indexed."""
+    from data_pipeline2_spark import registry
+
+    q = registry.queries()
+    cols = ["doc_a", "doc_b", "a_start", "b_start", "span_tokens"]
+    exact = sorted(
+        tuple(r[c] for c in cols)
+        for r in q["exact_substring_spans"](spark, SF).collect()
+        if r.doc_a >= 250 or r.doc_b >= 250
+    )
+    inc = sorted(
+        tuple(r[c] for c in cols)
+        for r in q["exact_substring_spans_incremental"](spark, SF).collect()
+    )
+    assert inc == exact and len(inc) > 0
