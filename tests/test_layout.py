@@ -213,3 +213,13 @@ def test_registry_export_order_self_maintains(tmp_path, monkeypatch):
     finally:
         os.remove(marker)
     assert list(registry.queries()) == qs  # cleanup restores the order
+
+
+def test_recheck_names_exist_in_registry():
+    """A stale _RECHECK entry (key renamed or removed) would silently
+    no-op — the semantic change it was meant to re-verify would never
+    re-queue. Every name must resolve to a registered key."""
+    from data_pipeline2_spark import registry
+
+    unknown = registry._RECHECK - set(registry.queries())
+    assert not unknown, f"_RECHECK names not in the registry: {unknown}"
