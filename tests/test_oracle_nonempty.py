@@ -10,6 +10,13 @@ DuckDB-only on purpose: the point is the ORACLE's row count at
 sf0.01 (the driver gate SF, independent of SPARK_GRAFT_TEST_SF), and
 skipping Spark keeps the whole 260+-key sweep to seconds. Spark-side
 value parity is pinned separately by tests/test_oracle_parity.py.
+
+Known asymmetry (audited r8): exactly one key, q11_important_stock,
+is empty at sf0.001 — its TPC-H value-fraction threshold admits no
+part at that tiny SF, so ITS 0.001-parity row is vacuous — but it is
+non-empty here at the gate SF where the driver actually verifies it.
+The threshold is part of q11's exported semantics; do not tune it to
+make a fixture happy.
 """
 
 from __future__ import annotations
