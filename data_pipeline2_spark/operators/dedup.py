@@ -444,6 +444,106 @@ def simhash64(
     return sums.select("doc_id", fingerprint.alias("simhash"))
 
 
+def simhash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    exact: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance → (doc_a,
+    doc_b, hamming), doc_a < doc_b, hamming <= max_hamming.
+
+    Input is `simhash64` output (doc_id, simhash). DEFAULT path is the
+    banded multi-index equi-join (Norouzi et al.'s multi-index hashing,
+    the same scheme `ahash_dup_pairs` uses for image hashes): split the
+    64-bit fingerprint into `bands` equal slices, explode each hash
+    into (band_idx, band_val) rows, self equi-join on the band, verify
+    candidates with the exact xor-popcount, and dedup pairs that
+    collide on several bands. A pair at Hamming distance d has its d
+    differing bits inside at most d bands, so with d <= bands-1 at
+    least one band matches exactly — the banded join is
+    pigeonhole-COMPLETE (identical output to all-pairs) for
+    max_hamming <= bands - 1, which the default (3 <= 4-1) satisfies;
+    a looser max_hamming raises ValueError rather than silently losing
+    recall (raise `bands` instead — completeness then costs more,
+    narrower band values).
+
+    The fingerprint is a signed long with bit 63 folded in as the sign
+    (simhash64's two's-complement packing), so bands are sliced with
+    shiftrightunsigned — a pure logical shift that lets the sign bit
+    ride in the top band.
+
+    Scale shape: the corpus shuffles as bands x ~24-byte rows keyed by
+    (band_idx, band_val); with the default 16-bit bands, a random
+    band value has 2^16 buckets, so join fan-out is quadratic only
+    inside one bucket — near-dup clusters plus hash collisions, never
+    the corpus. No CartesianProduct anywhere (plan-asserted in
+    test_plans.py). This is the SimHash arm of the near-dup family:
+    minhash-LSH (`dedup_near_minhash`) buckets by Jaccard, this
+    buckets by the cosine-like Charikar fingerprint — same banded
+    plan, one integer per doc instead of a signature array.
+
+    exact=True keeps the O(N^2) all-pairs crossJoin for fixture-scale
+    ground truth (the `ahash_dup_pairs` precedent) — never export it.
+    """
+    ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    if exact:
+        a = hashes.select(
+            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("__sa")
+        )
+        b = hashes.select(
+            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("__sb")
+        )
+        return (
+            a.crossJoin(b)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
+    if bands not in (2, 4, 8, 16, 32):
+        raise ValueError(f"bands must divide 64 evenly; got {bands}")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded join is only complete for max_hamming <= bands-1; "
+            f"got max_hamming={max_hamming} with bands={bands}"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = hashes.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), k * width)
+                    .bitwiseAND(F.lit(mask))
+                    for k in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("__sa"),
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("__sb"),
+        "band_idx",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id).
 

@@ -1208,3 +1208,51 @@ def suppliers_waiting(
         .orderBy(F.desc("numwait"), "s_name")
         .limit(limit)
     )
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Fact ⋈ dim with an explicit Bloom-filter semijoin prefilter:
+    build bloom bits over the dim's join keys, probe the fact MAP-SIDE
+    against the broadcast bits, then run the exact inner join over the
+    survivors. Output is IDENTICAL to the plain inner join — bloom
+    false positives only cost verify work (they fall out of the exact
+    join) and false negatives are impossible (every dim key sets its
+    own bits).
+
+    This is the runtime-row-filter pattern (Spark's own
+    `spark.sql.optimizer.runtime.bloomFilter.enabled` injects the same
+    shape) made explicit and plan-pinned. The regime it exists for:
+    the dim is selective but TOO BIG for a broadcast-hash join, so the
+    join must shuffle BOTH sides — prefiltering the fact with the
+    m/8-byte bit array (16 KiB at the 2^17 default, whatever the dim's
+    row count) shrinks the fact's shuffle write to ~selectivity + the
+    bloom fp-rate before the exchange. Accordingly the exact join here
+    deliberately takes NO broadcast hint (the decontaminate_bloom
+    precedent, textanalysis.py): broadcastable dims should just
+    broadcast instead.
+
+    The probe is one vectorized numpy gather per Arrow batch
+    (pandas_udf) over k codegen'd xxhash64 positions — the same
+    machinery as build_gram_bloom; key hashing stays JVM-side.
+    """
+    from data_pipeline2_spark.operators.textanalysis import (
+        _bloom_maybe_udf,
+        _bloom_positions_col,
+        build_gram_bloom,
+    )
+
+    keys = dim.select(F.col(dim_key).alias("__k")).distinct()
+    bits = build_gram_bloom(keys, m_bits, k_hashes, col="__k")
+    survivors = fact.filter(
+        _bloom_maybe_udf(bits)(
+            _bloom_positions_col(m_bits, k_hashes, col=fact_key)
+        )
+    )
+    return survivors.join(dim, F.col(fact_key) == F.col(dim_key))

@@ -185,10 +185,14 @@ def q_knn_batch_lsh(spark, sf_dir):
     return similarity.knn_batch_lsh(emb, queries, k=3, dim=64, n_planes=6)
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(where: str = "doc_id < 100 AND len(trim(text)) > 0") -> str:
     """DuckDB replay of dedup.simhash64: md5 halves via hex-literal cast
     (DuckDB has no conv()), per-bit +/-1 sums, sign bits assembled into
-    a signed 64-bit fingerprint (bit 63 folded in as two's complement)."""
+    a signed 64-bit fingerprint (bit 63 folded in as two's complement).
+
+    `where` scopes the documents scan — the simhash key pins doc_id <
+    100; the simhash_pairs key (registry/curation_r8b.py) runs the
+    full table so the pair join sees every near-dup cluster."""
     bit_sums = ",\n      ".join(
         f"sum(CASE WHEN (({'h_lo' if b < 32 else 'h_hi'} >> {b % 32}) & 1) = 1 "
         f"THEN 1 ELSE -1 END) AS s{b}"
@@ -202,7 +206,7 @@ def _simhash_sql() -> str:
     WITH toks AS (
       SELECT doc_id,
              unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
-      FROM documents WHERE doc_id < 100 AND len(trim(text)) > 0
+      FROM documents WHERE {where}
     ),
     h AS (
       SELECT doc_id,

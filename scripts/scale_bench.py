@@ -92,6 +92,12 @@ OPS = [
                               # in a winnow-candidate pair emit full
                               # window fingerprints — shuffle should
                               # undercut the exhaustive key's
+    # round-8b additions
+    "simhash_pairs",          # 64-bit fingerprint agg + banded
+                              # multi-index equi-join: 16-bit band
+                              # buckets keep fan-out sub-quadratic
+    "join_bloom_prefilter",   # bloom probe map-side; shuffle should
+                              # carry only the selective survivors
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 
