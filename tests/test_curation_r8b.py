@@ -83,6 +83,38 @@ def test_simhash_pairs_default_is_not_all_pairs(spark):
     )
 
 
+def test_simhash_pairs_wider_regime_banded_equals_all_pairs(spark):
+    """The 8-band/d<=7 regime (8-bit bands — denser buckets, more
+    candidates) on a mutation corpus: base docs plus variants with a
+    few tokens replaced, the near-dup structure SimHash exists for."""
+    import random
+
+    rng = random.Random(8)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    did = 0
+    for base in range(6):
+        toks = [vocab[rng.randrange(300)] for _ in range(80)]
+        rows.append((did, " ".join(toks)))
+        did += 1
+        for _ in range(3):  # 3 variants, 2 token replacements each
+            mut = list(toks)
+            for _ in range(2):
+                mut[rng.randrange(80)] = vocab[rng.randrange(300)]
+            rows.append((did, " ".join(mut)))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = simhash64(docs)
+    banded = set(
+        map(tuple, simhash_pairs(sh, max_hamming=7, bands=8).collect())
+    )
+    exact = set(
+        map(tuple, simhash_pairs(sh, max_hamming=7, exact=True).collect())
+    )
+    assert banded == exact
+    assert banded  # 2-token mutations of 80-token docs land under d=7
+
+
 # ------------------------------------------------------- bloom join
 
 
