@@ -173,6 +173,8 @@ def _kmeans_fit_sample(
         .toPandas()
     )
     x = np.array([np.asarray(v, dtype=np.float64) for v in sample["v"]])
+    if len(x) == 0:
+        raise ValueError("kmeans_fit: empty embeddings corpus")
     # L2-normalize: on the unit sphere argmin euclidean == argmax cosine,
     # matching the cosine cell assignment used at query time
     norms = np.linalg.norm(x, axis=1, keepdims=True)

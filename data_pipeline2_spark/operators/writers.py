@@ -37,7 +37,13 @@ def write_parquet_roundtrip(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    return df.sparkSession.read.parquet(path)
+    # explicit schema on the read-back: a zero-row partitioned write
+    # leaves only _SUCCESS (no part files, no partition dirs), and
+    # schema inference then fails with UNABLE_TO_INFER_SCHEMA — an
+    # empty source partition/date must round-trip to an empty table,
+    # not an AnalysisException. Name-matched, so partitioned layouts
+    # read identically (values unchanged, column order = df's).
+    return df.sparkSession.read.schema(df.schema).parquet(path)
 
 
 def upsert_documents(
