@@ -1133,7 +1133,16 @@ def ab_chi2(
         .localCheckpoint(eager=True)
     )
     rt = cells.groupBy("v").agg(F.sum("o").alias("rt"))
-    ct = cells.groupBy("c").agg(F.sum("o").alias("ct"))
+    # NULL category is a REAL category (a variant shifting traffic into
+    # unknown-type rows is exactly the signal this gate exists for):
+    # the column margin joins back null-safely, and k counts the NULL
+    # group — otherwise null cells silently vanish from Σ o²/(rt·ct)
+    # while still weighing down the closing −N, biasing chi2 negative.
+    ct = (
+        cells.groupBy("c")
+        .agg(F.sum("o").alias("ct"))
+        .withColumnRenamed("c", "__ct_c")
+    )
     nn = cells.agg(F.sum("o").alias("nn"))
     k_cats = cells.select("c").distinct().agg(
         F.count(F.lit(1)).alias("k")
@@ -1159,7 +1168,7 @@ def ab_chi2(
         )
     return (
         cells.join(F.broadcast(rt), "v")
-        .join(F.broadcast(ct), "c")
+        .join(F.broadcast(ct), F.col("c").eqNullSafe(F.col("__ct_c")))
         .crossJoin(F.broadcast(nn))
         .agg(chi2.alias("chi2"))
         .crossJoin(F.broadcast(nn))

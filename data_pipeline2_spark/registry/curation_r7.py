@@ -768,15 +768,20 @@ def q_audio_vad_segments(spark, sf_dir):
       SELECT user_id % 2 AS v, event_type AS c, count(*) AS o
       FROM events GROUP BY 1, 2
     ), rt AS (SELECT v, sum(o) AS rt FROM cells GROUP BY v),
-    ct AS (SELECT c, sum(o) AS ct FROM cells GROUP BY c),
+    ct AS (SELECT c AS ct_c, sum(o) AS ct FROM cells GROUP BY c),
     nn AS (SELECT sum(o) AS nn FROM cells),
-    kk AS (SELECT count(DISTINCT c) AS k FROM cells),
+    -- NULL event_type is a real category: distinct-subquery count
+    -- keeps the NULL group (count(DISTINCT c) would drop it), and the
+    -- margin join below is null-safe — mirrors the engine exactly
+    kk AS (SELECT count(*) AS k FROM (SELECT DISTINCT c FROM cells)),
     terms AS (
       SELECT CAST(round(
                cells.o::DOUBLE * cells.o * nn.nn
                / (rt.rt::DOUBLE * ct.ct), 12)
              AS DECIMAL(28,12)) AS t
-      FROM cells JOIN rt USING (v) JOIN ct USING (c) CROSS JOIN nn
+      FROM cells JOIN rt USING (v)
+      JOIN ct ON cells.c IS NOT DISTINCT FROM ct.ct_c
+      CROSS JOIN nn
     ), s AS (SELECT round(CAST(sum(t) AS DOUBLE)
                           - (SELECT nn FROM nn), 6) AS chi2 FROM terms),
     cv AS (SELECT ([3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,

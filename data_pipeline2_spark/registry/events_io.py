@@ -662,8 +662,10 @@ def q_embed_batch(spark, sf_dir):
            CAST(sum(CASE WHEN fail_n >= 3 THEN 1 ELSE 0 END) AS BIGINT)
              AS dropped
     FROM (
-      SELECT (strpos('0123456789abcdef', substr(sha256(text), 64, 1)) - 1) % 4
-               AS fail_n
+      SELECT CASE WHEN text IS NULL THEN 3  -- unembeddable: dropped,
+                                            -- same as exhausting retries
+             ELSE (strpos('0123456789abcdef', substr(sha256(text), 64, 1))
+                   - 1) % 4 END AS fail_n
       FROM documents WHERE doc_id < 100
     )
     """,
@@ -707,7 +709,9 @@ def q_embed_retry(spark, sf_dir):
             FROM documents WHERE doc_id < 50)
     )
     SELECT chunk_id, 'hash64' AS provider, 64 AS dim, 1.0 AS sq_norm
-    FROM chunks WHERE trim(content) <> ''
+    -- blank = no non-whitespace char (the embedder's python strip()
+    -- semantics) — space-only trim() would keep tab-only chunks
+    FROM chunks WHERE regexp_replace(content, '\\s', '', 'g') <> ''
     """,
 )
 def q_embed_provider(spark, sf_dir):
@@ -746,7 +750,7 @@ def q_embed_provider(spark, sf_dir):
             FROM documents WHERE doc_id < 60)
     )
     SELECT chunk_id, 'hash64' AS provider, 64 AS dim
-    FROM chunks WHERE trim(content) <> ''
+    FROM chunks WHERE regexp_replace(content, '\\s', '', 'g') <> ''
     """,
 )
 def q_embed_incremental(spark, sf_dir):

@@ -430,9 +430,11 @@ def q_pack_sequences(spark, sf_dir):
     SELECT d.doc_id, sha256(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))) AS content_sha
     FROM documents d
     WHERE d.doc_id >= 250
-      AND sha256(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))) NOT IN (
-        SELECT sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
-        FROM documents WHERE doc_id < 250)
+      AND (d.text IS NULL  -- null fingerprint: unprovable dup, kept
+                           -- (left_anti on a NULL key matches nothing)
+        OR sha256(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))) NOT IN (
+          SELECT sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+          FROM documents WHERE doc_id < 250 AND text IS NOT NULL))
     """,
 )
 def q_dedup_incremental(spark, sf_dir):
@@ -546,7 +548,7 @@ def q_knn_batch(spark, sf_dir):
     """
     SELECT sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_sha,
            min(doc_id) AS keep_id, count(*) AS dup_count
-    FROM documents GROUP BY 1
+    FROM documents WHERE text IS NOT NULL GROUP BY 1
     """,
 )
 def q_dedup_exact(spark, sf_dir):

@@ -360,12 +360,14 @@ def q_multimodal_resize_real(spark, sf_dir):
     "frame_sample_plan",
     """
     WITH probe AS (
+      -- coalesce: the engine probe reads `bytes(raw or b"")`, so a
+      -- NULL payload probes as the EMPTY payload, not as NULL
       SELECT doc_id AS asset_id,
              1000 + ((
-                  (strpos('0123456789abcdef', substr(sha256(text), 5, 1)) - 1) * 4096
-                + (strpos('0123456789abcdef', substr(sha256(text), 6, 1)) - 1) * 256
-                + (strpos('0123456789abcdef', substr(sha256(text), 7, 1)) - 1) * 16
-                + (strpos('0123456789abcdef', substr(sha256(text), 8, 1)) - 1)
+                  (strpos('0123456789abcdef', substr(sha256(coalesce(text, '')), 5, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(sha256(coalesce(text, '')), 6, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(sha256(coalesce(text, '')), 7, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(sha256(coalesce(text, '')), 8, 1)) - 1)
              ) % 60000) AS dur
       FROM documents WHERE doc_id < 60 AND doc_id % 3 = 2
     )
@@ -392,9 +394,10 @@ def q_frame_sample_plan(spark, sf_dir):
 # the resize plan/execute oracles.
 _RESIZE_DIMS_SQL = """
     WITH probe AS (
-      SELECT doc_id AS asset_id, text,
-             CAST(octet_length(encode(text)) AS BIGINT) AS nb,
-             sha256(text) AS sha
+      -- coalesce(text,''): the engine probe reads `bytes(raw or b"")`
+      SELECT doc_id AS asset_id, coalesce(text, '') AS text,
+             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS nb,
+             sha256(coalesce(text, '')) AS sha
       FROM documents WHERE doc_id % 3 = 0
     ), dims AS (
       SELECT asset_id, text,

@@ -77,10 +77,13 @@ _QUALITY_SQL = """
              length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
              CASE WHEN len(trim(text)) = 0 THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
-             coalesce(list_aggregate(list_transform(
+             CASE WHEN text IS NULL THEN NULL  -- unknown, not measured-0:
+                                               -- every feature of a NULL
+                                               -- doc is NULL on both sides
+                  ELSE coalesce(list_aggregate(list_transform(
                  CASE WHEN len(trim(text)) = 0 THEN []
                       ELSE regexp_split_to_array(trim(text), '\\s+') END,
-                 x -> length(x)), 'sum'), 0) AS tok_chars
+                 x -> length(x)), 'sum'), 0) END AS tok_chars
       FROM documents
     )
     SELECT doc_id, CAST(n AS BIGINT) AS n_chars, CAST(n_tok AS BIGINT) AS n_tokens,
@@ -623,9 +626,11 @@ def q_dataset_mix_temperature(spark, sf_dir):
     "bpe_tokenize",
     r"""
     SELECT doc_id,
-           CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
-                ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
-           END AS n_words,
+           -- replicates tokenizer._words (findall on the explicit
+           -- ASCII-whitespace complement): extraction, not trim+split,
+           -- so tab-only text reads 0 words, never phantom empties
+           len(regexp_extract_all(lower(coalesce(text, '')),
+                                  '[^ \t\n\r\f\v]+')) AS n_words,
            CAST(length(regexp_replace(lower(coalesce(text, '')),
                                       '\s', '', 'g')) AS BIGINT)
              AS n_word_chars,
