@@ -478,9 +478,18 @@ def join_asof(
     Ties: right rows sort BEFORE left rows at equal ts (<= semantics).
     Like DuckDB's ASOF JOIN, `right` should be unique per (key, ts) —
     among same-ts right rows the winner is otherwise unspecified.
+
+    NULL keys follow JOIN EQUALITY semantics (a NULL key matches
+    nothing — left rows keep NULL payload): right rows with any NULL
+    key are dropped before the union, because the window partition
+    would otherwise group NULL with NULL and "match" them — the
+    dirty-lake differential gate caught exactly that divergence from
+    DuckDB's native ASOF JOIN on anonymous (NULL user_id) traffic.
     """
     from pyspark.sql.window import Window
 
+    for k in key_cols:
+        right = right.filter(F.col(k).isNotNull())
     r_struct = F.struct(*[F.col(c) for c in right_payload])
     l_tagged = left.select(
         *key_cols,

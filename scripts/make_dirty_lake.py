@@ -10,7 +10,16 @@ zero non-ASCII in every sf* table, measured 2026-08-15):
 - documents.lang: ~5% NULL;
 - events.value: ~7% NULL (SQL null-skipping aggregate semantics);
 - events.event_type: ~4% NULL (group keys: NULL is its own group in
-  GROUP BY on both engines).
+  GROUP BY on both engines);
+- events.user_id: ~3% NULL (per-user windows/sessions: NULL is one
+  partition on both engines — anonymous traffic must not crash or
+  silently vanish from per-user operators).
+
+events.ts stays clean BY CONTRACT: event time is the one required
+field of an event stream (a null-ts event is a producer bug the
+expectations suite catches), and Spark orders NULLS FIRST where
+DuckDB orders NULLS LAST, so null event time has no portable
+window semantics to pin.
 
 Dirt is keyed on xxhash-free arithmetic (doc_id/event_id mod primes)
 so the lake is bit-reproducible without a seed file. Embeddings stay
@@ -86,7 +95,9 @@ def build(out_dir: str) -> None:
           SELECT * REPLACE (
             CASE WHEN event_id % 29 = 13 THEN NULL ELSE value END AS value,
             CASE WHEN event_id % 31 = 17 THEN NULL ELSE event_type END
-              AS event_type)
+              AS event_type,
+            CASE WHEN event_id % 37 = 19 THEN NULL ELSE user_id END
+              AS user_id)
           FROM '{BASE}/events.parquet'
         ) TO '{out_dir}/events.parquet' (FORMAT PARQUET)
         """
