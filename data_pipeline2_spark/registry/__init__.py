@@ -142,6 +142,19 @@ def _driver_verified_keys() -> set:
 #     identical, but the expression changed);
 #   kmv_distinct_sketch: ALL row now built from the per-group sketch
 #     union (values identical by mergeability, plan reshaped).
+#   second r8 batch — the dirty-lake differential fixes (null/unicode
+#   semantics alignments; the driver runs the oracle SQL itself, so
+#   oracle-side edits re-queue their keys just like engine edits):
+#   dedup_exact/dedup_incremental (NULL-fingerprint scoping),
+#   quality_score/corpus_curation/sample_weighted (shared _QUALITY_SQL
+#   tok_chars NULL fix), bpe_tokenize (\S+ extraction oracle),
+#   embed_retry/embed_provider/embed_incremental (strip() blank
+#   semantics + NULL drop accounting), frame_sample_plan /
+#   multimodal_resize / multimodal_resize_plan (NULL payload probes as
+#   empty), events_ab_chi2 (NULL category in dof+margins, both sides),
+#   join_asof (NULL keys follow join equality), write_jobs /
+#   write_documents / write_embeddings / cache_write_ttl (roundtrip
+#   read-back now schema-pinned — values identical, plan changed).
 _RECHECK = frozenset(
     {
         "events_kaplan_meier",
@@ -149,6 +162,23 @@ _RECHECK = frozenset(
         "events_ab_chi2",
         "events_theil_sen",
         "kmv_distinct_sketch",
+        "dedup_exact",
+        "dedup_incremental",
+        "quality_score",
+        "corpus_curation",
+        "sample_weighted",
+        "bpe_tokenize",
+        "embed_retry",
+        "embed_provider",
+        "embed_incremental",
+        "frame_sample_plan",
+        "multimodal_resize",
+        "multimodal_resize_plan",
+        "join_asof",
+        "write_jobs",
+        "write_documents",
+        "write_embeddings",
+        "cache_write_ttl",
     }
 )
 
