@@ -92,3 +92,55 @@ def q_join_bloom_prefilter(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.sum(revenue).cast("double").alias("revenue"),
     )
+
+
+def _simhash_drop_sql() -> str:
+    base = _simhash_sql(where="len(trim(text)) > 0")
+    return f"""
+    WITH RECURSIVE sh AS ({base}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ), clusters AS (
+      SELECT node AS doc_id, min(label) AS cid FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           coalesce(c.cid, d.doc_id) AS cluster_id,
+           (c.cid IS NULL OR c.cid = d.doc_id) AS kept
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    """
+
+
+@_register("simhash_dedup_drop", _simhash_drop_sql())
+def q_simhash_dedup_drop(spark, sf_dir):
+    """The APPLY step of the SimHash arm (minhash has dedup_clusters /
+    dedup_representative; this completes the symmetry): hamming<=3
+    pairs -> pointer-doubling connected components -> keep the min-id
+    doc per cluster. Docs outside any cluster (including null/blank
+    texts, which carry no fingerprint) are singleton keepers. The
+    oracle replays all-pairs + recursive CC, so both the banding
+    completeness AND the component labels are value-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.simhash64(docs)
+    pairs = dedup.simhash_pairs(
+        sh, max_hamming=_SIMHASH_MAX_HAMMING, bands=4
+    ).select("doc_a", "doc_b")
+    clusters = dedup.dedup_clusters(pairs)
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            cid.alias("cluster_id"),
+            (cid == F.col("doc_id")).alias("kept"),
+        )
+    )

@@ -164,6 +164,10 @@ def test_bloom_probe_runs_before_any_exchange(spark):
 BUDGET_R8B = {
     "simhash_pairs": 2,         # fingerprint groupBy + band equi-join
                                 # (b-side exchange reused) incl. distinct
+    "simhash_dedup_drop": 2,    # final keeper join over the
+                                # checkpointed CC labels (the CC loop's
+                                # own exchanges run per-round inside
+                                # dedup_clusters, not in this plan)
     "join_bloom_prefilter": 1,  # result groupBy only: the probe is
                                 # map-side and the fixture-scale dim
                                 # auto-broadcasts (at dim sizes past the
