@@ -179,6 +179,9 @@ _RECHECK = frozenset(
         "write_documents",
         "write_embeddings",
         "cache_write_ttl",
+        # malformed-props robustness (one bad log line aborted the job):
+        "events_variant_agg",
+        "metadata_filter",
     }
 )
 

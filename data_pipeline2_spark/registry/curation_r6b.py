@@ -582,17 +582,19 @@ def q_bigram_logprob(spark, sf_dir):
 @_register(
     "events_variant_agg",
     """
+    WITH kx AS (
+      SELECT event_type,
+             TRY_CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS INT)
+               AS k
+      FROM events
+    )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
-             AS k_sum,
-           CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT)
-             AS k_min,
-           CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT)
-             AS k_max,
-           CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS INT))
-                AS BIGINT) AS k_distinct
-    FROM events GROUP BY event_type
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           CAST(min(k) AS INT) AS k_min,
+           CAST(max(k) AS INT) AS k_max,
+           CAST(count(DISTINCT k) AS BIGINT) AS k_distinct
+    FROM kx GROUP BY event_type
     """,
 )
 def q_events_variant_agg(spark, sf_dir):
@@ -603,9 +605,16 @@ def q_events_variant_agg(spark, sf_dir):
     free-form Dict[str, Any], models/document.py:21). At lake scale the
     variant column is what you PERSIST (parse on ingest, shredded
     storage prunes paths); this key proves the extraction semantics
-    against a JSON-path oracle."""
+    against a JSON-path oracle.
+
+    try_parse_json + try_variant_get, NOT the strict forms: parse_json
+    is FAILFAST and variant_get errors on a type-mismatched value, so
+    ONE malformed log line ('{broken') or one '{"k": "oops"}' aborts
+    the whole 100 TB job — measured before fixing. Bad rows read NULL
+    k (null-skipped by the aggregates, n still counts them); the dirty
+    lake injects exactly these classes and the gate pins the parity."""
     ev = _t(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

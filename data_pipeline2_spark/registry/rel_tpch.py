@@ -80,20 +80,27 @@ def q_fulltext_match(spark, sf_dir):
     "metadata_filter",
     """
     SELECT event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+           TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                    AS INT) AS k_val
     FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS INT) > 90
+    WHERE TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                   AS INT) > 90
     """,
 )
 def q_metadata_filter(spark, sf_dir):
+    """try_cast, not cast: get_json_object is lenient (NULL on
+    malformed JSON) but ANSI cast is not — one '{"k": "oops"}' log
+    line aborted the whole job before the dirty-lake gate caught it.
+    Bad values read NULL and fail the predicate, mirroring the
+    oracle's TRY_CAST exactly."""
     evt = _t(spark, sf_dir, "events")
     filtered = relational.metadata_filter(
-        evt, "props", "$.k", lambda c: c.cast("int") > 90
+        evt, "props", "$.k", lambda c: c.try_cast("int") > 90
     )
     return filtered.select(
         "event_id",
         "event_type",
-        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_val"),
     )
 
 

@@ -13,7 +13,12 @@ zero non-ASCII in every sf* table, measured 2026-08-15):
   GROUP BY on both engines);
 - events.user_id: ~3% NULL (per-user windows/sessions: NULL is one
   partition on both engines — anonymous traffic must not crash or
-  silently vanish from per-user operators).
+  silently vanish from per-user operators);
+- events.props: ~2% malformed JSON ('{broken'), ~2% type-mismatched
+  field ('{"k": "oops"}'), ~1% NULL — one bad log line must not abort
+  a whole variant-path aggregation (events_variant_agg originally used
+  FAILFAST parse_json + strict variant_get and died on the first one;
+  measured, then fixed to the try_ forms).
 
 events.ts stays clean BY CONTRACT: event time is the one required
 field of an event stream (a null-ts event is a producer bug the
@@ -97,7 +102,11 @@ def build(out_dir: str) -> None:
             CASE WHEN event_id % 31 = 17 THEN NULL ELSE event_type END
               AS event_type,
             CASE WHEN event_id % 37 = 19 THEN NULL ELSE user_id END
-              AS user_id)
+              AS user_id,
+            CASE WHEN event_id % 41 = 7 THEN '{{broken'
+                 WHEN event_id % 43 = 11 THEN '{{"k": "oops"}}'
+                 WHEN event_id % 47 = 13 THEN NULL
+                 ELSE props END AS props)
           FROM '{BASE}/events.parquet'
         ) TO '{out_dir}/events.parquet' (FORMAT PARQUET)
         """
