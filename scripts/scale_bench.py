@@ -98,6 +98,8 @@ OPS = [
                               # buckets keep fan-out sub-quadratic
     "join_bloom_prefilter",   # bloom probe map-side; shuffle should
                               # carry only the selective survivors
+    "simhash_dedup_drop",     # pairs + pointer-doubling CC: rounds
+                              # grow O(log diameter), labels join back
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 
