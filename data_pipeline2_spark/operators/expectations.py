@@ -124,3 +124,24 @@ def _sql_str(s: str) -> str:
     # escape it BEFORE quoting or a name ending in a backslash turns
     # \' into an escaped quote and unbalances the stack() expression
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def finite(col: str):
+    """Violations = NaN or ±Inf values (NULLs pass — presence is
+    `not_null`'s job, and conflating the two hides which failed).
+
+    The ingest gate for the non-finite-double contract: aggregate
+    operators follow SQL semantics, where one NaN poisons a group's
+    sum/avg and sorts above every real number — a pipeline is expected
+    to run this check (and quarantine violators) BEFORE shipping a
+    numeric column downstream, exactly like the reference validates
+    payloads at ingest rather than teaching every consumer to tolerate
+    garbage.
+    """
+    c = F.col(col)
+    ok = c.isNull() | (
+        ~F.isnan(c)
+        & (c != F.lit(float("inf")))
+        & (c != F.lit(float("-inf")))
+    )
+    return (f"finite({col})", "finite", _viol_count(ok))

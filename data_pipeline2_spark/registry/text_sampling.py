@@ -742,7 +742,11 @@ def q_data_profile(spark, sf_dir):
                   THEN count(*) - count(o_custkey) ELSE 0 END AS v_nullfrac,
              CASE WHEN count(*) < 1 THEN 1 - count(*)
                   WHEN count(*) > 1000000000 THEN count(*) - 1000000000
-                  ELSE 0 END AS v_rows
+                  ELSE 0 END AS v_rows,
+             count(*) - count(CASE WHEN o_totalprice IS NULL
+                                     OR (NOT isnan(o_totalprice)
+                                         AND NOT isinf(o_totalprice))
+                                   THEN 1 END) AS v_finite
       FROM orders
     )
     SELECT e.expectation, e.kind, e.violations, a.total,
@@ -753,7 +757,8 @@ def q_data_profile(spark, sf_dir):
       ('in_range(o_totalprice,0,600000)', 'in_range', v_range),
       ('in_set(o_orderstatus,[O,F,P])', 'in_set', v_set),
       ('max_null_fraction(o_custkey,0.0)', 'max_null_fraction', v_nullfrac),
-      ('row_count_between(1,1000000000)', 'row_count_between', v_rows)
+      ('row_count_between(1,1000000000)', 'row_count_between', v_rows),
+      ('finite(o_totalprice)', 'finite', v_finite)
     ) AS e(expectation, kind, violations)
     """,
 )
@@ -773,6 +778,7 @@ def q_data_expectations(spark, sf_dir):
             ex.in_set("o_orderstatus", ["O", "F", "P"]),
             ex.max_null_fraction("o_custkey", 0.0),
             ex.row_count_between(1, 1_000_000_000),
+            ex.finite("o_totalprice"),
         ],
     )
 

@@ -152,3 +152,26 @@ def test_approx_quantile_ignores_null_values_and_keeps_null_groups(spark):
     assert len(out) == 4  # groups 'a' and NULL x 2 quantiles
     assert all(r["approx_ok"] for r in out)
     assert any(r["g"] is None for r in out)
+
+
+def test_finite_flags_nan_and_inf_but_not_null(spark):
+    """finite() is the ingest gate for the non-finite-double contract:
+    NaN and ±Inf violate; NULL passes (presence is not_null's job, and
+    conflating them would hide which check failed)."""
+    from data_pipeline2_spark.operators import expectations as ex
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (float("inf"),), (float("-inf"),), (None,)],
+        "x double",
+    )
+    out = {
+        r.expectation: (r.violations, r.passed)
+        for r in ex.check_expectations(
+            df, [ex.finite("x"), ex.not_null("x")]
+        ).collect()
+    }
+    assert out["finite(x)"] == (3, False)
+    assert out["not_null(x)"] == (1, False)
+    clean = spark.createDataFrame([(0.0,), (None,)], "x double")
+    ok = ex.check_expectations(clean, [ex.finite("x")]).collect()[0]
+    assert ok.violations == 0 and ok.passed
