@@ -182,6 +182,8 @@ _RECHECK = frozenset(
         # malformed-props robustness (one bad log line aborted the job):
         "events_variant_agg",
         "metadata_filter",
+        # suite gained the finite() NaN/Inf row (engine + oracle):
+        "data_expectations",
     }
 )
 
