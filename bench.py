@@ -30,6 +30,10 @@ HEADLINE = [
     "knn_batch",
     "dedup_exact",
     "dedup_near_minhash",
+    # round-9 additions (VERDICT r8 item 3): the operators that now
+    # define the dedup story get round-over-round regression tracking
+    "simhash_pairs",
+    "exact_substring_spans",
     "quality_score",
     "text_stats",
     "events_tumbling",

@@ -14,6 +14,14 @@ from pyspark.sql import functions as F
 # group: one or more non-terminators followed by one or more terminators.
 SENTENCE_REGEX = r"[^.!?]+[.!?]+"
 
+# The engine's whitespace definition is ASCII everywhere: JVM regex \s
+# ([ \t\n\x0B\f\r]) and RE2 \s in the DuckDB oracles are ASCII-only, so
+# Python seams must not silently widen whitespace to Unicode (str.strip()
+# / str.split() / re's default \s also cover \xa0,  , 　, ... —
+# the ADVICE r8 divergence class). Every Python-side strip/split in an
+# oracled operator pins to this set (or passes re.ASCII).
+ASCII_WS = " \t\n\r\x0b\x0c"
+
 
 def tokens(text: Column) -> Column:
     """array<string> of whitespace-delimited tokens; [] for blank text."""

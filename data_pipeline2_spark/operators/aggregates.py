@@ -1114,20 +1114,30 @@ def ab_chi2(
     round to 12 dp and accumulate as DECIMAL(28,12) so the sum is
     associative (the bm25 contribution idiom); exact for o²·N <
     2^53-scale doubles (counts to ~1e5 per cell). The rejection
-    threshold comes from CHI2_CRIT_95 indexed by the COMPUTED dof —
-    pass an explicit `crit` to override; dof outside the table (> 40
-    categories-1) yields NULL crit/significant rather than a silently
-    wrong verdict.
+    threshold comes from CHI2_CRIT_95 indexed by the COMPUTED dof =
+    (n_variants−1)·(k−1), the full contingency formula — pass an
+    explicit `crit` to override; dof outside the table (> 40) yields
+    NULL crit/significant rather than a silently wrong verdict.
+
+    NULL VARIANT rows are excluded from the whole table (cells, both
+    margins, N, k): the test asks whether assigned arms differ, and a
+    unit with no arm assignment is outside the experiment — unlike a
+    NULL category, which IS a signal an arm can shift traffic into.
+    (ADVICE r8: the previous row-margin equality join dropped NULL-v
+    cells from the term sum while still counting them in N/ct/k,
+    biasing chi2 negative; exclusion makes every aggregate see the
+    same population.)
 
     Scale shape: one (variant, category) aggregation over the frame,
-    then constant-width rollups — K x 2 cells regardless of rows.
+    then constant-width rollups — K x V cells regardless of rows.
     """
-    # the 2 x K cell table feeds FIVE consumers (margins, total, k, and
-    # the term join) — materialize the corpus reduction once
+    # the V x K cell table feeds six consumers (margins, total, k, nv,
+    # and the term join) — materialize the corpus reduction once
     cells = (
         df.select(
             variant_col.cast("long").alias("v"), F.col(cat_col).alias("c")
         )
+        .filter(F.col("v").isNotNull())
         .groupBy("v", "c")
         .agg(F.count(F.lit(1)).alias("o"))
         .localCheckpoint(eager=True)
@@ -1147,6 +1157,9 @@ def ab_chi2(
     k_cats = cells.select("c").distinct().agg(
         F.count(F.lit(1)).alias("k")
     )
+    n_vars = cells.select("v").distinct().agg(
+        F.count(F.lit(1)).alias("nv")
+    )
     cell_term = F.round(
         F.col("o").cast("double")
         * F.col("o")
@@ -1157,14 +1170,14 @@ def ab_chi2(
     chi2 = F.round(
         F.sum(cell_term).cast("double") - F.first(F.col("nn")), 6
     )
+    dof = ((F.col("nv") - 1) * (F.col("k") - 1)).cast("int")
     if crit is not None:
         crit_col = F.lit(float(crit))
     else:
         # try_element_at: 1-based, NULL out of range — dof > 40 (or a
         # degenerate dof 0) degrades to NULL, never a wrong threshold
         crit_col = F.try_element_at(
-            F.array(*[F.lit(float(v)) for v in CHI2_CRIT_95]),
-            (F.col("k") - 1).cast("int"),
+            F.array(*[F.lit(float(v)) for v in CHI2_CRIT_95]), dof
         )
     return (
         cells.join(F.broadcast(rt), "v")
@@ -1173,9 +1186,10 @@ def ab_chi2(
         .agg(chi2.alias("chi2"))
         .crossJoin(F.broadcast(nn))
         .crossJoin(F.broadcast(k_cats))
+        .crossJoin(F.broadcast(n_vars))
         .select(
             F.col("nn").cast("long").alias("n_total"),
-            (F.col("k") - 1).cast("int").alias("dof"),
+            dof.alias("dof"),
             "chi2",
             crit_col.alias("crit"),
             (F.col("chi2") > crit_col).alias("significant"),

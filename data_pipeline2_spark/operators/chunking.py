@@ -37,7 +37,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_pipeline2_spark.functions.text import SENTENCE_REGEX, sentences, tokens
+from data_pipeline2_spark.functions.text import (
+    ASCII_WS,
+    SENTENCE_REGEX,
+    sentences,
+    tokens,
+)
+
+
+def _ascii_split(text: str) -> list[str]:
+    """Whitespace split with the engine's ASCII \\s (JVM/RE2 parity):
+    str.split() would also split on \\xa0 and friends, which the JVM
+    and the DuckDB oracles treat as word characters."""
+    import re
+
+    return re.split(r"\s+", text, flags=re.ASCII)
 from data_pipeline2_spark.plans.partitioning import ensure_parallelism
 
 DEFAULT_CHUNK_SIZE = 500  # docling_service.py:27
@@ -330,9 +344,9 @@ def chunk_sentence_exact(
         rows = []
         for _, r in pdf.iterrows():
             text = r["__text"] or ""
-            units = [s.strip() for s in sent_re.findall(text)]
+            units = [s.strip(ASCII_WS) for s in sent_re.findall(text)]
             if not units:
-                units = [w for w in text.split() if w]
+                units = [w for w in _ascii_split(text) if w]
             if not units:
                 units = [""]
             for pos, content, n_units in _greedy_pack(units, chunk_size):
@@ -361,7 +375,9 @@ def _bpe_token_count(text: str) -> int:
 
     global _BPE_RE
     if _BPE_RE is None:
-        _BPE_RE = re.compile(r"[a-z]{1,4}|[0-9]+|[^a-z0-9\s]")
+        # re.ASCII: \s must be the ASCII set (JVM/RE2 parity) — unicode
+        # whitespace counts as a punctuation token, same as the oracles
+        _BPE_RE = re.compile(r"[a-z]{1,4}|[0-9]+|[^a-z0-9\s]", re.ASCII)
     return len(_BPE_RE.findall(text.lower()))
 
 
@@ -465,7 +481,7 @@ def chunk_hybrid(
         for _, r in pdf.iterrows():
             text = r["__text"] or ""
             ends = [m.end() for m in sent_re.finditer(text)]
-            units = [s.strip() for s in sent_re.findall(text)]
+            units = [s.strip(ASCII_WS) for s in sent_re.findall(text)]
             # HybridChunker never drops text: whatever follows the LAST
             # sentence match becomes the final unit (chunk_sentence
             # keeps the reference packer's drop semantics; this operator
@@ -473,11 +489,11 @@ def chunk_hybrid(
             # the last match end — not a leading-run regex — so text
             # starting with a bare terminator can't re-append the whole
             # document as a duplicate unit.
-            tail = text[ends[-1]:].strip() if ends else ""
+            tail = text[ends[-1]:].strip(ASCII_WS) if ends else ""
             if units and tail:
                 units.append(tail)
             if not units:
-                units = [w for w in text.split() if w]
+                units = [w for w in _ascii_split(text) if w]
             if not units:
                 units = [""]
             for pos, content, n_tok in _greedy_pack_tokens(
@@ -528,6 +544,6 @@ def sentence_udtf_class():
             if not text:
                 return
             for i, m in enumerate(re.finditer(r"[^.!?]+[.!?]+", text)):
-                yield i, m.group(0).strip()
+                yield i, m.group(0).strip(ASCII_WS)
 
     return SplitSentences

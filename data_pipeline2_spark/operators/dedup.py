@@ -449,6 +449,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     exact: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance → (doc_a,
     doc_b, hamming), doc_a < doc_b, hamming <= max_hamming.
@@ -483,6 +484,19 @@ def simhash_pairs(
     buckets by the cosine-like Charikar fingerprint — same banded
     plan, one integer per doc instead of a signature array.
 
+    `bucket_cap` (VERDICT r8 item 1, the exact_substring_spans df-cap
+    idiom): a band bucket holding more than `bucket_cap` docs — a
+    degenerate fingerprint region (hot template/boilerplate mass, or
+    an adversarial constant band) — is excluded from PAIR BUILDING via
+    that band, bounding per-bucket fan-out at cap² instead of the
+    quadratic blowup a hot bucket otherwise costs. Completeness
+    degrades ONLY for pairs whose every matching band is hot: a pair
+    at hamming d <= bands-1 shares >= bands-d matching bands, so it
+    survives unless ALL of them blow the cap. The default (None)
+    keeps the exact pigeonhole-complete semantics; the capped form is
+    a DIFFERENT exported contract (`simhash_pairs_capped` in the
+    registry, whose oracle replays the same cap rule).
+
     exact=True keeps the O(N^2) all-pairs crossJoin for fixture-scale
     ground truth (the `ahash_dup_pairs` precedent) — never export it.
     """
@@ -508,6 +522,8 @@ def simhash_pairs(
             f"banded join is only complete for max_hamming <= bands-1; "
             f"got max_hamming={max_hamming} with bands={bands}"
         )
+    if bucket_cap is not None and bucket_cap < 2:
+        raise ValueError(f"bucket_cap must be >= 2, got {bucket_cap}")
     width = 64 // bands
     mask = (1 << width) - 1
     banded = hashes.select(
@@ -523,6 +539,23 @@ def simhash_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
+    if bucket_cap is not None:
+        # one row per (doc, band): count(*) IS the bucket's doc count.
+        ok = (
+            banded.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= bucket_cap)
+            .select("band_idx", "band_val")
+        )
+        if width <= 16:
+            # the cool-bucket list is bounded by bands * 2^width rows
+            # (<= 262k at 16-bit bands, a few MB) REGARDLESS of corpus
+            # size — broadcast it so the cap filter is map-side and the
+            # plan shape is scale-invariant (measured: without the
+            # hint, AQE picks BHJ at 100k docs but SMJ at 1M, turning
+            # the x10 shuffle ratio superlinear for plan reasons)
+            ok = F.broadcast(ok)
+        banded = banded.join(ok, ["band_idx", "band_val"])
     a = banded.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("__sa"),
@@ -1248,6 +1281,59 @@ def winnow_fingerprints(
         )
     )
     return sel.groupBy("doc_id", "pos").agg(F.first("fp").alias("fp"))
+
+
+def winnow_incremental_candidates(
+    index: DataFrame,
+    batch_fps: DataFrame,
+    df_cap_abs: int = 16,
+) -> DataFrame:
+    """Candidate pairs TOUCHING an ingest batch, from a PERSISTED winnow
+    index plus the batch's own fingerprints → (doc_a, doc_b).
+
+    The amortization contract (VERDICT r8 item 2): the lake's winnow
+    index — `winnow_fingerprints` output, persisted once — is never
+    recomputed per batch; each ingest batch fingerprints ONLY ITSELF
+    (~2/(w+1) of batch positions), unions against the stored index, and
+    extracts pairs with at least one batch-side doc. Base-vs-base pairs
+    are excluded: they were settled when the base was indexed. Feed the
+    result to `exact_substring_spans(all_docs, restrict_pairs=...)` for
+    the verify pass — only candidate-pair docs emit full window
+    fingerprints there.
+
+    The df cap counts docs across index ∪ batch (same rule the one-shot
+    winnowed key applies corpus-wide). Scale shape: one groupBy on fp
+    (the stored index is already (doc_id, pos, fp) — ~600 B/row), one
+    fp-keyed self-join bounded by the cap, one semi-join against the
+    batch ids; nothing in the plan is proportional to base TEXT.
+    """
+    all_fps = index.select("doc_id", "fp").unionByName(
+        batch_fps.select("doc_id", "fp")
+    )
+    eligible = (
+        all_fps.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= df_cap_abs))
+        .select("fp")
+    )
+    keyed = all_fps.join(eligible, "fp")
+    a = keyed.select(F.col("fp").alias("fa"), F.col("doc_id").alias("doc_a"))
+    b = keyed.select(F.col("fp").alias("fb"), F.col("doc_id").alias("doc_b"))
+    batch_ids = batch_fps.select("doc_id").distinct()
+    pairs = (
+        a.join(b, F.col("fa") == F.col("fb"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    touching = pairs.join(
+        batch_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi"
+    ).unionByName(
+        pairs.join(
+            batch_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi"
+        )
+    )
+    return touching.distinct()
 
 
 def near_dup_stats(

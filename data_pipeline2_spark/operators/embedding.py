@@ -35,6 +35,11 @@ from pyspark.sql import pandas as _  # noqa: F401  (ensures pandas-on-spark supp
 DEFAULT_DIM = 64  # testdata embedding width; reference providers use 768
 EMBED_BATCH_SIZE = 32  # reference settings.py:43 — maps to Arrow batch size
 
+# canonical ASCII whitespace set (see functions/text.py for the
+# engine-wide rationale — ADVICE r8): Python-side blank tests strip
+# exactly this set, matching the JVM/RE2 \s the oracles use.
+from data_pipeline2_spark.functions.text import ASCII_WS  # noqa: E402
+
 
 def hash_embed_one(text: str, dim: int = DEFAULT_DIM) -> list[float]:
     """Deterministic unit-norm vector from text content.
@@ -59,12 +64,16 @@ def hash_embed_one(text: str, dim: int = DEFAULT_DIM) -> list[float]:
 
 def make_hash_embedder(dim: int = DEFAULT_DIM, fail_on_empty: bool = True):
     """pandas_udf text -> array<float>; null (dropped later) for blank
-    input, mirroring the reference's skip-and-continue on provider error."""
+    input, mirroring the reference's skip-and-continue on provider error.
+
+    Blank = nothing but ASCII whitespace (`ASCII_WS`): a text of
+    Unicode-only whitespace (\\xa0 ...) is NOT blank — it embeds, same
+    as the SQL/JVM side would keep it (their \\s is ASCII-only)."""
 
     @F.pandas_udf(ArrayType(FloatType()))
     def embed(texts: pd.Series) -> pd.Series:
         def one(t):
-            if t is None or (fail_on_empty and not t.strip()):
+            if t is None or (fail_on_empty and not t.strip(ASCII_WS)):
                 return None
             return hash_embed_one(t, dim)
 

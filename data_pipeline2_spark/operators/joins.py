@@ -1250,12 +1250,30 @@ def bloom_prefilter_join(
     The probe is one vectorized numpy gather per Arrow batch
     (pandas_udf) over k codegen'd xxhash64 positions — the same
     machinery as build_gram_bloom; key hashing stays JVM-side.
+
+    The two key columns must share ONE Spark type: xxhash64 hashes the
+    binary representation, so int-vs-bigint (or string-vs-int) sides
+    hash the same logical key to different bits and every probe becomes
+    a false negative — silently dropping matches the plain join (which
+    coerces) would have kept. Rather than guess a coercion, mismatched
+    types raise ValueError (ADVICE r8); cast one side explicitly.
     """
     from data_pipeline2_spark.operators.textanalysis import (
         _bloom_maybe_udf,
         _bloom_positions_col,
         build_gram_bloom,
     )
+
+    f_type = fact.schema[fact_key].dataType
+    d_type = dim.schema[dim_key].dataType
+    if f_type != d_type:
+        raise ValueError(
+            f"bloom_prefilter_join keys must share one type — "
+            f"fact[{fact_key}]={f_type.simpleString()} vs "
+            f"dim[{dim_key}]={d_type.simpleString()}: xxhash64 is "
+            f"type-sensitive, a mismatch would turn every probe into a "
+            f"false negative; cast one side explicitly"
+        )
 
     keys = dim.select(F.col(dim_key).alias("__k")).distinct()
     bits = build_gram_bloom(keys, m_bits, k_hashes, col="__k")

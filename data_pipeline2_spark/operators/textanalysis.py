@@ -595,8 +595,9 @@ def bm25_oracle_sql(
     return f"""
     WITH docs AS (
       SELECT doc_id,
-             CASE WHEN len(trim(text)) = 0 THEN []
-                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+             CASE WHEN len(trim(text, ' ')) = 0 THEN []
+                  ELSE regexp_split_to_array(lower(trim(text, ' ')), '\\s+')
+                  END AS toks
       FROM documents
     ), dl AS (
       SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs

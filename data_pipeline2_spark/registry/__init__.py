@@ -46,6 +46,7 @@ from data_pipeline2_spark.registry import curation_r6b  # noqa: E402,F401  isort
 from data_pipeline2_spark.registry import curation_r7  # noqa: E402,F401  isort:skip
 from data_pipeline2_spark.registry import curation_r8  # noqa: E402,F401  isort:skip
 from data_pipeline2_spark.registry import curation_r8b  # noqa: E402,F401  isort:skip
+from data_pipeline2_spark.registry import curation_r9  # noqa: E402,F401  isort:skip
 
 # Repo root (CORRECTNESS_r*.json location): registry/ is one package
 # level below the data_pipeline2_spark package, which sits in the root.
@@ -130,60 +131,65 @@ def _driver_verified_keys() -> set:
 # Keys whose EXPORTED semantics changed this round: their historical
 # green rows verified the old plan, so they re-queue immediately behind
 # the never-verified keys for a fresh driver check. Emptied once the
-# round's CORRECTNESS file shows them green again.
-# r8 (r7's two entries went green in CORRECTNESS_r07 and left the
-# set): the four ADVICE-r7 fixes plus the VERDICT-r7 item-1 fix all
-# changed exported semantics or the exported plan —
-#   events_kaplan_meier: churn horizon now 24 h of exact epoch time
-#     (was 3 calendar days, vacuous at every SF);
-#   join_interval_overlap: month-safe epoch-day interval ids;
-#   events_ab_chi2: dof-derived critical value + new crit column;
-#   events_theil_sen: bucket-unit slope denominator (day results
-#     identical, but the expression changed);
-#   kmv_distinct_sketch: ALL row now built from the per-group sketch
-#     union (values identical by mergeability, plan reshaped).
-#   second r8 batch — the dirty-lake differential fixes (null/unicode
-#   semantics alignments; the driver runs the oracle SQL itself, so
-#   oracle-side edits re-queue their keys just like engine edits):
-#   dedup_exact/dedup_incremental (NULL-fingerprint scoping),
-#   quality_score/corpus_curation/sample_weighted (shared _QUALITY_SQL
-#   tok_chars NULL fix), bpe_tokenize (\S+ extraction oracle),
-#   embed_retry/embed_provider/embed_incremental (strip() blank
-#   semantics + NULL drop accounting), frame_sample_plan /
-#   multimodal_resize / multimodal_resize_plan (NULL payload probes as
-#   empty), events_ab_chi2 (NULL category in dof+margins, both sides),
-#   join_asof (NULL keys follow join equality), write_jobs /
-#   write_documents / write_embeddings / cache_write_ttl (roundtrip
-#   read-back now schema-pinned — values identical, plan changed).
+# round's CORRECTNESS file shows them green again. (All 25 r8 entries
+# re-greened in CORRECTNESS_r08 and left the set.)
+#
+# r9: the ASCII-whitespace alignment (ADVICE r8 item 3, generalized by
+# the new Unicode-whitespace dirty-lake document, which exposed that
+# DuckDB's bare trim()/ltrim()/rtrim() strip Unicode Zs while Spark's
+# strip ONLY 0x20 — 42 keys measured divergent): every oracle's 1-arg
+# trim was pinned to the engine-matching explicit set (trim(x, ' ') for
+# JVM F.trim replays; the 6-char ASCII set for Python-strip twins), the
+# Python seams pinned to ASCII (chunking strip/split/BPE-regex,
+# embedder blank test), DuckDB's byte-based levenshtein worked around
+# with an ASCII projection on both sides (edit_distance), and the
+# bm25 family's shared doc-length CTE pinned. The driver runs the
+# oracle SQL itself, so oracle-side edits re-queue their keys exactly
+# like engine edits. _RECHECK_FIRST carries the keys whose ENGINE
+# behavior changed (they re-queue ahead of oracle-text-only pins when
+# the driver budget can't cover all 80 in one round).
+_RECHECK_FIRST = (
+    "events_ab_chi2",        # NULL-variant rows excluded; dof=(r-1)(k-1)
+    "embed_provider",        # blank test pinned to ASCII whitespace
+    "embed_incremental",
+    "chunk_sentence_exact",  # python strip/split pinned to ASCII
+    "chunk_hybrid",          # + BPE token regex compiled re.ASCII
+    "edit_distance",         # ASCII projection both sides (byte-vs-
+                             # codepoint levenshtein)
+    "join_bloom_prefilter",  # key-type guard (values identical)
+    "fulltext_bm25",         # doc-length CTE trim pin (values shifted
+    "fulltext_bm25_indexed", # on dirty lakes via avgdl)
+    "hybrid_search_linear",
+)
 _RECHECK = frozenset(
     {
-        "events_kaplan_meier",
-        "join_interval_overlap",
-        "events_ab_chi2",
-        "events_theil_sen",
-        "kmv_distinct_sketch",
-        "dedup_exact",
-        "dedup_incremental",
-        "quality_score",
-        "corpus_curation",
-        "sample_weighted",
-        "bpe_tokenize",
-        "embed_retry",
-        "embed_provider",
-        "embed_incremental",
-        "frame_sample_plan",
-        "multimodal_resize",
-        "multimodal_resize_plan",
-        "join_asof",
-        "write_jobs",
-        "write_documents",
-        "write_embeddings",
-        "cache_write_ttl",
-        # malformed-props robustness (one bad log line aborted the job):
-        "events_variant_agg",
-        "metadata_filter",
-        # suite gained the finite() NaN/Inf row (engine + oracle):
-        "data_expectations",
+        "bigram_logprob", "bm25_batch", "c4_quality",
+        "chunk_count_by_strategy", "chunk_dedup", "chunk_markdown",
+        "chunk_sentence", "chunk_token_budget", "corpus_curation",
+        "curation_report", "decontaminate", "decontaminate_bloom",
+        "dedup_containment", "dedup_exact", "dedup_exact_drop",
+        "dedup_graph_pagerank", "dedup_incremental", "dedup_kcore",
+        "dedup_lsh_eval", "dedup_near_incremental", "dedup_near_minhash",
+        "dedup_ngram_jaccard", "dedup_token_savings", "doc_fingerprint",
+        "dup_graph_triangles", "dup_line_stats", "duplicate_ngram_spans",
+        "exact_substring_dedup_stats", "exact_substring_spans",
+        "exact_substring_spans_incremental",
+        "exact_substring_spans_winnowed", "fulltext_match",
+        "gopher_quality", "heavy_hitters", "heavy_hitters_sketch",
+        "hybrid_search_batch", "hybrid_search_rrf", "lang_id",
+        "langid_confusion", "leakage_safe_split", "minhash_signatures",
+        "mix_token_allocation", "near_dup_rate", "near_match",
+        "ngram_novelty", "ngram_novelty_incremental", "phrase_match",
+        "phrase_match_indexed", "pretrain_pack", "quality_score",
+        "readability", "repetition_ratio", "rm3_expansion",
+        "sample_weighted", "simhash", "simhash_dedup_drop",
+        "simhash_pairs", "source_overlap", "sparse_cosine_topk",
+        "strip_boilerplate", "term_cooccurrence", "text_normalize",
+        "text_stats", "textrank_terms", "tfidf_top_terms",
+        "token_count_bpe", "token_histogram", "token_rarity",
+        "topic_cluster_terms", "unigram_logprob", "vocab_stats",
+        "winnow_fingerprints", "winnow_span_recall_eval",
+        *_RECHECK_FIRST,
     }
 )
 
@@ -197,8 +203,22 @@ def _driver_order() -> list[QuerySpec]:
     naturally queue behind any unverified backlog. (The former _DEMOTED
     tier died in r6 when knn_batch_ivf's export became oracle-able.)"""
     parked = _driver_verified_keys()
+    by_name = {q.name: q for q in _QUERIES}
     ordered = [q for q in _QUERIES if q.name not in parked]
-    ordered += [q for q in _QUERIES if q.name in parked and q.name in _RECHECK]
+    seen = {q.name for q in ordered}
+    # engine-behavior changes lead the re-check queue in the order
+    # listed; oracle-text-only pins follow in registration order
+    ordered += [
+        by_name[n]
+        for n in _RECHECK_FIRST
+        if n in parked and n not in seen
+    ]
+    seen |= set(_RECHECK_FIRST)
+    ordered += [
+        q
+        for q in _QUERIES
+        if q.name in parked and q.name in _RECHECK and q.name not in seen
+    ]
     ordered += [
         q for q in _QUERIES if q.name in parked and q.name not in _RECHECK
     ]

@@ -26,8 +26,8 @@ from data_pipeline2_spark.registry.ingest_chunk import (
 from data_pipeline2_spark.streaming import events as ev
 
 _TOKS_SH_CTES = """toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
-      FROM documents WHERE len(trim(text)) > 0
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS ws
+      FROM documents WHERE len(trim(text, ' ')) > 0
     ), sh AS (
       SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
@@ -40,7 +40,7 @@ _TOKS_SH_CTES = """toks AS (
     """
     SELECT d.doc_id, d.lang, d.source FROM documents d
     JOIN (SELECT min(doc_id) AS doc_id FROM documents WHERE text IS NOT NULL
-          GROUP BY sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) k
+          GROUP BY sha256(lower(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')))) k
       USING (doc_id)
     UNION ALL
     SELECT doc_id, lang, source FROM documents WHERE text IS NULL
@@ -76,8 +76,8 @@ def q_minhash_signatures(spark, sf_dir):
     "duplicate_ngram_spans",
     """
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
-      FROM documents WHERE len(trim(text)) > 0
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS ws
+      FROM documents WHERE len(trim(text, ' ')) > 0
     ), sh AS (
       SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS shingle
       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-7)) AS i
@@ -174,8 +174,8 @@ def q_window_distribution(spark, sf_dir):
            END AS flesch
     FROM (
       SELECT doc_id,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             CASE WHEN len(trim(text, ' ')) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text), ' '), '\\s+'))
              END AS n_words,
              greatest(len(regexp_extract_all(text, '[^.!?]+[.!?]+')), 1)
                AS n_sents,
@@ -242,7 +242,7 @@ def q_group_topn_sample(spark, sf_dir):
                       greatest(CAST(ceil(length(text)/100.0) AS BIGINT), 1) - 1)) AS i
             FROM documents)
     )
-    SELECT sha256(lower(regexp_replace(trim(content), '\\s+', ' ', 'g')))
+    SELECT sha256(lower(regexp_replace(trim(content, ' '), '\\s+', ' ', 'g')))
              AS content_sha,
            count(*) AS n_chunks,
            count(DISTINCT doc_id) AS n_docs,
@@ -296,8 +296,8 @@ _COOC_SQL = """
     WITH toks AS (
       SELECT doc_id, unnest(ws) AS w,
              unnest(generate_series(1, len(ws))) AS p
-      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
-            FROM documents WHERE len(trim(text)) > 0)
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS ws
+            FROM documents WHERE len(trim(text, ' ')) > 0)
     )
     SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2,
            count(*) AS pairs
@@ -422,8 +422,8 @@ def q_join_full_outer(spark, sf_dir):
     """
     WITH toks AS (
       SELECT doc_id, source,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             CASE WHEN len(trim(text, ' ')) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text, ' '), '\\s+'))
              END AS tok
       FROM documents WHERE text IS NOT NULL
     ), binned AS (

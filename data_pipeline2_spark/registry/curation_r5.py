@@ -12,16 +12,16 @@ from data_pipeline2_spark.registry._core import _register, _t
 
 # shared guard: token array of lowercased whitespace words, [] for blank
 _WS_LOWER = (
-    "CASE WHEN len(trim(text)) = 0 THEN [] "
-    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
+    "CASE WHEN len(trim(text, ' ')) = 0 THEN [] "
+    "ELSE regexp_split_to_array(trim(lower(text), ' '), '\\s+') END"
 )
 _WS_RAW = (
-    "CASE WHEN len(trim(text)) = 0 THEN [] "
-    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+    "CASE WHEN len(trim(text, ' ')) = 0 THEN [] "
+    "ELSE regexp_split_to_array(trim(text, ' '), '\\s+') END"
 )
 _NONBLANK_LINES = (
     "list_filter(regexp_split_to_array(text, '\\r?\\n'), "
-    "x -> len(trim(x)) > 0)"
+    "x -> len(trim(x, ' ')) > 0)"
 )
 # 60-bit md5-prefix fingerprint (engine-portable hash family, same as
 # the minhash shingle fingerprints in ingest_chunk._minhash_mh_ctes)
@@ -44,10 +44,10 @@ _GOPHER_SQL = f"""
           + (len(text) - len(replace(text, '…', '')))::BIGINT
         ) / greatest(len(ws), 1), 6) AS symbol_word_ratio,
         round(len(list_filter(lines,
-                x -> left(ltrim(x), 1) IN ('•','‣','▪','-','*')))
+                x -> left(ltrim(x, ' '), 1) IN ('•','‣','▪','-','*')))
               / greatest(len(lines), 1), 6) AS bullet_line_frac,
         round(len(list_filter(lines,
-                x -> rtrim(x) LIKE '%...' OR rtrim(x) LIKE '%…'))
+                x -> rtrim(x, ' ') LIKE '%...' OR rtrim(x, ' ') LIKE '%…'))
               / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
         round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
               / greatest(len(ws), 1), 6) AS alpha_word_frac,
@@ -86,10 +86,10 @@ _C4_SQL = f"""
       SELECT doc_id,
         len(lines)::BIGINT AS n_lines,
         round(len(list_filter(lines,
-                x -> right(rtrim(x), 1) IN ('.','!','?','"')))
+                x -> right(rtrim(x, ' '), 1) IN ('.','!','?','"')))
               / greatest(len(lines), 1), 6) AS term_punct_line_frac,
         round(len(list_filter(lines,
-                x -> len(regexp_split_to_array(trim(x), '\\s+')) >= 5))
+                x -> len(regexp_split_to_array(trim(x, ' '), '\\s+')) >= 5))
               / greatest(len(lines), 1), 6) AS five_word_line_frac,
         len(regexp_extract_all(text, '[^.!?]+[.!?]+'))::BIGINT AS n_sentences,
         contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
@@ -113,7 +113,7 @@ def q_c4_quality(spark, sf_dir):
     "dup_line_stats",
     f"""
     WITH lines AS (
-      SELECT doc_id, trim(x) AS line
+      SELECT doc_id, trim(x, ' ') AS line
       FROM (SELECT doc_id, unnest({_NONBLANK_LINES}) AS x
             FROM documents WHERE text IS NOT NULL)
     ), per_line AS (
@@ -588,13 +588,13 @@ def _bm25_batch_ctes(
     return f"""q AS (SELECT * FROM (VALUES {values}) AS v(qid, query)),
     qt AS (
       SELECT DISTINCT qid,
-             unnest(regexp_split_to_array(lower(trim(query)), '\\s+')) AS term
+             unnest(regexp_split_to_array(lower(trim(query, ' ')), '\\s+')) AS term
       FROM q
     ),
     docs AS (
       SELECT doc_id,
-             CASE WHEN len(trim(text)) = 0 THEN []
-                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+             CASE WHEN len(trim(text, ' ')) = 0 THEN []
+                  ELSE regexp_split_to_array(lower(trim(text, ' ')), '\\s+') END AS toks
       FROM documents
     ), dl AS (
       SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs
@@ -655,8 +655,8 @@ from data_pipeline2_spark.registry.ingest_chunk import (  # noqa: E402
 
 _EXACT_JACCARD_PAIRS = """
     toksx AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
-      FROM documents WHERE len(trim(text)) > 0
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS ws
+      FROM documents WHERE len(trim(text, ' ')) > 0
     ), shx AS (
       SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
@@ -885,8 +885,8 @@ _MIX_BUDGET = 30_000
     f"""
     WITH avail AS (
       SELECT source,
-             sum(CASE WHEN len(trim(text)) = 0 THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             sum(CASE WHEN len(trim(text, ' ')) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text, ' '), '\\s+'))
                  END)::BIGINT AS available_tokens
       FROM documents WHERE text IS NOT NULL GROUP BY source
     ), w AS (

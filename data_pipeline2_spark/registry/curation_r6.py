@@ -43,7 +43,7 @@ from data_pipeline2_spark.registry.ingest_chunk import (
     f"""
     WITH lns AS (
       SELECT doc_id, source,
-             unnest(list_transform({_NONBLANK_LINES}, x -> trim(x))) AS line
+             unnest(list_transform({_NONBLANK_LINES}, x -> trim(x, ' '))) AS line
       FROM documents WHERE text IS NOT NULL
     ), hashed AS (
       SELECT doc_id, source, {_md5_60('line')} AS line_h,

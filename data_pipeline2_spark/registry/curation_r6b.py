@@ -140,7 +140,7 @@ _NORM_WS_CLASS = "'[ \\t\\r\\n\\f' || chr(160) || ']+'"
     ), n AS (
       SELECT doc_id, raw,
              trim(regexp_replace(nfc_normalize(raw),
-                                 {_NORM_WS_CLASS}, ' ', 'g')) AS norm
+                                 {_NORM_WS_CLASS}, ' ', 'g'), ' ') AS norm
       FROM fx
     )
     SELECT doc_id,
@@ -544,8 +544,8 @@ def q_ngram_novelty(spark, sf_dir):
     "bigram_logprob",
     f"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
-      FROM documents WHERE len(trim(text)) > 0
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS ws
+      FROM documents WHERE len(trim(text, ' ')) > 0
     ), flat AS (
       SELECT doc_id, unnest(ws) AS w1 FROM toks
     ), uni AS (SELECT w1, count(*) AS c1 FROM flat GROUP BY w1),
@@ -669,8 +669,8 @@ def q_events_type_entropy(spark, sf_dir):
     """
     WITH toks AS (
       SELECT doc_id AS doc,
-             unnest(CASE WHEN len(trim(text)) = 0 THEN []
-                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+             unnest(CASE WHEN len(trim(text, ' ')) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(lower(text), ' '), '\\s+')
                     END) AS w
       FROM documents WHERE text IS NOT NULL
     ), tf0 AS (

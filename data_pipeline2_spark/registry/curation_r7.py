@@ -470,8 +470,8 @@ def q_dedup_kcore(spark, sf_dir):
     """
     WITH base AS (
       SELECT doc_id AS id, source, md5(text) AS h,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(lower(text)),
+             CASE WHEN len(trim(text, ' ')) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text), ' '),
                                                  '\\s+')) END AS nt
       FROM documents WHERE text IS NOT NULL
     ), keep AS (
@@ -765,8 +765,12 @@ def q_audio_vad_segments(spark, sf_dir):
     "events_ab_chi2",
     """
     WITH cells AS (
+      -- NULL variant = no arm assignment: outside the experiment,
+      -- excluded from cells AND margins AND N AND k (ADVICE r8 — a
+      -- partial exclusion biases chi2; the engine applies the same
+      -- filter before its groupBy)
       SELECT user_id % 2 AS v, event_type AS c, count(*) AS o
-      FROM events GROUP BY 1, 2
+      FROM events WHERE user_id % 2 IS NOT NULL GROUP BY 1, 2
     ), rt AS (SELECT v, sum(o) AS rt FROM cells GROUP BY v),
     ct AS (SELECT c AS ct_c, sum(o) AS ct FROM cells GROUP BY c),
     nn AS (SELECT sum(o) AS nn FROM cells),
@@ -774,6 +778,7 @@ def q_audio_vad_segments(spark, sf_dir):
     -- keeps the NULL group (count(DISTINCT c) would drop it), and the
     -- margin join below is null-safe — mirrors the engine exactly
     kk AS (SELECT count(*) AS k FROM (SELECT DISTINCT c FROM cells)),
+    nv AS (SELECT count(*) AS nv FROM (SELECT DISTINCT v FROM cells)),
     terms AS (
       SELECT CAST(round(
                cells.o::DOUBLE * cells.o * nn.nn
@@ -790,14 +795,15 @@ def q_audio_vad_segments(spark, sf_dir):
                     31.410, 32.671, 33.924, 35.172, 36.415, 37.652,
                     38.885, 40.113, 41.337, 42.557, 43.773, 44.985,
                     46.194, 47.400, 48.602, 49.802, 50.998, 52.192,
-                    53.384, 54.572, 55.758])[CAST(kk.k AS INT) - 1]
-             AS crit FROM kk)
+                    53.384, 54.572, 55.758])
+                   [CAST((nv.nv - 1) * (kk.k - 1) AS INT)]
+             AS crit FROM kk, nv)
     SELECT CAST(nn.nn AS BIGINT) AS n_total,
-           CAST(kk.k - 1 AS INT) AS dof,
+           CAST((nv.nv - 1) * (kk.k - 1) AS INT) AS dof,
            s.chi2,
            cv.crit,
            s.chi2 > cv.crit AS significant
-    FROM s, nn, kk, cv
+    FROM s, nn, kk, cv, nv
     """,
 )
 def q_events_ab_chi2(spark, sf_dir):

@@ -23,8 +23,8 @@ _ESS_CAP = 16
 # winnowing recall eval — ends in a CTE named `spans`
 _ESS_CTES = f"""
     toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
-      FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS ws
+      FROM documents WHERE text IS NOT NULL AND len(trim(text, ' ')) > 0
     ), wins AS (
       SELECT doc_id, i AS p,
              md5(array_to_string(ws[i:i+{_ESS_N - 1}], ' ')) AS h
@@ -107,8 +107,8 @@ def q_exact_substring_spans(spark, sf_dir):
       FROM merged GROUP BY doc_id
     ), nt AS (
       SELECT doc_id,
-             CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(lower(text)),
+             CASE WHEN text IS NULL OR len(trim(text, ' ')) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text), ' '),
                                                  '\\s+'))
              END AS n_tokens
       FROM documents
@@ -144,8 +144,8 @@ _WIN_K, _WIN_W = 25, 26
 
 _WINNOW_CTES = f"""
     toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
-      FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS ws
+      FROM documents WHERE text IS NOT NULL AND len(trim(text, ' ')) > 0
     ), g AS (
       SELECT doc_id, i AS p,
              CAST('0x' || substring(

@@ -36,7 +36,7 @@ def _simhash_pairs_sql() -> str:
     # pair join must see every near-dup cluster. The oracle is the
     # all-pairs ground truth; banding completeness (pigeonhole at
     # d <= bands-1) is exactly the claim this key's green row checks.
-    base = _simhash_sql(where="len(trim(text)) > 0")
+    base = _simhash_sql(where="len(trim(text, ' ')) > 0")
     return f"""
     WITH sh AS ({base})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -95,7 +95,7 @@ def q_join_bloom_prefilter(spark, sf_dir):
 
 
 def _simhash_drop_sql() -> str:
-    base = _simhash_sql(where="len(trim(text)) > 0")
+    base = _simhash_sql(where="len(trim(text, ' ')) > 0")
     return f"""
     WITH RECURSIVE sh AS ({base}),
     pairs AS (

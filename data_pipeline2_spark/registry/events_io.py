@@ -775,7 +775,7 @@ def q_embed_incremental(spark, sf_dir):
         SELECT doc_id,
           CASE WHEN len(regexp_extract_all(text, '[^.!?]+[.!?]+')) > 0
                THEN list_transform(regexp_extract_all(text, '[^.!?]+[.!?]+'),
-                                   s -> trim(s))
+                                   s -> trim(s, ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)))
                WHEN len(list_filter(regexp_split_to_array(coalesce(text, ''),
                         '\s+'), w -> w <> '')) > 0
                THEN list_filter(regexp_split_to_array(text, '\s+'),

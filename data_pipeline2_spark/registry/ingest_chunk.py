@@ -134,14 +134,14 @@ def q_chunk_overlap(spark, sf_dir):
     WITH base AS (
       SELECT doc_id,
              regexp_extract_all(text, '[^.!?]+[.!?]+') AS sents,
-             CASE WHEN len(trim(text)) = 0 THEN []
-                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+             CASE WHEN len(trim(text, ' ')) = 0 THEN []
+                  ELSE regexp_split_to_array(trim(text, ' '), '\\s+') END AS toks
       FROM documents
     ), units AS (
       SELECT doc_id, unnest(us) AS unit, generate_subscripts(us, 1) AS upos
       FROM (SELECT doc_id,
                    CASE WHEN len(sents) > 0
-                        THEN list_transform(sents, s -> trim(s))
+                        THEN list_transform(sents, s -> trim(s, ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)))
                         ELSE toks END AS us
             FROM base)
     ), bucketed AS (
@@ -179,7 +179,7 @@ def q_chunk_sentence(spark, sf_dir):
            max(CASE WHEN is_h THEN line END) AS heading,
            string_agg(line, chr(10) ORDER BY lpos) AS content
     FROM sec GROUP BY doc_id, pos
-    HAVING length(trim(string_agg(line, chr(10) ORDER BY lpos))) > 0
+    HAVING length(trim(string_agg(line, chr(10) ORDER BY lpos), ' ')) > 0
     """,
 )
 def q_chunk_markdown(spark, sf_dir):
@@ -269,13 +269,13 @@ def q_base64_roundtrip(spark, sf_dir):
       WITH base AS (
         SELECT doc_id,
                regexp_extract_all(text, '[^.!?]+[.!?]+') AS sents,
-               CASE WHEN len(trim(text)) = 0 THEN []
-                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+               CASE WHEN len(trim(text, ' ')) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text, ' '), '\\s+') END AS toks
         FROM documents
       ), units AS (
         SELECT doc_id, unnest(us) AS unit, generate_subscripts(us, 1) AS upos
         FROM (SELECT doc_id, CASE WHEN len(sents) > 0
-                                  THEN list_transform(sents, s -> trim(s))
+                                  THEN list_transform(sents, s -> trim(s, ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)))
                                   ELSE toks END AS us FROM base)
       )
       SELECT DISTINCT doc_id, pos FROM (
@@ -321,8 +321,8 @@ def q_chunk_size_histogram(spark, sf_dir):
     """
     WITH units AS (
       SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
-      FROM (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
-                 ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+      FROM (SELECT doc_id, CASE WHEN len(trim(text, ' ')) = 0 THEN []
+                 ELSE regexp_split_to_array(trim(text, ' '), '\\s+') END AS ws
             FROM documents)
     ), bucketed AS (
       SELECT doc_id, w, i,
@@ -427,13 +427,13 @@ def q_pack_sequences(spark, sf_dir):
 @_register(
     "dedup_incremental",
     """
-    SELECT d.doc_id, sha256(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))) AS content_sha
+    SELECT d.doc_id, sha256(lower(regexp_replace(trim(d.text, ' '), '\\s+', ' ', 'g'))) AS content_sha
     FROM documents d
     WHERE d.doc_id >= 250
       AND (d.text IS NULL  -- null fingerprint: unprovable dup, kept
                            -- (left_anti on a NULL key matches nothing)
-        OR sha256(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))) NOT IN (
-          SELECT sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+        OR sha256(lower(regexp_replace(trim(d.text, ' '), '\\s+', ' ', 'g'))) NOT IN (
+          SELECT sha256(lower(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')))
           FROM documents WHERE doc_id < 250 AND text IS NOT NULL))
     """,
 )
@@ -546,7 +546,7 @@ def q_knn_batch(spark, sf_dir):
 @_register(
     "dedup_exact",
     """
-    SELECT sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_sha,
+    SELECT sha256(lower(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g'))) AS content_sha,
            min(doc_id) AS keep_id, count(*) AS dup_count
     FROM documents WHERE text IS NOT NULL GROUP BY 1
     """,
@@ -613,8 +613,8 @@ def _jaccard_verify_ctes(threshold: float = 0.5) -> str:
 
 _MINHASH_SQL = f"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
-      FROM documents WHERE len(trim(text)) > 0
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS ws
+      FROM documents WHERE len(trim(text, ' ')) > 0
     ), sh AS (
       SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
@@ -638,8 +638,8 @@ def q_dedup_near_minhash(spark, sf_dir):
     "dedup_ngram_jaccard",
     """
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
-      FROM documents WHERE len(trim(text)) > 0
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS ws
+      FROM documents WHERE len(trim(text, ' ')) > 0
     ), sh AS (
       SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i

@@ -66,8 +66,8 @@ def q_project_status(spark, sf_dir):
     """
     SELECT doc_id, lang FROM documents
     WHERE list_contains(list_transform(
-        CASE WHEN len(trim(text)) = 0 THEN []
-             ELSE regexp_split_to_array(trim(text), '\\s+') END,
+        CASE WHEN len(trim(text, ' ')) = 0 THEN []
+             ELSE regexp_split_to_array(trim(text, ' '), '\\s+') END,
         t -> lower(t)), 'spark')
     """,
 )

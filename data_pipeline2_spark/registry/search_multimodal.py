@@ -62,7 +62,7 @@ def _hybrid_oracle_sql(budget: int = 60, overlap: int = 12) -> str:
           -- Python str.strip()
           SELECT doc_id, text,
                  list_transform(regexp_extract_all(text, '[^.!?]+[.!?]+'),
-                                s -> trim(s)) AS sents,
+                                s -> trim(s, ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11))) AS sents,
                  trim(regexp_replace(text, '.*[.!?]', '', 's'),
                       ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)
                  ) AS tail
@@ -185,7 +185,7 @@ def q_knn_batch_lsh(spark, sf_dir):
     return similarity.knn_batch_lsh(emb, queries, k=3, dim=64, n_planes=6)
 
 
-def _simhash_sql(where: str = "doc_id < 100 AND len(trim(text)) > 0") -> str:
+def _simhash_sql(where: str = "doc_id < 100 AND len(trim(text, ' ')) > 0") -> str:
     """DuckDB replay of dedup.simhash64: md5 halves via hex-literal cast
     (DuckDB has no conv()), per-bit +/-1 sums, sign bits assembled into
     a signed 64-bit fingerprint (bit 63 folded in as two's complement).
@@ -205,7 +205,7 @@ def _simhash_sql(where: str = "doc_id < 100 AND len(trim(text)) > 0") -> str:
     return f"""
     WITH toks AS (
       SELECT doc_id,
-             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+             unnest(regexp_split_to_array(trim(lower(text), ' '), '\\s+')) AS tok
       FROM documents WHERE {where}
     ),
     h AS (
@@ -719,8 +719,8 @@ def q_equi_depth_histogram(spark, sf_dir):
     "heavy_hitters",
     """
     WITH toks AS (
-      SELECT unnest(CASE WHEN len(trim(text)) = 0 THEN []
-                         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS term
+      SELECT unnest(CASE WHEN len(trim(text, ' ')) = 0 THEN []
+                         ELSE regexp_split_to_array(lower(trim(text, ' ')), '\\s+') END) AS term
       FROM documents
     ), counts AS (
       SELECT term, count(*) AS occurrences FROM toks GROUP BY term
@@ -740,8 +740,8 @@ def q_heavy_hitters(spark, sf_dir):
     """
     SELECT doc_id, lang FROM documents
     WHERE ' ' || array_to_string(
-            CASE WHEN len(trim(text)) = 0 THEN []
-                 ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END, ' ')
+            CASE WHEN len(trim(text, ' ')) = 0 THEN []
+                 ELSE regexp_split_to_array(lower(trim(text, ' ')), '\\s+') END, ' ')
           || ' ' LIKE '% spark join %'
     """,
 )
@@ -787,8 +787,8 @@ def q_grouping_sets(spark, sf_dir):
     """
     WITH docs AS (
       SELECT doc_id,
-             CASE WHEN len(trim(text)) = 0 THEN []
-                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS t
+             CASE WHEN len(trim(text, ' ')) = 0 THEN []
+                  ELSE regexp_split_to_array(lower(trim(text, ' ')), '\\s+') END AS t
       FROM documents
     ), flat AS (
       SELECT doc_id, unnest(t) AS term,
@@ -850,8 +850,8 @@ def q_decontaminate_semantic(spark, sf_dir):
     "dedup_near_incremental",
     f"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
-      FROM documents WHERE len(trim(text)) > 0
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS ws
+      FROM documents WHERE len(trim(text, ' ')) > 0
     ), sh AS (
       SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
@@ -890,8 +890,8 @@ def q_dedup_near_incremental(spark, sf_dir):
     """
     WITH docs AS (
       SELECT doc_id,
-             CASE WHEN len(trim(text)) = 0 THEN []
-                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS t
+             CASE WHEN len(trim(text, ' ')) = 0 THEN []
+                  ELSE regexp_split_to_array(lower(trim(text, ' ')), '\\s+') END AS t
       FROM documents
     ), flat AS (
       SELECT doc_id, unnest(t) AS term,

@@ -27,8 +27,8 @@ from data_pipeline2_spark.registry.ingest_chunk import _knn_query_vec, _minhash_
     """
     SELECT lang, count(*) AS docs,
            CAST(sum(length(text)) AS BIGINT) AS total_chars,
-           CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
-                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN len(trim(text, ' ')) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text, ' '), '\\s+')) END) AS BIGINT) AS total_tokens,
            CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
     FROM documents GROUP BY lang ORDER BY lang
     """,
@@ -42,8 +42,8 @@ _LANGS = sorted(textanalysis.STOPWORDS)
 
 def _lang_sql():
     toks = (
-        "list_transform(CASE WHEN len(trim(text)) = 0 THEN [] "
-        "ELSE regexp_split_to_array(trim(text), '\\s+') END, t -> lower(t))"
+        "list_transform(CASE WHEN len(trim(text, ' ')) = 0 THEN [] "
+        "ELSE regexp_split_to_array(trim(text, ' '), '\\s+') END, t -> lower(t))"
     )
     hits = {
         l: (
@@ -75,14 +75,14 @@ _QUALITY_SQL = """
       SELECT doc_id, length(text) AS n,
              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
              length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+             CASE WHEN len(trim(text, ' ')) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text, ' '), '\\s+')) END AS n_tok,
              CASE WHEN text IS NULL THEN NULL  -- unknown, not measured-0:
                                                -- every feature of a NULL
                                                -- doc is NULL on both sides
                   ELSE coalesce(list_aggregate(list_transform(
-                 CASE WHEN len(trim(text)) = 0 THEN []
-                      ELSE regexp_split_to_array(trim(text), '\\s+') END,
+                 CASE WHEN len(trim(text, ' ')) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(text, ' '), '\\s+') END,
                  x -> length(x)), 'sum'), 0) END AS tok_chars
       FROM documents
     )
@@ -106,7 +106,7 @@ def q_quality_score(spark, sf_dir):
     "doc_fingerprint",
     """
     SELECT doc_id,
-           sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_sha
+           sha256(lower(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g'))) AS content_sha
     FROM documents
     """,
 )
@@ -146,8 +146,8 @@ def q_pii_redact(spark, sf_dir):
     "repetition_ratio",
     r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-      FROM documents WHERE len(trim(text)) > 0
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\s+') AS t
+      FROM documents WHERE len(trim(text, ' ')) > 0
     ),
     grams AS (
       SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
@@ -169,8 +169,8 @@ def q_repetition_ratio(spark, sf_dir):
 
 _DECONTAM_SQL = r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-      FROM documents WHERE len(trim(text)) > 0
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\s+') AS t
+      FROM documents WHERE len(trim(text, ' ')) > 0
     ),
     grams AS (
       SELECT doc_id, unnest(list_transform(
@@ -222,7 +222,7 @@ def _curation_sql() -> str:
     WITH keep AS (
       SELECT min(doc_id) AS keep_id
       FROM documents WHERE text IS NOT NULL
-      GROUP BY sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+      GROUP BY sha256(lower(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')))
     ),
     q AS ({_QUALITY_SQL}),
     l AS ({_lang_sql()}),
@@ -253,8 +253,8 @@ def q_corpus_curation(spark, sf_dir):
     """
     WITH toks AS (
       SELECT doc_id, unnest(list_transform(
-        CASE WHEN len(trim(text)) = 0 THEN []
-             ELSE regexp_split_to_array(trim(text), '\\s+') END,
+        CASE WHEN len(trim(text, ' ')) = 0 THEN []
+             ELSE regexp_split_to_array(trim(text, ' '), '\\s+') END,
         t -> lower(t))) AS term
       FROM documents
     ), tf AS (
@@ -312,8 +312,8 @@ def q_dedup_clusters(spark, sf_dir):
 @_register(
     "token_histogram",
     """
-    SELECT CAST(floor(CASE WHEN len(trim(text)) = 0 THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END / 20.0)
+    SELECT CAST(floor(CASE WHEN len(trim(text, ' ')) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text, ' '), '\\s+')) END / 20.0)
                 * 20 AS BIGINT) AS bucket_lo,
            count(*) AS docs
     FROM documents GROUP BY 1 ORDER BY 1
@@ -325,20 +325,32 @@ def q_token_histogram(spark, sf_dir):
 
 @_register(
     "edit_distance",
-    """
+    r"""
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS INT) AS dist
+           CAST(levenshtein(
+             regexp_replace(substring(a.text, 1, 40), '[^\x00-\x7f]', '?', 'g'),
+             regexp_replace(substring(b.text, 1, 40), '[^\x00-\x7f]', '?', 'g')
+           ) AS INT) AS dist
     FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
     WHERE a.doc_id < 50
     """,
 )
 def q_edit_distance(spark, sf_dir):
+    """Both sides compare the ASCII projection (non-ASCII codepoints →
+    '?'): DuckDB's levenshtein counts BYTES where Spark's counts
+    CODEPOINTS (measured: 'é' vs '' = 2 vs 1), so raw unicode distance
+    has no portable oracle. The engine operator itself (F.levenshtein)
+    stays codepoint-faithful — pinned on unicode fixtures in
+    tests/test_textanalysis_pipeline.py."""
     docs = _t(spark, sf_dir, "documents")
+    proj = lambda c: F.regexp_replace(  # noqa: E731
+        F.substring(c, 1, 40), r"[^\x00-\x7f]", "?"
+    )
     a = docs.filter(F.col("doc_id") < 50).select(
-        F.col("doc_id").alias("id_a"), F.substring("text", 1, 40).alias("ta")
+        F.col("doc_id").alias("id_a"), proj("text").alias("ta")
     )
     b = docs.select(
-        F.col("doc_id").alias("id_b"), F.substring("text", 1, 40).alias("tb")
+        F.col("doc_id").alias("id_b"), proj("text").alias("tb")
     )
     return (
         a.join(b, F.col("id_b") == F.col("id_a") + 1)
@@ -902,8 +914,8 @@ def q_approx_count_distinct(spark, sf_dir):
     "token_count_bpe",
     """
     SELECT doc_id,
-           CASE WHEN len(trim(text)) = 0 THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+           CASE WHEN len(trim(text, ' ')) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text, ' '), '\\s+')) END AS ws_tokens,
            len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens
     FROM documents WHERE doc_id < 200
     """,

@@ -6,7 +6,11 @@ zero non-ASCII in every sf* table, measured 2026-08-15):
 
 - documents.text: ~8% NULL, ~6% empty/whitespace-only, ~10% suffixed
   with non-ASCII tokens (accented Latin, CJK, emoji), ~6% with messy
-  internal whitespace (tabs/newlines/runs of spaces);
+  internal whitespace (tabs/newlines/runs of spaces), ~2%
+  Unicode-whitespace-ONLY (NBSP/thin-space/ideographic-space: blank
+  under Python str.strip(), NON-blank under JVM/RE2 \\s — the ADVICE
+  r8 divergence class; the engine pins blank to ASCII whitespace, so
+  these rows must flow through every text operator as non-blank);
 - documents.lang: ~5% NULL;
 - events.value: ~7% NULL (SQL null-skipping aggregate semantics);
 - events.event_type: ~4% NULL (group keys: NULL is its own group in
@@ -81,6 +85,10 @@ def build(out_dir: str) -> None:
                    WHEN doc_id % 13 = 3 THEN NULL
                    WHEN doc_id % 17 = 5 THEN ''
                    WHEN doc_id % 17 = 8 THEN '   \t  '
+                   -- NBSP + thin space + ASCII space + ideographic
+                   -- space: Unicode-whitespace-only text
+                   WHEN doc_id % 53 = 21 THEN
+                     chr(160) || chr(8201) || ' ' || chr(12288)
                    WHEN doc_id % 11 = 2 THEN
                      text || ' ' || {tails}[(doc_id % 5)::INT + 1]
                    WHEN doc_id % 19 = 7 THEN

@@ -326,6 +326,125 @@ def salted_demo(spark, sf_dir: str, reps: int, factor: int = 10) -> dict:
             spark.conf.set(k, v)
 
 
+def simhash_hot_demo(spark, reps: int = 2, factor: int = 10) -> dict:
+    """Prove the simhash_pairs bucket_cap ENGAGES on a constructed hot
+    band (VERDICT r8 item 1): 10% of docs share ONE band-0 value (the
+    degenerate-fingerprint regime — template mass or an adversarial
+    constant band); upper 48 bits are xxhash-spread so the hot bucket
+    contributes ~n_hot²/2 candidate XOR-popcounts and almost no real
+    pairs. Measured:
+      - capped, skewed x1 vs x`factor`: shuffle must scale ~linearly
+        (the banded rows are corpus-linear; surviving pairs are tiny);
+      - uncapped, skewed x1: the quadratic hot-bucket blowup, recorded
+        (x`factor` uncapped would be factor² of that — not run);
+      - capped ⊂ uncapped at x1 (the cap only ever drops pairs whose
+        every matching band is hot).
+    """
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators.dedup import simhash_pairs
+
+    HOT = 0x1234
+    N1 = 200_000
+    CAP = 64  # uniform 16-bit buckets hold ~n/65536*<few> docs at both
+    # scales — far below the cap; only the constructed hot bucket blows it
+
+    def hashes(n):
+        h = F.xxhash64(F.col("id"))
+        hot = (F.col("id") % 10) == 0
+        sim = F.when(
+            hot,
+            h.bitwiseAND(F.lit(-65536)).bitwiseOR(F.lit(HOT)),
+        ).otherwise(h)
+        base = spark.range(n).select(
+            F.col("id").alias("doc_id"), sim.alias("simhash")
+        )
+        # planted near-dup pairs, two classes:
+        #  - HOT-ONLY pairs (one per 10k hot docs): twin differs by one
+        #    bit in EACH of bands 1..3, so the only matching band is the
+        #    hot band 0 — the cap MUST drop these (documented
+        #    degradation);
+        #  - COOL pairs (one per 10k non-hot docs): twin differs by one
+        #    low bit — matching bands 1..3 are all cool, the cap MUST
+        #    keep these.
+        hot_twins = base.filter(
+            (F.col("doc_id") % 10_000) == 0
+        ).select(
+            (F.col("doc_id") + n).alias("doc_id"),
+            F.col("simhash")
+            .bitwiseXOR(F.lit(1 << 16))
+            .bitwiseXOR(F.lit(1 << 32))
+            .bitwiseXOR(F.lit(1 << 48))
+            .alias("simhash"),
+        )
+        cool_twins = base.filter(
+            (F.col("doc_id") % 10_000) == 3
+        ).select(
+            (F.col("doc_id") + 2 * n).alias("doc_id"),
+            F.col("simhash").bitwiseXOR(F.lit(1)).alias("simhash"),
+        )
+        return base.unionByName(hot_twins).unionByName(cool_twins)
+
+    out: dict = {"hot_frac": 0.1, "bucket_cap": CAP, "n_x1": N1}
+    for tag, n in (("x1", N1), (f"x{factor}", N1 * factor)):
+        best = None
+        for _ in range(reps):
+            df = hashes(n).localCheckpoint(eager=True)
+            r0, w0 = _shuffle_totals(spark)
+            t0 = time.perf_counter()
+            cnt = simhash_pairs(df, bucket_cap=CAP).count()
+            wall = round(time.perf_counter() - t0, 3)
+            r1, w1 = _shuffle_totals(spark)
+            rec = {
+                "wall": wall,
+                "pairs": cnt,
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+            }
+            if best is None or rec["wall"] < best["wall"]:
+                best = rec
+        out[f"capped_{tag}"] = best
+        print(f"# simhash_hot capped {tag}: {best}", file=sys.stderr)
+    # uncapped trend: hot-bucket work is quadratic in corpus (x3 pays
+    # ~9x the x1 bucket XORs; x10 would pay 100x — recorded, not run)
+    for tag, mult in (("x1", 1), ("x3", 3)):
+        dfu = hashes(N1 * mult).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        unc = simhash_pairs(dfu).count()
+        out[f"uncapped_{tag}"] = {
+            "wall": round(time.perf_counter() - t0, 3),
+            "pairs": unc,
+        }
+        print(
+            f"# simhash_hot uncapped {tag}: {out[f'uncapped_{tag}']}",
+            file=sys.stderr,
+        )
+    df1 = hashes(N1).localCheckpoint(eager=True)
+    capped = set(
+        map(tuple, simhash_pairs(df1, bucket_cap=CAP).collect())
+    )
+    uncapped = set(map(tuple, simhash_pairs(df1).collect()))
+    assert capped <= uncapped, "cap must only ever DROP pairs"
+    n_hot_planted = N1 // 10_000  # hot-only pairs: all matching bands hot
+    n_cool_planted = N1 // 10_000
+    assert sum(1 for a, b, h in capped if b >= 2 * N1) == n_cool_planted, (
+        "cap dropped a cool planted pair"
+    )
+    assert not any(N1 <= b < 2 * N1 for a, b, h in capped), (
+        "cap kept a hot-only planted pair"
+    )
+    assert sum(1 for a, b, h in uncapped if N1 <= b < 2 * N1) == n_hot_planted
+    out["capped_subset_of_uncapped"] = True
+    out["planted_cool_pairs_kept"] = n_cool_planted
+    out["planted_hot_only_pairs_dropped"] = n_hot_planted
+    out["x1_pairs_dropped_by_cap"] = len(uncapped) - len(capped)
+    out["shuffle_ratio"] = round(
+        out[f"capped_x{factor}"]["shuffle_write_mb"]
+        / max(out["capped_x1"]["shuffle_write_mb"], 1e-9),
+        2,
+    )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -334,9 +453,26 @@ def main() -> None:
                     help="zipfian-key replica: run SKEW_OPS on uniform "
                          "AND skewed x-factor lakes + the salted-join "
                          "engagement demo")
+    ap.add_argument("--simhash-demo", action="store_true",
+                    help="constructed-hot-band simhash bucket_cap "
+                         "engagement demo only (no replica build)")
     ap.add_argument("--ops", type=str, default="",
                     help="comma-separated subset of OPS to run")
     args = ap.parse_args()
+    if args.simhash_demo:
+        from data_pipeline2_spark.session import get_spark
+
+        spark = get_spark(
+            "dp2s-simhash-hot-demo",
+            extra_conf={"spark.ui.enabled": "true",
+                        "spark.driver.memory": "24g"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps(
+            {"simhash_hot_demo": simhash_hot_demo(
+                spark, args.reps, args.factor)}
+        ))
+        return
     if args.skew:
         OPS[:] = SKEW_OPS
     if args.ops:

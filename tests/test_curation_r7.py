@@ -597,6 +597,25 @@ def test_ab_chi2_detects_shifted_mix_and_passes_identical(spark):
     assert out2.significant and out2.chi2 == 400.0
 
 
+def test_ab_chi2_excludes_null_variant_rows_entirely(spark):
+    # no-arm rows (NULL variant) sit outside the experiment: they must
+    # not appear in N, the margins, k, OR the term sum (ADVICE r8 — the
+    # old row-margin equality join dropped them from the sum only,
+    # biasing chi2 negative)
+    from data_pipeline2_spark.operators.aggregates import ab_chi2
+
+    base = [(i, "a" if i % 4 < 2 else "b") for i in range(400)]
+    noise = [(None, "a")] * 37 + [(None, None)] * 5
+    df = spark.createDataFrame(
+        base + noise, "user_id long, event_type string"
+    )
+    out = ab_chi2(df, F.col("user_id") % 2).collect()[0]
+    assert out.n_total == 400
+    assert out.chi2 == 0.0 and not out.significant
+    # dof = (n_variants-1)*(k-1) with NULL-v rows gone: (2-1)*(2-1)
+    assert out.dof == 1
+
+
 BUDGET_R7_B5 = {
     "audio_vad_segments": 0,    # map-only decode + run detection
     "events_ab_chi2": 4,        # cell agg + two margin rollups + final

@@ -193,6 +193,18 @@ def test_exchange_budget_r8b(name, spark):
     )
 
 
+def test_bloom_prefilter_join_type_mismatch_raises(spark):
+    """xxhash64 is type-sensitive: an int fact key probing bigint-built
+    bloom bits would false-negative EVERY row. The guard refuses the
+    silent empty result (ADVICE r8)."""
+    li = load_table(spark, SF, "lineitem").withColumn(
+        "l_suppkey", F.col("l_suppkey").cast("int")
+    )
+    supp = load_table(spark, SF, "supplier").select("s_suppkey")
+    with pytest.raises(ValueError, match="share one type"):
+        bloom_prefilter_join(li, supp, "l_suppkey", "s_suppkey")
+
+
 def test_bloom_prefilter_join_empty_dim(spark):
     li = load_table(spark, SF, "lineitem")
     supp = (

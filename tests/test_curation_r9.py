@@ -1,0 +1,168 @@
+"""Round-9 operator tests: the SimHash hot-bucket cap (engagement on a
+constructed hot band, exact agreement with a python reference of the
+cap rule, plan shape) and the streaming-CDC batch-parity key's
+multi-batch merge behavior.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline2_spark.operators.dedup import simhash_pairs
+
+from .conftest import SF_ORACLE
+
+SF = SF_ORACLE
+
+
+def _mk(b0: int, b1: int, b2: int, b3: int) -> int:
+    """Assemble a signed 64-bit simhash from four 16-bit bands."""
+    v = b0 | (b1 << 16) | (b2 << 32) | (b3 << 48)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _ref_capped_pairs(hashes, cap, max_hamming=3):
+    """Python reference of the cap rule over a list of (id, simhash)."""
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for did, h in hashes:
+        u = h & 0xFFFFFFFFFFFFFFFF
+        for k in range(4):
+            buckets[(k, (u >> (16 * k)) & 0xFFFF)].append(did)
+    pairs = set()
+    by_id = dict(hashes)
+    for members in buckets.values():
+        if len(members) > cap:
+            continue
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                x, y = min(a, b), max(a, b)
+                ham = bin(
+                    (by_id[x] ^ by_id[y]) & 0xFFFFFFFFFFFFFFFF
+                ).count("1")
+                if ham <= max_hamming:
+                    pairs.add((x, y, ham))
+    return pairs
+
+
+# constructed corpus: one HOT band-0 bucket (20 docs share band0=H,
+# including in the top band-3 position a sign-bit case), where
+#  - docs 0,1 also share a COOL band-1 bucket and sit at hamming 2:
+#    the cap must keep them (pair survives via the cool band);
+#  - docs 2,3 match ONLY on the hot band at hamming 3: the cap must
+#    drop them (the documented degradation);
+#  - 16 filler docs pad the hot bucket, pairwise far apart (bands
+#    spread by odd-constant multiply).
+_H = 0x1234
+_HOT_ROWS = [
+    (0, _mk(_H, 0x00FF, 0x0001, 0x8001)),
+    (1, _mk(_H, 0x00FF, 0x0003, 0x8005)),  # vs 0: band2^=2, band3^=4 → d=2
+    (2, _mk(_H, 0x1111, 0x2222, 0x4444)),
+    (3, _mk(_H, 0x1110, 0x2223, 0x4445)),  # vs 2: 3 bands differ 1 bit → d=3
+] + [
+    (i, _mk(_H, (0x9E37 * i) & 0xFFFF, (0x517C * i) & 0xFFFF, (0x2AB5 * i) & 0xFFFF))
+    for i in range(4, 20)
+]
+
+
+def test_simhash_bucket_cap_matches_python_reference(spark):
+    sh = spark.createDataFrame(_HOT_ROWS, "doc_id long, simhash long")
+    got = set(map(tuple, simhash_pairs(sh, bucket_cap=4).collect()))
+    want = _ref_capped_pairs(_HOT_ROWS, cap=4)
+    assert got == want
+    assert (0, 1, 2) in got  # survives via the cool band-1 bucket
+    assert not any(p[:2] == (2, 3) for p in got)  # all-hot match dropped
+    # and the uncapped arm still finds the all-hot pair
+    full = set(map(tuple, simhash_pairs(sh).collect()))
+    assert (2, 3, 3) in full
+    assert got < full
+
+
+def test_simhash_bucket_cap_noop_when_no_bucket_is_hot(spark):
+    """cap above every bucket size = byte-identical to the uncapped
+    (pigeonhole-complete) output, on the real fixture corpus."""
+    from data_pipeline2_spark.operators.dedup import simhash64
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    sh = simhash64(load_table(spark, SF, "documents"))
+    capped = set(
+        map(tuple, simhash_pairs(sh, bucket_cap=10**6).collect())
+    )
+    plain = set(map(tuple, simhash_pairs(sh).collect()))
+    assert capped == plain and capped
+
+
+def test_simhash_bucket_cap_guards(spark):
+    sh = spark.createDataFrame(_HOT_ROWS[:3], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="bucket_cap"):
+        simhash_pairs(sh, bucket_cap=1)
+
+
+def test_simhash_bucket_cap_plan_shape(spark):
+    """The cap adds a bucket-count aggregate, not a new corpus shuffle
+    class: still no cartesian anywhere, and the exchange count grows by
+    at most the aggregation's reuse-or-one."""
+    sh = spark.createDataFrame(_HOT_ROWS, "doc_id long, simhash long")
+    plan = (
+        simhash_pairs(sh, bucket_cap=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_levenshtein_is_codepoint_faithful(spark):
+    """The ENGINE's edit distance counts codepoints, not bytes ('é' is
+    one edit, not two) — the registry key projects to ASCII only
+    because DuckDB's levenshtein is byte-based and can't replay this."""
+    df = spark.createDataFrame(
+        [("é", ""), ("漢字", "漢"), ("\xa0  　", "")],
+        "a string, b string",
+    )
+    out = [r.d for r in df.select(F.levenshtein("a", "b").alias("d")).collect()]
+    assert out == [1, 1, 4]
+
+
+def test_cdc_upsert_stream_multibatch_merge(spark, tmp_path):
+    """Three micro-batches through upsert_sink: inserts land, updates
+    replace, deletes remove, later batches merge into the accumulated
+    table (not just the bootstrap) — checked against hand-computed
+    state."""
+    import os
+
+    from data_pipeline2_spark.streaming import events as sev
+
+    feed = str(tmp_path / "feed")
+    batches = [
+        # batch 0: bootstrap inserts
+        [(1, 10, "I", 1.0), (2, 10, "I", 2.0), (3, 10, "I", 3.0)],
+        # batch 1: update k=1 (two changes, latest ts wins), delete k=2
+        [(1, 20, "U", 1.5), (1, 30, "U", 1.7), (2, 20, "D", None)],
+        # batch 2: re-insert k=2, delete k=3, new k=4
+        [(2, 40, "I", 2.5), (3, 40, "D", None), (4, 40, "I", 4.0)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            [(k, float(ts), op, v) for k, ts, op, v in rows],
+            "uid long, change_ts double, op string, val double",
+        ).coalesce(1).write.mode("append").parquet(feed)
+    stream = (
+        spark.readStream.schema("uid long, change_ts double, op string, val double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = sev.upsert_sink(
+        stream, str(tmp_path / "table"), str(tmp_path / "ckpt"), ["uid"]
+    )
+    q.awaitTermination()
+    got = {
+        r.uid: r.val
+        for r in spark.read.parquet(str(tmp_path / "table")).collect()
+    }
+    assert got == {1: 1.7, 2: 2.5, 4: 4.0}
+    assert os.path.exists(str(tmp_path / "table"))

@@ -13,6 +13,16 @@ silently dropping the NULL category from the chi-square dof, python
 strip() vs SQL space-only trim() disagreeing on tab-only chunks,
 NULL-payload probes, ...) — all fixed and pinned here.
 
+Round 9 added the Unicode-whitespace-ONLY document (ADVICE r8 item 3
+generalized) and it surfaced 42 more: DuckDB's bare trim()/ltrim()/
+rtrim() strip Unicode Zs where Spark's strip ONLY 0x20, DuckDB's
+levenshtein counts BYTES where Spark's counts CODEPOINTS, and the
+Python twins (str.strip()/str.split()/re \s) default to Unicode
+whitespace. All pinned: every oracle 1-arg trim → explicit char set
+(' ' for JVM F.trim replays, the 6-char ASCII set for Python-strip
+twins), Python seams → ASCII_WS / re.ASCII, edit_distance → ASCII
+projection on both sides.
+
 Scope: keys whose oracle reads the dirtied tables (documents /
 events). Keys over the untouched TPC-H/embeddings tables would just
 repeat the clean-lake gate.

@@ -32,6 +32,20 @@ def test_embed_chunks_drops_failures(spark):
     assert (out.provider == "hash64").all()
 
 
+def test_embed_blank_is_ascii_whitespace_only(spark):
+    # "blank" pins to ASCII whitespace (ADVICE r8): Unicode-only
+    # whitespace is NOT blank — the JVM/RE2 side (\s is ASCII) keeps
+    # such rows, so the Python seam must embed them too
+    rows = [
+        ("ascii_blank", " \t\n "),
+        ("unicode_ws", "   　"),
+        ("real", "text"),
+    ]
+    chunks = spark.createDataFrame(rows, "chunk_id string, content string")
+    out = embedding.embed_chunks(chunks).toPandas()
+    assert set(out.chunk_id) == {"unicode_ws", "real"}
+
+
 def test_embed_incremental_reuses_cache(spark):
     rows = [(f"c{i}", f"text number {i}") for i in range(10)]
     chunks = spark.createDataFrame(rows, "chunk_id string, content string")
