@@ -2,27 +2,29 @@
 """Winnow-index amortization measurement (VERDICT r8 item 2).
 
 SCALE.md claims the winnowed fingerprint index "earns its keep
-PERSISTED" across ingest batches. This script proves it with numbers:
+PERSISTED" across ingest batches. The claim is a TREND, so it is
+measured as one: with a CONSTANT ingest batch (mutated re-crawls of
+the original docs) against bases of growing size (sf0.1 replicated
+x10 and x30, word-suffixed replicas so the base isn't self-duplicate),
 
-1. INDEX BUILD (one-time): winnow_fingerprints over the base corpus,
-   persisted to parquet — the lake's fingerprint table.
-2. INGEST BATCH (recurring): a batch of re-crawled docs (mutated copies
-   of base docs, so real cross-batch 50-token spans exist) fingerprints
-   ONLY ITSELF, unions against the STORED index
-   (dedup.winnow_incremental_candidates), and verifies candidates via
-   exact_substring_spans(restrict_pairs=...). Measured at batch sizes
-   B and 2B: wall must scale with the batch, not the corpus.
-3. BASELINES: (a) the recompute-every-time shape (winnow over the full
-   corpus per batch — what the registry key does for oracle
-   self-containment); (b) the exhaustive exact_substring_spans over the
-   full corpus.
-4. CORRECTNESS: the persisted-index spans are row-identical to the
-   recompute-shape spans (winnow fps are per-doc deterministic, so a
-   stored index IS the recomputed one), and to the exhaustive key's
-   spans restricted to batch-touching pairs (cap scope inert here,
-   asserted).
+  - the EXHAUSTIVE pass (exact_substring_spans over the full corpus)
+    must grow with the corpus: it re-fingerprints every position of
+    every doc, every time;
+  - the PERSISTED-INDEX batch (winnow_fingerprints over the batch
+    only + stored-index candidate join + restricted verify) must stay
+    ~flat: nothing in its plan re-reads base TEXT except the docs in
+    candidate pairs, and the index rows it joins are ~2/(w+1) of
+    corpus positions at ~20 bytes each;
+  - at a FIXED base, batch 2B costs ~proportionally more than B
+    (batch-size-linear), and both are far below the exhaustive pass.
+
+Correctness is assert-hard in-run at the x10 base: persisted-index
+spans == recompute-winnow spans (winnow fps are per-doc deterministic,
+so the stored index IS the recomputed one) == exhaustive full-corpus
+spans restricted to batch-touching pairs.
 
 Usage: python scripts/winnow_amortize_bench.py [--sf /root/testdata/sf0.1]
+       [--factors 10,30]
 Prints one JSON line; markdown table on stderr.
 """
 
@@ -35,6 +37,7 @@ import shutil
 import sys
 import tempfile
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -42,130 +45,202 @@ from pyspark.sql import functions as F  # noqa: E402
 
 K, W = 25, 26  # k + w - 1 = 50: the Lee et al. span threshold
 N_TOKENS, CAP = 50, 16
+BATCH_MOD = 20  # batch = every 20th ORIGINAL doc, re-crawled
 
 
-def batch_docs(docs, frac_mod: int, id_offset: int):
-    """Re-crawl batch: every `frac_mod`-th doc re-ingested under a new
-    id with two tokens prepended — long shared spans survive on a
-    shifted diagonal, the realistic re-crawl shape."""
-    return docs.filter(F.col("doc_id") % frac_mod == 0).select(
+def build_base(out_path: str, sf: str, factor: int) -> None:
+    """documents replicated x`factor`, every word suffixed with the
+    replica id for r > 0 (the scale_bench replica rule: replicas must
+    not be near-dups of each other or the candidate set measures a
+    pathological corpus, not the operator)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        COPY (
+          SELECT doc_id + r * (SELECT max(doc_id) + 1
+                               FROM '{sf}/documents.parquet') AS doc_id,
+                 CASE WHEN r = 0 OR text IS NULL
+                           OR len(trim(text, ' ')) = 0 THEN text
+                      ELSE array_to_string(
+                        list_transform(ws, w -> w || 'x' || r::VARCHAR), ' ')
+                 END AS text
+          FROM (SELECT doc_id, text,
+                       regexp_split_to_array(trim(coalesce(text, ''), ' '),
+                                             '\\s+') AS ws
+                FROM '{sf}/documents.parquet'),
+               (SELECT unnest(generate_series(0, {factor - 1})) AS r)
+        ) TO '{out_path}' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+
+
+def make_batch(spark, sf: str, mod: int, id_offset: int):
+    """Re-crawl batch: every `mod`-th ORIGINAL doc re-ingested under a
+    new id with two tokens prepended — long shared spans survive vs
+    replica 0 on a shifted diagonal, constant across base factors."""
+    orig = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return orig.filter(F.col("doc_id") % mod == 0).select(
         (F.col("doc_id") + id_offset).alias("doc_id"),
         F.concat(F.lit("recrawl batchtok "), F.col("text")).alias("text"),
     )
 
 
-def timed(label: str, fn, reps: int = 2):
-    """min-of-reps wall: rep 1 pays JIT/codegen for the plan shape, the
-    min reflects steady-state — the regime a lake's daily batch runs in."""
-    best, out = None, None
+def _shuffle_totals(spark) -> int:
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages") as r:
+        stages = json.load(r)
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def timed(spark, label: str, fn, reps: int = 2):
+    """min-of-reps wall + that rep's shuffle write: rep 1 pays
+    JIT/codegen for the plan shape, the min is steady-state — the
+    regime a lake's daily batch runs in."""
+    best, best_sw, out = None, None, None
     for _ in range(reps):
+        w0 = _shuffle_totals(spark)
         t0 = time.perf_counter()
         out = fn()
         wall = round(time.perf_counter() - t0, 3)
-        best = wall if best is None else min(best, wall)
-    print(f"# {label}: {best}s", file=sys.stderr)
-    return best, out
+        sw = round((_shuffle_totals(spark) - w0) / 1e6, 2)
+        if best is None or wall < best:
+            best, best_sw = wall, sw
+    print(f"# {label}: {best}s shW={best_sw}MB", file=sys.stderr)
+    return best, best_sw, out
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--factors", default="10,30")
     args = ap.parse_args()
+    factors = [int(x) for x in args.factors.split(",")]
 
     from data_pipeline2_spark.operators import dedup
     from data_pipeline2_spark.session import get_spark
 
     os.environ.setdefault("SPARK_GRAFT_TABLE_CACHE", "0")
     spark = get_spark(
-        "dp2s-winnow-amortize", extra_conf={"spark.driver.memory": "24g"}
+        "dp2s-winnow-amortize",
+        extra_conf={"spark.ui.enabled": "true", "spark.driver.memory": "24g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    base = spark.read.parquet(
-        os.path.join(args.sf, "documents.parquet")
-    ).select("doc_id", "text")
-    max_id = base.agg(F.max("doc_id")).collect()[0][0] + 1
-    tmp = tempfile.mkdtemp(prefix="dp2s_winnow_idx_")
-    report: dict = {"sf": args.sf}
+    tmp = tempfile.mkdtemp(prefix="dp2s_winnow_")
+    report: dict = {"sf": args.sf, "batch_mod": BATCH_MOD}
     try:
-        # ---- one-time index build, persisted
-        idx_path = os.path.join(tmp, "winnow_index")
-        report["index_build_wall"], _ = timed(
-            "index build (one-time)",
-            lambda: dedup.winnow_fingerprints(base, k=K, w=W)
-            .write.mode("overwrite")
-            .parquet(idx_path),
-        )
-        index = spark.read.parquet(idx_path)
-        report["index_rows"] = index.count()
+        for factor in factors:
+            tag = f"x{factor}"
+            base_path = os.path.join(tmp, f"base_{tag}.parquet")
+            build_base(base_path, args.sf, factor)
+            base = spark.read.parquet(base_path)
+            n_base = base.count()
+            id_off = factor * 10_000_000  # clear of every replica id
+            rep: dict = {"base_docs": n_base}
 
-        # ---- ingest batches at two sizes: B (every 20th doc) and 2B
-        for tag, mod in (("B", 20), ("2B", 10)):
-            batch = batch_docs(base, mod, max_id).localCheckpoint(eager=True)
-            n_batch = batch.count()
-            corpus = base.unionByName(batch)
+            idx_path = os.path.join(tmp, f"index_{tag}")
+            rep["index_build_wall"], _, _ = timed(
+                spark,
+                f"{tag} index build (one-time)",
+                lambda: dedup.winnow_fingerprints(base, k=K, w=W)
+                .write.mode("overwrite")
+                .parquet(idx_path),
+            )
+            index = spark.read.parquet(idx_path)
+            rep["index_rows"] = index.count()
 
-            def run_persisted():
-                fps = dedup.winnow_fingerprints(batch, k=K, w=W)
-                cands = dedup.winnow_incremental_candidates(
-                    index, fps, df_cap_abs=CAP
+            for btag, mod in (("B", BATCH_MOD), ("2B", BATCH_MOD // 2)):
+                batch = make_batch(spark, args.sf, mod, id_off)
+                batch = batch.localCheckpoint(eager=True)
+                corpus = base.unionByName(batch)
+
+                def run_persisted():
+                    fps = dedup.winnow_fingerprints(batch, k=K, w=W)
+                    cands = dedup.winnow_incremental_candidates(
+                        index, fps, df_cap_abs=CAP
+                    )
+                    return dedup.exact_substring_spans(
+                        corpus, N_TOKENS, CAP, restrict_pairs=cands
+                    ).count()
+
+                wall, sw, n_spans = timed(
+                    spark, f"{tag} batch {btag} persisted-index", run_persisted
                 )
-                return dedup.exact_substring_spans(
-                    corpus, N_TOKENS, CAP, restrict_pairs=cands
-                ).count()
+                rep[f"batch_{btag}"] = {
+                    "batch_docs": batch.count(),
+                    "wall": wall,
+                    "shuffle_write_mb": sw,
+                    "spans": n_spans,
+                }
 
-            wall, n_spans = timed(f"batch {tag} persisted-index", run_persisted)
-            report[f"batch_{tag}"] = {
-                "batch_docs": n_batch,
-                "wall": wall,
-                "spans": n_spans,
-            }
+            batch = make_batch(spark, args.sf, BATCH_MOD, id_off)
+            batch = batch.localCheckpoint(eager=True)
+            corpus = base.unionByName(batch).localCheckpoint(eager=True)
+            (
+                rep["exhaustive_wall"],
+                rep["exhaustive_shuffle_write_mb"],
+                rep["exhaustive_spans"],
+            ) = timed(
+                spark,
+                f"{tag} exhaustive full corpus",
+                lambda: dedup.exact_substring_spans(
+                    corpus, N_TOKENS, CAP
+                ).count(),
+            )
+            report[tag] = rep
 
-        # ---- baseline 1: recompute-every-time winnow (registry shape)
-        batch = batch_docs(base, 20, max_id).localCheckpoint(eager=True)
+        # ---- correctness at the first factor: three-way row identity
+        factor = factors[0]
+        base = spark.read.parquet(os.path.join(tmp, f"base_x{factor}.parquet"))
+        index = spark.read.parquet(os.path.join(tmp, f"index_x{factor}"))
+        id_off = factor * 10_000_000
+        batch = make_batch(spark, args.sf, BATCH_MOD, id_off).localCheckpoint(
+            eager=True
+        )
         corpus = base.unionByName(batch).localCheckpoint(eager=True)
         batch_ids = batch.select("doc_id")
-
-        def run_recompute():
-            fps_all = dedup.winnow_fingerprints(corpus, k=K, w=W)
-            cands = dedup.winnow_incremental_candidates(
-                fps_all.filter(F.col("doc_id") < max_id),
-                fps_all.join(batch_ids, "doc_id", "semi"),
-                df_cap_abs=CAP,
-            )
-            return dedup.exact_substring_spans(
-                corpus, N_TOKENS, CAP, restrict_pairs=cands
-            )
-
-        report["batch_B_recompute_wall"], _ = timed(
-            "batch B recompute-winnow baseline",
-            lambda: run_recompute().count(),
-        )
-
-        # ---- baseline 2: exhaustive full-corpus spans
-        report["exhaustive_wall"], n_ex = timed(
-            "exhaustive full-corpus spans",
-            lambda: dedup.exact_substring_spans(corpus, N_TOKENS, CAP).count(),
-        )
-        report["exhaustive_spans"] = n_ex
-
-        # ---- correctness: persisted == recompute == exhaustive∩batch
         fps_b = dedup.winnow_fingerprints(batch, k=K, w=W)
         cands_p = dedup.winnow_incremental_candidates(index, fps_b, CAP)
-        spans_p = dedup.exact_substring_spans(
-            corpus, N_TOKENS, CAP, restrict_pairs=cands_p
+        got_p = set(
+            map(
+                tuple,
+                dedup.exact_substring_spans(
+                    corpus, N_TOKENS, CAP, restrict_pairs=cands_p
+                ).collect(),
+            )
         )
-        got_p = set(map(tuple, spans_p.collect()))
-        got_r = set(map(tuple, run_recompute().collect()))
+        fps_all = dedup.winnow_fingerprints(corpus, k=K, w=W)
+        max_id = id_off  # batch ids start here
+        cands_r = dedup.winnow_incremental_candidates(
+            fps_all.filter(F.col("doc_id") < max_id),
+            fps_all.join(batch_ids, "doc_id", "semi"),
+            CAP,
+        )
+        got_r = set(
+            map(
+                tuple,
+                dedup.exact_substring_spans(
+                    corpus, N_TOKENS, CAP, restrict_pairs=cands_r
+                ).collect(),
+            )
+        )
         assert got_p == got_r, (
             f"persisted-index spans != recompute spans "
             f"({len(got_p)} vs {len(got_r)})"
         )
-        ex = dedup.exact_substring_spans(corpus, N_TOKENS, CAP)
         bids = {r.doc_id for r in batch_ids.collect()}
         got_ex = {
             t
-            for t in map(tuple, ex.collect())
+            for t in map(
+                tuple,
+                dedup.exact_substring_spans(corpus, N_TOKENS, CAP).collect(),
+            )
             if t[0] in bids or t[1] in bids
         }
         assert got_p == got_ex, (
@@ -173,20 +248,25 @@ def main() -> None:
             f"({len(got_p)} vs {len(got_ex)})"
         )
         report["spans_row_identical"] = True
-        report["batch_B_spans_checked"] = len(got_p)
+        report["spans_checked"] = len(got_p)
+
         print(json.dumps(report))
-        print(
-            f"| phase | wall s |\n|---|---|\n"
-            f"| index build (one-time) | {report['index_build_wall']} |\n"
-            f"| batch B ({report['batch_B']['batch_docs']} docs) "
-            f"| {report['batch_B']['wall']} |\n"
-            f"| batch 2B ({report['batch_2B']['batch_docs']} docs) "
-            f"| {report['batch_2B']['wall']} |\n"
-            f"| batch B, recompute-winnow | "
-            f"{report['batch_B_recompute_wall']} |\n"
-            f"| exhaustive full corpus | {report['exhaustive_wall']} |",
-            file=sys.stderr,
+        hdr = (
+            "| base | docs | index build | batch B | batch 2B | "
+            "exhaustive | exh shW MB | batch B shW MB |"
         )
+        print(hdr, file=sys.stderr)
+        print("|---" * 8 + "|", file=sys.stderr)
+        for factor in factors:
+            r = report[f"x{factor}"]
+            print(
+                f"| x{factor} | {r['base_docs']} | {r['index_build_wall']} "
+                f"| {r['batch_B']['wall']} | {r['batch_2B']['wall']} "
+                f"| {r['exhaustive_wall']} "
+                f"| {r['exhaustive_shuffle_write_mb']} "
+                f"| {r['batch_B']['shuffle_write_mb']} |",
+                file=sys.stderr,
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
