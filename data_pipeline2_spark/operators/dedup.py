@@ -1283,6 +1283,75 @@ def winnow_fingerprints(
     return sel.groupBy("doc_id", "pos").agg(F.first("fp").alias("fp"))
 
 
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    eps: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "Data-efficient learning at
+    web-scale through semantic deduplication") → one row per vector:
+    (vec_id, cluster, centroid_dist, kept).
+
+    The published recipe: k-means-cluster the embeddings, call two
+    items SEMANTIC duplicates when their cosine similarity inside a
+    cluster exceeds `eps`, and keep the duplicate with the LOWEST
+    similarity to its cluster centroid (diversity-preserving). Here
+    the keep-rank expresses the same rule through the trajectory's
+    rounded squared-L2: a vector is dropped iff a same-cluster
+    neighbor with cos > eps is FARTHER from the centroid (rounded
+    dist, ties to the lower id — a total order, so the survivor set
+    is partition-invariant).
+
+    Plan shape: the deterministic Lloyd's trajectory is the oracle-
+    replayable kmeans (per-iteration state O(k·dim) on the driver,
+    assignment map-only over a broadcast centroid row); the duplicate
+    scan is a CLUSTER-KEYED self-join — quadratic only within one
+    cluster, never the corpus, which is the published algorithm's own
+    cost model (SemDeDup picks k so clusters stay small; for corpora
+    where a cluster outgrows that, `dedup_near_embedding`'s
+    hyperplane-LSH arm is the sub-cluster-bucketed alternative). The
+    assignment output is checkpointed once (id + vec + cluster + dist
+    per row) because it feeds both join sides and the final report —
+    the iterative-fit working-set pattern _kmeans_trajectory itself
+    uses.
+    """
+    from data_pipeline2_spark.functions.vectors import cosine_similarity
+    from data_pipeline2_spark.operators.similarity import _kmeans_trajectory
+
+    cents, assign = _kmeans_trajectory(embeddings, k, n_iter, id_col, vec_col)
+    final = assign(cents).localCheckpoint(eager=True)
+    a = final.select(
+        F.col("_id").alias("xa"), F.col("_v").alias("va"),
+        "cluster", F.col("dist").alias("da"),
+    )
+    b = final.select(
+        F.col("_id").alias("xb"), F.col("_v").alias("vb"),
+        "cluster", F.col("dist").alias("db"),
+    )
+    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("xa") != F.col("xb"))
+        .filter(sim > eps)
+        .filter(
+            (F.col("db") > F.col("da"))
+            | ((F.col("db") == F.col("da")) & (F.col("xb") < F.col("xa")))
+        )
+        .select(F.col("xa").alias("_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return final.join(dropped, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.round(F.col("dist"), 6).alias("centroid_dist"),
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+    )
+
+
 def winnow_incremental_candidates(
     index: DataFrame,
     batch_fps: DataFrame,

@@ -34,8 +34,9 @@ import tempfile
 from pyspark.sql import functions as F
 
 from data_pipeline2_spark.operators import dedup
-from data_pipeline2_spark.registry._core import _register, _t
+from data_pipeline2_spark.registry._core import _cos_sql, _register, _t
 from data_pipeline2_spark.registry.search_multimodal import _simhash_sql
+from data_pipeline2_spark.registry.vector_partsupp import _kmeans_cte_parts
 
 _SIMHASH_BUCKET_CAP = 8  # measured at sf0.01: hottest band bucket holds
 # 28 docs, so the cap ENGAGES at the gate SF (buckets of 9..28 docs are
@@ -147,3 +148,56 @@ def q_cdc_upsert_stream(spark, sf_dir):
     q = sev.upsert_sink(stream, table, ckpt, ["uid"])
     q.awaitTermination()
     return spark.read.parquet(table).select("uid", "val", "etype")
+
+
+def _semdedup_sql() -> str:
+    # cluster an AUGMENTED set: exact copies of vec_id < 20 re-ingested
+    # at +100000 — cos = 1.0 semantic duplicates with a known answer at
+    # any SF (the fixture's natural vectors are hash-random: no pair
+    # crosses eps = 0.95, which would make the key vacuously all-kept)
+    parts, _ = _kmeans_cte_parts(8, 2, 64, rel="aug")
+    cos = _cos_sql("a.embedding", "b.embedding")
+    return (
+        """
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20
+    ),
+    """
+        + ",\n".join(parts)
+        + f""",
+    pairs AS (
+      SELECT a.vec_id AS xa, a.dist AS da, b.vec_id AS xb, b.dist AS db
+      FROM af a JOIN af b
+        ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+      WHERE round({cos}, 6) > 0.95
+    ), dropped AS (
+      SELECT DISTINCT xa FROM pairs
+      WHERE db > da OR (db = da AND xb < xa)
+    )
+    SELECT af.vec_id, CAST(af.cluster AS INT) AS cluster,
+           round(af.dist, 6) AS centroid_dist,
+           d.xa IS NULL AS kept
+    FROM af LEFT JOIN dropped d ON af.vec_id = d.xa
+    """
+    )
+
+
+@_register("semdedup", _semdedup_sql())
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): deterministic Lloyd's clusters ->
+    within-cluster cosine > eps marks semantic duplicates -> keep the
+    duplicate FARTHEST from its centroid (the paper's
+    lowest-centroid-similarity diversity rule; ties to the lower id).
+    The oracle unrolls the identical centroid trajectory (shared
+    _kmeans_cte_parts chain) over the same augmented union, so cluster
+    assignments, distances, AND the keep/drop verdicts are all
+    value-checked."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    aug = emb.unionByName(
+        emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    return dedup.semdedup(aug, k=8, n_iter=2, eps=0.95)

@@ -109,12 +109,16 @@ def q_hard_negatives(spark, sf_dir):
     return similarity.hard_negatives(emb, queries, k=5)
 
 
-def _kmeans_cte_parts(k: int, n_iter: int, dim: int) -> tuple[list[str], str]:
+def _kmeans_cte_parts(
+    k: int, n_iter: int, dim: int, rel: str = "embeddings"
+) -> tuple[list[str], str]:
     """Shared unrolled Lloyd's CTE chain → (parts, final centroid CTE
     name). Same init (k lowest ids, rounded), same rounded-distance
     argmin, same decimal-exact rounded means as
     operators/similarity._kmeans_trajectory, so both engines walk an
-    identical centroid trajectory."""
+    identical centroid trajectory. `rel` names the (vec_id, embedding)
+    source relation — a CTE works (the semdedup key clusters an
+    augmented union)."""
     sq = (
         "list_aggregate(list_transform(generate_series(1, len({v})), "
         "i -> ({v}[i]::DOUBLE - {c}[i]) * ({v}[i]::DOUBLE - {c}[i])), 'sum')"
@@ -128,7 +132,7 @@ def _kmeans_cte_parts(k: int, n_iter: int, dim: int) -> tuple[list[str], str]:
                round({d}, 6) AS dist,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY round({d}, 6), c.cid) AS rn
-        FROM embeddings e CROSS JOIN {cent_cte} c) WHERE rn = 1
+        FROM {rel} e CROSS JOIN {cent_cte} c) WHERE rn = 1
     )"""
 
     def recompute(assign_cte: str, out: str) -> str:
@@ -145,7 +149,7 @@ def _kmeans_cte_parts(k: int, n_iter: int, dim: int) -> tuple[list[str], str]:
         f"""c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
              list_transform(embedding, x -> round(x::DOUBLE, 6)) AS cvec
-      FROM embeddings ORDER BY vec_id LIMIT {k}
+      FROM {rel} ORDER BY vec_id LIMIT {k}
     )"""
     ]
     prev = "c0"

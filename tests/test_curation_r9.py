@@ -116,6 +116,58 @@ def test_simhash_bucket_cap_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semdedup_drops_exact_copy_keeps_farther_one(spark):
+    """Two well-separated clusters; inside one, an exact-copy pair (the
+    higher id drops on the distance tie) and a near-dup pair where the
+    FARTHER-from-centroid member must be kept (the paper's
+    lowest-centroid-similarity rule)."""
+    import math
+
+    from data_pipeline2_spark.operators.dedup import semdedup
+
+    def unit(x, y):
+        n = math.sqrt(x * x + y * y)
+        return [x / n, y / n] + [0.0] * 62
+
+    rows = [
+        (0, unit(1.0, 0.0)),
+        (1, unit(1.0, 0.02)),   # near-dup of 0/2-group, closer to centroid
+        (2, unit(1.0, 0.0)),    # exact copy of 0 → tie, higher id drops
+        (3, unit(1.0, 0.35)),   # same cluster, cos < eps vs others: kept
+        (10, unit(0.0, 1.0)),   # second cluster
+        (11, unit(0.02, 1.0)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semdedup(df, k=2, n_iter=2, eps=0.99).collect()}
+    assert len(out) == 6
+    # clusters: init = two lowest ids (0, 1) → x-ish vs ... after 2
+    # rounds the y-group separates; assert the split, not the labels
+    cl = {v: out[v].cluster for v in out}
+    assert cl[0] == cl[1] == cl[2] == cl[3]
+    assert cl[10] == cl[11] and cl[10] != cl[0]
+    assert out[0].kept and not out[2].kept  # exact copy: lower id wins tie
+    assert out[3].kept  # below eps vs everyone: untouched
+    # 0 vs 1: cos(0,1) > 0.99; the farther-from-centroid one is kept
+    da, db = out[0].centroid_dist, out[1].centroid_dist
+    farther = 0 if (da, 0) > (db, 1) else 1
+    assert out[farther].kept and not out[1 - farther].kept
+
+
+def test_semdedup_plan_no_cartesian(spark):
+    from data_pipeline2_spark.operators.dedup import semdedup
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    plan = (
+        semdedup(emb, k=4, n_iter=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_levenshtein_is_codepoint_faithful(spark):
     """The ENGINE's edit distance counts codepoints, not bytes ('é' is
     one edit, not two) — the registry key projects to ASCII only
