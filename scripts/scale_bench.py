@@ -100,6 +100,16 @@ OPS = [
                               # carry only the selective survivors
     "simhash_dedup_drop",     # pairs + pointer-doubling CC: rounds
                               # grow O(log diameter), labels join back
+    # round-9 additions
+    "simhash_pairs_capped",   # the hot-bucket df-cap arm: bucket-count
+                              # agg + broadcast cool-list filter on top
+                              # of the banded join — shuffle stays the
+                              # banded rows
+    "cdc_upsert_stream",      # availableNow 3-batch MERGE end-to-end:
+                              # per-batch cost = change feed + table
+                              # rewrite, the foreachBatch lake pattern
+    "semdedup",               # Lloyd's trajectory (O(k·dim) driver
+                              # state) + cluster-keyed cosine join
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 
