@@ -145,3 +145,21 @@ def finite(col: str):
         & (c != F.lit(float("-inf")))
     )
     return (f"finite({col})", "finite", _viol_count(ok))
+
+
+def no_control_chars(col: str):
+    """Violations = text containing C0/DEL control characters OTHER
+    than the engine's ASCII whitespace set (\\t \\n \\r \\x0b \\x0c are
+    legitimate whitespace; \\x00-\\x08, \\x0e-\\x1f, \\x7f are producer
+    bugs — encoding damage, binary spill into a text column).
+
+    This is the gate that makes the engine's ASCII-whitespace contract
+    (functions/text.py:ASCII_WS) total: trim/split/blank semantics are
+    pinned for the whitespace set, and every OTHER control character is
+    ruled out of the lake here instead of each operator defining ad-hoc
+    behavior for it. NULL text counts as a violation (the module-wide
+    unevaluable-fails-loudly rule); pair with `not_null` to tell the
+    two apart.
+    """
+    ok = ~F.col(col).rlike("[\\x00-\\x08\\x0e-\\x1f\\x7f]")
+    return (f"no_control_chars({col})", "no_control_chars", _viol_count(ok))

@@ -201,3 +201,58 @@ def q_semdedup(spark, sf_dir):
         )
     )
     return dedup.semdedup(aug, k=8, n_iter=2, eps=0.95)
+
+
+@_register(
+    "text_expectations",
+    r"""
+    WITH a AS (
+      SELECT count(*) AS total,
+             count(*) - count(DISTINCT doc_id) AS v_unique,
+             count(*) - count(text) AS v_notnull,
+             count(*) - count(CASE WHEN NOT regexp_matches(text,
+                 '[\x00-\x08\x0e-\x1f\x7f]') THEN 1 END) AS v_ctrl,
+             CASE WHEN count(*) - count(lang) > count(*) * 0.1
+                  THEN count(*) - count(lang) ELSE 0 END AS v_langfrac,
+             count(*) - count(CASE WHEN n_chars BETWEEN 0 AND 100000000
+                                   THEN 1 END) AS v_range,
+             CASE WHEN count(*) < 1 THEN 1 - count(*)
+                  WHEN count(*) > 1000000000 THEN count(*) - 1000000000
+                  ELSE 0 END AS v_rows
+      FROM documents
+    )
+    SELECT e.expectation, e.kind, e.violations, a.total,
+           e.violations = 0 AS passed
+    FROM a, LATERAL (VALUES
+      ('unique(doc_id)', 'unique', v_unique),
+      ('not_null(text)', 'not_null', v_notnull),
+      ('no_control_chars(text)', 'no_control_chars', v_ctrl),
+      ('max_null_fraction(lang,0.1)', 'max_null_fraction', v_langfrac),
+      ('in_range(n_chars,0,100000000)', 'in_range', v_range),
+      ('row_count_between(1,1000000000)', 'row_count_between', v_rows)
+    ) AS e(expectation, kind, violations)
+    """,
+)
+def q_text_expectations(spark, sf_dir):
+    """The documents-table expectation suite — the ingest gate that
+    makes the ASCII-whitespace contract total: \t \n \r \x0b \x0c are
+    pinned whitespace, every OTHER C0/DEL control character is ruled
+    OUT of the lake here (`no_control_chars`) instead of each text
+    operator defining ad-hoc behavior for encoding damage. One
+    aggregation pass for the whole suite; NULL text fails the
+    control-char check loudly (module rule) and not_null tells the
+    two apart."""
+    from data_pipeline2_spark.operators import expectations as ex
+
+    docs = _t(spark, sf_dir, "documents")
+    return ex.check_expectations(
+        docs,
+        [
+            ex.unique("doc_id"),
+            ex.not_null("text"),
+            ex.no_control_chars("text"),
+            ex.max_null_fraction("lang", 0.1),
+            ex.in_range("n_chars", 0, 100000000),
+            ex.row_count_between(1, 1_000_000_000),
+        ],
+    )

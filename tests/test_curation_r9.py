@@ -180,6 +180,27 @@ def test_levenshtein_is_codepoint_faithful(spark):
     assert out == [1, 1, 4]
 
 
+def test_no_control_chars_expectation(spark):
+    """ASCII whitespace passes; C0 controls outside it (and DEL, and
+    NULL text under the unevaluable-fails-loudly rule) violate."""
+    from data_pipeline2_spark.operators import expectations as ex
+
+    df = spark.createDataFrame(
+        [
+            ("clean text",),
+            ("tabs\tand\nnewlines\r ok \x0b\x0c",),
+            ("bell\x07 bad",),
+            ("del\x7f bad",),
+            ("\x01leading bad",),
+            (None,),
+        ],
+        "text string",
+    )
+    out = ex.check_expectations(df, [ex.no_control_chars("text")]).collect()
+    assert len(out) == 1
+    assert out[0].violations == 4 and out[0].total == 6 and not out[0].passed
+
+
 def test_cdc_upsert_stream_multibatch_merge(spark, tmp_path):
     """Three micro-batches through upsert_sink: inserts land, updates
     replace, deletes remove, later batches merge into the accumulated
