@@ -116,6 +116,148 @@ def quality_score(
     )
 
 
+CLASSIFIER_FEATURES = ("bias", "alpha_ratio", "digit_ratio",
+                       "tok_sat", "len_sat")
+
+
+def _classifier_features(
+    documents: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-doc classifier inputs → (doc_id, x1..x4, y), NULL-text docs
+    excluded from FITTING (their features are unknown, not zero).
+
+    x = (alpha_ratio, digit_ratio, token-count saturation n_tok/100
+    capped at 1, mean-token-length saturation /10 capped at 1) — each
+    rounded to 6 so both engines fit from identical doubles; label
+    y = the rule-based composite (quality > 0.5), i.e. the classifier
+    DISTILLS the heuristic filter into a scorer (the standard
+    bootstrap when no human labels exist)."""
+    f = quality_feature_cols(F.col(text_col))
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        f["alpha_ratio"].alias("x1"),
+        f["digit_ratio"].alias("x2"),
+        F.round(
+            F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0)), 6
+        ).alias("x3"),
+        F.round(
+            F.least(f["mean_tok_len"] / F.lit(10.0), F.lit(1.0)), 6
+        ).alias("x4"),
+        F.when(f["quality"] > 0.5, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+
+
+def _round_half_up(x: float, places: int) -> float:
+    """SQL ROUND semantics (ties away from zero) — python's built-in
+    round() is banker's and would diverge from both engines on ties."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-places)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def _fit_quality_logreg(
+    documents: DataFrame,
+    n_steps: int,
+    lr: float,
+    id_col: str,
+    text_col: str,
+) -> tuple[list[float], int]:
+    """Deterministic full-batch gradient descent for the logistic
+    quality filter → (weights, n_rows). The iterative-fit recipe the
+    engine already uses for k-means: per-step state is O(k) on the
+    driver, each step is ONE aggregation over the cached feature frame,
+    and every cross-engine-fragile quantity is pinned —
+    - the sigmoid is the ALGEBRAIC 0.5 + z/(2(1+|z|)) (only +,-,*,/,
+      abs: IEEE-exact on both engines; exp() differs in the last ulp
+      across libm implementations and a 1-ulp flip at a rounding
+      boundary would fork the trajectory),
+    - per-row gradient contributions round to 9 places and accumulate
+      as DECIMAL(28,12) (associative, partition-order-proof),
+    - weights round to 6 (ties away from zero, matching SQL ROUND)
+      after every step, so the DuckDB oracle can unroll the identical
+      trajectory as CTEs."""
+    feats = (
+        _classifier_features(documents, id_col, text_col)
+        .filter(F.col("x1").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    n = feats.count()
+    if n == 0:
+        raise ValueError("quality_classifier fit: empty corpus")
+    w = [0.0] * 5
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3"), F.col("x4")]
+    for _ in range(n_steps):
+        z = F.lit(w[0])
+        for j in range(1, 5):
+            z = z + F.lit(w[j]) * xs[j]
+        p = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+        resid = F.col("y") - p
+        sums = feats.agg(
+            *[
+                F.sum(
+                    F.round(resid * xs[j], 9).cast("decimal(28,12)")
+                ).alias(f"s{j}")
+                for j in range(5)
+            ]
+        ).collect()[0]
+        w = [
+            _round_half_up(w[j] + lr * (float(sums[j]) / n), 6)
+            for j in range(5)
+        ]
+    return w, n
+
+
+def quality_classifier_fit(
+    documents: DataFrame,
+    n_steps: int = 3,
+    lr: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality filtering, the FIT step → one row per weight
+    (feature, weight): a logistic scorer distilled from the rule-based
+    quality composite — the standard pretraining-curation move (GPT-3 /
+    LLaMA pipelines train a quality classifier on a rule- or
+    reference-labeled seed set, then score the whole corpus). See
+    _fit_quality_logreg for the determinism contract that makes the
+    trajectory DuckDB-replayable."""
+    w, _ = _fit_quality_logreg(documents, n_steps, lr, id_col, text_col)
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        list(zip(CLASSIFIER_FEATURES, w)), "feature string, weight double"
+    )
+
+
+def quality_classifier_score(
+    documents: DataFrame,
+    n_steps: int = 3,
+    lr: float = 2.0,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The SCORE step → (doc_id, score, keep) for every document: the
+    fitted weights (O(k) driver state) applied corpus-wide in one
+    map-only projection. NULL-text docs carry NULL score/keep (their
+    features are unknown; route them to the not_null expectation, not
+    to a fabricated 0)."""
+    w, _ = _fit_quality_logreg(documents, n_steps, lr, id_col, text_col)
+    feats = _classifier_features(documents, id_col, text_col)
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3"), F.col("x4")]
+    z = F.lit(w[0])
+    for j in range(1, 5):
+        z = z + F.lit(w[j]) * xs[j]
+    p = F.round(
+        F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z))), 6
+    )
+    return feats.select(
+        "doc_id", p.alias("score"), (p > threshold).alias("keep")
+    )
+
+
 def text_stats(
     documents: DataFrame,
     group_col: str = "lang",

@@ -33,7 +33,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from data_pipeline2_spark.operators import dedup
+from data_pipeline2_spark.operators import dedup, textanalysis
 from data_pipeline2_spark.registry._core import _cos_sql, _register, _t
 from data_pipeline2_spark.registry.search_multimodal import _simhash_sql
 from data_pipeline2_spark.registry.vector_partsupp import _kmeans_cte_parts
@@ -255,4 +255,109 @@ def q_text_expectations(spark, sf_dir):
             ex.in_range("n_chars", 0, 100000000),
             ex.row_count_between(1, 1_000_000_000),
         ],
+    )
+
+
+def _logreg_ctes(n_steps: int = 3, lr: float = 2.0) -> str:
+    """Unrolled GD trajectory for the logistic quality classifier —
+    the kmeans-CTE idiom: same feature rounding, same ALGEBRAIC sigmoid
+    (0.5 + z/(2(1+|z|)); no exp(), whose last-ulp differs across libm),
+    same round-9 decimal-summed gradient contributions, same round-6
+    half-away-from-zero weight updates per step, so both engines walk
+    an identical weight trajectory. Final weights live in CTE w{n}."""
+    from data_pipeline2_spark.registry.text_sampling import _QUALITY_SQL
+
+    parts = [
+        f"q AS ({_QUALITY_SQL})",
+        """feats AS (
+      SELECT doc_id, alpha_ratio AS x1, digit_ratio AS x2,
+             round(least(n_tokens / 100.0, 1.0), 6) AS x3,
+             round(least(mean_tok_len / 10.0, 1.0), 6) AS x4,
+             CASE WHEN quality > 0.5 THEN 1.0 ELSE 0.0 END AS y
+      FROM q WHERE alpha_ratio IS NOT NULL
+    )""",
+        "cnt AS (SELECT count(*) AS n FROM feats)",
+        "w0 AS (SELECT 0.0 AS wb, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)",
+    ]
+    xs = ["1.0", "x1", "x2", "x3", "x4"]
+    for s in range(1, n_steps + 1):
+        prev = f"w{s - 1}"
+        z = (f"{prev}.wb + {prev}.w1*x1 + {prev}.w2*x2 "
+             f"+ {prev}.w3*x3 + {prev}.w4*x4")
+        sums = ", ".join(
+            f"sum(CAST(round((y - (0.5 + ({z})/(2.0*(1.0+abs({z})))))"
+            f" * {x}, 9) AS DECIMAL(28,12))) AS s{j}"
+            for j, x in enumerate(xs)
+        )
+        parts.append(
+            f"g{s} AS (SELECT {sums} FROM feats, {prev})"
+        )
+        ws = ", ".join(
+            f"round({prev}.{c} + {lr} * (CAST(g{s}.s{j} AS DOUBLE) / cnt.n), 6)"
+            f" AS {c}"
+            for j, c in enumerate(("wb", "w1", "w2", "w3", "w4"))
+        )
+        parts.append(f"w{s} AS (SELECT {ws} FROM {prev}, g{s}, cnt)")
+    return ",\n    ".join(parts)
+
+
+_LOGREG_STEPS, _LOGREG_LR = 3, 2.0
+
+
+@_register(
+    "quality_classifier_fit",
+    f"""
+    WITH {_logreg_ctes(_LOGREG_STEPS, _LOGREG_LR)}
+    SELECT e.feature, e.weight
+    FROM w{_LOGREG_STEPS} w, LATERAL (VALUES
+      ('bias', w.wb), ('alpha_ratio', w.w1), ('digit_ratio', w.w2),
+      ('tok_sat', w.w3), ('len_sat', w.w4)
+    ) AS e(feature, weight)
+    """,
+)
+def q_quality_classifier_fit(spark, sf_dir):
+    """Model-based quality filtering, FIT: a logistic scorer distilled
+    from the rule-based composite via deterministic full-batch GD
+    (3 unrolled steps, lr 2.0, algebraic sigmoid). The oracle replays
+    the ENTIRE trajectory — feature rounding, gradient decimal sums,
+    per-step weight rounding — so the weights themselves are
+    value-checked, not just the output shape (the kmeans pattern
+    applied to supervised fitting)."""
+    return textanalysis.quality_classifier_fit(
+        _t(spark, sf_dir, "documents"),
+        n_steps=_LOGREG_STEPS,
+        lr=_LOGREG_LR,
+    )
+
+
+@_register(
+    "quality_classifier_score",
+    f"""
+    WITH {_logreg_ctes(_LOGREG_STEPS, _LOGREG_LR)},
+    sf AS (
+      SELECT d.doc_id, f.x1, f.x2, f.x3, f.x4
+      FROM (SELECT doc_id, alpha_ratio AS x1, digit_ratio AS x2,
+                   round(least(n_tokens / 100.0, 1.0), 6) AS x3,
+                   round(least(mean_tok_len / 10.0, 1.0), 6) AS x4
+            FROM q) f JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id,
+           round(0.5 + (w.wb + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4)
+                 / (2.0*(1.0+abs(w.wb + w.w1*x1 + w.w2*x2 + w.w3*x3
+                                 + w.w4*x4))), 6) AS score,
+           round(0.5 + (w.wb + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4)
+                 / (2.0*(1.0+abs(w.wb + w.w1*x1 + w.w2*x2 + w.w3*x3
+                                 + w.w4*x4))), 6) > 0.5 AS keep
+    FROM sf, w{_LOGREG_STEPS} w
+    """,
+)
+def q_quality_classifier_score(spark, sf_dir):
+    """Model-based quality filtering, SCORE: the fitted weights (O(k)
+    driver state) applied corpus-wide in one map-only projection;
+    NULL-text docs carry NULL score/keep (unknown features propagate,
+    they are not fabricated zeros)."""
+    return textanalysis.quality_classifier_score(
+        _t(spark, sf_dir, "documents"),
+        n_steps=_LOGREG_STEPS,
+        lr=_LOGREG_LR,
     )

@@ -212,6 +212,37 @@ def test_levenshtein_is_codepoint_faithful(spark):
     assert out == [1, 1, 4]
 
 
+def test_quality_classifier_learns_the_rule(spark):
+    """The distilled scorer must actually separate: docs the rule
+    labels good score higher than docs it labels bad, and keep/score
+    are NULL (not fabricated) for NULL text."""
+    from data_pipeline2_spark.operators import textanalysis as ta
+
+    good = "the quick brown fox jumps over the lazy dog " * 30
+    bad = "0123456789 4242 777 " * 25
+    rows = [(i, good) for i in range(12)] + [
+        (100 + i, bad) for i in range(12)
+    ] + [(999, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ta.quality_classifier_score(docs).collect()}
+    assert len(out) == 25
+    assert out[0].score > out[100].score
+    assert out[999].score is None and out[999].keep is None
+    w = {r.feature: r.weight for r in ta.quality_classifier_fit(docs).collect()}
+    assert set(w) == {"bias", "alpha_ratio", "digit_ratio", "tok_sat", "len_sat"}
+    # the rule rewards alphabetic mass and punishes digits: the
+    # distilled weights must point the same way
+    assert w["alpha_ratio"] > 0 and w["digit_ratio"] < 0
+
+
+def test_quality_classifier_empty_corpus_raises(spark):
+    from data_pipeline2_spark.operators import textanalysis as ta
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        ta.quality_classifier_fit(empty)
+
+
 def test_no_control_chars_expectation(spark):
     """ASCII whitespace passes; C0 controls outside it (and DEL, and
     NULL text under the unevaluable-fails-loudly rule) violate."""

@@ -34,6 +34,9 @@ EXPECTED_RAISE = {
     "knn_batch_ivfpq": "kmeans_fit",
     "knn_batch_sq8": "knn_batch_sq8",
     "pca_project": "pca_fit",
+    # fitting a quality scorer on nothing is undefined, same contract
+    "quality_classifier_fit": "empty corpus",
+    "quality_classifier_score": "empty corpus",
 }
 
 TABLES = (
