@@ -110,6 +110,8 @@ OPS = [
                               # rewrite, the foreachBatch lake pattern
     "semdedup",               # Lloyd's trajectory (O(k·dim) driver
                               # state) + cluster-keyed cosine join
+    "quality_classifier_score",  # 3 GD steps = 3 map-only scans + 1-row
+                              # aggs; score = map-only projection
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 
