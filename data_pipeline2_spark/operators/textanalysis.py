@@ -258,6 +258,117 @@ def quality_classifier_score(
     )
 
 
+DSIR_SCALE = 10_000_000_000.0  # ln integerization (char_entropy idiom)
+
+
+def dsir_weights(
+    documents: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023) → (doc_id, n_tokens, dsir_weight, selected) for every doc
+    with at least one token: per-doc average log importance ratio
+    between the TARGET distribution (the docs in `target`, a (doc_id)
+    frame naming the in-domain seed set) and the RAW distribution,
+    under a hashed unigram bag-of-words model with Laplace smoothing —
+    the published recipe's hashed-ngram variant, the scalable form.
+
+    weight_doc = mean over tokens of ln( p_target(b) / p_raw(b) ),
+    b = md5-hash bucket of the token; selected = weight > 0 (the doc
+    looks more target-like than raw-like). Docs with no tokens carry
+    no distributional evidence and are not emitted (route them to the
+    expectation gates, not to a fabricated weight).
+
+    Determinism contract: the 2·n_buckets bucket counts reduce in one
+    hash aggregation; the log ratios are computed JVM-side on that
+    n_buckets-row frame and INTEGERIZED (floor(ln·1e10) as BIGINT —
+    the char_entropy idiom that makes cross-engine ln noise
+    sub-observable), collected to the driver (O(n_buckets) state,
+    never rows), and applied map-only as an inlined lookup array; the
+    per-doc sum is exact integer arithmetic, so partition order can
+    never move a weight.
+
+    Scale shape: one explode + one (bucket) aggregation over corpus
+    tokens (map-side partials, n_buckets-bounded exchange), a
+    broadcast semi-flag against the target ids, then one map-only
+    scoring pass with a groupBy(doc) exact-integer sum — no join
+    against a corpus-sized side anywhere.
+    """
+    md5h = F.md5(F.col("tok"))
+    bucket = (
+        F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).cast("int")
+    toks = (
+        documents.filter(
+            F.col(text_col).isNotNull()
+            & (F.length(F.trim(F.col(text_col))) > 0)
+        )
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .select("doc_id", bucket.alias("b"))
+    )
+    tgt = target.select(F.col(id_col).alias("doc_id")).distinct()
+    flagged = toks.join(
+        F.broadcast(tgt.withColumn("__t", F.lit(1))), "doc_id", "left"
+    )
+    bc = flagged.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.col("__t")).alias("ct"),
+    )
+    tots = bc.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    lr_rows = (
+        bc.crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    (
+                        (F.col("ct") + 1).cast("double")
+                        / (F.col("tt") + n_buckets)
+                    )
+                    / (
+                        (F.col("cr") + 1).cast("double")
+                        / (F.col("tr") + n_buckets)
+                    )
+                )
+                * F.lit(DSIR_SCALE)
+            )
+            .cast("long")
+            .alias("lrv"),
+        )
+        .collect()
+    )
+    lr = {r.b: r.lrv for r in lr_rows}
+    # buckets no token hashed into never occur in `toks`; 0 placeholder
+    lut = F.array(
+        *[F.lit(int(lr.get(b, 0))).cast("long") for b in range(n_buckets)]
+    )
+    scored = toks.select(
+        "doc_id", F.element_at(lut, F.col("b") + 1).alias("lrv")
+    )
+    w = F.round(
+        (F.col("s").cast("double") / F.col("n")) / F.lit(DSIR_SCALE), 6
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("lrv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            w.alias("dsir_weight"),
+            (w > 0).alias("selected"),
+        )
+    )
+
+
 def text_stats(
     documents: DataFrame,
     group_col: str = "lang",

@@ -361,3 +361,56 @@ def q_quality_classifier_score(spark, sf_dir):
         n_steps=_LOGREG_STEPS,
         lr=_LOGREG_LR,
     )
+
+
+def _dsir_sql() -> str:
+    from data_pipeline2_spark.registry.text_sampling import _QUALITY_SQL
+
+    return f"""
+    WITH q AS ({_QUALITY_SQL}),
+    tgt AS (SELECT doc_id FROM q WHERE quality > 0.5),
+    toks AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INT) AS b
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text), ' '),
+                                                '\\s+')) AS tok
+            FROM documents
+            WHERE text IS NOT NULL AND len(trim(text, ' ')) > 0)
+    ),
+    bc AS (
+      SELECT b, count(*) AS cr,
+             count(CASE WHEN t.doc_id IS NOT NULL THEN 1 END) AS ct
+      FROM toks LEFT JOIN tgt t USING (doc_id) GROUP BY b
+    ),
+    tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM bc),
+    lr AS (
+      SELECT b, CAST(floor(ln(((ct + 1)::DOUBLE / (tt + 64))
+                              / ((cr + 1)::DOUBLE / (tr + 64)))
+                           * 10000000000.0) AS BIGINT) AS lrv
+      FROM bc, tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round((CAST(sum(lrv) AS DOUBLE) / count(*))
+                 / 10000000000.0, 6) AS dsir_weight,
+           round((CAST(sum(lrv) AS DOUBLE) / count(*))
+                 / 10000000000.0, 6) > 0 AS selected
+    FROM toks JOIN lr USING (b) GROUP BY doc_id
+    """
+
+
+@_register("dsir_weights", _dsir_sql())
+def q_dsir_weights(spark, sf_dir):
+    """DSIR (Xie et al. 2023): per-doc importance weight of the raw
+    corpus against the in-domain target set (here: the rule-passing
+    quality docs — the seed-set bootstrap, same stance as the
+    classifier key) under hashed-unigram bag-of-words with Laplace
+    smoothing. The integerized log-ratio table (64 buckets) makes the
+    ln cross-engine-safe (char_entropy idiom); per-doc sums are exact
+    integer arithmetic, so the weight — and the selected verdict — is
+    partition-order-proof and fully value-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    target = textanalysis.quality_score(docs).filter(
+        F.col("quality") > 0.5
+    )
+    return textanalysis.dsir_weights(docs, target)

@@ -235,6 +235,34 @@ def test_quality_classifier_learns_the_rule(spark):
     assert w["alpha_ratio"] > 0 and w["digit_ratio"] < 0
 
 
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """Importance weights must order docs by target-likeness: a doc
+    written in the target's vocabulary outweighs one written in the
+    raw-only vocabulary; weights are exact-integer sums, so repeated
+    runs agree bit-for-bit."""
+    from data_pipeline2_spark.operators import textanalysis as ta
+
+    tgt_vocab = "alpha beta gamma delta epsilon zeta"
+    raw_vocab = "one two three four five six"
+    rows = (
+        [(i, tgt_vocab) for i in range(10)]
+        + [(100 + i, raw_vocab) for i in range(10)]
+        + [(200, tgt_vocab + " " + raw_vocab)]  # mixed
+        + [(300, None), (301, "   ")]           # no tokens: not emitted
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id") < 10).select("doc_id")
+    out = {r.doc_id: r for r in ta.dsir_weights(docs, target).collect()}
+    assert 300 not in out and 301 not in out
+    assert out[0].dsir_weight > out[200].dsir_weight > out[100].dsir_weight
+    assert out[0].selected and not out[100].selected
+    again = {
+        r.doc_id: r.dsir_weight
+        for r in ta.dsir_weights(docs, target).collect()
+    }
+    assert again == {k: v.dsir_weight for k, v in out.items()}
+
+
 def test_quality_classifier_empty_corpus_raises(spark):
     from data_pipeline2_spark.operators import textanalysis as ta
 
