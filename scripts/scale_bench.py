@@ -112,6 +112,8 @@ OPS = [
                               # state) + cluster-keyed cosine join
     "quality_classifier_score",  # 3 GD steps = 3 map-only scans + 1-row
                               # aggs; score = map-only projection
+    "dsir_weights",           # one bucket agg (n_buckets-bounded
+                              # exchange) + map-only integer scoring
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 
