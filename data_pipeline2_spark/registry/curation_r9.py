@@ -1,5 +1,16 @@
-"""Round-9 registry keys: the capped SimHash pair join and the
-streaming-CDC batch-parity key.
+"""Round-9 registry keys: the capped SimHash pair join, the
+streaming-CDC batch-parity key, and the data-selection completions —
+SemDeDup (`semdedup`), the distilled quality classifier
+(`quality_classifier_fit`/`_score`), DSIR importance resampling
+(`dsir_weights`) — plus the documents-table expectation suite
+(`text_expectations`) that makes the engine's ASCII-whitespace
+contract total. Together the curation story now spans the published
+lineup: rule filters (Gopher/C4, earlier rounds) → model-based
+scoring (logistic distillation, the GPT-3/LLaMA move) → importance
+resampling (DSIR) → lexical dedup (minhash/simhash/exact-substring) →
+semantic dedup (SemDeDup). Every fit here is a deterministic
+trajectory the DuckDB oracle unrolls (the kmeans pattern), so weights
+and verdicts are value-checked, not just shapes.
 
 `simhash_pairs_capped` exports the hot-bucket df-cap as its own
 contract (VERDICT r8 item 1): the uncapped `simhash_pairs` key keeps
