@@ -146,11 +146,14 @@ def q_cdc_upsert_stream(spark, sf_dir):
     table = os.path.join(tmp, "table")
     ckpt = os.path.join(tmp, "ckpt")
     # three micro-batch files; append-mode writes land as distinct
-    # part files in one directory, each a single-file batch
+    # part files in one directory, each a single-file batch. pmod, not
+    # %: Spark's % keeps the dividend's sign, so a negative key would
+    # match NO partition and silently vanish from the feed while the
+    # oracle (which has no partitioning step) still merges it
     for p in range(3):
-        changes.filter(F.col("uid") % 3 == p).coalesce(1).write.mode(
-            "append"
-        ).parquet(feed)
+        changes.filter(F.pmod(F.col("uid"), F.lit(3)) == p).coalesce(
+            1
+        ).write.mode("append").parquet(feed)
     stream = (
         spark.readStream.schema(changes.schema)
         .option("maxFilesPerTrigger", 1)
