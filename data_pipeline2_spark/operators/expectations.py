@@ -149,9 +149,14 @@ def finite(col: str):
 
 def no_control_chars(col: str):
     """Violations = text containing C0/DEL control characters OTHER
-    than the engine's ASCII whitespace set (\\t \\n \\r \\x0b \\x0c are
-    legitimate whitespace; \\x00-\\x08, \\x0e-\\x1f, \\x7f are producer
-    bugs — encoding damage, binary spill into a text column).
+    than the PORTABLE whitespace set (\\t \\n \\f \\r are legitimate;
+    \\x00-\\x08, \\x0e-\\x1f, \\x7f are producer bugs — encoding
+    damage, binary spill into a text column — and \\x0b (VT) is ruled
+    out with them for a sharper reason: VT is whitespace to Java and
+    Python regex but NOT to RE2, so no portable tokenization of a
+    VT-bearing text exists — Spark would split a word where the DuckDB
+    oracle keeps it whole. \\f sits in ALL three dialects' \\s and
+    stays legal).
 
     This is the gate that makes the engine's ASCII-whitespace contract
     (functions/text.py:ASCII_WS) total: trim/split/blank semantics are
@@ -161,5 +166,5 @@ def no_control_chars(col: str):
     unevaluable-fails-loudly rule); pair with `not_null` to tell the
     two apart.
     """
-    ok = ~F.col(col).rlike("[\\x00-\\x08\\x0e-\\x1f\\x7f]")
+    ok = ~F.col(col).rlike("[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f]")
     return (f"no_control_chars({col})", "no_control_chars", _viol_count(ok))

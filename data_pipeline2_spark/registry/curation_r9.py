@@ -225,7 +225,7 @@ def q_semdedup(spark, sf_dir):
              count(*) - count(DISTINCT doc_id) AS v_unique,
              count(*) - count(text) AS v_notnull,
              count(*) - count(CASE WHEN NOT regexp_matches(text,
-                 '[\x00-\x08\x0e-\x1f\x7f]') THEN 1 END) AS v_ctrl,
+                 '[\x00-\x08\x0b\x0e-\x1f\x7f]') THEN 1 END) AS v_ctrl,
              CASE WHEN count(*) - count(lang) > count(*) * 0.1
                   THEN count(*) - count(lang) ELSE 0 END AS v_langfrac,
              count(*) - count(CASE WHEN n_chars BETWEEN 0 AND 100000000
