@@ -827,3 +827,422 @@ def char_entropy(
         "entropy",
         (F.col("entropy") < F.lit(float(min_entropy))).alias("low_entropy"),
     )
+
+
+# ------------------------------------------------------------------ r9b:
+# block-granular keep-first dedup, stupid-backoff LM scoring, CCNet-style
+# perplexity bucketing, lexicon blocklist tagging
+
+
+def block_dedup_keep_first(
+    documents: DataFrame,
+    width: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact dedup of fixed-width token blocks with
+    KEEP-FIRST semantics → (doc_id, n_blocks, kept_blocks,
+    dropped_blocks, tokens_removed, kept_checksum).
+
+    The paragraph-dedup arm of the published curation recipes (Dolma's
+    paragraph dedup; RefinedWeb §3.3's exact substring pass runs at
+    span granularity — `exact_substring_spans` here — while this is
+    the cheap block-granular form): each document is cut into
+    non-overlapping `width`-token blocks (lowercased, whitespace
+    tokens; the trailing partial block is not dedup-eligible and is
+    excluded from the accounting), every block occurrence whose
+    fingerprint has been seen EARLIER in corpus order is dropped, and
+    the first occurrence — minimal (doc_id, block_idx) — survives.
+    Unlike `dedup_exact`/`chunk_dedup` (set-distinct semantics) the
+    contract here is positional: WHICH occurrence survives is part of
+    the output, pinned by `kept_checksum` = Σ over kept blocks of
+    (fingerprint mod 2^32)·(block_idx+1) — a position-weighted BIGINT
+    sum that is associative (order-free) yet changes if a different
+    occurrence had been kept. Documents with no full block emit no row.
+
+    Occurrence order is encoded as pos = doc_id·10^6 + block_idx
+    (valid while block_idx < 10^6 and doc_id < 9.2·10^12 — a 100 TB
+    lake with larger ids swaps in a struct-min, same plan shape).
+
+    Scale shape: blocks fingerprint map-side inside one projection
+    (never shuffling block text), then ONE aggregation keyed on the
+    60-bit fingerprint (min-pos per block — partial min map-side) and
+    one fingerprint-keyed join back, followed by the per-doc rollup —
+    3 hash exchanges total, each carrying ~24 B rows. Skewed (template)
+    blocks concentrate on one fingerprint but min() partials absorb
+    them map-side, the same argument as dedup_exact's sha groupBy.
+    """
+    t = F.col(text_col)
+    w = int(width)
+    docs = documents.filter(t.isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens(t), lambda x: F.lower(x)).alias("ws"),
+    )
+    n_full = F.floor(F.size("ws") / w).cast("int")
+    blocks = (
+        docs.filter(F.size("ws") >= w)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_full - 1)).alias("block_idx"),
+            F.col("ws"),
+        )
+        .select(
+            "doc_id",
+            "block_idx",
+            shingle_hash64(
+                F.concat_ws(
+                    " ", F.slice("ws", F.col("block_idx") * w + 1, w)
+                )
+            ).alias("blk_h"),
+        )
+    )
+    pos = (F.col("doc_id") * F.lit(1_000_000) + F.col("block_idx")).cast(
+        "long"
+    )
+    hashed = blocks.withColumn("__pos", pos)
+    first = hashed.groupBy("blk_h").agg(F.min("__pos").alias("__keep_pos"))
+    flagged = hashed.join(first, "blk_h").withColumn(
+        "__kept", F.col("__pos") == F.col("__keep_pos")
+    )
+    kept_term = F.when(
+        F.col("__kept"),
+        F.pmod(F.col("blk_h"), F.lit(4_294_967_296))
+        * (F.col("block_idx") + 1),
+    ).otherwise(F.lit(0))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.col("__kept").cast("long"))
+            .cast("long")
+            .alias("kept_blocks"),
+            F.sum(kept_term).cast("long").alias("kept_checksum"),
+        )
+        .select(
+            "doc_id",
+            "n_blocks",
+            "kept_blocks",
+            (F.col("n_blocks") - F.col("kept_blocks"))
+            .cast("long")
+            .alias("dropped_blocks"),
+            ((F.col("n_blocks") - F.col("kept_blocks")) * w)
+            .cast("long")
+            .alias("tokens_removed"),
+            "kept_checksum",
+        )
+    )
+
+
+# stupid-backoff discount (Brants et al. 2007 §3's recommended 0.4),
+# embedded as ONE Python-computed double literal on both engines so no
+# engine-side ln(0.4) enters the parity surface
+_SB_LOG_ALPHA = -0.916290731874155  # math.log(0.4)
+
+
+def stupid_backoff_logprob(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Held-out trigram LM scoring with Stupid Backoff (Brants et al.
+    2007, "Large Language Models in Machine Translation" — THE
+    published distributed-LM scoring scheme, designed for exactly this
+    kind of MapReduce-era counts-table layout) → (doc_id, n_trigrams,
+    hits3, hits2, hits1, logprob_sum_scaled, avg_logprob).
+
+    Counts fit on the EVEN doc_ids; the ODD half is scored — unlike
+    `unigram_logprob`/`bigram_logprob` (corpus self-scoring, every
+    n-gram seen) the backoff branches genuinely fire here (~60% of
+    held-out trigrams at sf0.01). Per position i≥2 over the held-out
+    token stream, with C(·) the training counts:
+
+      S(w3|w1w2) = C(w1w2w3)/C(w1w2)            if C(w1w2w3) > 0
+                 = α · C(w2w3)/C(w2)            elif C(w2w3) > 0
+                 = α² · (C(w3)+1)/(N+V)         otherwise
+
+    α = 0.4 (Brants §3). The base case add-one-smooths the unigram so
+    out-of-vocabulary w3 stays finite (Brants leaves OOV undefined —
+    the deviation is this one term). ln terms integerize FIRST
+    (floor(ln·1e10) as BIGINT, the unigram_logprob idiom) so sums are
+    associative and partition-order-free; ln(α) enters as the one
+    shared Python double literal, never engine-evaluated.
+
+    Scale shape: the three counts tables aggregate once each off a
+    single exploded training stream (n-gram-keyed, Zipf heads absorbed
+    by map-side partials + AQE skew-join); the held-out stream derives
+    (w1,w2,w3) from two lag windows clustered by doc hash, then chains
+    four LEFT joins against the counts (each key-partitioned, nothing
+    corpus-cross). At 100 TB the counts tables persist once and every
+    scoring batch reuses them — the Brants architecture verbatim.
+    """
+    from pyspark.sql.window import Window
+
+    from data_pipeline2_spark.plans.partitioning import ensure_parallelism
+
+    t = F.col(text_col)
+    base = documents.filter(t.isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.transform(tokens(t), lambda x: F.lower(x))).alias(
+            "p", "w"
+        ),
+    )
+    train = base.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    held = ensure_parallelism(
+        documents.filter(
+            t.isNotNull() & (F.pmod(F.col(id_col), F.lit(2)) == 1)
+        ),
+        id_col,
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.transform(tokens(t), lambda x: F.lower(x))).alias(
+            "p", "w3"
+        ),
+    )
+
+    # the counts tables are consumed by multiple joins below (uni twice,
+    # bi twice) and by the N/V aggregate — checkpoint each so the train
+    # stream aggregates exactly once per order, the in-session form of
+    # "counts tables persist once, every scoring batch reuses them"
+    uni = (
+        train.groupBy(F.col("w").alias("u_w"))
+        .agg(F.count(F.lit(1)).alias("c_u"))
+        .localCheckpoint(eager=True)
+    )
+    win = Window.partitionBy("doc_id").orderBy("p")
+    tr_seq = train.select(
+        "doc_id",
+        "p",
+        F.lag("w", 2).over(win).alias("w1"),
+        F.lag("w", 1).over(win).alias("w2"),
+        F.col("w").alias("w3"),
+    )
+    bi = (
+        tr_seq.filter(F.col("w2").isNotNull())
+        .groupBy(F.col("w2").alias("b_w1"), F.col("w3").alias("b_w2"))
+        .agg(F.count(F.lit(1)).alias("c_b"))
+        .localCheckpoint(eager=True)
+    )
+    tri = (
+        tr_seq.filter(F.col("w1").isNotNull())
+        .groupBy(
+            F.col("w1").alias("t_w1"),
+            F.col("w2").alias("t_w2"),
+            F.col("w3").alias("t_w3"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    # N = Σ counts, V = |vocab| — off the already-aggregated unigram
+    # table, never a count_distinct expand over the raw stream
+    nv = uni.agg(
+        F.sum("c_u").cast("long").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("__v"),
+    )
+
+    hw = Window.partitionBy("doc_id").orderBy("p")
+    stream = (
+        held.select(
+            "doc_id",
+            "p",
+            F.lag("w3", 2).over(hw).alias("w1"),
+            F.lag("w3", 1).over(hw).alias("w2"),
+            "w3",
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    scored = (
+        stream.join(
+            tri,
+            (F.col("w1") == F.col("t_w1"))
+            & (F.col("w2") == F.col("t_w2"))
+            & (F.col("w3") == F.col("t_w3")),
+            "left",
+        )
+        .join(
+            bi.withColumnRenamed("c_b", "c_23"),
+            (F.col("w2") == F.col("b_w1")) & (F.col("w3") == F.col("b_w2")),
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("b_w1").alias("x_w1"),
+                F.col("b_w2").alias("x_w2"),
+                F.col("c_b").alias("c_12"),
+            ),
+            (F.col("w1") == F.col("x_w1")) & (F.col("w2") == F.col("x_w2")),
+            "left",
+        )
+        .join(
+            uni.select(F.col("u_w").alias("u2"), F.col("c_u").alias("c_2")),
+            F.col("w2") == F.col("u2"),
+            "left",
+        )
+        .join(
+            uni.select(F.col("u_w").alias("u3"), F.col("c_u").alias("c_3")),
+            F.col("w3") == F.col("u3"),
+            "left",
+        )
+        .crossJoin(F.broadcast(nv))
+    )
+    log_a = F.lit(_SB_LOG_ALPHA)
+    term_f = (
+        F.when(
+            F.col("c_t").isNotNull(),
+            F.log(F.col("c_t").cast("double") / F.col("c_12").cast("double")),
+        )
+        .when(
+            F.col("c_23").isNotNull(),
+            log_a
+            + F.log(
+                F.col("c_23").cast("double") / F.col("c_2").cast("double")
+            ),
+        )
+        .otherwise(
+            log_a
+            + log_a
+            + F.log(
+                (F.coalesce(F.col("c_3"), F.lit(0)) + 1).cast("double")
+                / (F.col("__n") + F.col("__v")).cast("double")
+            )
+        )
+    )
+    term = F.floor(term_f * F.lit(float(_LOGPROB_SCALE))).cast("long")
+    level = F.when(F.col("c_t").isNotNull(), 3).when(
+        F.col("c_23").isNotNull(), 2
+    ).otherwise(1)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum((level == 3).cast("long")).cast("long").alias("hits3"),
+            F.sum((level == 2).cast("long")).cast("long").alias("hits2"),
+            F.sum((level == 1).cast("long")).cast("long").alias("hits1"),
+            F.sum(term).cast("long").alias("logprob_sum_scaled"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "hits3",
+            "hits2",
+            "hits1",
+            "logprob_sum_scaled",
+            F.round(
+                F.col("logprob_sum_scaled")
+                / F.lit(float(_LOGPROB_SCALE))
+                / F.col("n_trigrams"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def perplexity_buckets(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    2020 §4.3: rank documents by LM perplexity, split the corpus into
+    equal thirds, keep "head" as the cleanest slice) → (doc_id,
+    n_tokens, score_scaled, ppl_bucket).
+
+    The score is the corpus-unigram avg log-probability integerized at
+    1e6 resolution — score_scaled = floor((Σterm / n_tokens) / 1e4)
+    where term is `unigram_logprob`'s floor(ln p ·1e10) BIGINT — so
+    bucket boundaries compare INTEGERS, never floats. Buckets assign
+    per score VALUE (all docs tied on a score land in one bucket):
+    with cum(s) = #docs scoring ≥ s, a value s is head when
+    3·cum(s) ≤ total, middle when 3·cum(s) ≤ 2·total, else tail —
+    exact integer thirds, deterministic under ties, no per-row rank.
+    Higher avg logprob = lower perplexity = head, per CCNet.
+
+    Scale shape: the per-doc scores reuse unigram_logprob's two
+    exchanges; bucketing adds ONE aggregation to the distinct-score
+    table and a window + join over THAT table only — the cumulative
+    sort runs over distinct integer scores, orders of magnitude
+    smaller than the corpus (a 100 TB run that saturates the 1e6-grid
+    score space still sorts ≤ a few million rows on one task; the
+    approx-quantile shortcut exists as `approx_quantiles` when even
+    that is unwanted). Docs never globally sort.
+    """
+    from pyspark.sql.window import Window
+
+    u = unigram_logprob(documents, id_col=id_col, text_col=text_col)
+    # per-doc integer scores feed BOTH the bucket-map derivation and the
+    # final labeling join; checkpoint so the unigram subtree (token
+    # explode + counts join) executes once, not twice (the ~20 B/doc
+    # score rows are the cheapest possible reuse point)
+    scored = u.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (
+                F.col("logprob_sum_scaled").cast("double")
+                / F.col("n_tokens").cast("double")
+            )
+            / F.lit(10_000.0)
+        )
+        .cast("long")
+        .alias("score_scaled"),
+    ).localCheckpoint(eager=True)
+    counts = scored.groupBy("score_scaled").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    cw = (
+        Window.orderBy(F.desc("score_scaled"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = counts.agg(F.sum("__c").alias("__total"))
+    buckets = (
+        counts.withColumn("__cum", F.sum("__c").over(cw))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("score_scaled").alias("__s"),
+            F.when(3 * F.col("__cum") <= F.col("__total"), "head")
+            .when(3 * F.col("__cum") <= 2 * F.col("__total"), "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )
+    return scored.join(
+        F.broadcast(buckets), scored.score_scaled == F.col("__s")
+    ).select("doc_id", "n_tokens", "score_scaled", "ppl_bucket")
+
+
+def blocklist_stats(
+    documents: DataFrame,
+    lexicon: tuple = ("slow", "big", "merge"),
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexicon-hit tagging and filtering (the C4 §2.2 "bad words list"
+    / RefinedWeb URL-and-wordlist gate, re-expressed over tokens) →
+    (doc_id, n_tokens, n_blocked, blocked_frac, blocked).
+
+    A token hits when its lowercase form is in `lexicon`; a document is
+    `blocked` when the hit fraction (rounded at 6, the comparison
+    input on both engines) strictly exceeds `threshold`. The demo
+    lexicon is three corpus-frequent benign words so both verdicts
+    populate at every SF; production swaps in the real wordlist.
+
+    Scale shape: for a literal-sized lexicon the membership test is a
+    pure Catalyst array filter — MAP-ONLY, zero exchanges, zero UDFs
+    (the plan is a single projection over the scan). A lexicon too
+    large for a literal becomes a broadcast-hash semi-join against the
+    exploded token stream — still no corpus shuffle; both forms keep
+    document text out of every exchange.
+    """
+    t = F.col(text_col)
+    ws = F.transform(tokens(t), lambda x: F.lower(x))
+    hits = F.size(
+        F.filter(ws, lambda x: x.isin(*[str(w) for w in lexicon]))
+    ).cast("long")
+    n = F.size(ws).cast("long")
+    frac = F.round(hits / F.greatest(n, F.lit(1)), 6)
+    return documents.filter(t.isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        hits.alias("n_blocked"),
+        frac.alias("blocked_frac"),
+        (frac > F.lit(float(threshold))).alias("blocked"),
+    )

@@ -114,6 +114,15 @@ OPS = [
                               # aggs; score = map-only projection
     "dsir_weights",           # one bucket agg (n_buckets-bounded
                               # exchange) + map-only integer scoring
+    # round-9b additions
+    "block_dedup_keep_first", # block fingerprint min-agg + join-back:
+                              # shuffle carries ~24 B rows, linear in
+                              # full blocks, block text never exchanges
+    "stupid_backoff_logprob", # uni/bi/tri counts tables (checkpointed
+                              # once) + held-stream count joins — the
+                              # Brants 2007 counts-table layout
+    "perplexity_buckets",     # unigram per-doc scores (checkpointed) +
+                              # distinct-score bucket map broadcast back
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 

@@ -1,0 +1,175 @@
+"""Round-9b operator tests: block-granular keep-first dedup, Stupid
+Backoff held-out LM scoring, CCNet perplexity bucketing, wordlist gate.
+
+Value parity vs DuckDB is covered for every key by test_oracle_parity
+(and the dirty/empty-lake gates pick the keys up automatically); these
+tests pin the SEMANTICS on constructed micro-corpora — which occurrence
+survives, which backoff level fires, which bucket a tie lands in —
+plus the exchange budgets measured at introduction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from data_pipeline2_spark import registry
+from data_pipeline2_spark.operators import quality
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ------------------------------------------------------------- block dedup
+
+
+def test_block_dedup_keeps_first_occurrence_only(spark):
+    blk = " ".join(f"w{i}" for i in range(10))  # one shared 10-token block
+    other = " ".join(f"x{i}" for i in range(10))
+    rows = [
+        (7, blk + " tail1 tail2"),          # first occurrence (doc order)
+        (9, other + " " + blk),             # second occurrence of blk
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in quality.block_dedup_keep_first(_docs(spark, rows)).collect()
+    }
+    # doc 7: 1 full block (trailing 2 tokens not dedup-eligible), kept
+    assert out[7]["n_blocks"] == 1 and out[7]["kept_blocks"] == 1
+    assert out[7]["tokens_removed"] == 0
+    # doc 9: block 0 (other) novel -> kept; block 1 (blk) repeat -> drop
+    assert out[9]["n_blocks"] == 2 and out[9]["kept_blocks"] == 1
+    assert out[9]["dropped_blocks"] == 1 and out[9]["tokens_removed"] == 10
+    # positional checksum: doc 7 kept blk at idx 0; doc 9 kept other at 0
+    assert out[7]["kept_checksum"] == (_h60(blk) % 2**32) * 1
+    assert out[9]["kept_checksum"] == (_h60(other) % 2**32) * 1
+
+
+def test_block_dedup_short_docs_emit_no_row(spark):
+    out = quality.block_dedup_keep_first(
+        _docs(spark, [(1, "only nine tokens a b c d e f"), (2, None)])
+    ).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------- stupid backoff
+
+
+def test_stupid_backoff_levels_and_terms(spark):
+    # train (even id): tokens a b c a b d
+    #   uni: a2 b2 c1 d1 (N=6, V=4); bi: (a,b)2 (b,c)1 (c,a)1 (b,d)1
+    #   tri: (a,b,c) (b,c,a) (c,a,b) (a,b,d) each 1
+    # held (odd id): d a b c x z ->
+    #   (d,a,b): tri miss, bi(a,b)=2/c(a)=2 -> level 2, ln(a)+ln(1)
+    #   (a,b,c): tri 1 / bi(a,b) 2         -> level 3, ln(1/2)
+    #   (b,c,x): bi(c,x) miss, c(x)=0      -> level 1, 2ln(a)+ln(1/10)
+    #   (c,x,z): bi(x,z) miss, c(z)=0      -> level 1, 2ln(a)+ln(1/10)
+    rows = [(0, "a b c a b d"), (1, "d a b c x z")]
+    out = quality.stupid_backoff_logprob(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["doc_id"] == 1 and r["n_trigrams"] == 4
+    assert (r["hits3"], r["hits2"], r["hits1"]) == (1, 1, 2)
+    la = quality._SB_LOG_ALPHA
+    s = quality._LOGPROB_SCALE
+
+    def term(x):
+        return math.floor(x * s)
+
+    expected = (
+        term(la + math.log(2.0 / 2.0))
+        + term(math.log(1.0 / 2.0))
+        + 2 * term(la + la + math.log(1.0 / 10.0))
+    )
+    assert r["logprob_sum_scaled"] == expected
+
+
+def test_stupid_backoff_negative_ids_use_pmod_residue(spark):
+    # -2 is an even residue (train), -1 odd (scored): negative ids must
+    # not silently vanish from the split
+    rows = [(-2, "a b c a b c"), (-1, "a b c")]
+    out = quality.stupid_backoff_logprob(_docs(spark, rows)).collect()
+    assert [r["doc_id"] for r in out] == [-1]
+    assert out[0]["hits3"] == 1  # (a,b,c) seen in training
+
+
+# ------------------------------------------------------ perplexity buckets
+
+
+def test_perplexity_buckets_thirds_and_tie_handling(spark):
+    # 9 docs, 3 score classes by construction: docs repeating one rare
+    # word score lowest; ties (same integer score) share one bucket
+    common = "t " * 30  # 't' dominates the unigram table
+    rows = (
+        [(i, common + "u u u") for i in range(3)]        # frequent tail word
+        + [(i + 3, common + "v v") for i in range(3)]    # mid
+        + [(i + 6, common) for i in range(3)]            # pure head
+    )
+    out = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in quality.perplexity_buckets(
+            _docs(spark, [(d, t.strip()) for d, t in rows])
+        ).collect()
+    }
+    assert len(set(out[i] for i in range(3))) == 1
+    assert len(set(out[i + 3] for i in range(3))) == 1
+    assert len(set(out[i + 6] for i in range(3))) == 1
+    buckets = {out[0], out[3], out[6]}
+    assert buckets == {"head", "middle", "tail"}
+    # pure-common docs have the highest avg logprob -> head (CCNet: the
+    # cleanest slice), the rare-word docs -> tail
+    assert out[6] == "head" and out[0] == "tail"
+
+
+# ----------------------------------------------------------- blocklist
+
+
+def test_blocklist_filter_threshold_semantics(spark):
+    rows = [
+        (1, "slow slow merge clean"),  # 3/4 = 0.75 -> blocked
+        (2, "clean words only here"),  # 0 -> not blocked
+        (3, "   "),                    # blank -> 0 tokens, not blocked
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in quality.blocklist_stats(_docs(spark, rows)).collect()
+    }
+    assert out[1]["blocked"] and out[1]["n_blocked"] == 3
+    assert not out[2]["blocked"] and out[2]["n_blocked"] == 0
+    assert out[3]["n_tokens"] == 0 and not out[3]["blocked"]
+
+
+# ------------------------------------------------------- exchange budgets
+
+BUDGET_R9B = {
+    "block_dedup_keep_first": 2,   # fingerprint min-agg + per-doc rollup
+                                   # (join-back rides the agg partitioning)
+    "stupid_backoff_logprob": 3,   # held window + per-doc agg; counts
+                                   # tables aggregate behind checkpoints
+    "perplexity_buckets": 2,       # unigram agg + per-doc join-agg; the
+                                   # bucket map derives from checkpointed
+                                   # scores and broadcasts back
+    "blocklist_filter": 0,         # pure map-only Catalyst projection
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET_R9B))
+def test_exchange_budget_r9b(name, spark):
+    df = registry.queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= BUDGET_R9B[name], (
+        f"{name}: plan has {n} hash/range exchanges, budget is "
+        f"{BUDGET_R9B[name]} — a new shuffle entered this query's plan"
+    )
