@@ -403,13 +403,27 @@ def simhash64(
 ) -> DataFrame:
     """64-bit SimHash per document from token md5s → (doc_id, simhash).
 
-    Bit b of the fingerprint is the sign of sum over tokens of (+1 if
-    bit b of md5(token) set else -1); the 64 bits come from two 32-bit
-    halves of the digest (conv(hex,16,10) keeps it JVM-side). Near-dup
-    = hamming distance on the result. Uses the canonical tokens()
-    (blank documents yield no tokens and are excluded, rather than all
-    colliding on md5('')).
+    Bit b of the fingerprint is the majority of bit b over the doc's
+    token md5s (equivalently Charikar's sign-of-±1-sum: 2·count_b > n);
+    the 64 bits come from two 32-bit halves of the digest
+    (conv(hex,16,10) keeps it JVM-side). Near-dup = hamming distance on
+    the result. Uses the canonical tokens() (blank documents yield no
+    tokens and are excluded, rather than all colliding on md5('')).
+
+    The per-position counts accumulate PACKED: two 32-bit lanes per
+    long, 32 packed sum columns instead of 64 — lanes cannot carry into
+    each other below 2^32 tokens/doc, and the majority test unpacks
+    each lane after aggregation. Bit-identical to the naive 64-column
+    ±1 formulation (equality pinned in test_dedup_similarity; the
+    registry oracles independently replay the unpacked majority rule),
+    but the aggregate schema is half the width and the per-row
+    projection a quarter the expressions — measured 0.6× the wall of
+    the 64-column form at sf0.1 (BENCH_NOTES round 9b), where Catalyst
+    analysis of the 65-column aggregate was half the operator's cost.
     """
+    lane_bits, lanes_per_long = 32, 2
+    n_packed = 64 // lanes_per_long
+    lane_mask = (1 << lane_bits) - 1
     toks = documents.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
@@ -417,25 +431,36 @@ def simhash64(
     md5h = F.md5(F.col("tok"))
     h_lo = F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long")
     h_hi = F.conv(F.substring(md5h, 9, 8), 16, 10).cast("long")
-    with_bits = toks.select(
-        "doc_id",
-        *[
-            F.when(
-                F.shiftright(h_lo if b < 32 else h_hi, b % 32).bitwiseAND(F.lit(1))
-                == 1,
-                1,
-            )
-            .otherwise(-1)
-            .alias(f"b{b}")
-            for b in range(64)
-        ],
-    )
-    sums = with_bits.groupBy("doc_id").agg(
-        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(64)]
+
+    def _bit(b):
+        src = h_lo if b < 32 else h_hi
+        return F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
+
+    packed = [
+        sum(
+            [
+                F.shiftleft(_bit(lanes_per_long * g + j), lane_bits * j)
+                for j in range(lanes_per_long)
+            ],
+            F.lit(0).cast("long"),
+        ).alias(f"p{g}")
+        for g in range(n_packed)
+    ]
+    sums = (
+        toks.select("doc_id", *packed)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.sum(f"p{g}").alias(f"q{g}") for g in range(n_packed)],
+        )
     )
     fingerprint = None
     for b in range(64):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+        g, j = divmod(b, lanes_per_long)
+        cnt = F.shiftrightunsigned(
+            F.col(f"q{g}"), lane_bits * j
+        ).bitwiseAND(F.lit(lane_mask))
+        bit = F.when(cnt * 2 > F.col("__n"), F.lit(1)).otherwise(F.lit(0))
         # bit 63 as a positive power would overflow signed long; the
         # fingerprint is an arbitrary 64-bit pattern, so fold bit 63 in
         # via the sign (two's complement)

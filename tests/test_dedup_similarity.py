@@ -971,3 +971,61 @@ def test_lsh_tuning_curve_shape(spark):
     assert all(a <= b + 1e-12 for a, b in zip(shipped, shipped[1:]))
     assert cur[(16, 2, 0.5)] > 0.85     # shipped banding at threshold
     assert cur[(16, 4, 0.5)] < 0.25     # the rejected 4x4 S-curve
+
+
+def test_simhash64_packed_lanes_match_naive_formulation(spark):
+    """The packed-lane accumulation (two 32-bit lanes per long, 32 sum
+    columns) must be BIT-IDENTICAL to the textbook 64-column ±1-sum
+    SimHash it replaced for speed (BENCH_NOTES round 9b) — including on
+    single-token docs (all-ties: 2·count > n fails at count=n=1 only
+    when the bit is 0) and near-tie majorities."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.functions.text import tokens as _tokens
+
+    rows = [
+        (1, "alpha beta gamma delta alpha beta alpha"),
+        (2, "single"),
+        (3, "x y"),                      # every position an exact tie or 1-1
+        (4, "alpha beta gamma delta alpha beta alphaz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(_tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    md5h = F.md5(F.col("tok"))
+    h_lo = F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long")
+    h_hi = F.conv(F.substring(md5h, 9, 8), 16, 10).cast("long")
+    with_bits = toks.select(
+        "doc_id",
+        *[
+            F.when(
+                F.shiftright(h_lo if b < 32 else h_hi, b % 32).bitwiseAND(
+                    F.lit(1)
+                )
+                == 1,
+                1,
+            )
+            .otherwise(-1)
+            .alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    sums = with_bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(64)]
+    )
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        fp = term if fp is None else fp + term
+    naive = {
+        r.doc_id: r.simhash
+        for r in sums.select("doc_id", fp.alias("simhash")).collect()
+    }
+    packed = {
+        r.doc_id: r.simhash for r in dedup.simhash64(docs).collect()
+    }
+    assert packed == naive
