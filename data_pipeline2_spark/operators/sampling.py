@@ -343,3 +343,119 @@ def mix_token_allocation(
             "satisfied"
         ),
     )
+
+
+def unimax_allocation(
+    documents: DataFrame,
+    budget_frac: float = 0.95,
+    epoch_cap: float = 1.0,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax data-mix allocation (Chung et al. 2023: distribute the
+    token budget as UNIFORMLY as possible across sources, subject to a
+    per-source repeat-epoch cap) → (source, available_tokens,
+    cap_tokens, alloc_tokens, epochs, capped).
+
+    The waterfilling solution in closed form: sort sources ascending
+    by cap_g = floor(epoch_cap · available_g); a source is CAPPED iff
+    cap_g·(n−i+1) + Σ_{j<i} cap_j ≤ B (the condition is monotone along
+    the sort, so the capped set is a prefix, and it is constant across
+    ties — allocation never depends on tie order). Uncapped sources
+    all receive the same water level (B − Σ_capped cap_j) div
+    #uncapped — integer division, floor semantics in both engines; the
+    sub-#uncapped remainder is deliberately left unallocated (a real
+    run hands those few tokens to any source, below packing
+    granularity). The budget here is corpus-relative
+    (B = floor(budget_frac · Σ available)) so both branches populate
+    at every test SF; production passes an absolute budget the same
+    way. epochs = alloc/available is the paper's headline diagnostic
+    (UniMax's point: no source exceeds `epoch_cap` repeats, unlike
+    temperature sampling which over-repeats small sources).
+
+    Scale shape: ONE token-count aggregation over the corpus (map-side
+    partials, vocab-free); everything after operates on the
+    source-level table — tiny by construction (thousands of rows at
+    worst), where the single-partition windows are planning noise.
+    """
+    from data_pipeline2_spark.functions.text import token_count
+
+    avail = (
+        documents.filter(F.col(text_col).isNotNull())
+        .groupBy(F.col(group_col).alias("source"))
+        .agg(
+            F.sum(token_count(F.col(text_col)).cast("long")).alias(
+                "available_tokens"
+            )
+        )
+    )
+    caps = avail.select(
+        "source",
+        "available_tokens",
+        F.floor(
+            F.col("available_tokens").cast("double")
+            * F.lit(float(epoch_cap))
+        )
+        .cast("long")
+        .alias("cap_tokens"),
+    )
+    # corpus-relative budget: one more 1-row aggregate, broadcast back
+    budget = caps.agg(
+        F.floor(
+            F.sum("available_tokens").cast("double")
+            * F.lit(float(budget_frac))
+        )
+        .cast("long")
+        .alias("__budget")
+    )
+    w = Window.orderBy("cap_tokens", "source")
+    ranked = (
+        caps.crossJoin(F.broadcast(budget))
+        .withColumn("__i", F.row_number().over(w))
+        .withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+        )
+        .withColumn(
+            "__cum",
+            F.sum("cap_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    capped = (
+        F.col("cap_tokens") * (F.col("__n") - F.col("__i") + 1)
+        + (F.col("__cum") - F.col("cap_tokens"))
+    ) <= F.col("__budget")
+    flagged = ranked.withColumn("__capped", capped)
+    kstate = flagged.agg(
+        F.max(F.when(F.col("__capped"), F.col("__i")).otherwise(0)).alias(
+            "__k"
+        ),
+        F.max(
+            F.when(F.col("__capped"), F.col("__cum")).otherwise(0)
+        ).alias("__sk"),
+    )
+    out = flagged.crossJoin(F.broadcast(kstate)).withColumn(
+        "__level",
+        F.when(
+            F.col("__n") > F.col("__k"),
+            F.expr("(__budget - __sk) div (__n - __k)"),
+        ).otherwise(F.lit(0)),
+    )
+    alloc = F.when(F.col("__capped"), F.col("cap_tokens")).otherwise(
+        F.col("__level")
+    )
+    return out.select(
+        "source",
+        "available_tokens",
+        "cap_tokens",
+        alloc.cast("long").alias("alloc_tokens"),
+        F.round(
+            alloc.cast("double")
+            / F.greatest(F.col("available_tokens"), F.lit(1)).cast(
+                "double"
+            ),
+            6,
+        ).alias("epochs"),
+        F.col("__capped").alias("capped"),
+    )

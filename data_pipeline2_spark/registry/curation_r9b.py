@@ -205,3 +205,62 @@ _BLOCKLIST_SQL = f"""
 @_register("blocklist_filter", _BLOCKLIST_SQL)
 def q_blocklist_filter(spark, sf_dir):
     return quality.blocklist_stats(_t(spark, sf_dir, "documents"))
+
+
+# UniMax needs the raw (not lowercased) whitespace token COUNT — the
+# same fragment mix_token_allocation's oracle uses
+_WS_COUNT = (
+    "CASE WHEN len(trim(text, ' ')) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text, ' '), '\\s+')) END"
+)
+
+_UNIMAX_SQL = f"""
+    WITH avail AS (
+      SELECT source, sum({_WS_COUNT})::BIGINT AS available_tokens
+      FROM documents WHERE text IS NOT NULL GROUP BY source
+    ), caps AS (
+      SELECT source, available_tokens,
+             CAST(floor(available_tokens::DOUBLE * 1.0) AS BIGINT)
+               AS cap_tokens
+      FROM avail
+    ), b AS (
+      SELECT CAST(floor(sum(available_tokens)::DOUBLE * 0.95) AS BIGINT)
+               AS budget
+      FROM caps
+    ), ranked AS (
+      SELECT caps.*, budget,
+             row_number() OVER (ORDER BY cap_tokens, source) AS i,
+             count(*) OVER () AS n,
+             sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+      FROM caps CROSS JOIN b
+    ), flagged AS (
+      SELECT *,
+             (cap_tokens * (n - i + 1) + (cum - cap_tokens)) <= budget
+               AS capped
+      FROM ranked
+    ), ks AS (
+      SELECT max(CASE WHEN capped THEN i ELSE 0 END) AS k,
+             max(CASE WHEN capped THEN cum ELSE 0 END) AS sk
+      FROM flagged
+    ), alloc AS (
+      SELECT source, available_tokens, cap_tokens, capped,
+             CASE WHEN capped THEN cap_tokens
+                  WHEN n > k THEN CAST((budget - sk) // (n - k) AS BIGINT)
+                  ELSE 0 END AS alloc_tokens
+      FROM flagged CROSS JOIN ks
+    )
+    SELECT source, available_tokens, cap_tokens,
+           alloc_tokens::BIGINT AS alloc_tokens,
+           round(alloc_tokens::DOUBLE
+                 / greatest(available_tokens, 1)::DOUBLE, 6) AS epochs,
+           capped
+    FROM alloc
+    """
+
+
+@_register("unimax_allocation", _UNIMAX_SQL)
+def q_unimax_allocation(spark, sf_dir):
+    from data_pipeline2_spark.operators import sampling
+
+    return sampling.unimax_allocation(_t(spark, sf_dir, "documents"))

@@ -173,3 +173,52 @@ def test_exchange_budget_r9b(name, spark):
         f"{name}: plan has {n} hash/range exchanges, budget is "
         f"{BUDGET_R9B[name]} — a new shuffle entered this query's plan"
     )
+
+
+# ------------------------------------------------------------- unimax
+
+
+def test_unimax_waterfilling_invariants(spark):
+    from data_pipeline2_spark.operators.sampling import unimax_allocation
+
+    # 4 sources: 10, 20, 100, 100 tokens; epoch_cap=1, budget_frac such
+    # that B = floor(0.5 * 230) = 115: sorted caps 10,20,100,100 ->
+    # 10*4+0=40<=115 capped; 20*3+10=70<=115 capped; 100*2+30=230>115
+    # uncapped -> level = (115-30) div 2 = 42
+    rows = []
+    for s, n in [("a", 10), ("b", 20), ("c", 100), ("d", 100)]:
+        rows.append((hash(s) % 100, s, " ".join(["w"] * n)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = {
+        r["source"]: r.asDict()
+        for r in unimax_allocation(docs, budget_frac=0.5).collect()
+    }
+    assert out["a"]["capped"] and out["a"]["alloc_tokens"] == 10
+    assert out["b"]["capped"] and out["b"]["alloc_tokens"] == 20
+    assert not out["c"]["capped"] and out["c"]["alloc_tokens"] == 42
+    assert not out["d"]["capped"] and out["d"]["alloc_tokens"] == 42
+    # UniMax's defining guarantee: no source exceeds the epoch cap
+    assert all(r["epochs"] <= 1.0 + 1e-9 for r in out.values())
+    # budget never exceeded; leftover strictly below #uncapped
+    total = sum(r["alloc_tokens"] for r in out.values())
+    assert total <= 115 and 115 - total < 2
+
+
+def test_unimax_all_capped_when_budget_covers_everything(spark):
+    from data_pipeline2_spark.operators.sampling import unimax_allocation
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "b", "p q")],
+        "doc_id long, source string, text string",
+    )
+    # epoch_cap=2 doubles every cap; a 0.95 budget of available < caps
+    # total, so the smaller source still caps first under level math;
+    # with epoch_cap=0.1 every cap collapses below any fair share
+    out = unimax_allocation(docs, budget_frac=0.95, epoch_cap=0.1).collect()
+    assert all(r["capped"] for r in out)
+    assert {r["source"]: r["alloc_tokens"] for r in out} == {
+        "a": 0,  # floor(0.1*3)=0
+        "b": 0,  # floor(0.1*2)=0
+    }
