@@ -117,3 +117,51 @@ def k_anonymity_audit(
             (F.col("n") >= F.lit(k)).alias("anonymous"),
         )
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """ℓ-diversity audit (Machanavajjhala et al. 2007: k-anonymity's
+    fix for the homogeneity attack) → one row per equivalence class:
+    (quasi cols..., n, n_sensitive_distinct, l_diverse).
+
+    A class is distinct-ℓ-diverse when its SENSITIVE attribute takes at
+    least ℓ different values — a k-anonymous class whose every member
+    shares one sensitive value still leaks it, which is exactly what
+    `k_anonymity_audit` cannot see. NULL sensitive values don't count
+    toward diversity (count-distinct semantics, identical in both
+    engines). Ships the per-class worklist like its k-anonymity
+    sibling: the rows with l_diverse = false are what a release gate
+    suppresses or generalizes.
+
+    Scale shape: one hash aggregation on the quasi tuple with a
+    count-distinct expand on the sensitive column — the expand doubles
+    the shuffled rows of the plain k-audit but stays
+    class-cardinality-bounded after partial aggregation; at 100 TB
+    with a hot class, approx_count_distinct is the documented fallback
+    (the audit only compares against ℓ, so HLL error only matters at
+    the boundary — use exact for release gates, approx for monitoring).
+    """
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(sensitive_col)).alias(
+                "n_sensitive_distinct"
+            ),
+        )
+        .select(
+            *quasi_cols,
+            "n",
+            "n_sensitive_distinct",
+            (F.col("n_sensitive_distinct") >= F.lit(l)).alias("l_diverse"),
+        )
+    )

@@ -264,3 +264,33 @@ def q_unimax_allocation(spark, sf_dir):
     from data_pipeline2_spark.operators import sampling
 
     return sampling.unimax_allocation(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "l_diversity",
+    """
+    SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT))
+                AS BIGINT) AS n_sensitive_distinct,
+           count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) >= 5
+             AS l_diverse
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def q_l_diversity(spark, sf_dir):
+    """ℓ-diversity audit over the (nation, market-segment) quasi tuple
+    with the bucketed account balance as the sensitive attribute (the
+    k_anonymity fixture upgraded per Machanavajjhala et al. 2007): a
+    class where every member falls in one balance band leaks the band
+    even at k >= 5."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators import governance
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "__sens",
+        F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("long"),
+    )
+    return governance.l_diversity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "__sens", l=5
+    )

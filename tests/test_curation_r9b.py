@@ -222,3 +222,40 @@ def test_unimax_all_capped_when_budget_covers_everything(spark):
         "a": 0,  # floor(0.1*3)=0
         "b": 0,  # floor(0.1*2)=0
     }
+
+
+# ---------------------------------------------------------- l-diversity
+
+
+def test_l_diversity_homogeneous_class_flagged(spark):
+    """The homogeneity attack k-anonymity misses: a class of 5 records
+    (k-anonymous at k=5) whose sensitive value is CONSTANT must fail
+    the ℓ=2 audit, while an equally-sized mixed class passes."""
+    from data_pipeline2_spark.operators.governance import l_diversity_audit
+
+    rows = (
+        [(i, "qa", "s0") for i in range(5)]           # homogeneous
+        + [(i + 5, "qb", f"s{i % 3}") for i in range(5)]  # 3 values
+        + [(10, "qc", None), (11, "qc", "s1")]        # NULL not diverse
+    )
+    df = spark.createDataFrame(rows, "rid long, q string, sens string")
+    out = {
+        r["q"]: r.asDict()
+        for r in l_diversity_audit(df, ["q"], "sens", l=2).collect()
+    }
+    assert not out["qa"]["l_diverse"]
+    assert out["qa"]["n"] == 5 and out["qa"]["n_sensitive_distinct"] == 1
+    assert out["qb"]["l_diverse"]
+    # NULL contributes nothing: one real value -> not 2-diverse
+    assert out["qc"]["n_sensitive_distinct"] == 1
+    assert not out["qc"]["l_diverse"]
+
+
+def test_l_diversity_validates_params(spark):
+    from data_pipeline2_spark.operators.governance import l_diversity_audit
+
+    df = spark.createDataFrame([(1, "a", "x")], "rid long, q string, s string")
+    with pytest.raises(ValueError, match="l must be >= 2"):
+        l_diversity_audit(df, ["q"], "s", l=1)
+    with pytest.raises(ValueError, match="quasi-identifier"):
+        l_diversity_audit(df, [], "s", l=2)
