@@ -1006,3 +1006,124 @@ def test_interval_union_islands_model(spans):
         truth.update(range(s, e + 1))
     assert total == len(truth)
     assert n_islands >= 1
+
+
+# ---------------------------------------------------------------- round 9b
+
+
+def _waterfill_closed_form(caps: list, budget: int) -> list:
+    """Pure-python mirror of unimax_allocation's prefix-cap math (same
+    formula the Spark plan and the DuckDB oracle compute)."""
+    n = len(caps)
+    order = sorted(range(n), key=lambda i: caps[i])
+    alloc = [0] * n
+    cum = 0
+    k, sk = 0, 0
+    for rank, idx in enumerate(order, start=1):
+        cum += caps[idx]
+        if caps[idx] * (n - rank + 1) + (cum - caps[idx]) <= budget:
+            k, sk = rank, cum
+    level = (budget - sk) // (n - k) if n > k else 0
+    for rank, idx in enumerate(order, start=1):
+        alloc[idx] = caps[idx] if rank <= k else level
+    return alloc
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+             max_size=40),
+    st.integers(min_value=0, max_value=200_000),
+)
+@settings(max_examples=300, deadline=None)
+def test_unimax_waterfill_invariants(caps, budget):
+    alloc = _waterfill_closed_form(caps, budget)
+    n = len(caps)
+    # never over a source's cap, never over budget
+    assert all(a <= c for a, c in zip(alloc, caps))
+    assert sum(alloc) <= budget
+    capped = [i for i in range(n) if alloc[i] == caps[i]]
+    uncapped = [i for i in range(n) if alloc[i] < caps[i]]
+    # uniformity: every uncapped source gets the SAME water level,
+    # and the level dominates every capped source's cap
+    if uncapped:
+        levels = {alloc[i] for i in uncapped}
+        assert len(levels) == 1
+        level = levels.pop()
+        assert all(caps[i] <= level for i in capped)
+        # leftover strictly below the uncapped count (floor remainder)
+        assert budget - sum(alloc) < len(uncapped)
+    else:
+        # all capped: the budget covered every cap
+        assert sum(caps) <= budget
+    # monotone: a larger cap never allocates less
+    by_cap = sorted(range(n), key=lambda i: caps[i])
+    for a, b in zip(by_cap, by_cap[1:]):
+        assert alloc[a] <= alloc[b]
+
+
+def _block_dedup_ref(rows, width=10):
+    """Reference keep-first block dedup (dict-ordered scan)."""
+    import hashlib
+
+    first = {}
+    out = {}
+    for doc_id, text in rows:
+        if text is None:
+            continue
+        ws = text.strip().lower().split() if text.strip() else []
+        n_full = len(ws) // width
+        if n_full == 0:
+            continue
+        stats = out.setdefault(
+            doc_id, {"n": 0, "kept": 0, "checksum": 0}
+        )
+        for idx in range(n_full):
+            blk = " ".join(ws[idx * width:(idx + 1) * width])
+            h = int(hashlib.md5(blk.encode()).hexdigest()[:15], 16)
+            stats["n"] += 1
+            # scan order (doc_id asc, idx asc) IS pos order here, so
+            # first-seen = min pos; the second pass resolves kept flags
+            # once the global first map is complete
+            first.setdefault(h, doc_id * 1_000_000 + idx)
+    # finalize kept/checksum with the global first map
+    for doc_id, text in rows:
+        if text is None or doc_id not in out:
+            continue
+        ws = text.strip().lower().split() if text.strip() else []
+        for idx in range(len(ws) // width):
+            blk = " ".join(ws[idx * width:(idx + 1) * width])
+            h = int(hashlib.md5(blk.encode()).hexdigest()[:15], 16)
+            if first[h] == doc_id * 1_000_000 + idx:
+                out[doc_id]["kept"] += 1
+                out[doc_id]["checksum"] += (h % 2**32) * (idx + 1)
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc"]),  # 3-word alphabet ->
+            min_size=0, max_size=35,              # block collisions certain
+        ),
+        min_size=1, max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_block_dedup_matches_reference(spark, token_lists):
+    from data_pipeline2_spark.operators.quality import (
+        block_dedup_keep_first,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    ref = _block_dedup_ref(rows)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in block_dedup_keep_first(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert set(got) == set(ref)
+    for d, s in ref.items():
+        assert got[d]["n_blocks"] == s["n"]
+        assert got[d]["kept_blocks"] == s["kept"]
+        assert got[d]["kept_checksum"] == s["checksum"]
