@@ -150,6 +150,10 @@ def _driver_verified_keys() -> set:
 # behavior changed (they re-queue ahead of oracle-text-only pins when
 # the driver budget can't cover all 80 in one round).
 _RECHECK_FIRST = (
+    "simhash",               # r9b: packed-lane accumulation replaced the
+    "simhash_pairs",         # 64-column ±1 aggregate (fingerprints
+    "simhash_dedup_drop",    # bit-identical by proof+property test, but
+                             # the ENGINE plan changed — driver re-green)
     "events_ab_chi2",        # NULL-variant rows excluded; dof=(r-1)(k-1)
     "embed_provider",        # blank test pinned to ASCII whitespace
     "embed_incremental",
