@@ -1,4 +1,4 @@
-"""Dirty-lake differential gate: Spark-vs-DuckDB value parity over a
+r"""Dirty-lake differential gate: Spark-vs-DuckDB value parity over a
 lake with NULL texts, blank/whitespace-only texts, non-ASCII content,
 messy internal whitespace, NULL langs, NULL event values, and NULL
 event_type group keys (scripts/make_dirty_lake.py).
