@@ -228,3 +228,63 @@ def compact_small_files(
     rows. Use `compact` directly for the file-count telemetry."""
     compact(spark, path, target_bytes=target_mb * 1024 * 1024)
     return spark.read.parquet(path)
+
+
+def shard_manifest(
+    documents: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic export-shard manifest → one row per shard:
+    (shard, n_docs, n_tokens, n_bytes, content_checksum, min_doc_id,
+    max_doc_id).
+
+    The reproducibility artifact a training-data export ships next to
+    its files (every published corpus release carries one): shard
+    assignment is pmod(doc_id, n_shards) — pure, re-derivable, no
+    packing state — and `content_checksum` is the order-insensitive
+    BIGINT sum of each doc's 60-bit text fingerprint folded to 32 bits,
+    so a re-export (or a consumer) re-computes the manifest and
+    byte-diffs it without ordering guarantees. NULL-text docs count in
+    n_docs (they ship as rows) with zero tokens/bytes/checksum.
+
+    Scale shape: ONE aggregation keyed on the shard id — map-side
+    partials, n_shards output rows; the fingerprints hash inside the
+    scan projection, so no exchange ever carries text.
+    """
+    from data_pipeline2_spark.functions.text import token_count
+    from data_pipeline2_spark.operators.dedup import shingle_hash64
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    t = F.col(text_col)
+    has_text = t.isNotNull()
+    return (
+        documents.select(
+            F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias(
+                "shard"
+            ),
+            F.col(id_col).alias("__id"),
+            F.when(has_text, token_count(t).cast("long"))
+            .otherwise(F.lit(0))
+            .alias("__tok"),
+            F.when(has_text, F.octet_length(t).cast("long"))
+            .otherwise(F.lit(0))
+            .alias("__bytes"),
+            F.when(
+                has_text, F.pmod(shingle_hash64(t), F.lit(4_294_967_296))
+            )
+            .otherwise(F.lit(0))
+            .alias("__fp32"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__tok").cast("long").alias("n_tokens"),
+            F.sum("__bytes").cast("long").alias("n_bytes"),
+            F.sum("__fp32").cast("long").alias("content_checksum"),
+            F.min("__id").alias("min_doc_id"),
+            F.max("__id").alias("max_doc_id"),
+        )
+    )

@@ -294,3 +294,29 @@ def q_l_diversity(spark, sf_dir):
     return governance.l_diversity_audit(
         cust, ["c_nationkey", "c_mktsegment"], "__sens", l=5
     )
+
+
+_MANIFEST_SQL = """
+    SELECT CAST(((doc_id % 8) + 8) % 8 AS INT) AS shard,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN text IS NULL THEN 0
+                    WHEN len(trim(text, ' ')) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text, ' '),
+                                                   '\\s+')) END
+              )::BIGINT AS n_tokens,
+           sum(CASE WHEN text IS NULL THEN 0
+                    ELSE strlen(text) END)::BIGINT AS n_bytes,
+           sum(CASE WHEN text IS NULL THEN 0
+                    ELSE CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)
+                         % 4294967296 END)::BIGINT AS content_checksum,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM documents GROUP BY 1
+    """
+
+
+@_register("shard_manifest", _MANIFEST_SQL)
+def q_shard_manifest(spark, sf_dir):
+    from data_pipeline2_spark.operators import writers
+
+    return writers.shard_manifest(_t(spark, sf_dir, "documents"))

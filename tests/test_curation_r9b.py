@@ -259,3 +259,39 @@ def test_l_diversity_validates_params(spark):
         l_diversity_audit(df, ["q"], "s", l=1)
     with pytest.raises(ValueError, match="quasi-identifier"):
         l_diversity_audit(df, [], "s", l=2)
+
+
+# --------------------------------------------------------- shard manifest
+
+
+def test_shard_manifest_reproducible_and_null_safe(spark):
+    from data_pipeline2_spark.operators.writers import shard_manifest
+
+    rows = [
+        (0, "alpha beta"),
+        (8, "alpha beta"),     # same shard (pmod 8), same text
+        (-3, "gamma"),         # negative id: pmod -> shard 5, not -3
+        (5, None),             # NULL text ships: counted, zero-weighted
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["shard"]: r.asDict() for r in shard_manifest(docs).collect()}
+    # reproducibility: a permuted re-export computes the SAME manifest
+    b = {
+        r["shard"]: r.asDict()
+        for r in shard_manifest(
+            spark.createDataFrame(list(reversed(rows)),
+                                  "doc_id long, text string")
+        ).collect()
+    }
+    assert a == b
+    assert set(a) == {0, 5}
+    s0 = a[0]
+    assert s0["n_docs"] == 2 and s0["n_tokens"] == 4
+    assert s0["min_doc_id"] == 0 and s0["max_doc_id"] == 8
+    # identical texts contribute identical checksum terms
+    assert s0["content_checksum"] % 2 == 0
+    s5 = a[5]
+    assert s5["n_docs"] == 2  # the NULL-text doc is counted...
+    assert s5["min_doc_id"] == -3
+    # ...but weightless: totals equal the non-null doc's alone
+    assert s5["n_tokens"] == 1 and s5["n_bytes"] == 5
