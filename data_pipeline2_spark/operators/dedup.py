@@ -205,28 +205,47 @@ def jaccard_pairs(
     """Exact n-gram Jaccard verification of candidate pairs.
 
     → (doc_a, doc_b, jaccard) for pairs >= threshold, jaccard rounded
-    for hash stability. Joins stay proportional to candidate count.
+    for hash stability. Input `shingles` carries DISTINCT (doc_id,
+    shingle) rows (both callers guarantee it).
+
+    Plan shape (reworked after the round-9b x100 run): the old form
+    joined the shingle table twice — candidates⋈sh_a on doc, then that
+    expansion⋈sh_b on (doc, shingle) — which AQE broadcasts at small
+    scale but materializes as TWO shingle-table sort-merge shuffles
+    once the sides outgrow the broadcast threshold (measured: the
+    minhash pipeline's shuffle stepped superlinear, 257x for a 100x
+    corpus). Now the shingle set packs into ONE sorted array per doc
+    (a single doc-keyed aggregation, linear), and the pair relation
+    joins that doc→array map twice on plain doc keys; the intersection
+    is a map-side array_intersect over the pair rows. Every shuffle is
+    either the linear per-doc pack or candidate-sized — nothing scales
+    with corpus x candidates. A doc's array is bounded by its own
+    shingle count (the same per-row bound the old expansion had in
+    aggregate).
     """
-    counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    arrays = shingles.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("__sh"),
+        F.count(F.lit(1)).alias("n_sh"),
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    a = arrays.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("__sh").alias("__sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = arrays.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("__sh").alias("__sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                inter / (F.col("n_a") + F.col("n_b") - inter),
                 6,
             ).alias("jaccard"),
         )
@@ -342,7 +361,12 @@ def dedup_near_minhash(
         .unionByName(cands.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    cand_docs = documents.join(cand_ids, id_col, "left_semi")
+    # PIN the broadcast: candidates << corpus is this operator's design
+    # assumption, but post-checkpoint stats made AQE sort-merge this
+    # semi-join at x100 — shuffling the ENTIRE documents table to pick
+    # out the candidate docs (measured 165 MB of a 188 MB stage; the id
+    # set itself was ~1 MB). With the hint the corpus never moves.
+    cand_docs = documents.join(F.broadcast(cand_ids), id_col, "left_semi")
     sh_cand = (
         doc_shingles(cand_docs, shingle_n, id_col, text_col, distinct=False)
         .select("doc_id", shingle_hash64(F.col("shingle")).alias("shingle"))
@@ -1780,7 +1804,10 @@ def dedup_containment(
         .unionByName(cands.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    cand_docs = documents.join(cand_ids, id_col, "left_semi")
+    # broadcast pinned for the same reason as dedup_near_minhash's
+    # semi-join: candidate ids are tiny by design, and AQE was measured
+    # shuffling the whole corpus here without the hint
+    cand_docs = documents.join(F.broadcast(cand_ids), id_col, "left_semi")
     sh_cand = (
         doc_shingles(cand_docs, shingle_n, id_col, text_col, distinct=False)
         .select("doc_id", shingle_hash64(F.col("shingle")).alias("shingle"))
