@@ -857,8 +857,20 @@ def _near_embedding_lsh(
         )
         .distinct()
     )
-    na = base.select(F.col(id_col).alias("id_a"), F.col("__nv").alias("na"))
-    nb = base.select(F.col(id_col).alias("id_b"), F.col("__nv").alias("nb"))
+    # semi-reduce the (fat, corpus-sized) vector table to candidate ids
+    # through a pinned broadcast before the verify joins — the round-9b
+    # x100 rule; candidates checkpoint so the LSH self-join runs once
+    cand = cand.localCheckpoint(eager=True)
+    cid = (
+        cand.select(F.col("id_a").alias("__cid"))
+        .unionByName(cand.select(F.col("id_b").alias("__cid")))
+        .distinct()
+    )
+    base_c = base.join(
+        F.broadcast(cid), F.col(id_col) == F.col("__cid"), "left_semi"
+    )
+    na = base_c.select(F.col(id_col).alias("id_a"), F.col("__nv").alias("na"))
+    nb = base_c.select(F.col(id_col).alias("id_b"), F.col("__nv").alias("nb"))
     return (
         cand.join(na, "id_a")
         .join(nb, "id_b")
@@ -927,12 +939,26 @@ def signature_estimate_pairs(
     estimator (unbiased, stderr ≈ 1/sqrt(n_perm)). No document text is
     touched: this is what makes incremental dedup cheap, the signature
     store IS the corpus representation.
+
+    The store is semi-reduced to candidate docs through a PINNED
+    broadcast of the candidate-id set before the pair joins (the
+    round-9b x100 rule: a side that is small BY CONSTRUCTION gets an
+    explicit broadcast — without it AQE was measured sort-merging a
+    corpus-sized table against a ~1 MB id set). Every shuffle here is
+    candidate-bounded; the store itself never moves.
     """
-    sa = signatures.select(
+    cands = candidates.localCheckpoint(eager=True)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sigs_c = signatures.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sa = sigs_c.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh_{p}").alias(f"__a{p}") for p in range(n_perm)],
     )
-    sb = signatures.select(
+    sb = sigs_c.select(
         F.col("doc_id").alias("doc_b"),
         *[F.col(f"mh_{p}").alias(f"__b{p}") for p in range(n_perm)],
     )
@@ -940,7 +966,7 @@ def signature_estimate_pairs(
         (F.col(f"__a{p}") == F.col(f"__b{p}")).cast("int") for p in range(n_perm)
     )
     return (
-        candidates.join(sa, "doc_a")
+        cands.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
