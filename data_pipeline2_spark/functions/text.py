@@ -55,15 +55,23 @@ def content_hash(text: Column) -> Column:
 
 
 def word_ngrams(text: Column, n: int) -> Column:
-    """array<string> of word n-gram shingles ('w1 w2 w3')."""
+    """array<string> of word n-gram shingles ('w1 w2 w3').
+
+    Built by zipping the token array with its own n−1 shifted slices
+    rather than transform-over-positions: zip_with evaluates each array
+    argument ONCE per row, while the old per-position lambda captured
+    `toks` (a split) and re-evaluated it for EVERY position —
+    O(len²/doc), measured 6.3× slower at a 26M-shingle corpus
+    (106 → 17 s; BENCH_NOTES round 9b). Output identical, including
+    the <n-token empty-array contract."""
     toks = tokens(text)
     cnt = F.size(toks)
-    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), cnt - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    )
+    z = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(cnt - k, F.lit(0)))
+        z = F.zip_with(z, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    out = F.slice(z, 1, F.greatest(cnt - (n - 1), F.lit(0)))
+    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(out)
 
 
 def array_pairs(arr: Column, a_name: str = "a", b_name: str = "b") -> Column:

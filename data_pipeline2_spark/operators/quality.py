@@ -638,19 +638,24 @@ def ngram_novelty(
     from already-seen n-grams (boilerplate, template spam, near-dup
     tails that survived dedup); sort ascending and you have the
     re-review queue. Shuffles carry 60-bit shingle fingerprints only
-    (the minhash discipline): one first-occurrence aggregation keyed by
-    fingerprint, one join-back, one per-doc rollup.
+    (the minhash discipline): the first-occurrence doc resolves in ONE
+    fingerprint-partitioned window min (the old groupBy + join-back
+    shape executed the whole shingle pipeline twice — once per join
+    side — and shuffled it twice; measured 77 s → this form at x100,
+    BENCH_NOTES round 9b), then one per-doc rollup.
 
     → (doc_id, n_shingles, n_novel, novelty)
     """
+    from pyspark.sql.window import Window
+
     from data_pipeline2_spark.operators.dedup import doc_shingles
 
     fp = doc_shingles(
         documents, shingle_n, id_col=id_col, text_col=text_col
     ).select("doc_id", shingle_hash64(F.col("shingle")).alias("sh64"))
-    first = fp.groupBy("sh64").agg(F.min("doc_id").alias("first_doc"))
+    first_doc = F.min("doc_id").over(Window.partitionBy("sh64"))
     return (
-        fp.join(first, "sh64")
+        fp.withColumn("first_doc", first_doc)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
