@@ -1127,3 +1127,36 @@ def test_block_dedup_matches_reference(spark, token_lists):
         assert got[d]["n_blocks"] == s["n"]
         assert got[d]["kept_blocks"] == s["kept"]
         assert got[d]["kept_checksum"] == s["checksum"]
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "b", "ccc"]), min_size=0, max_size=9),
+        min_size=1, max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=12, deadline=None)
+def test_word_ngrams_zipwith_matches_python_reference(spark, token_lists, n):
+    """The round-9b zip_with rewrite of word_ngrams (the O(len²)
+    transform-capture fix) must reproduce the textbook sliding-window
+    n-grams for every length regime: len < n → [], len == n → one."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.functions.text import word_ngrams
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    got = {
+        r["doc_id"]: r["g"]
+        for r in spark.createDataFrame(rows, "doc_id long, text string")
+        .select("doc_id", word_ngrams(F.col("text"), n).alias("g"))
+        .collect()
+    }
+    for i, toks in enumerate(token_lists):
+        ws = " ".join(toks).split()  # collapse blanks like tokens()
+        want = (
+            []
+            if len(ws) < n
+            else [" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)]
+        )
+        assert got[i] == want, (i, ws, got[i], want)
