@@ -154,6 +154,14 @@ _RECHECK_FIRST = (
     "simhash_pairs",         # 64-column ±1 aggregate (fingerprints
     "simhash_dedup_drop",    # bit-identical by proof+property test, but
                              # the ENGINE plan changed — driver re-green)
+    "dedup_near_minhash",    # r9b x100 audit: array-pack Jaccard verify
+    "dedup_ngram_jaccard",   # + broadcast-pinned candidate semi-joins
+    "dedup_containment",     # (values proven unchanged, plans rebuilt)
+    "dedup_near_incremental",  # signature store semi-reduced
+    "dedup_lsh_eval",
+    "dedup_near_embedding",  # vector table semi-reduced via id broadcast
+    "ngram_novelty",         # window-min replaced groupBy+join-back
+    "source_overlap",        # zip_with word_ngrams (O(len²) fix)
     "events_ab_chi2",        # NULL-variant rows excluded; dof=(r-1)(k-1)
     "embed_provider",        # blank test pinned to ASCII whitespace
     "embed_incremental",
