@@ -1251,3 +1251,71 @@ def blocklist_stats(
         frac.alias("blocked_frac"),
         (frac > F.lit(float(threshold))).alias("blocked"),
     )
+
+
+def strip_repeated_lines(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document repeated-line removal → (doc_id, n_lines,
+    kept_lines, removed_lines, chars_removed, kept_checksum): the APPLY
+    step for `dup_line_stats`' Gopher repetition signal — every
+    occurrence of a line after its first WITHIN the document drops
+    (navigation blocks, repeated headers, chat-log echoes), keep-first
+    positional semantics pinned by the position-weighted checksum
+    exactly as `block_dedup_keep_first` pins its corpus-wide cousin.
+
+    Lines are trimmed (ASCII space, the engine contract) and blank
+    lines are not dedup-eligible (they drop from the accounting, as in
+    dup_line_stats). NULL-text documents emit no row; blank documents
+    emit an all-zero row. kept_checksum = Σ over kept lines of
+    (md5_60(line) mod 2^32)·(kept_position+1) — associative, yet it
+    changes if a different occurrence had survived or order shifted.
+
+    Scale shape: the entire operator is ONE Catalyst projection — the
+    dedup runs inside the row over the line array (array_position
+    keep-first), so the plan has ZERO exchanges at any corpus size;
+    at 100 TB it is a pure map over the scan, the cheapest shape an
+    apply step can have. Per-row cost is O(lines² per doc) string
+    compares, bounded by document size, never corpus size.
+    """
+    from data_pipeline2_spark.operators.dedup import shingle_hash64
+
+    t = F.col(text_col)
+    lines = F.transform(_nonblank_lines(t), lambda x: F.trim(x))
+    docs = documents.filter(t.isNotNull()).select(
+        F.col(id_col).alias("doc_id"), lines.alias("__lines")
+    )
+    ls = F.col("__lines")
+    kept = F.filter(
+        ls, lambda x, i: F.array_position(ls, x) == i + F.lit(1)
+    )
+    total_chars = F.aggregate(
+        ls,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    kept_chars = F.aggregate(
+        kept,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    checksum_terms = F.transform(
+        kept,
+        lambda x, i: (
+            F.pmod(shingle_hash64(x), F.lit(4_294_967_296))
+            * (i + F.lit(1)).cast("long")
+        ),
+    )
+    checksum = F.aggregate(
+        checksum_terms, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ls).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("kept_lines"),
+        (F.size(ls) - F.size(kept)).cast("long").alias("removed_lines"),
+        (total_chars - kept_chars).cast("long").alias("chars_removed"),
+        checksum.alias("kept_checksum"),
+    )

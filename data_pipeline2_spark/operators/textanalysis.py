@@ -1603,3 +1603,262 @@ def textrank_terms(
             "pagerank",
         )
     )
+
+
+def cms_sketch(
+    documents: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min sketch of the corpus unigram distribution → one row
+    per non-empty cell: (row_j, bucket, bucket_count).
+
+    Cormode & Muthukrishnan 2005: a depth x width counter grid; word w
+    increments cell (j, h_j(w)) for every row j. The sketch is LINEAR
+    (sketch(A ∪ B) = sketch(A) + sketch(B) cell-wise — the mergeability
+    test pins this), so shard partials union losslessly: the 100 TB
+    deployment keeps one d·w grid per executor partition and merges by
+    summation, like the HLL/KMV sketches already in the engine. Hash
+    family: the engine-wide 60-bit md5 prefix over "j|word" reduced
+    mod width — deterministic, engine-portable, non-negative.
+
+    Scale shape: exact per-word counts aggregate FIRST (one exchange,
+    vocabulary-bounded output — the sketch is linear so inserting
+    count-weighted words equals inserting occurrences), then d rows per
+    distinct word feed the (j, bucket) aggregation whose output is at
+    most d·w cells regardless of corpus size. Document text never
+    shuffles; the second exchange carries (int, int, long) triples.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    counts = _word_counts(documents, text_col).withColumnRenamed(
+        "exact_c", "c"
+    )
+    return _cms_from_counts(counts, depth, width)
+
+
+def _word_counts(documents: DataFrame, text_col: str) -> DataFrame:
+    """(w, exact_c) exact unigram counts — ONE corpus exchange."""
+    return (
+        documents.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_c"))
+    )
+
+
+def _cms_bucket(row_j: Column, w: Column, width: int) -> Column:
+    from data_pipeline2_spark.operators.dedup import shingle_hash64
+
+    return (
+        F.pmod(
+            shingle_hash64(F.concat_ws("|", row_j.cast("string"), w)),
+            F.lit(width),
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+
+
+def _cms_from_counts(counts: DataFrame, depth: int, width: int) -> DataFrame:
+    return (
+        counts.select(
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias(
+                "row_j"
+            ),
+            F.col("w"),
+            F.col("c"),
+        )
+        .select(
+            "row_j",
+            _cms_bucket(F.col("row_j"), F.col("w"), width),
+            "c",
+        )
+        .groupBy("row_j", "bucket")
+        .agg(F.sum("c").cast("long").alias("bucket_count"))
+    )
+
+
+def cms_frequency_eval(
+    documents: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    probes: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min point estimates vs exact counts for the corpus's top
+    `probes` words → (word, exact_c, cms_est, overestimate).
+
+    The winnow_span_recall_eval discipline applied to the sketch: the
+    CMS guarantee (est >= true always; est <= true + eps·N with
+    probability 1 - e^-depth at eps = e/width) is MEASURED, not
+    assumed — `overestimate` = est − exact is the per-word error the
+    driver value-checks, and the structural one-sided bound means a
+    single negative value anywhere is a broken sketch.
+
+    Scale shape: the corpus aggregates ONCE into the vocabulary-bounded
+    word-count table, which localCheckpoints (the textrank-edges idiom)
+    and feeds both the sketch build and the probe selection — one
+    corpus scan total. The sketch is d·w cells and the probe set is
+    `probes` rows, so the estimate join broadcasts both small tables;
+    probe selection (top by count, word tie-break) is a TakeOrdered
+    over the count table, never a corpus sort.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    counts = _word_counts(documents, text_col).localCheckpoint(eager=True)
+    sketch = _cms_from_counts(
+        counts.withColumnRenamed("exact_c", "c"), depth, width
+    )
+    probe_rows = counts.orderBy(F.desc("exact_c"), F.col("w")).limit(probes)
+    probed = probe_rows.select(
+        F.col("w"),
+        F.col("exact_c"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row_j"),
+    ).select(
+        "w",
+        "exact_c",
+        "row_j",
+        _cms_bucket(F.col("row_j"), F.col("w"), width),
+    )
+    # every probed cell exists in the sketch (the probe's own count is
+    # in it), so the inner join is lossless by construction
+    est = (
+        probed.join(F.broadcast(sketch), ["row_j", "bucket"])
+        .groupBy("w", "exact_c")
+        .agg(F.min("bucket_count").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        F.col("w").alias("word"),
+        F.col("exact_c").cast("long").alias("exact_c"),
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_c")).cast("long").alias(
+            "overestimate"
+        ),
+    )
+
+
+def pmi_collocations(
+    documents: DataFrame,
+    window: int = 2,
+    min_pairs: int = 5,
+    top: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top collocations by pointwise mutual information → (w1, w2,
+    pairs, pmi_scaled): the classical collocation-mining upgrade of
+    `term_cooccurrence`'s raw counts (Church & Hanks 1990).
+
+    PMI = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) = c_ab / N_pairs and
+    p(w) = c_w / N_tokens, computed as ONE ln over an exact integer
+    ratio assembled in a pinned multiplication order —
+    ln((c_ab·N_tok·N_tok) / (N_pairs·c_a·c_b)) — then floor-integerized
+    at 1e10 (the engine's associative-log discipline). `min_pairs`
+    floors the pair count: PMI famously explodes on hapax pairs, and
+    the floor is what keeps the ranking stable under corpus growth.
+
+    Scale shape: pair generation is the term_cooccurrence lead()
+    pattern (one doc_id exchange, O(T·window) rows); pair and unigram
+    counts partial-aggregate; the unigram table is vocabulary-bounded,
+    localCheckpoints (the textrank-edges idiom), and joins back
+    BROADCAST twice; N_tok and N_pairs come CLOSED-FORM from per-doc
+    token counts (N_pairs = Σ_docs Σ_i max(L−i, 0) — exactly the pair
+    table's total, without re-executing its subtree), so neither total
+    re-runs a corpus aggregation; `top` is a TakeOrdered over the
+    min_pairs-floored pair table. Corpus text never shuffles.
+    """
+    from pyspark.sql.window import Window
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_pairs < 1:
+        raise ValueError(f"min_pairs must be >= 1, got {min_pairs}")
+    toks = documents.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+        ).alias("p", "w"),
+    )
+    uni = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .localCheckpoint(eager=True)
+    )
+    per_doc_len = documents.filter(F.col(text_col).isNotNull()).select(
+        F.size(tokens(F.col(text_col))).cast("long").alias("L")
+    )
+    totals = per_doc_len.agg(
+        F.sum("L").alias("n_tok"),
+        F.sum(
+            sum(
+                F.greatest(F.col("L") - i, F.lit(0))
+                for i in range(1, window + 1)
+            )
+        ).alias("n_pairs"),
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("p")
+    offs = toks.select(
+        "w",
+        *[
+            F.lead("w", i).over(wspec).alias(f"__n{i}")
+            for i in range(1, window + 1)
+        ],
+    )
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.col(f"__n{i}").alias("nb"),
+                F.least(F.col("w"), F.col(f"__n{i}")).alias("w1"),
+                F.greatest(F.col("w"), F.col(f"__n{i}")).alias("w2"),
+            )
+            for i in range(1, window + 1)
+        ]
+    )
+    pairs = (
+        offs.select(F.explode(pair_structs).alias("pr"))
+        .filter(F.col("pr.nb").isNotNull())
+        .select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pairs"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    scored = (
+        pairs.filter(F.col("pairs") >= min_pairs)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("pairs").cast("long").alias("pairs"),
+            F.floor(
+                F.log(
+                    (
+                        F.col("pairs").cast("double")
+                        * F.col("n_tok").cast("double")
+                        * F.col("n_tok").cast("double")
+                    )
+                    / (
+                        F.col("n_pairs").cast("double")
+                        * F.col("c1").cast("double")
+                        * F.col("c2").cast("double")
+                    )
+                )
+                * F.lit(1e10)
+            )
+            .cast("long")
+            .alias("pmi_scaled"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_scaled"), F.col("w1"), F.col("w2")
+    ).limit(top)
