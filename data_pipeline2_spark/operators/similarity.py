@@ -2165,3 +2165,141 @@ def embedding_zscore_outliers(
             (F.col("score") > F.lit(float(threshold))).alias("outlier"),
         )
     )
+
+
+# nDCG@k discount table, computed ONCE in Python and embedded as integer
+# literals in BOTH engines (the chi2-critical-table discipline): no
+# engine-side log2 enters the parity surface. disc[r] = floor(1e12 /
+# log2(r + 1)) for 1-based rank r; cum[j] = sum of the first j discounts
+# (cum[0] = 0) drives the closed-form ideal DCG.
+_NDCG_SCALE = 1_000_000_000_000
+
+
+def _ndcg_discounts(k: int) -> tuple[list[int], list[int]]:
+    import math
+
+    disc = [
+        math.floor(_NDCG_SCALE / math.log2(r + 1)) for r in range(1, k + 1)
+    ]
+    cum = [0]
+    for d in disc:
+        cum.append(cum[-1] + d)
+    return disc, cum
+
+
+def retrieval_ndcg(
+    embeddings: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Graded-relevance nDCG@k of exact cosine retrieval → (qid, qlabel,
+    n_rel2, n_rel1, dcg_scaled, idcg_scaled, ndcg_at_k): the graded
+    companion of `retrieval_eval`'s binary recall/MRR (Järvelin &
+    Kekäläinen 2002).
+
+    Grades are deterministic from the label ground truth: rel 2 = same
+    label as the query, rel 1 = numerically adjacent label (the
+    near-miss band an int-labeled corpus gives for free), rel 0
+    otherwise; gain = 2^rel − 1 (3/1/0, the standard exponential
+    form). DCG = Σ gain(r)·disc(r) over the top k by (score desc, id),
+    with disc(r) = floor(1e12 / log2(r+1)) embedded as literals in both
+    engines, so dcg_scaled/idcg_scaled are EXACT BIGINTs and the single
+    closing division is the only float. Ideal DCG is closed-form from
+    the per-query grade counts (rel-2 docs fill the top ranks, then
+    rel-1), via the cumulative-discount literal table — no second sort.
+    ndcg is NULL when the corpus holds no relevant candidate at all.
+
+    Physical shape = retrieval_eval: queries broadcast (one per label,
+    lowest id), scoring map-side, one per-qid top-k window, grade
+    counts broadcast back. Corpus never shuffles.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    disc, cum = _ndcg_discounts(k)
+    wq = Window.partitionBy(label_col).orderBy(F.col(id_col))
+    queries = (
+        embeddings.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qvec"),
+            F.col(label_col).alias("qlabel"),
+        )
+    )
+    rel = (
+        F.when(F.col(label_col) == F.col("qlabel"), F.lit(2))
+        .when(
+            F.abs(F.col(label_col) - F.col("qlabel")) == 1, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col(id_col),
+            rel.alias("rel"),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("qvec")), SCORE_ROUND
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col(id_col))
+    disc_arr = F.array(*[F.lit(d) for d in disc])
+    gain = (
+        F.when(F.col("rel") == 2, F.lit(3))
+        .when(F.col("rel") == 1, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "qlabel",
+            (
+                gain.cast("long")
+                * F.element_at(disc_arr, F.col("rank")).cast("long")
+            ).alias("__term"),
+        )
+    )
+    per_q = topk.groupBy("qid", "qlabel").agg(
+        F.sum("__term").cast("long").alias("dcg_scaled")
+    )
+    grade_counts = scored.groupBy("qid").agg(
+        F.sum((F.col("rel") == 2).cast("long")).alias("n_rel2"),
+        F.sum((F.col("rel") == 1).cast("long")).alias("n_rel1"),
+    )
+    cum_arr = F.array(*[F.lit(c) for c in cum])
+    i2 = F.least(F.col("n_rel2"), F.lit(k))
+    i21 = F.least(F.col("n_rel2") + F.col("n_rel1"), F.lit(k))
+    cum2 = F.element_at(cum_arr, (i2 + 1).cast("int")).cast("long")
+    cum21 = F.element_at(cum_arr, (i21 + 1).cast("int")).cast("long")
+    idcg = (F.lit(3).cast("long") * cum2 + (cum21 - cum2)).alias(
+        "idcg_scaled"
+    )
+    return (
+        per_q.join(F.broadcast(grade_counts), "qid")
+        .select(
+            "qid",
+            "qlabel",
+            F.col("n_rel2").cast("long").alias("n_rel2"),
+            F.col("n_rel1").cast("long").alias("n_rel1"),
+            "dcg_scaled",
+            idcg,
+        )
+        .select(
+            "*",
+            F.round(
+                F.when(
+                    F.col("idcg_scaled") > 0,
+                    F.col("dcg_scaled") / F.col("idcg_scaled"),
+                ),
+                6,
+            ).alias("ndcg_at_k"),
+        )
+    )

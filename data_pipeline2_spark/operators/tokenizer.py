@@ -187,3 +187,220 @@ def bpe_tokenize_stats(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).cast("string").alias("__text"),
     ).mapInPandas(stats, _TOKENIZE_SCHEMA)
+
+
+# ------------------------------------------------------------- WordPiece
+# (Wu et al. 2016 §4.1 / BERT's tokenization.py — the algorithm is
+# public): greedy longest-match-first against a piece vocabulary, word
+# -> [UNK] when any position has no matching piece or the word exceeds
+# the char cap. Unlike the BPE pair above, the vocab here derives
+# DETERMINISTICALLY from corpus aggregates (frequent whole words /
+# prefixes / suffixes + full char coverage), so the DuckDB oracle
+# replays the ENTIRE tokenization — fit and apply — as SQL.
+
+WP_MIN_COUNT = 5
+WP_MAX_PIECE = 8   # piece body cap: keeps the oracle's match join equi
+WP_MAX_WORD = 16   # BERT's max_input_chars_per_word analog; longer -> UNK
+WP_UNK = "[UNK]"
+
+
+def wordpiece_vocab(
+    documents: DataFrame,
+    min_count: int = WP_MIN_COUNT,
+    max_piece: int = WP_MAX_PIECE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[frozenset, frozenset]:
+    """Derive the WordPiece vocabulary from the TRAIN half of the corpus
+    (even pmod(doc_id, 2) residues — the stupid_backoff split) →
+    (word-initial piece set, continuation piece set).
+
+    Pieces (all lowercased, bodies <= max_piece chars):
+      initial:      whole words and word PREFIXES with summed train
+                    count >= min_count, plus every single char seen
+                    (full coverage — a held-out word UNKs only on a
+                    char the train split never produced)
+      continuation: word SUFFIXES with summed count >= min_count, plus
+                    every single char (stored WITHOUT the '##' marker;
+                    the marker is presentation, applied at checksum
+                    time)
+
+    Scale shape: one word-count aggregation over the train split (the
+    only corpus-sized exchange), then prefix/suffix/char derivation is
+    map-side over the vocabulary-bounded count table; the collected
+    result is the piece sets — the bounded driver artifact, exactly
+    bpe_train's economics.
+    """
+    from data_pipeline2_spark.functions.text import tokens
+
+    train = documents.filter(
+        F.col(text_col).isNotNull()
+        & (F.pmod(F.col(id_col), F.lit(2)) == 0)
+    )
+    wc = (
+        train.select(
+            F.explode(
+                F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    ln = F.length("w")
+    whole = wc.filter(
+        (F.col("c") >= min_count) & (ln <= max_piece)
+    ).select(F.col("w").alias("body"), F.lit("init").alias("kind"))
+    j = F.explode(
+        F.sequence(F.lit(2), F.least(F.lit(max_piece), ln - 1))
+    ).alias("j")
+    affix_base = wc.filter(ln >= 3).select("w", "c", j)
+    pref = (
+        affix_base.select(F.expr("substring(w, 1, j)").alias("body"), "c")
+        .groupBy("body")
+        .agg(F.sum("c").alias("sc"))
+        .filter(F.col("sc") >= min_count)
+        .select("body", F.lit("init").alias("kind"))
+    )
+    suf = (
+        affix_base.select(
+            F.expr("substring(w, length(w) - j + 1, j)").alias("body"), "c"
+        )
+        .groupBy("body")
+        .agg(F.sum("c").alias("sc"))
+        .filter(F.col("sc") >= min_count)
+        .select("body", F.lit("cont").alias("kind"))
+    )
+    chars = (
+        wc.select(
+            F.explode(F.sequence(F.lit(1), ln)).alias("i"), "w"
+        )
+        .select(F.expr("substring(w, i, 1)").alias("body"))
+        .distinct()
+    )
+    pieces = (
+        whole.unionByName(pref)
+        .unionByName(suf)
+        .unionByName(chars.select("body", F.lit("init").alias("kind")))
+        .unionByName(chars.select("body", F.lit("cont").alias("kind")))
+        .distinct()
+        .collect()
+    )
+    init = frozenset(r["body"] for r in pieces if r["kind"] == "init")
+    cont = frozenset(r["body"] for r in pieces if r["kind"] == "cont")
+    return init, cont
+
+
+def _wp_match(
+    word: str, init: frozenset, cont: frozenset, max_piece: int, max_word: int
+) -> tuple[int, bool, int]:
+    """Greedy longest-match-first → (n_pieces, is_unk, word_checksum).
+
+    checksum = Σ over pieces of (md5_60(piece_repr) mod 2^32) ·
+    piece_position, piece_repr carrying the '##' continuation marker;
+    UNK words checksum as the single [UNK] piece.
+    """
+    import hashlib
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 2**32
+
+    if len(word) > max_word or not word:
+        return 1, True, h32(WP_UNK)
+    pos, n, cksum = 0, 0, 0
+    while pos < len(word):
+        vocab = init if pos == 0 else cont
+        for ln in range(min(max_piece, len(word) - pos), 0, -1):
+            body = word[pos : pos + ln]
+            if body in vocab:
+                n += 1
+                rep = body if pos == 0 else "##" + body
+                cksum += h32(rep) * n
+                pos += ln
+                break
+        else:
+            return 1, True, h32(WP_UNK)
+    return n, False, cksum
+
+
+def wordpiece_tokenize_stats(
+    documents: DataFrame,
+    init: frozenset,
+    cont: frozenset,
+    max_piece: int = WP_MAX_PIECE,
+    max_word: int = WP_MAX_WORD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the HELD-OUT half of the corpus (odd pmod residues) with
+    the train-derived piece sets → (doc_id, n_words, n_unk_words,
+    n_pieces, wp_checksum).
+
+    wp_checksum = Σ over words of (word_checksum · word_position) mod
+    2^32 — position-weighted at both levels, so WHICH pieces fired and
+    in WHAT order is pinned end-to-end, not just the counts.
+
+    Scale shape: the greedy matcher runs once per DISTINCT scored word
+    (one distinct exchange, vocabulary-bounded) inside an Arrow-batched
+    mapInPandas, the per-word stats broadcast-join back onto the
+    exploded word stream, and ONE doc_id aggregation closes — document
+    text never carries a Python round-trip, the corpus-sized path is
+    pure Catalyst. Blank scored docs emit an all-zero row.
+    """
+    from data_pipeline2_spark.functions.text import tokens
+
+    scored = documents.filter(
+        F.col(text_col).isNotNull()
+        & (F.pmod(F.col(id_col), F.lit(2)) == 1)
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens(F.col(text_col)), lambda x: F.lower(x)).alias(
+            "__ws"
+        ),
+    )
+    words = scored.select(
+        "doc_id", F.posexplode("__ws").alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("p"), "w")
+    dw = words.select("w").distinct()
+
+    def match_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"w": [], "n_pieces": [], "unk": [], "wcksum": []}
+            for w in pdf["w"]:
+                n, unk, ck = _wp_match(w, init, cont, max_piece, max_word)
+                out["w"].append(w)
+                out["n_pieces"].append(n)
+                out["unk"].append(unk)
+                out["wcksum"].append(ck)
+            yield pd.DataFrame(out)
+
+    per_word = dw.mapInPandas(
+        match_batches, "w string, n_pieces int, unk boolean, wcksum long"
+    )
+    per_doc = (
+        words.join(F.broadcast(per_word), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.col("unk").cast("long")).cast("long").alias(
+                "n_unk_words"
+            ),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum(
+                F.pmod(F.col("wcksum") * F.col("p"), F.lit(4_294_967_296))
+            )
+            .cast("long")
+            .alias("wp_checksum"),
+        )
+    )
+    return (
+        scored.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in ("n_words", "n_unk_words", "n_pieces", "wp_checksum")
+            ],
+        )
+    )
