@@ -1484,3 +1484,82 @@ def conversion_latency(
             "p90_latency_sec",
         )
     )
+
+
+def lag_autocorr(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    min_pairs: int = 3,
+) -> DataFrame:
+    """Per-key lag-1 autocorrelation of hourly event counts → (user_id,
+    n_pairs, num_scaled, autocorr): the periodicity signature that
+    separates schedulers/bots (counts echo hour over hour, r → 1) and
+    alternating burst-rest scrapers (r → −1) from organic traffic
+    (r ≈ 0) — the serial-correlation companion of `events_burstiness`'s
+    Fano factor.
+
+    Pearson r over consecutive-OBSERVED-hour pairs (x_t, x_{t+1}): the
+    pair (h, h+1h) enters only when BOTH buckets have events — the same
+    observed-bucket convention events_burstiness documents; zero-filling
+    silent hours would require materializing every key's full hour
+    range. All five sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs;
+    num = n·Σxy − Σx·Σy is exported as `num_scaled` so the driver
+    value-checks an exact integer, and r itself is ONE closing
+    float expression — num / sqrt(varx · vary) with the variance
+    factors multiplied in pinned double order, rounded at 6. Keys with
+    fewer than `min_pairs` pairs or a degenerate variance (constant
+    series) emit NULL autocorr but keep their row.
+
+    Scale shape: one (key, hour) aggregation (map-side partials absorb
+    bursts), one per-key window lead over hour buckets (hour-bucket
+    cardinality, not event cardinality), one per-key rollup — the
+    window and rollup reuse the key partitioning. Event rows never
+    carry past the first aggregation.
+    """
+    if min_pairs < 2:
+        raise ValueError(f"min_pairs must be >= 2, got {min_pairs}")
+    from pyspark.sql.window import Window
+
+    hours = events.groupBy(
+        F.col(key_col).alias("k"),
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / 3600))
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.partitionBy("k").orderBy("h")
+    pairs = (
+        hours.select(
+            "k",
+            "h",
+            "x",
+            F.lead("h").over(w).alias("h2"),
+            F.lead("x").over(w).alias("y"),
+        )
+        .filter(F.col("h2") == F.col("h") + 1)
+        .select("k", "x", "y")
+    )
+    agg = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.round(
+        num.cast("double")
+        / F.sqrt(varx.cast("double") * vary.cast("double")),
+        6,
+    )
+    return agg.select(
+        F.col("k").alias(key_col),
+        "n_pairs",
+        num.cast("long").alias("num_scaled"),
+        F.when(
+            (F.col("n_pairs") >= min_pairs) & (varx > 0) & (vary > 0), r
+        ).alias("autocorr"),
+    )

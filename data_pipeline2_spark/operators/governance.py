@@ -165,3 +165,97 @@ def l_diversity_audit(
             (F.col("n_sensitive_distinct") >= F.lit(l)).alias("l_diverse"),
         )
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li et al. 2007 — the skewness/similarity-attack
+    fix ℓ-diversity still misses) → one row per equivalence class:
+    (quasi cols..., n, emd_num, emd, t_close).
+
+    A class is t-close when the Earth Mover's Distance between its
+    SENSITIVE-value distribution and the whole table's is <= t. For an
+    ORDERED sensitive attribute with m distinct global values the EMD
+    is the ordered-distance form (Li et al. §4.2):
+
+        EMD = (1/(m-1)) · Σ_{i=1..m-1} |Σ_{j<=i} (p_j − q_j)|
+
+    computed here over the common denominator — every cumulative
+    difference is the exact BIGINT |P_i·n_total − Q_i·n_class| (P/Q =
+    cumulative class/global counts), summed into `emd_num`, with ONE
+    closing division by (m−1)·n_class·n_total. NULL sensitive values
+    are excluded from both distributions (they carry no order).
+
+    Scale shape: one (quasi, value) aggregation and one value
+    aggregation (both class/value-cardinality after map-side partials),
+    then the cumulative walk runs on the classes × values grid — audit-
+    sized, corpus-independent: the grid joins the broadcast global
+    value table and windows per class. The fact table never re-enters.
+    """
+    from pyspark.sql.window import Window
+
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    if not (0.0 < t <= 1.0):
+        raise ValueError(f"t must be in (0, 1], got {t}")
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    gv = (
+        base.groupBy(F.col(sensitive_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__g"))
+        .localCheckpoint(eager=True)
+    )
+    cls_val = base.groupBy(*quasi_cols, F.col(sensitive_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    classes = cls_val.groupBy(*quasi_cols).agg(
+        F.sum("__c").cast("long").alias("n")
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(gv))
+        .join(cls_val, [*quasi_cols, "__v"], "left")
+        .fillna({"__c": 0})
+    )
+    w = Window.partitionBy(*quasi_cols).orderBy("__v")
+    tot = gv.agg(
+        F.sum("__g").cast("long").alias("__n_total"),
+        F.count(F.lit(1)).cast("long").alias("__m"),
+    )
+    walk = (
+        grid.select(
+            *quasi_cols,
+            "n",
+            "__v",
+            F.sum("__c").over(w).cast("long").alias("__P"),
+            F.sum("__g").over(w).cast("long").alias("__Q"),
+            F.row_number().over(w).alias("__i"),
+        )
+        .crossJoin(F.broadcast(tot))
+        # the i = m term is excluded (both cumulatives reach 1 there)
+        .filter(F.col("__i") < F.col("__m"))
+    )
+    term = F.abs(
+        F.col("__P") * F.col("__n_total") - F.col("__Q") * F.col("n")
+    )
+    out = walk.groupBy(*quasi_cols, "n", "__n_total", "__m").agg(
+        F.sum(term).cast("long").alias("emd_num")
+    )
+    emd = F.round(
+        F.col("emd_num")
+        / (
+            (F.col("__m") - 1).cast("double")
+            * F.col("n").cast("double")
+            * F.col("__n_total").cast("double")
+        ),
+        6,
+    )
+    return out.select(
+        *quasi_cols,
+        "n",
+        "emd_num",
+        emd.alias("emd"),
+        (emd <= F.lit(float(t))).alias("t_close"),
+    )

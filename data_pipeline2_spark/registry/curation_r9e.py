@@ -1,0 +1,118 @@
+"""Round-9 registry keys, part 5: governance and behavioral-analytics
+completions —
+
+- `t_closeness`: the third privacy audit (Li et al. 2007), closing the
+  k-anonymity → ℓ-diversity → t-closeness ladder: per-class Earth
+  Mover's Distance between the class's ordered sensitive distribution
+  and the table's, with every cumulative difference an exact BIGINT
+  over the common denominator and ONE closing division.
+- `events_lag_autocorr`: per-user lag-1 Pearson autocorrelation of
+  hourly event counts — the serial-correlation bot signature next to
+  events_burstiness's dispersion (Fano) signal; all five sums exact
+  BIGINTs, the exact integer numerator exported for value-checking,
+  one closing float expression.
+
+Reference anchors: SURVEY §2.10 (governance gates for training-data
+release) and §2.9 (event analytics); both extend the engine families
+the earlier rounds established (k_anonymity/l_diversity,
+events_burstiness/events_cusum_drift).
+"""
+
+from __future__ import annotations
+
+from data_pipeline2_spark.operators import aggregates, governance
+from data_pipeline2_spark.registry._core import _register, _t
+
+_TCLOSE_SQL = """
+    WITH base AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS v
+      FROM customer WHERE c_acctbal IS NOT NULL
+    ), gv AS (SELECT v, count(*) AS g FROM base GROUP BY v),
+    cv AS (
+      SELECT c_nationkey, c_mktsegment, v, count(*) AS c
+      FROM base GROUP BY 1, 2, 3
+    ), cls AS (
+      SELECT c_nationkey, c_mktsegment, sum(c)::BIGINT AS n
+      FROM cv GROUP BY 1, 2
+    ), tot AS (
+      SELECT sum(g)::BIGINT AS n_total, count(*)::BIGINT AS m FROM gv
+    ), grid AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.n, gv.v, gv.g,
+             coalesce(cv.c, 0) AS c
+      FROM cls CROSS JOIN gv
+      LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+                  AND cv.c_mktsegment = cls.c_mktsegment
+                  AND cv.v = gv.v
+    ), walk AS (
+      SELECT c_nationkey, c_mktsegment, n,
+             sum(c) OVER wd AS p, sum(g) OVER wd AS q,
+             row_number() OVER wd AS i, n_total, m
+      FROM grid CROSS JOIN tot
+      WINDOW wd AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY v)
+    ), f AS (
+      SELECT c_nationkey, c_mktsegment, n, n_total, m,
+             sum(abs(p * n_total - q * n))::BIGINT AS emd_num
+      FROM walk WHERE i < m GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT c_nationkey, c_mktsegment, n, emd_num,
+           round(emd_num::DOUBLE
+                 / ((m - 1)::DOUBLE * n::DOUBLE * n_total::DOUBLE), 6)
+             AS emd,
+           round(emd_num::DOUBLE
+                 / ((m - 1)::DOUBLE * n::DOUBLE * n_total::DOUBLE), 6)
+             <= 0.2 AS t_close
+    FROM f
+    """
+
+
+@_register("t_closeness", _TCLOSE_SQL)
+def q_t_closeness(spark, sf_dir):
+    """t-closeness over the (nation, market-segment) quasi tuple with
+    the bucketed account balance as the ordered sensitive attribute —
+    the same fixture as the k_anonymity/l_diversity keys, so the three
+    audits form one comparable ladder."""
+    from pyspark.sql import functions as F
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "__sens",
+        F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("long"),
+    )
+    return governance.t_closeness_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "__sens", t=0.2
+    )
+
+
+_AUTOCORR_SQL = """
+    WITH c AS (
+      SELECT user_id AS k,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ), p AS (
+      SELECT k, h, x, lead(h) OVER wd AS h2, lead(x) OVER wd AS y
+      FROM c WINDOW wd AS (PARTITION BY k ORDER BY h)
+    ), q AS (SELECT k, x, y FROM p WHERE h2 = h + 1),
+    a AS (
+      SELECT k, count(*)::BIGINT AS n_pairs,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+             sum(y * y)::BIGINT AS syy
+      FROM q GROUP BY k
+    )
+    SELECT k AS user_id, n_pairs,
+           (n_pairs * sxy - sx * sy)::BIGINT AS num_scaled,
+           CASE WHEN n_pairs >= 3
+                     AND (n_pairs * sxx - sx * sx) > 0
+                     AND (n_pairs * syy - sy * sy) > 0
+                THEN round((n_pairs * sxy - sx * sy)::DOUBLE
+                     / sqrt((n_pairs * sxx - sx * sx)::DOUBLE
+                            * (n_pairs * syy - sy * sy)::DOUBLE), 6)
+           END AS autocorr
+    FROM a
+    """
+
+
+@_register("events_lag_autocorr", _AUTOCORR_SQL)
+def q_events_lag_autocorr(spark, sf_dir):
+    return aggregates.lag_autocorr(_t(spark, sf_dir, "events"))

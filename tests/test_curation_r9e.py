@@ -1,0 +1,147 @@
+"""Round-9e operator tests: t-closeness EMD audit and lag-1
+autocorrelation. Value parity vs DuckDB is covered by
+test_oracle_parity + the lake gates; these pin semantics on
+constructed fixtures plus the exchange budgets at introduction.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from data_pipeline2_spark import registry
+from data_pipeline2_spark.operators import aggregates, governance
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------ t-closeness
+
+
+def _rows_df(spark, rows):
+    return spark.createDataFrame(rows, "rid long, q string, v long")
+
+
+def _emd_reference(class_counts, global_counts):
+    """Textbook ordered-EMD over the global value domain."""
+    vals = sorted(global_counts)
+    n = sum(class_counts.values())
+    nt = sum(global_counts.values())
+    m = len(vals)
+    acc = p = q = 0
+    for v in vals[:-1]:
+        p += class_counts.get(v, 0)
+        q += global_counts[v]
+        acc += abs(p * nt - q * n)
+    return acc, acc / ((m - 1) * n * nt) if m > 1 else 0.0
+
+
+def test_t_closeness_flags_skewed_class(spark):
+    # class A: all v=0 (skewed); class B mirrors the global mix
+    rows = (
+        [(i, "A", 0) for i in range(4)]
+        + [(i + 4, "B", 0) for i in range(3)]
+        + [(i + 7, "B", 1) for i in range(2)]
+    )
+    out = {
+        r["q"]: r.asDict()
+        for r in governance.t_closeness_audit(
+            _rows_df(spark, rows), ["q"], "v", t=0.2
+        ).collect()
+    }
+    gc = {0: 7, 1: 2}
+    num_a, emd_a = _emd_reference({0: 4}, gc)
+    num_b, emd_b = _emd_reference({0: 3, 1: 2}, gc)
+    assert out["A"]["emd_num"] == num_a
+    assert out["B"]["emd_num"] == num_b
+    assert out["A"]["emd"] == round(emd_a, 6)
+    assert emd_a > emd_b  # the all-one-band class sits farther out
+    assert not out["A"]["t_close"] and out["B"]["t_close"]
+
+
+def test_t_closeness_null_sensitive_excluded(spark):
+    rows = [(1, "A", 0), (2, "A", None), (3, "B", 1), (4, "B", 0)]
+    out = {
+        r["q"]: r.asDict()
+        for r in governance.t_closeness_audit(
+            _rows_df(spark, rows), ["q"], "v", t=0.9
+        ).collect()
+    }
+    # NULL row drops: class A has n=1, not 2
+    assert out["A"]["n"] == 1 and out["B"]["n"] == 2
+
+
+def test_t_closeness_validates_params(spark):
+    df = _rows_df(spark, [(1, "a", 1)])
+    with pytest.raises(ValueError, match="quasi-identifier"):
+        governance.t_closeness_audit(df, [], "v")
+    with pytest.raises(ValueError, match="t must be"):
+        governance.t_closeness_audit(df, ["q"], "v", t=0.0)
+
+
+# ----------------------------------------------------------- autocorr
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, datetime(2024, 1, 1, h), u) for i, (u, h) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long",
+    )
+
+
+def test_lag_autocorr_alternating_series_is_negative_one(spark):
+    # user 1: hourly counts 1,3,1,3,1,3 -> perfect anti-correlation
+    rows = []
+    for h in range(6):
+        n = 1 if h % 2 == 0 else 3
+        rows += [(1, h)] * n
+    out = aggregates.lag_autocorr(_events(spark, rows)).collect()
+    r = out[0].asDict()
+    assert r["n_pairs"] == 5
+    assert r["autocorr"] == -1.0
+
+
+def test_lag_autocorr_constant_series_is_null(spark):
+    rows = [(1, h) for h in range(5)]  # count 1 every hour
+    r = aggregates.lag_autocorr(_events(spark, rows)).collect()[0]
+    assert r["n_pairs"] == 4 and r["autocorr"] is None
+    assert r["num_scaled"] == 0
+
+
+def test_lag_autocorr_gaps_break_pairs(spark):
+    # hours 0,1 then 3,4: only two consecutive pairs, below min_pairs=3
+    rows = [(1, 0), (1, 1), (1, 3), (1, 4), (1, 4)]
+    r = aggregates.lag_autocorr(_events(spark, rows)).collect()[0]
+    assert r["n_pairs"] == 2
+    assert r["autocorr"] is None  # under min_pairs
+
+
+def test_lag_autocorr_validates_min_pairs(spark):
+    with pytest.raises(ValueError, match="min_pairs"):
+        aggregates.lag_autocorr(_events(spark, [(1, 0)]), min_pairs=1)
+
+
+# ------------------------------------------------------- exchange budgets
+
+BUDGET_R9E = {
+    "t_closeness": 4,          # class-value agg + class rollup + the
+                               # per-class cumulative window + final
+                               # rollup (global value table checkpoints
+                               # and broadcasts)
+    "events_lag_autocorr": 3,  # (key,hour) agg + per-key window + the
+                               # per-key rollup
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET_R9E))
+def test_exchange_budget_r9e(name, spark):
+    df = registry.queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= BUDGET_R9E[name], (
+        f"{name}: plan has {n} hash/range exchanges, budget is "
+        f"{BUDGET_R9E[name]} — a new shuffle entered this query's plan"
+    )
