@@ -459,3 +459,109 @@ def unimax_allocation(
         ).alias("epochs"),
         F.col("__capped").alias("capped"),
     )
+
+
+def curriculum_order(
+    documents: DataFrame,
+    n_stages: int = 3,
+    n_shards: int = 8,
+    salt: str = "curr",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum training schedule (Bengio et al. 2009: present easy
+    examples first, harden over stages) → (doc_id, difficulty_scaled,
+    stage, shard, seq): the deterministic reading order a trainer
+    consumes as ORDER BY (stage, shard, seq).
+
+    Difficulty is the exact integer mean word length per document —
+    floor(1000 · total word chars / n_words) — the classic cheap
+    hardness proxy (long-word prose reads harder than short-word
+    prose); blank/NULL documents carry no training signal and drop.
+    Stage assignment is equal-count over difficulty (easiest third =
+    stage 1 ... at the default 3) via the DISTINCT-difficulty
+    cumulative window — the perplexity_buckets idiom, so no corpus-wide
+    row sort exists anywhere in the plan; ties (same integer
+    difficulty) share a stage by construction. Within a stage,
+    documents hash-shard (dataset_interleave's 60-bit md5 buckets) and
+    `seq` is the salted-hash order within (stage, shard) — epochs
+    reshuffle by changing `salt`, reproducibly.
+
+    Scale shape: one map-side difficulty projection, ONE aggregation on
+    the distinct integer difficulty (bounded by the score range, not
+    the corpus), the stage map broadcast back, and per-(stage, shard)
+    seq windows — K·S bounded partitions, never a single-task window.
+    """
+    from data_pipeline2_spark.functions.text import tokens
+    from data_pipeline2_spark.operators.dedup import shingle_hash64
+
+    if n_stages < 2:
+        raise ValueError(f"n_stages must be >= 2, got {n_stages}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    n_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    scored = (
+        documents.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            n_words.alias("__nw"),
+            n_chars.alias("__nc"),
+        )
+        .filter(F.col("__nw") > 0)
+        .select(
+            "doc_id",
+            F.floor(F.lit(1000) * F.col("__nc") / F.col("__nw"))
+            .cast("long")
+            .alias("difficulty_scaled"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # score-cardinality table, consumed by BOTH the cumulative window
+    # and the total — checkpoint so the aggregation runs once
+    counts = (
+        scored.groupBy("difficulty_scaled")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    cw = Window.orderBy("difficulty_scaled").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = counts.agg(F.sum("__c").alias("__total"))
+    stage_expr = F.lit(n_stages)
+    for s in range(n_stages - 1, 0, -1):
+        stage_expr = F.when(
+            F.lit(n_stages) * F.col("__cum") <= F.lit(s) * F.col("__total"),
+            F.lit(s),
+        ).otherwise(stage_expr)
+    stages = (
+        counts.withColumn("__cum", F.sum("__c").over(cw))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("difficulty_scaled").alias("__d"),
+            stage_expr.cast("int").alias("stage"),
+        )
+    )
+    staged = scored.join(
+        F.broadcast(stages), scored.difficulty_scaled == F.col("__d")
+    ).select("doc_id", "difficulty_scaled", "stage")
+    shard = F.pmod(
+        shingle_hash64(
+            F.concat_ws("|", F.lit(salt + "shard"), F.col("doc_id"))
+        ),
+        F.lit(n_shards),
+    ).cast("int")
+    h = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("stage", "shard").orderBy(h, F.col("doc_id"))
+    return staged.withColumn("shard", shard).select(
+        "doc_id",
+        "difficulty_scaled",
+        "stage",
+        "shard",
+        F.row_number().over(w).cast("int").alias("seq"),
+    )

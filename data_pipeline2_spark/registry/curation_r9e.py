@@ -116,3 +116,56 @@ _AUTOCORR_SQL = """
 @_register("events_lag_autocorr", _AUTOCORR_SQL)
 def q_events_lag_autocorr(spark, sf_dir):
     return aggregates.lag_autocorr(_t(spark, sf_dir, "events"))
+
+
+_CURR_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(text, ' ')) = 0 THEN []
+                  ELSE regexp_split_to_array(trim(text, ' '), '\\s+')
+             END AS ws
+      FROM documents WHERE text IS NOT NULL
+    ), sc AS (
+      SELECT doc_id,
+             CAST(floor((1000 * nc)::DOUBLE / nw::DOUBLE) AS BIGINT)
+               AS difficulty_scaled
+      FROM (SELECT doc_id, len(ws) AS nw,
+                   coalesce(list_aggregate(
+                     list_transform(ws, x -> len(x)), 'sum'), 0) AS nc
+            FROM t)
+      WHERE nw > 0
+    ), cnt AS (
+      SELECT difficulty_scaled, count(*) AS c FROM sc GROUP BY 1
+    ), cum AS (
+      SELECT difficulty_scaled,
+             sum(c) OVER (ORDER BY difficulty_scaled
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             (SELECT sum(c) FROM cnt) AS total
+      FROM cnt
+    ), st AS (
+      SELECT difficulty_scaled,
+             CASE WHEN 3 * cum <= total THEN 1
+                  WHEN 3 * cum <= 2 * total THEN 2
+                  ELSE 3 END AS stage
+      FROM cum
+    ), f AS (
+      SELECT sc.doc_id, sc.difficulty_scaled, st.stage,
+             CAST(CAST('0x' || substring(
+                    md5('currshard' || '|' || sc.doc_id::VARCHAR),
+                    1, 15) AS BIGINT) % 8 AS INT) AS shard
+      FROM sc JOIN st USING (difficulty_scaled)
+    )
+    SELECT doc_id, difficulty_scaled, CAST(stage AS INT) AS stage, shard,
+           CAST(row_number() OVER (
+                  PARTITION BY stage, shard
+                  ORDER BY md5('curr' || '|' || doc_id::VARCHAR), doc_id)
+                AS INT) AS seq
+    FROM f
+    """
+
+
+@_register("curriculum_order", _CURR_SQL)
+def q_curriculum_order(spark, sf_dir):
+    from data_pipeline2_spark.operators import sampling
+
+    return sampling.curriculum_order(_t(spark, sf_dir, "documents"))

@@ -123,6 +123,20 @@ OPS = [
                               # Brants 2007 counts-table layout
     "perplexity_buckets",     # unigram per-doc scores (checkpointed) +
                               # distinct-score bucket map broadcast back
+    # round-9c/d/e additions
+    "cms_frequency_eval",     # ONE corpus word agg; sketch + probe aggs
+                              # are vocab/cell-bounded — wall should be
+                              # the count agg, shuffle near-flat
+    "pmi_collocations",       # doc window + pair agg + broadcast
+                              # unigram joins: pair-table shuffle linear
+    "strip_repeated_lines",   # zero-exchange map-only baseline (the
+                              # gopher_quality control for this round)
+    "wordpiece_tokenize",     # distinct-word match + per-doc rollup:
+                              # the mapInPandas leg is vocab-bounded,
+                              # corpus pays two hash exchanges
+    "events_lag_autocorr",    # (key,hour) agg + per-key lead window
+    "curriculum_order",       # distinct-difficulty agg (score-bounded)
+                              # + per-(stage,shard) seq windows
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 

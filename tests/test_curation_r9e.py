@@ -125,6 +125,9 @@ def test_lag_autocorr_validates_min_pairs(spark):
 # ------------------------------------------------------- exchange budgets
 
 BUDGET_R9E = {
+    "curriculum_order": 2,     # distinct-difficulty agg + the
+                               # (stage, shard) seq window (the scored
+                               # projection checkpoints once)
     "t_closeness": 4,          # class-value agg + class rollup + the
                                # per-class cumulative window + final
                                # rollup (global value table checkpoints
@@ -145,3 +148,70 @@ def test_exchange_budget_r9e(name, spark):
         f"{name}: plan has {n} hash/range exchanges, budget is "
         f"{BUDGET_R9E[name]} — a new shuffle entered this query's plan"
     )
+
+
+# --------------------------------------------------------- curriculum
+
+
+def test_curriculum_easy_docs_lead_and_order_is_deterministic(spark):
+    from data_pipeline2_spark.operators.sampling import curriculum_order
+
+    rows = (
+        [(i, "go to it on my " * 4) for i in range(4)]         # short words
+        + [(10 + i, "medium words truly here " * 4) for i in range(4)]
+        + [(20 + i, "extraordinarily sesquipedalian " * 4) for i in range(4)]
+        + [(30, None), (31, "   ")]                            # dropped
+    )
+    docs = spark.createDataFrame(
+        [(d, t.strip() if t else t) for d, t in rows],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in curriculum_order(docs, n_shards=2).collect()
+    }
+    assert 30 not in out and 31 not in out
+    assert all(out[i]["stage"] == 1 for i in range(4))
+    assert all(out[10 + i]["stage"] == 2 for i in range(4))
+    assert all(out[20 + i]["stage"] == 3 for i in range(4))
+    # deterministic: a second run is row-identical
+    out2 = {
+        r["doc_id"]: r.asDict()
+        for r in curriculum_order(docs, n_shards=2).collect()
+    }
+    assert out == out2
+    # seq is 1..n within each (stage, shard)
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in out.values():
+        groups[(r["stage"], r["shard"])].append(r["seq"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in groups.values())
+
+
+def test_curriculum_salt_reshuffles_within_stage(spark):
+    from data_pipeline2_spark.operators.sampling import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, "uniform words here") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: (r["stage"], r["shard"], r["seq"])
+         for r in curriculum_order(docs, n_shards=1).collect()}
+    b = {r["doc_id"]: (r["stage"], r["shard"], r["seq"])
+         for r in curriculum_order(docs, n_shards=1, salt="ep1").collect()}
+    # same stages (difficulty unchanged), different within-stage order
+    assert all(a[d][0] == b[d][0] for d in a)
+    assert any(a[d][2] != b[d][2] for d in a)
+
+
+def test_curriculum_validates_params(spark):
+    from data_pipeline2_spark.operators.sampling import curriculum_order
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_stages"):
+        curriculum_order(docs, n_stages=1)
+    with _pytest.raises(ValueError, match="n_shards"):
+        curriculum_order(docs, n_shards=0)
