@@ -169,3 +169,71 @@ def q_curriculum_order(spark, sf_dir):
     from data_pipeline2_spark.operators import sampling
 
     return sampling.curriculum_order(_t(spark, sf_dir, "documents"))
+
+
+_STREAM_TUMBLING_SQL = """
+    SELECT date_trunc('hour', ts) AS wstart, event_type,
+           count(*)::BIGINT AS n_events
+    FROM events GROUP BY 1, 2
+    """
+
+
+@_register("stream_tumbling_upsert", _STREAM_TUMBLING_SQL)
+def q_stream_tumbling_upsert(spark, sf_dir):
+    """Streaming windowed aggregation, END TO END through the real
+    runtime: events replay as a 3-file feed, readStream + availableNow
+    (maxFilesPerTrigger=1 → three real micro-batches) runs the tumbling
+    hour/event_type count in UPDATE mode, and each micro-batch's
+    touched-window rows MERGE into a parquet table via upsert_sink —
+    the continuously maintained materialized aggregate
+    (cdc_upsert_stream's pattern applied to the window-agg path, so the
+    stream/batch tumbling parity that was pytest-only becomes a driver
+    value oracle). Update-mode rows carry the key's new CUMULATIVE
+    count, so sequential merges leave exactly the batch answer
+    regardless of file order; the final table reads back as
+    (wstart, event_type, n_events) and the oracle recomputes it in one
+    GROUP BY."""
+    import os
+    import tempfile
+
+    from data_pipeline2_spark.streaming import events as sev
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    tmp = tempfile.mkdtemp(prefix="dp2s_stumb_")
+    feed = os.path.join(tmp, "feed")
+    table = os.path.join(tmp, "table")
+    ckpt = os.path.join(tmp, "ckpt")
+    from pyspark.sql import functions as F
+
+    # pmod, not %: negative event ids must land in SOME feed file
+    for p in range(3):
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == p).coalesce(
+            1
+        ).write.mode("append").parquet(feed)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = (
+        stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            "event_type",
+            "n_events",
+            F.lit("U").alias("op"),
+            # constant ts: each update-mode batch carries one row per
+            # key, so cross-batch ordering is the sequential merge
+            F.lit(0).cast("long").alias("change_ts"),
+        )
+    )
+    q = sev.upsert_sink(
+        agg, table, ckpt, ["wstart", "event_type"], output_mode="update"
+    )
+    q.awaitTermination()
+    return spark.read.parquet(table).select(
+        "wstart", "event_type", "n_events"
+    )

@@ -652,6 +652,7 @@ def upsert_sink(
     key_cols: list[str],
     ts_col: str = "change_ts",
     op_col: str = "op",
+    output_mode: str = "append",
 ):
     """Streaming CDC apply: each micro-batch of change rows MERGEs into
     a parquet table via joins.merge_upsert (latest change per key wins,
@@ -712,8 +713,13 @@ def upsert_sink(
         os.rename(staging, table_dir)  # crash before this: old restores
         shutil.rmtree(old, ignore_errors=True)
 
+    # output_mode "update" is the streaming-AGGREGATION feed shape:
+    # each micro-batch delivers the touched keys' new cumulative rows
+    # and the sequential MERGEs keep the latest — the continuously
+    # maintained materialized-aggregate pattern (stream_tumbling_upsert)
     return (
         changes_stream.writeStream.foreachBatch(handle_batch)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -215,3 +215,58 @@ def test_curriculum_validates_params(spark):
         curriculum_order(docs, n_stages=1)
     with _pytest.raises(ValueError, match="n_shards"):
         curriculum_order(docs, n_shards=0)
+
+
+# ------------------------------------------------- stream tumbling upsert
+
+
+def test_stream_tumbling_upsert_cumulative_across_batches(spark, tmp_path):
+    """One window's events spread across all three micro-batch files:
+    the final MERGEd count must be the cumulative total (update-mode
+    rows overwrite), not any single batch's contribution — the property
+    that makes the streaming table equal the batch GROUP BY."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.streaming import events as sev
+
+    rows = [(i, datetime(2024, 1, 1, 5), "view") for i in range(6)]
+    rows += [(6, datetime(2024, 1, 1, 7), "click")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    feed = os.path.join(str(tmp_path), "feed")
+    table = os.path.join(str(tmp_path), "table")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    for p in range(3):
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == p).coalesce(
+            1
+        ).write.mode("append").parquet(feed)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            "event_type",
+            "n_events",
+            F.lit("U").alias("op"),
+            F.lit(0).cast("long").alias("change_ts"),
+        )
+    )
+    q = sev.upsert_sink(
+        agg, table, ckpt, ["wstart", "event_type"], output_mode="update"
+    )
+    q.awaitTermination()
+    out = {
+        (r["wstart"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(table).collect()
+    }
+    assert out[(datetime(2024, 1, 1, 5), "view")] == 6  # cumulative, not 2
+    assert out[(datetime(2024, 1, 1, 7), "click")] == 1
+    assert len(out) == 2
