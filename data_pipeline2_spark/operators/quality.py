@@ -1319,3 +1319,153 @@ def strip_repeated_lines(
         (total_chars - kept_chars).cast("long").alias("chars_removed"),
         checksum.alias("kept_checksum"),
     )
+
+
+# Kneser-Ney absolute discount (Chen & Goodman 1998's recommended fixed
+# D; exact in binary, so both engines subtract the identical double)
+_KN_DISCOUNT = 0.75
+
+
+def kneser_ney_logprob(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Held-out bigram scoring with interpolated Kneser-Ney smoothing
+    (Kneser & Ney 1995; Chen & Goodman 1998 §2.7 — the accuracy
+    benchmark the Stupid Backoff paper positions itself against) →
+    (doc_id, n_bigrams, hits_bigram, hits_context, misses,
+    logprob_sum_scaled, avg_logprob).
+
+    Counts fit on EVEN doc_ids, ODD half scored (the
+    stupid_backoff_logprob split). With C(·) train bigram counts,
+    D = 0.75, N1+(w1·) the distinct-continuation count, N1+(·w2) the
+    distinct-history count, T total bigram types, V train vocabulary:
+
+      p_cont(w2)  = (N1+(·w2) + 1) / (T + V + 1)      [add-one so OOV
+                                                       stays finite]
+      p(w2|w1)    = (max(C(w1w2) − D, 0)
+                     + D · N1+(w1·) · p_cont(w2)) / C(w1·)
+                  = p_cont(w2)                        when C(w1·) = 0
+
+    — the continuation-probability insight (how many HISTORIES a word
+    follows, not how often it occurs) is what distinguishes KN from
+    every count-ratio backoff in the engine. All probability inputs are
+    exact integers plus the binary-exact D, the arithmetic order is
+    pinned identically in both engines, and each ln term integerizes at
+    1e10 before summing (associative, partition-order-free).
+
+    Scale shape: ONE bigram counts table aggregates off the train
+    stream and checkpoints; the context/continuation/type tables all
+    derive from it (bigram-type-bounded, never re-reading the corpus);
+    the held-out bigram stream chains three key-partitioned LEFT joins.
+    The Brants counts-table architecture with KN arithmetic on top.
+    """
+    from pyspark.sql.window import Window
+
+    from data_pipeline2_spark.plans.partitioning import ensure_parallelism
+
+    t = F.col(text_col)
+    base = documents.filter(t.isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.transform(tokens(t), lambda x: F.lower(x))).alias(
+            "p", "w"
+        ),
+    )
+    train = base.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    win = Window.partitionBy("doc_id").orderBy("p")
+    tr_bi = train.select(
+        F.lag("w", 1).over(win).alias("w1"), F.col("w").alias("w2")
+    ).filter(F.col("w1").isNotNull())
+    bi = (
+        tr_bi.groupBy(F.col("w1").alias("b_w1"), F.col("w2").alias("b_w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = bi.groupBy(F.col("b_w1").alias("x_w1")).agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("nfw")
+    )
+    nbw = bi.groupBy(F.col("b_w2").alias("n_w2")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    tv = (
+        bi.agg(F.count(F.lit(1)).cast("long").alias("__t"))
+        .crossJoin(
+            F.broadcast(
+                train.select("w")
+                .distinct()
+                .agg(F.count(F.lit(1)).cast("long").alias("__v"))
+            )
+        )
+    )
+    held = ensure_parallelism(
+        documents.filter(
+            t.isNotNull() & (F.pmod(F.col(id_col), F.lit(2)) == 1)
+        ),
+        id_col,
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.transform(tokens(t), lambda x: F.lower(x))).alias(
+            "p", "w2"
+        ),
+    )
+    hw = Window.partitionBy("doc_id").orderBy("p")
+    stream = held.select(
+        "doc_id", F.lag("w2", 1).over(hw).alias("w1"), "w2"
+    ).filter(F.col("w1").isNotNull())
+    scored = (
+        stream.join(
+            bi,
+            (F.col("w1") == F.col("b_w1")) & (F.col("w2") == F.col("b_w2")),
+            "left",
+        )
+        .join(ctx, F.col("w1") == F.col("x_w1"), "left")
+        .join(nbw, F.col("w2") == F.col("n_w2"), "left")
+        .crossJoin(F.broadcast(tv))
+    )
+    d = F.lit(_KN_DISCOUNT)
+    pc = (F.coalesce(F.col("nb"), F.lit(0)) + 1).cast("double") / (
+        F.col("__t") + F.col("__v") + 1
+    ).cast("double")
+    p_seen = (
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)).cast("double") - d,
+            F.lit(0.0),
+        )
+        + d * F.col("nfw").cast("double") * pc
+    ) / F.col("c1").cast("double")
+    term_f = F.log(F.when(F.col("c1").isNotNull(), p_seen).otherwise(pc))
+    term = F.floor(term_f * F.lit(float(_LOGPROB_SCALE))).cast("long")
+    level = (
+        F.when(F.col("c12").isNotNull(), 2)
+        .when(F.col("c1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum((level == 2).cast("long")).cast("long").alias(
+                "hits_bigram"
+            ),
+            F.sum((level == 1).cast("long")).cast("long").alias(
+                "hits_context"
+            ),
+            F.sum((level == 0).cast("long")).cast("long").alias("misses"),
+            F.sum(term).cast("long").alias("logprob_sum_scaled"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "hits_bigram",
+            "hits_context",
+            "misses",
+            "logprob_sum_scaled",
+            F.round(
+                F.col("logprob_sum_scaled")
+                / F.lit(float(_LOGPROB_SCALE))
+                / F.col("n_bigrams"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

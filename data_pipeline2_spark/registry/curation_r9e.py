@@ -237,3 +237,67 @@ def q_stream_tumbling_upsert(spark, sf_dir):
     return spark.read.parquet(table).select(
         "wstart", "event_type", "n_events"
     )
+
+
+def _kn_sql() -> str:
+    from data_pipeline2_spark.registry.curation_r5 import _WS_LOWER
+
+    scale = "10000000000.0"
+    pc = "(coalesce(nbw.nb, 0) + 1)::DOUBLE / (tv.t + tv.v + 1)::DOUBLE"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_WS_LOWER} AS ws
+      FROM documents WHERE text IS NOT NULL
+    ), tr AS (
+      SELECT ws FROM t WHERE ((doc_id % 2) + 2) % 2 = 0
+    ), bi AS MATERIALIZED (
+      SELECT w1, w2, count(*) AS c12
+      FROM (SELECT ws[i] AS w1, ws[i+1] AS w2
+            FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                  FROM tr WHERE len(ws) >= 2))
+      GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, sum(c12) AS c1, count(*) AS nfw FROM bi GROUP BY w1
+    ), nbw AS (
+      SELECT w2, count(*) AS nb FROM bi GROUP BY w2
+    ), tv AS (
+      SELECT (SELECT count(*) FROM bi) AS t,
+             (SELECT count(DISTINCT w)
+              FROM (SELECT unnest(ws) AS w FROM tr)) AS v
+    ), held AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM t WHERE ((doc_id % 2) + 2) % 2 = 1 AND len(ws) >= 2)
+    ), terms AS (
+      SELECT h.doc_id,
+        CASE WHEN bi.c12 IS NOT NULL THEN 2
+             WHEN ctx.c1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+        CAST(floor(ln(
+          CASE WHEN ctx.c1 IS NOT NULL
+               THEN (greatest(coalesce(bi.c12, 0)::DOUBLE - 0.75, 0.0)
+                     + 0.75 * ctx.nfw::DOUBLE * {pc})
+                    / ctx.c1::DOUBLE
+               ELSE {pc}
+          END) * {scale}) AS BIGINT) AS term
+      FROM held h
+      LEFT JOIN bi ON bi.w1 = h.w1 AND bi.w2 = h.w2
+      LEFT JOIN ctx ON ctx.w1 = h.w1
+      LEFT JOIN nbw ON nbw.w2 = h.w2
+      CROSS JOIN tv
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           sum((lvl = 2)::INT)::BIGINT AS hits_bigram,
+           sum((lvl = 1)::INT)::BIGINT AS hits_context,
+           sum((lvl = 0)::INT)::BIGINT AS misses,
+           sum(term)::BIGINT AS logprob_sum_scaled,
+           round(sum(term) / {scale} / count(*), 6) AS avg_logprob
+    FROM terms GROUP BY doc_id
+    """
+
+
+@_register("kneser_ney_logprob", _kn_sql())
+def q_kneser_ney_logprob(spark, sf_dir):
+    from data_pipeline2_spark.operators import quality
+
+    return quality.kneser_ney_logprob(_t(spark, sf_dir, "documents"))

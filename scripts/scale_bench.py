@@ -137,6 +137,8 @@ OPS = [
     "events_lag_autocorr",    # (key,hour) agg + per-key lead window
     "curriculum_order",       # distinct-difficulty agg (score-bounded)
                               # + per-(stage,shard) seq windows
+    "kneser_ney_logprob",     # bigram counts table (checkpointed once)
+                              # + held-stream keyed LEFT joins
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 

@@ -125,6 +125,12 @@ def test_lag_autocorr_validates_min_pairs(spark):
 # ------------------------------------------------------- exchange budgets
 
 BUDGET_R9E = {
+    "kneser_ney_logprob": 6,   # train bigram window+agg run at the
+                               # checkpoint; held window + 3 LEFT joins
+                               # (bigram/ctx/nbw keyed) + per-doc rollup
+    "stream_tumbling_upsert": 0,  # batch READBACK plan of the merged
+                               # table (the streaming job's shuffles
+                               # happen inside the drained query)
     "curriculum_order": 2,     # distinct-difficulty agg + the
                                # (stage, shard) seq window (the scored
                                # projection checkpoints once)
@@ -270,3 +276,69 @@ def test_stream_tumbling_upsert_cumulative_across_batches(spark, tmp_path):
     assert out[(datetime(2024, 1, 1, 5), "view")] == 6  # cumulative, not 2
     assert out[(datetime(2024, 1, 1, 7), "click")] == 1
     assert len(out) == 2
+
+
+# ------------------------------------------------------------ kneser-ney
+
+
+def test_kneser_ney_levels_and_exact_terms(spark):
+    """train (even id): 'a b a b a c' -> bigrams (a,b)x2 (b,a)x2 (a,c)x1
+    T=3 types, V=3 vocab; held (odd id): 'a b x' exercises the seen
+    bigram and the seen-context/unseen-word branch; 'x y' (doc 3) the
+    unseen-context branch."""
+    import math
+
+    from data_pipeline2_spark.operators import quality
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a c"), (1, "a b x"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in quality.kneser_ney_logprob(docs).collect()
+    }
+    T, V = 3, 3
+
+    def pc(nb):
+        return (nb + 1) / (T + V + 1)
+
+    def p_seen(c12, c1, nfw, nb):
+        return (max(c12 - 0.75, 0.0) + 0.75 * nfw * pc(nb)) / c1
+
+    def term(p):
+        return math.floor(math.log(p) * quality._LOGPROB_SCALE)
+
+    r1 = out[1]
+    assert r1["n_bigrams"] == 2
+    assert (r1["hits_bigram"], r1["hits_context"], r1["misses"]) == (1, 1, 0)
+    expected = term(p_seen(2, 3, 2, 1)) + term(p_seen(0, 2, 1, 0))
+    assert r1["logprob_sum_scaled"] == expected
+    r3 = out[3]
+    assert (r3["hits_bigram"], r3["hits_context"], r3["misses"]) == (0, 0, 1)
+    assert r3["logprob_sum_scaled"] == term(pc(0))
+
+
+def test_kneser_ney_continuation_beats_raw_frequency(spark):
+    """The KN signature: a word frequent after ONE history only (low
+    continuation count) scores BELOW a word seen after many histories,
+    even at equal unigram frequency — the 'san francisco' effect."""
+    from data_pipeline2_spark.operators import quality
+
+    # train: 'q' appears 4x, always after 'san'; 'the' appears 4x after
+    # 4 different histories. held doc: both words after the UNSEEN
+    # context 'zz' -> scored purely by continuation probability.
+    docs = spark.createDataFrame(
+        [
+            (0, "san q san q san q san q"),
+            (2, "u the v the w the x the"),
+            (1, "zz the"),
+            (3, "zz q"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in quality.kneser_ney_logprob(docs).collect()
+    }
+    assert out[1]["logprob_sum_scaled"] > out[3]["logprob_sum_scaled"]
