@@ -224,26 +224,28 @@ def t_closeness_audit(
         F.sum("__g").cast("long").alias("__n_total"),
         F.count(F.lit(1)).cast("long").alias("__m"),
     )
-    walk = (
-        grid.select(
-            *quasi_cols,
-            "n",
-            "__v",
-            F.sum("__c").over(w).cast("long").alias("__P"),
-            F.sum("__g").over(w).cast("long").alias("__Q"),
-            F.row_number().over(w).alias("__i"),
-        )
-        .crossJoin(F.broadcast(tot))
-        # the i = m term is excluded (both cumulatives reach 1 there)
-        .filter(F.col("__i") < F.col("__m"))
-    )
-    term = F.abs(
-        F.col("__P") * F.col("__n_total") - F.col("__Q") * F.col("n")
-    )
+    walk = grid.select(
+        *quasi_cols,
+        "n",
+        "__v",
+        F.sum("__c").over(w).cast("long").alias("__P"),
+        F.sum("__g").over(w).cast("long").alias("__Q"),
+        F.row_number().over(w).alias("__i"),
+    ).crossJoin(F.broadcast(tot))
+    # the i = m term contributes 0 (both cumulatives reach 1 there);
+    # zeroing it instead of filtering the row keeps every class in the
+    # output even at m = 1, where EMD is 0 by definition (one-value
+    # domain: the distributions are necessarily identical)
+    term = F.when(
+        F.col("__i") < F.col("__m"),
+        F.abs(
+            F.col("__P") * F.col("__n_total") - F.col("__Q") * F.col("n")
+        ),
+    ).otherwise(F.lit(0))
     out = walk.groupBy(*quasi_cols, "n", "__n_total", "__m").agg(
         F.sum(term).cast("long").alias("emd_num")
     )
-    emd = F.round(
+    emd = F.when(F.col("__m") > 1, F.round(
         F.col("emd_num")
         / (
             (F.col("__m") - 1).cast("double")
@@ -251,7 +253,7 @@ def t_closeness_audit(
             * F.col("__n_total").cast("double")
         ),
         6,
-    )
+    )).otherwise(F.lit(0.0))
     return out.select(
         *quasi_cols,
         "n",

@@ -816,7 +816,11 @@ def merge_upsert(
     The lake-maintenance primitive behind incremental ingestion — the
     batch equivalent of Delta/Iceberg MERGE INTO, expressed as one
     per-key window over the (usually small) changeset plus one
-    full-outer join against base. Scale shape: base never rewrites
+    full-outer join against base. KEY COLUMNS MUST BE NON-NULL: the
+    join equality is null-unsafe (matching standard SQL MERGE), so a
+    NULL key inserts a new row next to its stale one instead of
+    replacing it — coalesce nullable keys to a sentinel first
+    (stream_tumbling_upsert shows the idiom). Scale shape: base never rewrites
     more than once, the changeset shuffles by key (broadcast when it
     fits), and payload columns resolve with coalesce-style whens, so
     column count — not row count — bounds the expression tree.

@@ -1355,11 +1355,14 @@ def kneser_ney_logprob(
     pinned identically in both engines, and each ln term integerizes at
     1e10 before summing (associative, partition-order-free).
 
-    Scale shape: ONE bigram counts table aggregates off the train
-    stream and checkpoints; the context/continuation/type tables all
-    derive from it (bigram-type-bounded, never re-reading the corpus);
-    the held-out bigram stream chains three key-partitioned LEFT joins.
-    The Brants counts-table architecture with KN arithmetic on top.
+    Scale shape: the train split pays TWO corpus-sized aggregations —
+    the bigram counts table (checkpointed; context/continuation/type
+    tables all derive from it, bigram-type-bounded) and the vocabulary
+    count V for the smoothing floor. At 100 TB, V comes for free from
+    the unigram table the lake already maintains (unigram_logprob /
+    vocab_stats persist it), collapsing the fit to one pass. The
+    held-out bigram stream chains three key-partitioned LEFT joins —
+    the Brants counts-table architecture with KN arithmetic on top.
     """
     from pyspark.sql.window import Window
 

@@ -2270,9 +2270,42 @@ def retrieval_ndcg(
     per_q = topk.groupBy("qid", "qlabel").agg(
         F.sum("__term").cast("long").alias("dcg_scaled")
     )
-    grade_counts = scored.groupBy("qid").agg(
-        F.sum((F.col("rel") == 2).cast("long")).alias("n_rel2"),
-        F.sum((F.col("rel") == 1).cast("long")).alias("n_rel1"),
+    # grade counts are pure LABEL statistics (rel-2 = same-label peers,
+    # rel-1 = adjacent-label members), so they come from the
+    # label-cardinality table — re-deriving them from `scored` would
+    # execute the corpus x queries scoring subtree a second time
+    label_counts = (
+        embeddings.groupBy(F.col(label_col).alias("__l"))
+        .agg(F.count(F.lit(1)).alias("__lc"))
+        .localCheckpoint(eager=True)
+    )
+    lc = lambda name: label_counts.select(  # noqa: E731
+        F.col("__l").alias(f"__l_{name}"), F.col("__lc").alias(name)
+    )
+    grade_counts = (
+        queries.join(
+            F.broadcast(lc("c_same")),
+            F.col("qlabel") == F.col("__l_c_same"),
+            "left",
+        )
+        .join(
+            F.broadcast(lc("c_lo")),
+            F.col("qlabel") - 1 == F.col("__l_c_lo"),
+            "left",
+        )
+        .join(
+            F.broadcast(lc("c_hi")),
+            F.col("qlabel") + 1 == F.col("__l_c_hi"),
+            "left",
+        )
+        .select(
+            "qid",
+            (F.coalesce(F.col("c_same"), F.lit(1)) - 1).alias("n_rel2"),
+            (
+                F.coalesce(F.col("c_lo"), F.lit(0))
+                + F.coalesce(F.col("c_hi"), F.lit(0))
+            ).alias("n_rel1"),
+        )
     )
     cum_arr = F.array(*[F.lit(c) for c in cum])
     i2 = F.least(F.col("n_rel2"), F.lit(k))

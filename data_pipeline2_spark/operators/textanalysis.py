@@ -1609,7 +1609,6 @@ def cms_sketch(
     documents: DataFrame,
     depth: int = 4,
     width: int = 1024,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Count-Min sketch of the corpus unigram distribution → one row
@@ -1690,7 +1689,6 @@ def cms_frequency_eval(
     depth: int = 4,
     width: int = 1024,
     probes: int = 20,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Count-Min point estimates vs exact counts for the corpus's top

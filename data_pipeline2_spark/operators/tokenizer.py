@@ -243,6 +243,11 @@ def wordpiece_vocab(
                 F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
             ).alias("w")
         )
+        # empty-string tokens (the split artifact on tab-only text)
+        # carry no pieces — and F.sequence(1, 0) would walk DESCENDING
+        # and inject '' into the char sets where the oracle's
+        # generate_series(1, 0) is empty (review r9s3 finding)
+        .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)

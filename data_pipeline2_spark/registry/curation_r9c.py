@@ -24,10 +24,9 @@ from __future__ import annotations
 
 from data_pipeline2_spark.operators import quality, textanalysis
 from data_pipeline2_spark.registry._core import _register, _t
-from data_pipeline2_spark.registry.curation_r5 import _WS_LOWER
+from data_pipeline2_spark.registry.curation_r5 import _WS_LOWER, _md5_60
 
 _SCALE = "10000000000.0"  # the engine-wide integerized-log scale
-_MD5_60 = "CAST('0x' || substring(md5({e}), 1, 15) AS BIGINT)"
 
 
 _CMS_SQL = f"""
@@ -39,7 +38,7 @@ _CMS_SQL = f"""
     js AS (SELECT unnest(generate_series(0, 3)) AS row_j),
     sk AS (
       SELECT row_j,
-             {_MD5_60.format(e="row_j::VARCHAR || '|' || w")} % 1024
+             {_md5_60("row_j::VARCHAR || '|' || w")} % 1024
                AS bucket,
              sum(c) AS bc
       FROM counts CROSS JOIN js GROUP BY 1, 2
@@ -50,7 +49,7 @@ _CMS_SQL = f"""
       FROM probes p CROSS JOIN js
       JOIN sk ON sk.row_j = js.row_j
              AND sk.bucket =
-                 {_MD5_60.format(e="js.row_j::VARCHAR || '|' || p.w")} % 1024
+                 {_md5_60("js.row_j::VARCHAR || '|' || p.w")} % 1024
       GROUP BY p.w, p.c
     )
     SELECT w AS word, c::BIGINT AS exact_c, e::BIGINT AS cms_est,
@@ -64,7 +63,7 @@ def q_cms_frequency_eval(spark, sf_dir):
     return textanalysis.cms_frequency_eval(_t(spark, sf_dir, "documents"))
 
 
-_STRIP_LINES_SQL = """
+_STRIP_LINES_SQL = f"""
     WITH t AS (
       SELECT doc_id,
              list_transform(
@@ -87,8 +86,7 @@ _STRIP_LINES_SQL = """
                                       'sum'), 0))::BIGINT AS chars_removed,
            coalesce(list_aggregate(
              list_transform(kept, (x, i) ->
-               (CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)
-                % 4294967296) * i),
+               ({_md5_60('x')} % 4294967296) * i),
              'sum'), 0)::BIGINT AS kept_checksum
     FROM k
     """

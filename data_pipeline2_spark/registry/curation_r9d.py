@@ -29,13 +29,12 @@ from __future__ import annotations
 
 from data_pipeline2_spark.operators import similarity, tokenizer
 from data_pipeline2_spark.registry._core import _cos_sql, _register, _t
-from data_pipeline2_spark.registry.curation_r5 import _WS_LOWER
+from data_pipeline2_spark.registry.curation_r5 import _WS_LOWER, _md5_60
 
 
 def _h32(e: str) -> str:
-    return (
-        f"(CAST('0x' || substring(md5({e}), 1, 15) AS BIGINT) % 4294967296)"
-    )
+    # the engine-wide 60-bit fragment (curation_r5), reduced to 32 bits
+    return f"({_md5_60(e)} % 4294967296)"
 
 
 def _wordpiece_sql(
@@ -82,8 +81,10 @@ def _wordpiece_sql(
       SELECT {_WS_LOWER} AS ws FROM documents
       WHERE text IS NOT NULL AND ((doc_id % 2) + 2) % 2 = 0
     ), wc AS MATERIALIZED (
+      -- empty-string tokens (tab-only text) carry no pieces, matching
+      -- the engine's wordpiece_vocab filter
       SELECT w, count(*) AS c
-      FROM (SELECT unnest(ws) AS w FROM tr) GROUP BY w
+      FROM (SELECT unnest(ws) AS w FROM tr) WHERE w <> '' GROUP BY w
     ), whole AS (
       SELECT w AS body, 'init' AS kind FROM wc
       WHERE c >= {min_count} AND len(w) <= {max_piece}

@@ -52,17 +52,21 @@ _TCLOSE_SQL = """
       WINDOW wd AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY v)
     ), f AS (
       SELECT c_nationkey, c_mktsegment, n, n_total, m,
-             sum(abs(p * n_total - q * n))::BIGINT AS emd_num
-      FROM walk WHERE i < m GROUP BY 1, 2, 3, 4, 5
+             sum(CASE WHEN i < m THEN abs(p * n_total - q * n)
+                      ELSE 0 END)::BIGINT AS emd_num
+      FROM walk GROUP BY 1, 2, 3, 4, 5
+    ), g AS (
+      SELECT c_nationkey, c_mktsegment, n, emd_num,
+             CASE WHEN m > 1
+                  THEN round(emd_num::DOUBLE
+                       / ((m - 1)::DOUBLE * n::DOUBLE * n_total::DOUBLE),
+                       6)
+                  ELSE 0.0 END AS emd
+      FROM f
     )
-    SELECT c_nationkey, c_mktsegment, n, emd_num,
-           round(emd_num::DOUBLE
-                 / ((m - 1)::DOUBLE * n::DOUBLE * n_total::DOUBLE), 6)
-             AS emd,
-           round(emd_num::DOUBLE
-                 / ((m - 1)::DOUBLE * n::DOUBLE * n_total::DOUBLE), 6)
-             <= 0.2 AS t_close
-    FROM f
+    SELECT c_nationkey, c_mktsegment, n, emd_num, emd,
+           emd <= 0.2 AS t_close
+    FROM g
     """
 
 
@@ -221,9 +225,22 @@ def q_stream_tumbling_upsert(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.col("w.start").alias("wstart"),
+            F.col("w.start").alias("wstart"), "event_type", "n_events"
+        )
+        # merge_upsert's key equality is null-UNSAFE (a NULL key would
+        # insert next to its stale row instead of replacing it), so the
+        # MERGE keys are sentinel-coalesced copies and the nullable
+        # originals ride along as payload
+        .select(
+            "wstart",
             "event_type",
             "n_events",
+            F.coalesce(
+                F.col("wstart").cast("string"), F.lit("\x00ts")
+            ).alias("__wk"),
+            F.coalesce(F.col("event_type"), F.lit("\x00et")).alias(
+                "__ek"
+            ),
             F.lit("U").alias("op"),
             # constant ts: each update-mode batch carries one row per
             # key, so cross-batch ordering is the sequential merge
@@ -231,7 +248,7 @@ def q_stream_tumbling_upsert(spark, sf_dir):
         )
     )
     q = sev.upsert_sink(
-        agg, table, ckpt, ["wstart", "event_type"], output_mode="update"
+        agg, table, ckpt, ["__wk", "__ek"], output_mode="update"
     )
     q.awaitTermination()
     return spark.read.parquet(table).select(

@@ -342,3 +342,64 @@ def test_kneser_ney_continuation_beats_raw_frequency(spark):
         for r in quality.kneser_ney_logprob(docs).collect()
     }
     assert out[1]["logprob_sum_scaled"] > out[3]["logprob_sum_scaled"]
+
+
+def test_t_closeness_single_value_domain_keeps_classes(spark):
+    """Review r9s3 finding: with ONE distinct sensitive value the audit
+    must still emit every class (EMD = 0 by definition), not an empty
+    frame."""
+    rows = [(1, "A", 7), (2, "A", 7), (3, "B", 7)]
+    out = {
+        r["q"]: r.asDict()
+        for r in governance.t_closeness_audit(
+            _rows_df(spark, rows), ["q"], "v", t=0.2
+        ).collect()
+    }
+    assert set(out) == {"A", "B"}
+    assert all(r["emd"] == 0.0 and r["t_close"] for r in out.values())
+    assert out["A"]["n"] == 2 and out["B"]["n"] == 1
+
+
+def test_stream_tumbling_upsert_null_key_spanning_batches(spark, tmp_path):
+    """Review r9s3 finding: NULL event_type rows in one hour window
+    spread across micro-batches must MERGE into ONE row with the total
+    (merge_upsert's key equality is null-unsafe; the registry callable
+    sentinel-coalesces the MERGE keys). Exercised via the registry
+    callable against a constructed lake."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(i, datetime(2024, 1, 1, 5), None) for i in range(6)]
+    rows += [(6, datetime(2024, 1, 1, 5), "view")]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]).astype(
+                "datetime64[ns]"
+            ),
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "value": [float(r[0]) for r in rows],
+            "props": [r[2] for r in rows],
+        }
+    )
+    lake = os.path.join(str(tmp_path), "lake")
+    os.makedirs(lake)
+    # TIMESTAMP(NANOS), matching the driver testdata's events layout
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(lake, "events.parquet"),
+        use_deprecated_int96_timestamps=False,
+        coerce_timestamps=None,
+    )
+    from data_pipeline2_spark import registry
+
+    out = registry.queries()["stream_tumbling_upsert"](spark, lake)
+    rows = {(r["wstart"], r["event_type"]): r["n_events"]
+            for r in out.collect()}
+    assert rows[(datetime(2024, 1, 1, 5), None)] == 6  # ONE merged row
+    assert rows[(datetime(2024, 1, 1, 5), "view")] == 1
+    assert len(rows) == 2
