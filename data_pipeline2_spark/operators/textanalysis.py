@@ -1860,3 +1860,106 @@ def pmi_collocations(
     return scored.orderBy(
         F.desc("pmi_scaled"), F.col("w1"), F.col("w2")
     ).limit(top)
+
+
+def zipf_fit(
+    documents: DataFrame,
+    top_ranks: int = 500,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source Zipf's-law fit over the top `top_ranks` vocabulary →
+    (source, n_ranks, slope, intercept, r2): OLS of ln(freq) on
+    ln(rank). Natural text sits near slope −1 (Zipf 1949); generated
+    boilerplate, template spam, and truncated-vocabulary corpora bend
+    the slope or crush r² — the corpus-health diagnostic next to
+    vocab_stats' hapax counts.
+
+    Exactness: x = floor(ln(rank)·1e6), y = floor(ln(count)·1e6) are
+    BIGINTs; all five regression sums stay exact BIGINTs (bounded by
+    top_ranks · (3e7)² < 2^63) and the n·Σ − Σ·Σ combinations are
+    DECIMAL(38,0) — slope/intercept/r² are the ONLY closing float
+    expressions, computed in pinned order and rounded at 6. Degenerate
+    groups (one rank, or zero x-variance) emit NULL fit columns but
+    keep their row.
+
+    Scale shape: one (source, word) count aggregation; the rank window
+    partitions by source and is capped at `top_ranks` rows per source
+    immediately, so the regression aggregates a bounded table no matter
+    the vocabulary size. The full-vocabulary tail never enters a window:
+    the cap filter runs inside the same windowed projection.
+    """
+    from pyspark.sql.window import Window
+
+    if top_ranks < 2:
+        raise ValueError(f"top_ranks must be >= 2, got {top_ranks}")
+    counts = (
+        documents.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("source"),
+            F.explode(
+                F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.col("w"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_ranks)
+        .select(
+            "source",
+            F.floor(F.log(F.col("rank").cast("double")) * F.lit(1e6))
+            .cast("long")
+            .alias("x"),
+            F.floor(F.log(F.col("c").cast("double")) * F.lit(1e6))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    dec = "decimal(38,0)"
+    num = F.col("n").cast(dec) * F.col("sxy").cast(dec) - F.col("sx").cast(
+        dec
+    ) * F.col("sy").cast(dec)
+    denx = F.col("n").cast(dec) * F.col("sxx").cast(dec) - F.col(
+        "sx"
+    ).cast(dec) * F.col("sx").cast(dec)
+    deny = F.col("n").cast(dec) * F.col("syy").cast(dec) - F.col(
+        "sy"
+    ).cast(dec) * F.col("sy").cast(dec)
+    slope_d = num.cast("double") / denx.cast("double")
+    fit_ok = (F.col("n") >= 2) & (denx != F.lit(0).cast(dec))
+    return agg.select(
+        "source",
+        F.col("n").alias("n_ranks"),
+        F.when(fit_ok, F.round(slope_d, 6)).alias("slope"),
+        F.when(
+            fit_ok,
+            F.round(
+                (
+                    F.col("sy").cast("double")
+                    - slope_d * F.col("sx").cast("double")
+                )
+                / F.col("n").cast("double")
+                / F.lit(1e6),
+                6,
+            ),
+        ).alias("intercept"),
+        F.when(
+            fit_ok & (deny != F.lit(0).cast(dec)),
+            F.round(
+                (num.cast("double") * num.cast("double"))
+                / (denx.cast("double") * deny.cast("double")),
+                6,
+            ),
+        ).alias("r2"),
+    )

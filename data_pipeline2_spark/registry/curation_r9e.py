@@ -20,7 +20,7 @@ events_burstiness/events_cusum_drift).
 
 from __future__ import annotations
 
-from data_pipeline2_spark.operators import aggregates, governance
+from data_pipeline2_spark.operators import aggregates, governance, textanalysis
 from data_pipeline2_spark.registry._core import _register, _t
 
 _TCLOSE_SQL = """
@@ -318,3 +318,53 @@ def q_kneser_ney_logprob(spark, sf_dir):
     from data_pipeline2_spark.operators import quality
 
     return quality.kneser_ney_logprob(_t(spark, sf_dir, "documents"))
+
+
+def _zipf_sql(top_ranks: int = 500) -> str:
+    from data_pipeline2_spark.registry.curation_r5 import _WS_LOWER
+
+    dec = "DECIMAL(38,0)"
+    num = f"(n::{dec} * sxy::{dec} - sx::{dec} * sy::{dec})"
+    denx = f"(n::{dec} * sxx::{dec} - sx::{dec} * sx::{dec})"
+    deny = f"(n::{dec} * syy::{dec} - sy::{dec} * sy::{dec})"
+    slope_d = f"({num}::DOUBLE / {denx}::DOUBLE)"
+    return f"""
+    WITH t AS (
+      SELECT source, {_WS_LOWER} AS ws
+      FROM documents WHERE text IS NOT NULL
+    ), counts AS (
+      SELECT source, w, count(*) AS c
+      FROM (SELECT source, unnest(ws) AS w FROM t) GROUP BY 1, 2
+    ), ranked AS (
+      SELECT source,
+             CAST(floor(ln(rank::DOUBLE) * 1000000.0) AS BIGINT) AS x,
+             CAST(floor(ln(c::DOUBLE) * 1000000.0) AS BIGINT) AS y
+      FROM (SELECT source, c,
+                   row_number() OVER (
+                     PARTITION BY source ORDER BY c DESC, w) AS rank
+            FROM counts)
+      WHERE rank <= {top_ranks}
+    ), a AS (
+      SELECT source, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+             sum(y * y)::BIGINT AS syy
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n AS n_ranks,
+           CASE WHEN n >= 2 AND {denx} <> 0
+                THEN round({slope_d}, 6) END AS slope,
+           CASE WHEN n >= 2 AND {denx} <> 0
+                THEN round((sy::DOUBLE - {slope_d} * sx::DOUBLE)
+                           / n::DOUBLE / 1000000.0, 6) END AS intercept,
+           CASE WHEN n >= 2 AND {denx} <> 0 AND {deny} <> 0
+                THEN round(({num}::DOUBLE * {num}::DOUBLE)
+                           / ({denx}::DOUBLE * {deny}::DOUBLE), 6)
+           END AS r2
+    FROM a
+    """
+
+
+@_register("zipf_fit", _zipf_sql())
+def q_zipf_fit(spark, sf_dir):
+    return textanalysis.zipf_fit(_t(spark, sf_dir, "documents"))

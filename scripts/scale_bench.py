@@ -139,6 +139,8 @@ OPS = [
                               # + per-(stage,shard) seq windows
     "kneser_ney_logprob",     # bigram counts table (checkpointed once)
                               # + held-stream keyed LEFT joins
+    "zipf_fit",               # (source, word) agg; regression table
+                              # capped at top_ranks per source
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 

@@ -125,6 +125,8 @@ def test_lag_autocorr_validates_min_pairs(spark):
 # ------------------------------------------------------- exchange budgets
 
 BUDGET_R9E = {
+    "zipf_fit": 3,             # (source, word) agg + per-source rank
+                               # window + the per-source regression agg
     "kneser_ney_logprob": 6,   # train bigram window+agg run at the
                                # checkpoint; held window + 3 LEFT joins
                                # (bigram/ctx/nbw keyed) + per-doc rollup
@@ -403,3 +405,56 @@ def test_stream_tumbling_upsert_null_key_spanning_batches(spark, tmp_path):
     assert rows[(datetime(2024, 1, 1, 5), None)] == 6  # ONE merged row
     assert rows[(datetime(2024, 1, 1, 5), "view")] == 1
     assert len(rows) == 2
+
+
+# ---------------------------------------------------------------- zipf
+
+
+def test_zipf_fit_matches_numpy_reference_and_guards(spark):
+    import math
+
+    from data_pipeline2_spark.operators import textanalysis
+
+    # source 'z': frequencies 8,4,2,1 -> clean log-log line, slope < 0
+    words = []
+    for w, n in [("aa", 8), ("bb", 4), ("cc", 2), ("dd", 1)]:
+        words += [w] * n
+    rows = [(1, "z", " ".join(words)), (2, "one", "solo")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["source"]: r.asDict()
+        for r in textanalysis.zipf_fit(docs).collect()
+    }
+    z = out["z"]
+    assert z["n_ranks"] == 4
+    # reference OLS over the identical integerized points
+    xs = [math.floor(math.log(r) * 1e6) for r in (1, 2, 3, 4)]
+    ys = [math.floor(math.log(c) * 1e6) for c in (8, 4, 2, 1)]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    num, denx, deny = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    slope = num / denx
+    assert z["slope"] == round(slope, 6)
+    assert z["slope"] < -0.9  # a 2x-per-rank decay is steeper than zipf
+    assert z["intercept"] == round((sy - slope * sx) / n / 1e6, 6)
+    assert z["r2"] == round(num * num / (denx * deny), 6)
+    assert z["r2"] > 0.9
+    # single-rank source: row kept, fit columns NULL
+    one = out["one"]
+    assert one["n_ranks"] == 1
+    assert one["slope"] is None and one["r2"] is None
+
+
+def test_zipf_fit_validates_params(spark):
+    from data_pipeline2_spark.operators import textanalysis
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a")], "doc_id long, source string, text string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_ranks"):
+        textanalysis.zipf_fit(docs, top_ranks=1)
