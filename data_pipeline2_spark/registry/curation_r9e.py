@@ -368,3 +368,80 @@ def _zipf_sql(top_ranks: int = 500) -> str:
 @_register("zipf_fit", _zipf_sql())
 def q_zipf_fit(spark, sf_dir):
     return textanalysis.zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+def _texttiling_sql(k: int = 10, b: int = 2, pw: int = 3) -> str:
+    from data_pipeline2_spark.registry.curation_r5 import (
+        _WS_LOWER,
+        _md5_60,
+    )
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_WS_LOWER} AS ws
+      FROM documents WHERE text IS NOT NULL
+    ), tok AS (
+      SELECT doc_id, unnest(ws) AS w,
+             unnest(generate_series(0, len(ws) - 1)) AS p,
+             len(ws) AS nt
+      FROM t
+    ), st AS (
+      SELECT doc_id, (nt // {k})::INT AS n_sents, (p // {k})::INT AS s,
+             {_md5_60("w")} AS tt, count(*) AS c
+      FROM tok WHERE (p // {k}) < (nt // {k})
+      GROUP BY 1, 2, 3, 4
+    ), sides AS (
+      SELECT doc_id, n_sents, tt, c, s + i AS g, 'L' AS side
+      FROM st, (SELECT unnest(generate_series(1, {b})) AS i)
+      UNION ALL
+      SELECT doc_id, n_sents, tt, c, s - i + 1 AS g, 'R' AS side
+      FROM st, (SELECT unnest(generate_series(1, {b})) AS i)
+    ), j AS (
+      SELECT doc_id, g, tt,
+             coalesce(sum(CASE WHEN side = 'L' THEN c END), 0) AS cl,
+             coalesce(sum(CASE WHEN side = 'R' THEN c END), 0) AS cr
+      FROM sides WHERE g >= {b} AND g <= n_sents - {b}
+      GROUP BY 1, 2, 3
+    ), sims AS (
+      SELECT doc_id, g, sum(cl * cr)::BIGINT AS dot,
+             sum(cl * cl)::BIGINT AS nl, sum(cr * cr)::BIGINT AS nr
+      FROM j GROUP BY 1, 2
+    ), sc AS (
+      SELECT doc_id, g,
+             CASE WHEN nl > 0 AND nr > 0
+                  THEN CAST(floor(dot::DOUBLE
+                         / sqrt(nl::DOUBLE * nr::DOUBLE)
+                         * 1000000.0) AS BIGINT)
+                  ELSE 0 END AS sim
+      FROM sims
+    ), dep AS (
+      SELECT doc_id, g, sim,
+        (greatest(coalesce(max(sim) OVER (
+             PARTITION BY doc_id ORDER BY g
+             ROWS BETWEEN {pw} PRECEDING AND 1 PRECEDING), sim)
+           - sim, 0)
+         + greatest(coalesce(max(sim) OVER (
+             PARTITION BY doc_id ORDER BY g
+             ROWS BETWEEN 1 FOLLOWING AND {pw} FOLLOWING), sim)
+           - sim, 0))::BIGINT AS depth
+      FROM sc
+    ), bd AS (
+      SELECT doc_id, g, depth,
+             depth * count(*) OVER (PARTITION BY doc_id)
+               > sum(depth) OVER (PARTITION BY doc_id) AS is_boundary
+      FROM dep
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_gaps,
+           sum(is_boundary::INT)::BIGINT AS n_boundaries,
+           sum(CASE WHEN is_boundary THEN g ELSE 0 END)::BIGINT
+             AS boundary_gap_sum,
+           sum(CASE WHEN is_boundary THEN g * g ELSE 0 END)::BIGINT
+             AS boundary_gap_sq_sum,
+           max(depth)::BIGINT AS max_depth_scaled
+    FROM bd GROUP BY doc_id
+    """
+
+
+@_register("texttiling_boundaries", _texttiling_sql())
+def q_texttiling_boundaries(spark, sf_dir):
+    return textanalysis.texttiling_boundaries(_t(spark, sf_dir, "documents"))

@@ -141,6 +141,9 @@ OPS = [
                               # + held-stream keyed LEFT joins
     "zipf_fit",               # (source, word) agg; regression table
                               # capped at top_ranks per source
+    "texttiling_boundaries",  # sent-term agg + gap-side pivot agg +
+                              # per-doc windows; fingerprints shuffle,
+                              # never token text
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 

@@ -125,6 +125,10 @@ def test_lag_autocorr_validates_min_pairs(spark):
 # ------------------------------------------------------- exchange budgets
 
 BUDGET_R9E = {
+    "texttiling_boundaries": 4,  # sent-term agg + (doc,gap,term)
+                               # side-pivot agg + (doc,gap) cosine agg
+                               # + per-doc windows (rollup reuses doc
+                               # partitioning)
     "zipf_fit": 3,             # (source, word) agg + per-source rank
                                # window + the per-source regression agg
     "kneser_ney_logprob": 6,   # train bigram window+agg run at the
@@ -458,3 +462,45 @@ def test_zipf_fit_validates_params(spark):
 
     with _pytest.raises(ValueError, match="top_ranks"):
         textanalysis.zipf_fit(docs, top_ranks=1)
+
+
+# ------------------------------------------------------------ texttiling
+
+
+def test_texttiling_finds_the_topic_shift(spark):
+    from data_pipeline2_spark.operators import textanalysis
+
+    # 6 pseudo-sentences of 10 tokens: first 3 in vocabulary A, last 3
+    # in vocabulary B -> the only real topic shift sits at gap 3
+    sent_a = "alpha beta gamma delta epsilon " * 2
+    sent_b = "omega psi chi phi upsilon " * 2
+    text = (sent_a * 3 + sent_b * 3).strip()
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = textanalysis.texttiling_boundaries(docs).collect()[0].asDict()
+    assert r["n_gaps"] == 3  # gaps 2, 3, 4 (b=2 on each side)
+    assert r["n_boundaries"] == 1
+    assert r["boundary_gap_sum"] == 3 and r["boundary_gap_sq_sum"] == 9
+    assert r["max_depth_scaled"] > 0
+
+
+def test_texttiling_homogeneous_doc_has_no_boundary(spark):
+    from data_pipeline2_spark.operators import textanalysis
+
+    docs = spark.createDataFrame(
+        [(1, ("same words again here now " * 12).strip()), (2, "short")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in textanalysis.texttiling_boundaries(docs).collect()
+    }
+    assert out[1]["n_boundaries"] == 0 and out[1]["max_depth_scaled"] == 0
+    assert 2 not in out  # under 2*b pseudo-sentences -> no gaps
+
+
+def test_texttiling_validates_params(spark):
+    from data_pipeline2_spark.operators import textanalysis
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must all be >= 1"):
+        textanalysis.texttiling_boundaries(docs, sent_tokens=0)
