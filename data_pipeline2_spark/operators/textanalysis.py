@@ -2135,3 +2135,148 @@ def texttiling_boundaries(
         .alias("boundary_gap_sq_sum"),
         F.max("depth").cast("long").alias("max_depth_scaled"),
     )
+
+
+def heaps_fit(
+    documents: DataFrame,
+    n_checkpoints: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit → ONE row: (n_checkpoints,
+    n_tokens_total, vocab_total, beta, ln_k, r2). V(N) ≈ K·N^β
+    (Heaps 1978; β ≈ 0.5–0.8 for natural text) — the growth companion
+    of `zipf_fit`'s rank diagnostic: template/generated corpora flatten
+    β (vocabulary saturates), OCR noise inflates it toward 1.
+
+    Corpus order is doc_id order. Checkpoints are `n_checkpoints`
+    equal-width doc_id thresholds between min and max (VALUE-based, so
+    they come from one min/max aggregate — never a corpus-rank
+    quantile); at each threshold the curve point is (N = tokens in docs
+    at-or-below, V = words whose FIRST document is at-or-below). The
+    fit is OLS of ln V on ln N over the checkpoints with positive N and
+    V, in the zipf_fit exactness discipline: integerized logs, BIGINT
+    sums, DECIMAL(38,0) combinations, closing floats pinned.
+
+    Scale shape: one word→min-doc aggregation (vocabulary-bounded
+    output) and one per-doc token-count projection feed two
+    checkpoint-conditional aggregates of `n_checkpoints` cells each —
+    no global window, no corpus sort, nothing rank-based anywhere.
+    """
+    if n_checkpoints < 3:
+        raise ValueError(f"n_checkpoints must be >= 3, got {n_checkpoints}")
+    C = int(n_checkpoints)
+    toks = documents.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+        ).alias("w"),
+    )
+    bounds = toks.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    first_doc = toks.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    doc_tokens = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("ntok")
+    )
+    # threshold_i = lo + ceil(i * (hi - lo) / C), i = 1..C (exact
+    # integer arithmetic; the last threshold is exactly hi)
+    def thr(i: int):
+        return F.col("lo") + F.ceil(
+            F.lit(i) * (F.col("hi") - F.col("lo")) / F.lit(C)
+        ).cast("long")
+
+    vocab_cells = first_doc.crossJoin(F.broadcast(bounds)).agg(
+        *[
+            F.sum((F.col("fd") <= thr(i)).cast("long")).alias(f"v{i}")
+            for i in range(1, C + 1)
+        ]
+    )
+    token_cells = doc_tokens.crossJoin(F.broadcast(bounds)).agg(
+        *[
+            F.sum(
+                F.when(F.col("doc_id") <= thr(i), F.col("ntok")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias(f"n{i}")
+            for i in range(1, C + 1)
+        ]
+    )
+    pts = (
+        vocab_cells.crossJoin(F.broadcast(token_cells))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"n{i}").alias("nn"),
+                            F.col(f"v{i}").alias("vv"),
+                        )
+                        for i in range(1, C + 1)
+                    ]
+                )
+            ).alias("pt")
+        )
+        .select(F.col("pt.nn").alias("nn"), F.col("pt.vv").alias("vv"))
+        .filter((F.col("nn") > 0) & (F.col("vv") > 0))
+        .select(
+            "nn",
+            "vv",
+            F.floor(F.log(F.col("nn").cast("double")) * F.lit(1e6))
+            .cast("long")
+            .alias("x"),
+            F.floor(F.log(F.col("vv").cast("double")) * F.lit(1e6))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("nn").cast("long").alias("n_tokens_total"),
+        F.max("vv").cast("long").alias("vocab_total"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    dec = "decimal(38,0)"
+    num = F.col("n").cast(dec) * F.col("sxy").cast(dec) - F.col("sx").cast(
+        dec
+    ) * F.col("sy").cast(dec)
+    denx = F.col("n").cast(dec) * F.col("sxx").cast(dec) - F.col(
+        "sx"
+    ).cast(dec) * F.col("sx").cast(dec)
+    deny = F.col("n").cast(dec) * F.col("syy").cast(dec) - F.col(
+        "sy"
+    ).cast(dec) * F.col("sy").cast(dec)
+    slope_d = num.cast("double") / denx.cast("double")
+    fit_ok = (F.col("n") >= 2) & (denx != F.lit(0).cast(dec))
+    return agg.select(
+        F.col("n").alias("n_checkpoints"),
+        "n_tokens_total",
+        "vocab_total",
+        F.when(fit_ok, F.round(slope_d, 6)).alias("beta"),
+        F.when(
+            fit_ok,
+            F.round(
+                (
+                    F.col("sy").cast("double")
+                    - slope_d * F.col("sx").cast("double")
+                )
+                / F.col("n").cast("double")
+                / F.lit(1e6),
+                6,
+            ),
+        ).alias("ln_k"),
+        F.when(
+            fit_ok & (deny != F.lit(0).cast(dec)),
+            F.round(
+                (num.cast("double") * num.cast("double"))
+                / (denx.cast("double") * deny.cast("double")),
+                6,
+            ),
+        ).alias("r2"),
+    )

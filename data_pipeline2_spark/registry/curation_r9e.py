@@ -445,3 +445,61 @@ def _texttiling_sql(k: int = 10, b: int = 2, pw: int = 3) -> str:
 @_register("texttiling_boundaries", _texttiling_sql())
 def q_texttiling_boundaries(spark, sf_dir):
     return textanalysis.texttiling_boundaries(_t(spark, sf_dir, "documents"))
+
+
+def _heaps_sql(C: int = 10) -> str:
+    from data_pipeline2_spark.registry.curation_r5 import _WS_LOWER
+
+    dec = "DECIMAL(38,0)"
+    num = f"(n::{dec} * sxy::{dec} - sx::{dec} * sy::{dec})"
+    denx = f"(n::{dec} * sxx::{dec} - sx::{dec} * sx::{dec})"
+    deny = f"(n::{dec} * syy::{dec} - sy::{dec} * sy::{dec})"
+    slope_d = f"({num}::DOUBLE / {denx}::DOUBLE)"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_WS_LOWER} AS ws
+      FROM documents WHERE text IS NOT NULL
+    ), tok AS (SELECT doc_id, unnest(ws) AS w FROM t),
+    b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM tok),
+    fd AS (SELECT w, min(doc_id) AS fdoc FROM tok GROUP BY w),
+    dt AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+    thr AS (
+      SELECT i, lo + CAST(ceil(i * (hi - lo) / {C}.0) AS BIGINT) AS th
+      FROM (SELECT unnest(generate_series(1, {C})) AS i) CROSS JOIN b
+    ), pts AS (
+      SELECT (SELECT coalesce(sum(ntok), 0)::BIGINT FROM dt
+              WHERE dt.doc_id <= thr.th) AS nn,
+             (SELECT count(*)::BIGINT FROM fd
+              WHERE fd.fdoc <= thr.th) AS vv
+      FROM thr
+    ), ip AS (
+      SELECT nn, vv,
+             CAST(floor(ln(nn::DOUBLE) * 1000000.0) AS BIGINT) AS x,
+             CAST(floor(ln(vv::DOUBLE) * 1000000.0) AS BIGINT) AS y
+      FROM pts WHERE nn > 0 AND vv > 0
+    ), a AS (
+      SELECT count(*)::BIGINT AS n,
+             max(nn)::BIGINT AS n_tokens_total,
+             max(vv)::BIGINT AS vocab_total,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+             sum(y * y)::BIGINT AS syy
+      FROM ip
+    )
+    SELECT n AS n_checkpoints, n_tokens_total, vocab_total,
+           CASE WHEN n >= 2 AND {denx} <> 0
+                THEN round({slope_d}, 6) END AS beta,
+           CASE WHEN n >= 2 AND {denx} <> 0
+                THEN round((sy::DOUBLE - {slope_d} * sx::DOUBLE)
+                           / n::DOUBLE / 1000000.0, 6) END AS ln_k,
+           CASE WHEN n >= 2 AND {denx} <> 0 AND {deny} <> 0
+                THEN round(({num}::DOUBLE * {num}::DOUBLE)
+                           / ({denx}::DOUBLE * {deny}::DOUBLE), 6)
+           END AS r2
+    FROM a
+    """
+
+
+@_register("heaps_fit", _heaps_sql())
+def q_heaps_fit(spark, sf_dir):
+    return textanalysis.heaps_fit(_t(spark, sf_dir, "documents"))

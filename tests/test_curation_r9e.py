@@ -125,6 +125,9 @@ def test_lag_autocorr_validates_min_pairs(spark):
 # ------------------------------------------------------- exchange budgets
 
 BUDGET_R9E = {
+    "heaps_fit": 2,            # word->min-doc agg + per-doc token agg;
+                               # checkpoint cells and the fit are
+                               # single-row combinations
     "texttiling_boundaries": 4,  # sent-term agg + (doc,gap,term)
                                # side-pivot agg + (doc,gap) cosine agg
                                # + per-doc windows (rollup reuses doc
@@ -504,3 +507,38 @@ def test_texttiling_validates_params(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="must all be >= 1"):
         textanalysis.texttiling_boundaries(docs, sent_tokens=0)
+
+
+# ---------------------------------------------------------------- heaps
+
+
+def test_heaps_fit_power_law_recovered(spark):
+    """A corpus whose vocabulary genuinely grows sublinearly: doc i
+    introduces fewer new words as i rises. beta must land in (0, 1)
+    with a decent fit, and the totals must be exact."""
+    import itertools
+
+    from data_pipeline2_spark.operators import textanalysis
+
+    vocab_pool = [f"w{i}" for i in range(200)]
+    rows = []
+    rng = itertools.cycle(vocab_pool)
+    for d in range(20):
+        # each doc: 30 tokens drawn from the first (d+1)*10 pool words
+        pool = vocab_pool[: (d + 1) * 10]
+        toks = [pool[(j * 7 + d) % len(pool)] for j in range(30)]
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = textanalysis.heaps_fit(docs).collect()[0].asDict()
+    assert r["n_tokens_total"] == 600
+    assert 0 < r["beta"] < 1
+    assert r["r2"] > 0.8
+    assert r["n_checkpoints"] >= 3
+
+
+def test_heaps_fit_validates_params(spark):
+    from data_pipeline2_spark.operators import textanalysis
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_checkpoints"):
+        textanalysis.heaps_fit(docs, n_checkpoints=2)
