@@ -144,6 +144,8 @@ OPS = [
     "texttiling_boundaries",  # sent-term agg + gap-side pivot agg +
                               # per-doc windows; fingerprints shuffle,
                               # never token text
+    "heaps_fit",              # word->min-doc agg + per-doc token agg;
+                              # checkpoint cells single-row
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 
