@@ -2280,3 +2280,105 @@ def heaps_fit(
             ),
         ).alias("r2"),
     )
+
+
+# American Soundex letter→code map (Russell 1918 / ANSI): vowels+y → 0
+# (separators), h/w → 9 (REMOVED before run-collapse, so codes merge
+# across them — the 'ashcraft' rule), consonant classes 1-6.
+_SOUNDEX_MAP = "01230129022455012623019202"
+
+
+def soundex(word: Column) -> Column:
+    """American Soundex code of a lowercase alphabetic word (e.g.
+    'robert' → 'R163'). Pure Catalyst: translate → drop h/w → collapse
+    adjacent equal codes (Java-regex backreference) → drop the first
+    letter's own code (unless the word starts with h/w, which
+    contributed none) → drop separators → first 3 digits, zero-padded.
+    The DuckDB oracle replays the collapse with log-halving replace
+    passes because RE2 has no backreferences — identical output for
+    words up to 30 chars (the eligibility cap)."""
+    w = word
+    first = F.substring(w, 1, 1)
+    digits = F.translate(w, "abcdefghijklmnopqrstuvwxyz", _SOUNDEX_MAP)
+    d1 = F.replace(digits, F.lit("9"), F.lit(""))
+    d2 = F.regexp_replace(d1, r"([1-6])\1+", "$1")
+    d3 = F.when(first.isin("h", "w"), d2).otherwise(F.substring(d2, 2, 64))
+    d4 = F.replace(d3, F.lit("0"), F.lit(""))
+    return F.concat(F.upper(first), F.rpad(F.substring(d4, 1, 3), 3, "0"))
+
+
+def phonetic_vocab_groups(
+    documents: DataFrame,
+    min_variants: int = 2,
+    sample_n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Phonetic vocabulary blocking over the corpus → one row per
+    Soundex bucket: (soundex, n_variants, total_occurrences,
+    variants_sample, variant_candidate): buckets holding >=
+    `min_variants` distinct alphabetic words flag as spelling-variant
+    candidates — the classic blocking key for typo/OCR-noise detection
+    and record linkage (Russell 1918; the blocking stage of
+    Fellegi-Sunter matchers), complementing `fuzzy_join_ed1`'s
+    edit-distance arm with sound-alike recall that edit distance
+    misses ('smith'/'smyth', 'catherine'/'kathryn'). Every bucket
+    ships (flagged, not filtered): the per-code census is itself the
+    blocking-selectivity report a linkage job sizes its joins with.
+
+    Eligibility: 1–30 char lowercase-alphabetic words (the length cap
+    also bounds the oracle's collapse passes). variants_sample = the
+    top `sample_n` variants by (count desc, word) joined with '|' —
+    deterministic, and enough to eyeball a group.
+
+    Scale shape: one (word) count aggregation (vocabulary-bounded
+    output), the Soundex chain map-side over the vocab table, one
+    per-code window for the sample, one code rollup. The corpus pays
+    exactly one exchange.
+    """
+    from pyspark.sql.window import Window
+
+    if min_variants < 2:
+        raise ValueError(f"min_variants must be >= 2, got {min_variants}")
+    if sample_n < 1:
+        raise ValueError(f"sample_n must be >= 1, got {sample_n}")
+    vocab = (
+        documents.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+            ).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]{1,30}$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    coded = vocab.withColumn("soundex", soundex(F.col("w")))
+    wn = Window.partitionBy("soundex").orderBy(F.desc("c"), F.col("w"))
+    ranked = coded.withColumn("__rn", F.row_number().over(wn))
+    return (
+        ranked.groupBy("soundex")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.sum("c").cast("long").alias("total_occurrences"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") <= sample_n,
+                                F.struct(
+                                    F.col("__rn").alias("rn"),
+                                    F.col("w").alias("w"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["w"],
+                ),
+                "|",
+            ).alias("variants_sample"),
+        )
+        .withColumn(
+            "variant_candidate", F.col("n_variants") >= min_variants
+        )
+    )

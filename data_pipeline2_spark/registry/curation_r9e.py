@@ -503,3 +503,59 @@ def _heaps_sql(C: int = 10) -> str:
 @_register("heaps_fit", _heaps_sql())
 def q_heaps_fit(spark, sf_dir):
     return textanalysis.heaps_fit(_t(spark, sf_dir, "documents"))
+
+
+def _soundex_sql_expr(col: str) -> str:
+    """The soundex() Catalyst chain replayed for RE2: the adjacent-code
+    collapse uses log-halving replace passes (5 passes cover runs up to
+    32 > the 30-char eligibility cap) because RE2 has no backrefs."""
+    from data_pipeline2_spark.operators.textanalysis import _SOUNDEX_MAP
+
+    expr = (
+        f"replace(translate({col}, 'abcdefghijklmnopqrstuvwxyz', "
+        f"'{_SOUNDEX_MAP}'), '9', '')"
+    )
+    for _ in range(5):
+        for d in "123456":
+            expr = f"replace({expr}, '{d}{d}', '{d}')"
+    return (
+        f"upper(substring({col}, 1, 1)) || rpad(substring(replace("
+        f"CASE WHEN substring({col}, 1, 1) IN ('h', 'w') THEN {expr} "
+        f"ELSE substring({expr}, 2) END, '0', ''), 1, 3), 3, '0')"
+    )
+
+
+def _phonetic_sql() -> str:
+    from data_pipeline2_spark.registry.curation_r5 import _WS_LOWER
+
+    return f"""
+    WITH t AS (
+      SELECT {_WS_LOWER} AS ws
+      FROM documents WHERE text IS NOT NULL
+    ), vocab AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(ws) AS w FROM t)
+      WHERE regexp_matches(w, '^[a-z]{{1,30}}$')
+      GROUP BY w
+    ), coded AS (
+      SELECT w, c, {_soundex_sql_expr("w")} AS soundex FROM vocab
+    ), ranked AS (
+      SELECT soundex, w, c,
+             row_number() OVER (
+               PARTITION BY soundex ORDER BY c DESC, w) AS rn
+      FROM coded
+    )
+    SELECT soundex, count(*)::BIGINT AS n_variants,
+           sum(c)::BIGINT AS total_occurrences,
+           string_agg(w, '|' ORDER BY rn) FILTER (WHERE rn <= 5)
+             AS variants_sample,
+           count(*) >= 2 AS variant_candidate
+    FROM ranked GROUP BY soundex
+    """
+
+
+@_register("phonetic_vocab_groups", _phonetic_sql())
+def q_phonetic_vocab_groups(spark, sf_dir):
+    return textanalysis.phonetic_vocab_groups(
+        _t(spark, sf_dir, "documents")
+    )

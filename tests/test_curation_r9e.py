@@ -125,6 +125,8 @@ def test_lag_autocorr_validates_min_pairs(spark):
 # ------------------------------------------------------- exchange budgets
 
 BUDGET_R9E = {
+    "phonetic_vocab_groups": 3,  # vocab agg + per-code sample window
+                               # + code rollup (soundex chain map-side)
     "heaps_fit": 2,            # word->min-doc agg + per-doc token agg;
                                # checkpoint cells and the fit are
                                # single-row combinations
@@ -542,3 +544,65 @@ def test_heaps_fit_validates_params(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_checkpoints"):
         textanalysis.heaps_fit(docs, n_checkpoints=2)
+
+
+# ------------------------------------------------------------- phonetic
+
+
+def test_soundex_textbook_values(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators import textanalysis
+
+    # the canonical published test vectors (Russell / ANSI / NARA)
+    cases = {
+        "robert": "R163",
+        "rupert": "R163",
+        "ashcraft": "A261",   # s,c merge ACROSS the dropped h
+        "tymczak": "T522",
+        "pfister": "P236",    # adjacent equal codes collapse, then drop
+        "honeyman": "H555",
+        "lloyd": "L300",
+        "wu": "W000",         # h/w-initial words contribute no code
+        "smith": "S530",
+        "smyth": "S530",
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "w string")
+    out = {
+        r["w"]: r["sx"]
+        for r in df.select(
+            "w", textanalysis.soundex(F.col("w")).alias("sx")
+        ).collect()
+    }
+    assert out == cases
+
+
+def test_phonetic_groups_flag_sound_alikes(spark):
+    from data_pipeline2_spark.operators import textanalysis
+
+    docs = spark.createDataFrame(
+        [(1, "smith smith smyth"), (2, "unique wordhere x9bad")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["soundex"]: r.asDict()
+        for r in textanalysis.phonetic_vocab_groups(docs).collect()
+    }
+    g = out["S530"]
+    assert g["variant_candidate"] and g["n_variants"] == 2
+    assert g["total_occurrences"] == 3
+    assert g["variants_sample"] == "smith|smyth"  # count-desc order
+    # non-alphabetic token excluded entirely
+    assert all("x9bad" not in r["variants_sample"] for r in out.values())
+    # singleton buckets ship unflagged
+    assert any(not r["variant_candidate"] for r in out.values())
+
+
+def test_phonetic_validates_params(spark):
+    from data_pipeline2_spark.operators import textanalysis
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_variants"):
+        textanalysis.phonetic_vocab_groups(docs, min_variants=1)
+    with pytest.raises(ValueError, match="sample_n"):
+        textanalysis.phonetic_vocab_groups(docs, sample_n=0)
