@@ -1160,3 +1160,66 @@ def test_word_ngrams_zipwith_matches_python_reference(spark, token_lists, n):
             else [" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)]
         )
         assert got[i] == want, (i, ws, got[i], want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    word=st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+                 min_size=1, max_size=30)
+)
+def test_wp_match_pieces_account_for_every_char(word):
+    """Greedy WordPiece invariants for any lowercase word: with a vocab
+    of all single chars (init + cont), the match NEVER UNKs, consumes
+    every character exactly once (n_pieces <= len and each piece >= 1
+    char implies sum of piece lengths == len — checked via the
+    checksum replay), and is deterministic."""
+    import hashlib
+
+    from data_pipeline2_spark.operators.tokenizer import _wp_match
+
+    chars = frozenset(word)
+    n, unk, ck = _wp_match(word, chars, chars, 8, 30)
+    assert not unk
+    assert 1 <= n <= len(word)
+    # replay the checksum independently via a greedy reference
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 2**32
+    pos, k, ref = 0, 0, 0
+    while pos < len(word):
+        for ln in range(min(8, len(word) - pos), 0, -1):
+            body = word[pos:pos + ln]
+            if body in chars:
+                k += 1
+                ref += h32(body if pos == 0 else "##" + body) * k
+                pos += ln
+                break
+    assert (n, ck) == (k, ref)
+    assert _wp_match(word, chars, chars, 8, 30) == (n, unk, ck)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+                min_size=1, max_size=30),
+        min_size=1, max_size=8, unique=True,
+    )
+)
+def test_soundex_shape_and_determinism(spark, words):
+    """Soundex always emits ^[A-Z][0-9]{3}$ for eligible words, never
+    NULL, and sound-identity is reflexive under repetition of the same
+    word (the blocking-key contract)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators.textanalysis import soundex
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    out = {
+        r["w"]: r["sx"]
+        for r in df.select("w", soundex(F.col("w")).alias("sx")).collect()
+    }
+    for w, sx in out.items():
+        assert re.fullmatch(r"[A-Z][0-9]{3}", sx), (w, sx)
+        assert sx[0] == w[0].upper()
