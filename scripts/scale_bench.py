@@ -152,6 +152,7 @@ COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 # per-user / per-key window operators + the hot-key joins — the ops the
 # zipfian replica is built to stress (VERDICT r7 item 3)
 SKEW_OPS = [
+    "events_lag_autocorr",
     "events_session",
     "events_cusum_drift",
     "events_rate_limit",
