@@ -114,3 +114,130 @@ def decontaminate_semantic(
         "nearest_eval_id",
         (F.col("max_sim") >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+def corpus_datasheet(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Corpus datasheet → ONE row (Gebru et al. 2018, "Datasheets for
+    Datasets" — the release artifact that travels with a training
+    corpus): structural census (docs / NULL / blank / tokens, mean and
+    exact interpolated p50/p90 document lengths), vocabulary census
+    (size, hapax fraction), exact-duplicate fraction (normalized-sha
+    groups, the dedup_exact contract), and language-mix Shannon entropy
+    in nats over the lang column (floor-integerized log terms — the
+    engine's associative-log discipline — summed exactly, ONE closing
+    division).
+
+    Columns: n_docs, n_null_text, n_blank, n_tokens, mean_tokens,
+    p50_tokens, p90_tokens, vocab_size, hapax_frac, dup_doc_frac,
+    n_langs, lang_entropy.
+
+    Scale shape: four independent aggregations over one logical scan —
+    doc-level stats (map-side projection + percentile agg), vocabulary
+    (token explode + word agg), duplicate groups (sha agg), language
+    mix (lang agg, integerized entropy terms over the
+    language-cardinality table) — each with map-side partials, all
+    reduced to single rows and crossJoined. Nothing corpus-sized
+    survives any aggregation.
+    """
+    from data_pipeline2_spark.functions.text import content_hash, tokens
+    from data_pipeline2_spark.operators.quality import _LOGPROB_SCALE
+
+    t = F.col(text_col)
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("__text"),
+        F.when(t.isNull(), None)
+        .otherwise(F.size(tokens(t)).cast("long"))
+        .alias("__ntok"),
+    )
+    doc_stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.col("__text").isNull().cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_null_text"),
+        F.coalesce(
+            F.sum(
+                (F.col("__text").isNotNull() & (F.col("__ntok") == 0)).cast(
+                    "long"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_blank"),
+        F.coalesce(F.sum("__ntok"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(F.avg("__ntok"), 6).alias("mean_tokens"),
+        F.round(F.percentile(F.col("__ntok"), F.lit(0.5)), 6).alias(
+            "p50_tokens"
+        ),
+        F.round(F.percentile(F.col("__ntok"), F.lit(0.9)), 6).alias(
+            "p90_tokens"
+        ),
+    )
+    vocab = (
+        documents.filter(t.isNotNull())
+        .select(
+            F.explode(
+                F.transform(tokens(t), lambda x: F.lower(x))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.round(
+                F.coalesce(F.sum((F.col("c") == 1).cast("long")), F.lit(0))
+                / F.greatest(F.count(F.lit(1)), F.lit(1)),
+                6,
+            ).alias("hapax_frac"),
+        )
+    )
+    dups = (
+        documents.filter(t.isNotNull())
+        .groupBy(content_hash(t).alias("__sha"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0)
+                )
+                / F.greatest(F.coalesce(F.sum("n"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_doc_frac")
+        )
+    )
+    lang_counts = documents.groupBy(
+        F.col(lang_col).alias("__lang")
+    ).agg(F.count(F.lit(1)).alias("lc"))
+    lang_total = F.sum("lc")
+    term = (
+        F.floor(
+            F.log(F.col("lc").cast("double") / F.col("__tot").cast("double"))
+            * F.lit(float(_LOGPROB_SCALE))
+        ).cast("long")
+        * F.col("lc")
+    )
+    langs = (
+        lang_counts.crossJoin(
+            F.broadcast(lang_counts.agg(lang_total.alias("__tot")))
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.round(
+                -F.sum(term)
+                / F.lit(float(_LOGPROB_SCALE))
+                / F.first(F.col("__tot")),
+                6,
+            ).alias("lang_entropy"),
+        )
+    )
+    return (
+        doc_stats.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(langs))
+    )

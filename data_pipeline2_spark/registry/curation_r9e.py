@@ -559,3 +559,62 @@ def q_phonetic_vocab_groups(spark, sf_dir):
     return textanalysis.phonetic_vocab_groups(
         _t(spark, sf_dir, "documents")
     )
+
+
+def _datasheet_sql() -> str:
+    from data_pipeline2_spark.registry.curation_r5 import _WS_LOWER, _WS_RAW
+
+    scale = "10000000000.0"
+    sha = (
+        "sha256(lower(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')))"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE len({_WS_RAW}) END AS ntok
+      FROM documents
+    ), ds AS (
+      SELECT count(*)::BIGINT AS n_docs,
+             coalesce(sum((text IS NULL)::INT), 0)::BIGINT AS n_null_text,
+             coalesce(sum((text IS NOT NULL AND ntok = 0)::INT), 0)::BIGINT
+               AS n_blank,
+             coalesce(sum(ntok), 0)::BIGINT AS n_tokens,
+             round(avg(ntok), 6) AS mean_tokens,
+             round(quantile_cont(ntok, 0.5), 6) AS p50_tokens,
+             round(quantile_cont(ntok, 0.9), 6) AS p90_tokens
+      FROM d
+    ), v AS (
+      SELECT count(*)::BIGINT AS vocab_size,
+             round(coalesce(sum((c = 1)::INT), 0)
+                   / greatest(count(*), 1), 6) AS hapax_frac
+      FROM (SELECT w, count(*) AS c
+            FROM (SELECT unnest(ws) AS w
+                  FROM (SELECT {_WS_LOWER} AS ws FROM documents
+                        WHERE text IS NOT NULL))
+            GROUP BY w)
+    ), dp AS (
+      SELECT round(coalesce(sum(CASE WHEN n > 1 THEN n END), 0)
+                   / greatest(coalesce(sum(n), 0), 1), 6) AS dup_doc_frac
+      FROM (SELECT {sha} AS sha, count(*) AS n
+            FROM documents WHERE text IS NOT NULL GROUP BY 1)
+    ), lc AS (
+      SELECT lang, count(*) AS c FROM documents GROUP BY lang
+    ), lt AS (SELECT sum(c) AS tot FROM lc),
+    le AS (
+      SELECT count(*)::BIGINT AS n_langs,
+             round(-sum(CAST(floor(ln(c::DOUBLE / tot::DOUBLE)
+                                   * {scale}) AS BIGINT) * c)
+                   / {scale} / min(tot), 6) AS lang_entropy
+      FROM lc CROSS JOIN lt
+    )
+    SELECT ds.*, v.*, dp.*, le.*
+    FROM ds CROSS JOIN v CROSS JOIN dp CROSS JOIN le
+    """
+
+
+@_register("corpus_datasheet", _datasheet_sql())
+def q_corpus_datasheet(spark, sf_dir):
+    from data_pipeline2_spark.operators import curation
+
+    return curation.corpus_datasheet(_t(spark, sf_dir, "documents"))

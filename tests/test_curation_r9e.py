@@ -125,6 +125,9 @@ def test_lag_autocorr_validates_min_pairs(spark):
 # ------------------------------------------------------- exchange budgets
 
 BUDGET_R9E = {
+    "corpus_datasheet": 4,     # four independent single-row aggs (doc
+                               # stats incl. percentile sort, vocab,
+                               # sha dups, lang mix), crossJoined
     "phonetic_vocab_groups": 3,  # vocab agg + per-code sample window
                                # + code rollup (soundex chain map-side)
     "heaps_fit": 2,            # word->min-doc agg + per-doc token agg;
@@ -606,3 +609,48 @@ def test_phonetic_validates_params(spark):
         textanalysis.phonetic_vocab_groups(docs, min_variants=1)
     with pytest.raises(ValueError, match="sample_n"):
         textanalysis.phonetic_vocab_groups(docs, sample_n=0)
+
+
+# ------------------------------------------------------------- datasheet
+
+
+def test_corpus_datasheet_census_values(spark):
+    import math
+
+    from data_pipeline2_spark.operators import curation
+
+    rows = [
+        (1, "a b c", "en"),        # 3 tokens
+        (2, "a b c", "en"),        # exact duplicate of doc 1
+        (3, "d d", "de"),          # 2 tokens, d repeats (not hapax)
+        (4, None, "en"),           # NULL text
+        (5, "   ", None),          # blank, NULL lang (a real category)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = curation.corpus_datasheet(docs).collect()[0].asDict()
+    assert r["n_docs"] == 5 and r["n_null_text"] == 1 and r["n_blank"] == 1
+    assert r["n_tokens"] == 8  # 3 + 3 + 2 over the non-null texts
+    # vocab over non-null texts: a b c d -> 4 words; a,b,c hapax? a,b,c
+    # each occur twice (docs 1+2), d twice -> hapax 0
+    assert r["vocab_size"] == 4 and r["hapax_frac"] == 0.0
+    # dup fraction: docs 1+2 share a sha -> 2 of 4 non-null docs
+    assert r["dup_doc_frac"] == 0.5
+    # langs: en(3), de(1), NULL(1) -> 3 categories
+    assert r["n_langs"] == 3
+    exp_entropy = -(
+        math.floor(math.log(3 / 5) * 1e10) * 3
+        + math.floor(math.log(1 / 5) * 1e10) * 1
+        + math.floor(math.log(1 / 5) * 1e10) * 1
+    ) / 1e10 / 5
+    assert r["lang_entropy"] == round(exp_entropy, 6)
+    # token percentiles over docs WITH text: [3, 3, 2, 0]
+    assert r["p50_tokens"] == 2.5 and r["mean_tokens"] == 2.0
+
+
+def test_corpus_datasheet_empty_lake_row(spark):
+    from data_pipeline2_spark.operators import curation
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    r = curation.corpus_datasheet(docs).collect()[0].asDict()
+    assert r["n_docs"] == 0 and r["n_tokens"] == 0
+    assert r["mean_tokens"] is None and r["dup_doc_frac"] == 0.0
