@@ -1,21 +1,32 @@
-"""Round-9 registry keys, part 5: governance and behavioral-analytics
-completions —
+"""Round-9 registry keys, part 5 (session 3): governance, behavioral
+analytics, corpus diagnostics, and the streaming/LM completions —
 
 - `t_closeness`: the third privacy audit (Li et al. 2007), closing the
-  k-anonymity → ℓ-diversity → t-closeness ladder: per-class Earth
-  Mover's Distance between the class's ordered sensitive distribution
-  and the table's, with every cumulative difference an exact BIGINT
-  over the common denominator and ONE closing division.
+  k-anonymity → ℓ-diversity → t-closeness ladder: per-class ordered
+  EMD with exact BIGINT cumulative differences, ONE closing division.
 - `events_lag_autocorr`: per-user lag-1 Pearson autocorrelation of
-  hourly event counts — the serial-correlation bot signature next to
-  events_burstiness's dispersion (Fano) signal; all five sums exact
-  BIGINTs, the exact integer numerator exported for value-checking,
-  one closing float expression.
+  hourly counts — the serial-correlation bot signature next to
+  events_burstiness's Fano dispersion; exact integer numerator
+  exported.
+- `curriculum_order`: Bengio 2009 easy-first staging (distinct-score
+  cumulative buckets + hash-sharded salted order — no corpus sort).
+- `stream_tumbling_upsert`: streaming window agg value-oracled END TO
+  END (availableNow micro-batches → update-mode rows → foreachBatch
+  MERGE → readback vs one batch GROUP BY).
+- `kneser_ney_logprob`: interpolated KN bigram LM on the train/held
+  split (continuation probabilities, D = 0.75) — full value replay.
+- `zipf_fit` / `heaps_fit`: corpus-health regressions (rank-frequency
+  slope; vocabulary-growth exponent) in the exact-BIGINT OLS
+  discipline; heaps checkpoints are VALUE-based, never rank-based.
+- `texttiling_boundaries`: Hearst 1997 topic segmentation with an
+  integer-exact boundary rule.
+- `phonetic_vocab_groups`: Russell 1918 Soundex blocking census
+  (RE2-safe oracle collapse via log-halving replaces).
+- `corpus_datasheet`: the Gebru et al. 2018 one-row release artifact.
 
-Reference anchors: SURVEY §2.10 (governance gates for training-data
-release) and §2.9 (event analytics); both extend the engine families
-the earlier rounds established (k_anonymity/l_diversity,
-events_burstiness/events_cusum_drift).
+Reference anchors: SURVEY §2.9/§2.10; every key extends an engine
+family earlier rounds established, each with a full DuckDB value
+oracle.
 """
 
 from __future__ import annotations

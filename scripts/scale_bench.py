@@ -146,6 +146,9 @@ OPS = [
                               # never token text
     "heaps_fit",              # word->min-doc agg + per-doc token agg;
                               # checkpoint cells single-row
+    "phonetic_vocab_groups",  # vocab agg + code window; soundex chain
+                              # map-side over the vocab table
+    "corpus_datasheet",       # four independent single-row census aggs
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 
