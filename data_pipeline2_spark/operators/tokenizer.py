@@ -409,3 +409,255 @@ def wordpiece_tokenize_stats(
             ],
         )
     )
+
+
+# ------------------------------------------------------- unigram LM
+# (Kudo 2018, "Subword Regularization" — the SentencePiece unigram
+# model; the algorithm is public). Completes the tokenizer triad: BPE
+# (merge ranks), WordPiece (greedy longest-match), unigram LM (Viterbi
+# over piece log-probabilities). All scores are floor-integerized
+# BIGINTs so the Viterbi max is exact and engine-portable.
+
+ULM_MAX_PIECE = 4   # piece length cap: bounds the oracle's candidates
+ULM_MAX_WORD = 12   # words past this are UNK (the BERT-style cap)
+ULM_MAX_WORDS = 20000  # fit cap on the word-frequency table (bpe_train)
+
+
+def _ulm_viterbi(
+    word: str, scores: dict, max_piece: int = ULM_MAX_PIECE
+) -> list | None:
+    """Exact-integer Viterbi segmentation → piece list, or None when
+    some position is unreachable. dp[j] = max over i in [j-max_piece,
+    j-1] of dp[i] + score(word[i:j]); ties prefer the SMALLEST i
+    (longest final piece) — the pinned rule the SQL replay's
+    row_number(ORDER BY score DESC, i ASC) mirrors."""
+    L = len(word)
+    dp: list = [None] * (L + 1)
+    bp: list = [None] * (L + 1)
+    dp[0] = 0
+    for j in range(1, L + 1):
+        best = None
+        for i in range(max(0, j - max_piece), j):
+            if dp[i] is None:
+                continue
+            s = scores.get(word[i:j])
+            if s is None:
+                continue
+            cand = dp[i] + s
+            if best is None or cand > best[0]:
+                best = (cand, i)
+        if best is not None:
+            dp[j], bp[j] = best
+    if dp[L] is None:
+        return None
+    pieces, j = [], L
+    while j > 0:
+        i = bp[j]
+        pieces.append(word[i:j])
+        j = i
+    pieces.reverse()
+    return pieces
+
+
+def unigram_lm_fit(
+    documents: DataFrame,
+    max_words: int = ULM_MAX_WORDS,
+    max_piece: int = ULM_MAX_PIECE,
+    max_word: int = ULM_MAX_WORD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Fit the unigram-LM piece scores on the TRAIN half (even pmod
+    residues) → {piece: integerized log-prob}.
+
+    Kudo's pipeline with ONE EM round, every step deterministic and
+    SQL-replayable (the kmeans-trajectory discipline):
+      1. seed pieces = ALL substrings (len <= max_piece) of the capped
+         word-frequency table, weighted by word count; seed scores =
+         floor(ln(count/total)·1e10);
+      2. E-step: Viterbi-segment each capped train word (len <=
+         max_word) under the seed scores;
+      3. M-step with add-one smoothing over the FULL seed piece set
+         (no piece drops, no special cases): cnt1 = uses + 1, final
+         score = floor(ln(cnt1/total1)·1e10).
+
+    The fit runs driver-side on the bounded (<= max_words) frequency
+    table — bpe_train's economics; the distributed part is one word
+    count aggregation.
+    """
+    import math
+
+    rows = (
+        documents.filter(
+            F.col(text_col).isNotNull()
+            & (F.pmod(F.col(id_col), F.lit(2)) == 0)
+        )
+        .select(
+            F.explode(
+                F.split(
+                    F.lower(F.trim(F.col(text_col).cast("string"))), r"\s+"
+                )
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.col("w"))
+        .limit(max_words)
+        .collect()
+    )
+    wc = [(r["w"], int(r["c"])) for r in rows]
+    sub: dict = {}
+    for w, c in wc:
+        for i in range(len(w)):
+            for ln in range(1, min(max_piece, len(w) - i) + 1):
+                p = w[i : i + ln]
+                sub[p] = sub.get(p, 0) + c
+    total0 = sum(sub.values())
+    if total0 == 0:
+        return {}
+    s0 = {
+        p: math.floor(math.log(cnt / total0) * _ULM_SCALE)
+        for p, cnt in sub.items()
+    }
+    uses: dict = {}
+    for w, c in wc:
+        if len(w) > max_word:
+            continue
+        pieces = _ulm_viterbi(w, s0, max_piece)
+        if pieces is None:  # impossible: single chars cover
+            continue
+        for p in pieces:
+            uses[p] = uses.get(p, 0) + c
+    cnt1 = {p: uses.get(p, 0) + 1 for p in sub}
+    total1 = sum(cnt1.values())
+    return {
+        p: math.floor(math.log(cnt / total1) * _ULM_SCALE)
+        for p, cnt in cnt1.items()
+    }
+
+
+_ULM_SCALE = 10_000_000_000
+
+
+def unigram_lm_tokenize_stats(
+    documents: DataFrame,
+    scores: dict,
+    max_piece: int = ULM_MAX_PIECE,
+    max_word: int = ULM_MAX_WORD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Viterbi-tokenize the HELD-OUT half (odd residues) under the
+    fitted scores → (doc_id, n_words, n_unk_words, n_pieces,
+    logprob_sum_scaled, ulm_checksum).
+
+    A word is UNK when empty, past `max_word` chars, or unreachable
+    (some char the train split never produced); UNK words count one
+    piece, checksum as the [UNK] sentinel, and carry NO LM mass
+    (logprob contribution 0 — they are out-of-model by definition).
+    ulm_checksum = Σ over words of (word_checksum · position) mod 2^32
+    with word_checksum = Σ (md5_32(piece) · piece_index) — the
+    wordpiece_tokenize contract, pinning WHICH segmentation won.
+
+    Scale shape: identical to wordpiece_tokenize_stats — the Viterbi
+    runs once per DISTINCT scored word in an Arrow-batched mapInPandas
+    with the broadcast score dict, stats broadcast-join back, ONE
+    doc_id rollup with map-side partials.
+    """
+    import hashlib
+
+    from data_pipeline2_spark.functions.text import tokens
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 2**32
+
+    unk32 = h32(WP_UNK)
+    scored = documents.filter(
+        F.col(text_col).isNotNull()
+        & (F.pmod(F.col(id_col), F.lit(2)) == 1)
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens(F.col(text_col)), lambda x: F.lower(x)).alias(
+            "__ws"
+        ),
+    )
+    words = scored.select(
+        "doc_id", F.posexplode("__ws").alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("p"), "w")
+    dw = words.select("w").distinct()
+
+    def seg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "w": [],
+                "n_pieces": [],
+                "unk": [],
+                "wcksum": [],
+                "wlogprob": [],
+            }
+            for w in pdf["w"]:
+                pieces = (
+                    _ulm_viterbi(w, scores, max_piece)
+                    if 0 < len(w) <= max_word
+                    else None
+                )
+                if pieces is None:
+                    out["w"].append(w)
+                    out["n_pieces"].append(1)
+                    out["unk"].append(True)
+                    out["wcksum"].append(unk32)
+                    out["wlogprob"].append(0)
+                else:
+                    ck = sum(
+                        h32(p) * (k + 1) for k, p in enumerate(pieces)
+                    )
+                    lp = sum(scores[p] for p in pieces)
+                    out["w"].append(w)
+                    out["n_pieces"].append(len(pieces))
+                    out["unk"].append(False)
+                    out["wcksum"].append(ck)
+                    out["wlogprob"].append(lp)
+            yield pd.DataFrame(
+                out,
+                columns=["w", "n_pieces", "unk", "wcksum", "wlogprob"],
+            )
+
+    per_word = dw.mapInPandas(
+        seg_batches,
+        "w string, n_pieces int, unk boolean, wcksum long, wlogprob long",
+    )
+    per_doc = (
+        words.join(F.broadcast(per_word), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.col("unk").cast("long")).cast("long").alias(
+                "n_unk_words"
+            ),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("wlogprob").cast("long").alias("logprob_sum_scaled"),
+            F.sum(
+                F.pmod(F.col("wcksum") * F.col("p"), F.lit(4_294_967_296))
+            )
+            .cast("long")
+            .alias("ulm_checksum"),
+        )
+    )
+    return (
+        scored.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in (
+                    "n_words",
+                    "n_unk_words",
+                    "n_pieces",
+                    "logprob_sum_scaled",
+                    "ulm_checksum",
+                )
+            ],
+        )
+    )

@@ -149,6 +149,8 @@ OPS = [
     "phonetic_vocab_groups",  # vocab agg + code window; soundex chain
                               # map-side over the vocab table
     "corpus_datasheet",       # four independent single-row census aggs
+    "unigram_lm_tokenize",    # bounded driver fit; distinct-word
+                              # Viterbi mapInPandas + per-doc rollup
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 
