@@ -1563,3 +1563,92 @@ def lag_autocorr(
             (F.col("n_pairs") >= min_pairs) & (varx > 0) & (vary > 0), r
         ).alias("autocorr"),
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), floor-integerized
+# at ppm in PYTHON once — no engine-side log10 enters the parity
+# surface (the chi2-critical-table discipline)
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_digit_test(
+    events: DataFrame, value_col: str = "value", threshold_ppm: int = 30000
+) -> DataFrame:
+    """Benford's-law first-digit audit over a monetary column → one row
+    per digit 1-9: (digit, observed, n_total, observed_ppm,
+    benford_ppm, dev_ppm, suspicious): the classic forensic
+    data-quality test (Benford 1938; Nigrini's fraud-audit standard) —
+    organically-generated amounts follow P(d) = log10(1 + 1/d), while
+    fabricated or clipped feeds flatten toward uniform.
+
+    Exactness: values convert to integer cents through the engine's
+    DECIMAL(25,2) contract (the exact_sum discipline — no double
+    rounding enters), the leading digit is the first character of the
+    INTEGER's decimal string (no log10 near-power-of-ten ulp hazard),
+    observed_ppm = observed·10⁶ div n_total is integer floor division,
+    and the Benford table is an embedded Python-computed literal.
+    Zero/NULL values carry no leading digit and are excluded. Digits
+    with zero observations still emit their row (the grid is the
+    literal 1-9 table, left-joined).
+
+    Scale shape: ONE hash aggregation on the 9-value digit key (map-
+    side partials absorb any volume), then literal-table joins.
+    """
+    if threshold_ppm < 0:
+        raise ValueError(f"threshold_ppm must be >= 0, got {threshold_ppm}")
+    spark = events.sparkSession
+    cents = F.abs(
+        (F.col(value_col).cast("decimal(25,2)") * 100).cast("long")
+    )
+    digits = (
+        events.filter(F.col(value_col).isNotNull())
+        .select(cents.alias("__cents"))
+        .filter(F.col("__cents") > 0)
+        .select(
+            F.substring(F.col("__cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    grid = spark.createDataFrame(
+        sorted(BENFORD_PPM.items()), "digit int, benford_ppm long"
+    )
+    joined = (
+        grid.join(digits, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("observed"), F.lit(0))
+            .cast("long")
+            .alias("observed"),
+            "benford_ppm",
+        )
+        .crossJoin(
+            F.broadcast(
+                digits.agg(
+                    F.coalesce(F.sum("observed"), F.lit(0))
+                    .cast("long")
+                    .alias("n_total")
+                )
+            )
+        )
+    )
+    obs_ppm = F.floor(
+        F.col("observed") * F.lit(1_000_000)
+        / F.greatest(F.col("n_total"), F.lit(1))
+    ).cast("long")
+    return joined.select(
+        "digit",
+        "observed",
+        "n_total",
+        obs_ppm.alias("observed_ppm"),
+        "benford_ppm",
+        F.abs(obs_ppm - F.col("benford_ppm")).alias("dev_ppm"),
+        (F.abs(obs_ppm - F.col("benford_ppm")) > threshold_ppm).alias(
+            "suspicious"
+        ),
+    )

@@ -192,3 +192,46 @@ def q_unigram_lm_tokenize(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     scores = tokenizer.unigram_lm_fit(docs)
     return tokenizer.unigram_lm_tokenize_stats(docs, scores)
+
+
+def _benford_sql() -> str:
+    grid = ", ".join(
+        f"({d}, {p})" for d, p in sorted(
+            __import__(
+                "data_pipeline2_spark.operators.aggregates",
+                fromlist=["BENFORD_PPM"],
+            ).BENFORD_PPM.items()
+        )
+    )
+    return f"""
+    WITH obs AS (
+      SELECT CAST(substring(cents::VARCHAR, 1, 1) AS INT) AS digit,
+             count(*) AS observed
+      FROM (SELECT abs(CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT))
+                     AS cents
+            FROM events WHERE value IS NOT NULL)
+      WHERE cents > 0 GROUP BY 1
+    ), grid(digit, benford_ppm) AS (VALUES {grid}),
+    tot AS (SELECT coalesce(sum(observed), 0)::BIGINT AS n_total FROM obs),
+    j AS (
+      SELECT g.digit, coalesce(o.observed, 0)::BIGINT AS observed,
+             g.benford_ppm::BIGINT AS benford_ppm, tot.n_total
+      FROM grid g LEFT JOIN obs o ON o.digit = g.digit CROSS JOIN tot
+    )
+    SELECT digit, observed, n_total,
+           CAST(floor(observed * 1000000 / greatest(n_total, 1))
+                AS BIGINT) AS observed_ppm,
+           benford_ppm,
+           abs(CAST(floor(observed * 1000000 / greatest(n_total, 1))
+                    AS BIGINT) - benford_ppm) AS dev_ppm,
+           abs(CAST(floor(observed * 1000000 / greatest(n_total, 1))
+                    AS BIGINT) - benford_ppm) > 30000 AS suspicious
+    FROM j
+    """
+
+
+@_register("events_benford", _benford_sql())
+def q_events_benford(spark, sf_dir):
+    from data_pipeline2_spark.operators import aggregates
+
+    return aggregates.benford_digit_test(_t(spark, sf_dir, "events"))

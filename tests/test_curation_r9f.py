@@ -126,3 +126,71 @@ def test_exchange_budget_r9f(spark):
     # distinct scored words + per-doc rollup + the left join back onto
     # scored ids (fit runs at its own bounded collect)
     assert n <= 4, f"unigram_lm_tokenize: {n} exchanges, budget 4"
+
+
+# --------------------------------------------------------------- benford
+
+
+def test_benford_flags_uniform_digits_not_conforming(spark):
+    from datetime import datetime
+
+    from data_pipeline2_spark.operators import aggregates
+
+    # 1000 values whose leading digits FOLLOW Benford (by construction)
+    rows = []
+    i = 0
+    for d, ppm in aggregates.BENFORD_PPM.items():
+        for _ in range(round(ppm / 1000)):  # ~301, ~176, ... per mille
+            rows.append((i, datetime(2024, 1, 1), 1, "t", float(d), None))
+            i += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r["digit"]: r.asDict()
+        for r in aggregates.benford_digit_test(ev).collect()
+    }
+    assert set(out) == set(range(1, 10))
+    assert not any(r["suspicious"] for r in out.values())
+    # uniform leading digits: digit 1 collapses to ~111111 ppm, 190k off
+    rows2 = [
+        (i, datetime(2024, 1, 1), 1, "t", float(d), None)
+        for i, d in enumerate([1 + (k % 9) for k in range(900)])
+    ]
+    ev2 = spark.createDataFrame(
+        rows2,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out2 = {
+        r["digit"]: r.asDict()
+        for r in aggregates.benford_digit_test(ev2).collect()
+    }
+    assert out2[1]["suspicious"] and out2[9]["suspicious"]
+
+
+def test_benford_excludes_null_zero_uses_abs_and_cents(spark):
+    from datetime import datetime
+
+    from data_pipeline2_spark.operators import aggregates
+
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "t", 0.0, None),    # excluded
+        (2, datetime(2024, 1, 1), 1, "t", None, None),   # excluded
+        (3, datetime(2024, 1, 1), 1, "t", -9.5, None),   # cents 950 -> 9
+        (4, datetime(2024, 1, 1), 1, "t", 0.07, None),   # cents 7 -> 7
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r["digit"]: r.asDict()
+        for r in aggregates.benford_digit_test(ev).collect()
+    }
+    assert out[9]["observed"] == 1 and out[7]["observed"] == 1
+    assert out[1]["observed"] == 0          # zero rows still emit
+    assert out[1]["n_total"] == 2
