@@ -1504,6 +1504,9 @@ def lag_autocorr(
     observed-bucket convention events_burstiness documents; zero-filling
     silent hours would require materializing every key's full hour
     range. All five sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs;
+    the n·Σ − Σ·Σ combinations are formed in DECIMAL(38,0) (the
+    zipf_fit/heaps_fit discipline — plain int64 products silently wrap
+    in Spark but raise in DuckDB once hourly counts grow large);
     num = n·Σxy − Σx·Σy is exported as `num_scaled` so the driver
     value-checks an exact integer, and r itself is ONE closing
     float expression — num / sqrt(varx · vary) with the variance
@@ -1547,9 +1550,17 @@ def lag_autocorr(
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
     )
-    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
-    varx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    dec = "decimal(38,0)"
+    num = F.col("n_pairs").cast(dec) * F.col("sxy").cast(dec) - F.col(
+        "sx"
+    ).cast(dec) * F.col("sy").cast(dec)
+    varx = F.col("n_pairs").cast(dec) * F.col("sxx").cast(dec) - F.col(
+        "sx"
+    ).cast(dec) * F.col("sx").cast(dec)
+    vary = F.col("n_pairs").cast(dec) * F.col("syy").cast(dec) - F.col(
+        "sy"
+    ).cast(dec) * F.col("sy").cast(dec)
+    zero = F.lit(0).cast(dec)
     r = F.round(
         num.cast("double")
         / F.sqrt(varx.cast("double") * vary.cast("double")),
@@ -1560,7 +1571,8 @@ def lag_autocorr(
         "n_pairs",
         num.cast("long").alias("num_scaled"),
         F.when(
-            (F.col("n_pairs") >= min_pairs) & (varx > 0) & (vary > 0), r
+            (F.col("n_pairs") >= min_pairs) & (varx > zero) & (vary > zero),
+            r,
         ).alias("autocorr"),
     )
 
@@ -1586,9 +1598,14 @@ def benford_digit_test(
 
     Exactness: values convert to integer cents through the engine's
     DECIMAL(25,2) contract (the exact_sum discipline — no double
-    rounding enters), the leading digit is the first character of the
-    INTEGER's decimal string (no log10 near-power-of-ten ulp hazard),
-    observed_ppm = observed·10⁶ div n_total is integer floor division,
+    rounding enters; the monetary input is assumed to carry at most 2
+    decimal places, the same assumption every exact_sum key makes — an
+    input with MORE decimals would round HALF_UP in Spark's decimal
+    cast but may round differently in DuckDB's), the leading digit is
+    the first character of the INTEGER's decimal string (no log10
+    near-power-of-ten ulp hazard), observed_ppm =
+    (observed·10⁶) div n_total is TRUE integer division on both
+    engines (`div` / `//` — no double ever enters, ADVICE r9),
     and the Benford table is an embedded Python-computed literal.
     Zero/NULL values carry no leading digit and are excluded. Digits
     with zero observations still emit their row (the grid is the
@@ -1637,9 +1654,10 @@ def benford_digit_test(
             )
         )
     )
-    obs_ppm = F.floor(
-        F.col("observed") * F.lit(1_000_000)
-        / F.greatest(F.col("n_total"), F.lit(1))
+    # true integer division (both operands non-negative, so trunc ==
+    # floor); the former floor-over-double was exact only below 2^53
+    obs_ppm = F.expr(
+        "(observed * 1000000) div greatest(n_total, 1)"
     ).cast("long")
     return joined.select(
         "digit",

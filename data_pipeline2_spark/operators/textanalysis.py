@@ -2179,8 +2179,10 @@ def heaps_fit(
     doc_tokens = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("ntok")
     )
-    # threshold_i = lo + ceil(i * (hi - lo) / C), i = 1..C (exact
-    # integer arithmetic; the last threshold is exactly hi)
+    # threshold_i = lo + ceil(i * (hi - lo) / C), i = 1..C — pinned
+    # DOUBLE division mirrored verbatim in the oracle (exact while
+    # i·(hi−lo) < 2^53, far beyond any doc_id range; the last
+    # threshold is exactly hi)
     def thr(i: int):
         return F.col("lo") + F.ceil(
             F.lit(i) * (F.col("hi") - F.col("lo")) / F.lit(C)

@@ -301,9 +301,15 @@ def _wp_match(
 ) -> tuple[int, bool, int]:
     """Greedy longest-match-first → (n_pieces, is_unk, word_checksum).
 
-    checksum = Σ over pieces of (md5_60(piece_repr) mod 2^32) ·
-    piece_position, piece_repr carrying the '##' continuation marker;
-    UNK words checksum as the single [UNK] piece.
+    checksum = (Σ over pieces of (md5_60(piece_repr) mod 2^32) ·
+    piece_position) mod 2^32, piece_repr carrying the '##' continuation
+    marker; UNK words checksum as the single [UNK] piece. The closing
+    mod 2^32 reduction keeps the downstream position multiply
+    (wcksum · p, wordpiece_tokenize_stats) well inside int64 for any
+    document below 2^31 words — without it an un-reduced ~2^39 sum
+    times a large position silently wraps in Spark but raises in
+    DuckDB (ADVICE r9). The reduction commutes with the per-position
+    pmod, so emitted checksums are unchanged.
     """
     import hashlib
 
@@ -325,7 +331,7 @@ def _wp_match(
                 break
         else:
             return 1, True, h32(WP_UNK)
-    return n, False, cksum
+    return n, False, cksum % 2**32
 
 
 def wordpiece_tokenize_stats(
@@ -609,8 +615,13 @@ def unigram_lm_tokenize_stats(
                     out["wcksum"].append(unk32)
                     out["wlogprob"].append(0)
                 else:
-                    ck = sum(
-                        h32(p) * (k + 1) for k, p in enumerate(pieces)
+                    # mod 2^32 per word (matches _wp_match): keeps the
+                    # wcksum·p position multiply inside int64 for any
+                    # document below 2^31 words; commutes with the
+                    # per-position pmod so values are unchanged
+                    ck = (
+                        sum(h32(p) * (k + 1) for k, p in enumerate(pieces))
+                        % 2**32
                     )
                     lp = sum(scores[p] for p in pieces)
                     out["w"].append(w)

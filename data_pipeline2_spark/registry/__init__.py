@@ -139,44 +139,24 @@ def _driver_verified_keys() -> set:
 # round's CORRECTNESS file shows them green again. (All 25 r8 entries
 # re-greened in CORRECTNESS_r08 and left the set.)
 #
-# r9: the ASCII-whitespace alignment (ADVICE r8 item 3, generalized by
-# the new Unicode-whitespace dirty-lake document, which exposed that
-# DuckDB's bare trim()/ltrim()/rtrim() strip Unicode Zs while Spark's
-# strip ONLY 0x20 — 42 keys measured divergent): every oracle's 1-arg
-# trim was pinned to the engine-matching explicit set (trim(x, ' ') for
-# JVM F.trim replays; the 6-char ASCII set for Python-strip twins), the
-# Python seams pinned to ASCII (chunking strip/split/BPE-regex,
-# embedder blank test), DuckDB's byte-based levenshtein worked around
-# with an ASCII projection on both sides (edit_distance), and the
-# bm25 family's shared doc-length CTE pinned. The driver runs the
-# oracle SQL itself, so oracle-side edits re-queue their keys exactly
-# like engine edits. _RECHECK_FIRST carries the keys whose ENGINE
-# behavior changed (they re-queue ahead of oracle-text-only pins when
-# the driver budget can't cover all 80 in one round).
+# r10: the r9 window re-greened 19/21 of its _RECHECK_FIRST; the two
+# leftovers (fulltext_bm25_indexed, hybrid_search_linear — r9b
+# doc-length-CTE plan pins, values pytest-pinned unchanged) stay at the
+# HEAD per VERDICT r9 item 1 until the driver re-greens their CURRENT
+# plans. Behind them, the keys whose arithmetic changed this round
+# (ADVICE r9, all four fixes commute with the old values at test scale
+# but the engine expressions AND oracle text changed, so the driver is
+# the arbiter).
 _RECHECK_FIRST = (
-    "simhash",               # r9b: packed-lane accumulation replaced the
-    "simhash_pairs",         # 64-column ±1 aggregate (fingerprints
-    "simhash_dedup_drop",    # bit-identical by proof+property test, but
-                             # the ENGINE plan changed — driver re-green)
-    "dedup_near_minhash",    # r9b x100 audit: array-pack Jaccard verify
-    "dedup_ngram_jaccard",   # + broadcast-pinned candidate semi-joins
-    "dedup_containment",     # (values proven unchanged, plans rebuilt)
-    "dedup_near_incremental",  # signature store semi-reduced
-    "dedup_lsh_eval",
-    "dedup_near_embedding",  # vector table semi-reduced via id broadcast
-    "ngram_novelty",         # window-min replaced groupBy+join-back
-    "source_overlap",        # zip_with word_ngrams (O(len²) fix)
-    "events_ab_chi2",        # NULL-variant rows excluded; dof=(r-1)(k-1)
-    "embed_provider",        # blank test pinned to ASCII whitespace
-    "embed_incremental",
-    "chunk_sentence_exact",  # python strip/split pinned to ASCII
-    "chunk_hybrid",          # + BPE token regex compiled re.ASCII
-    "edit_distance",         # ASCII projection both sides (byte-vs-
-                             # codepoint levenshtein)
-    "join_bloom_prefilter",  # key-type guard (values identical)
-    "fulltext_bm25",         # doc-length CTE trim pin (values shifted
-    "fulltext_bm25_indexed", # on dirty lakes via avgdl)
-    "hybrid_search_linear",
+    "fulltext_bm25_indexed",  # r9b shared doc-length CTE + plan pin —
+    "hybrid_search_linear",   # queue latency from r9, values unchanged
+    "events_lag_autocorr",   # n·Σ−Σ·Σ combos now DECIMAL(38,0) both
+                             # sides (int64-wrap vs DuckDB-raise hazard)
+    "wordpiece_tokenize",    # word checksum reduced mod 2^32 BEFORE the
+    "unigram_lm_tokenize",   # position multiply (int64 overflow past
+                             # ~2^24-word docs); commutes with pmod
+    "events_benford",        # observed_ppm now TRUE integer division
+                             # (div / //) — no double enters
 )
 _RECHECK = frozenset(
     {

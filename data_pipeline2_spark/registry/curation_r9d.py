@@ -129,7 +129,8 @@ def _wordpiece_sql(
       SELECT w,
              CASE WHEN unk THEN 1 ELSE np END AS n_pieces,
              unk,
-             CASE WHEN unk THEN {_h32("'[UNK]'")} ELSE cksum END AS wcksum
+             CASE WHEN unk THEN {_h32("'[UNK]'")}
+                  ELSE cksum % 4294967296 END AS wcksum
       FROM s{max_word}
     ), perdoc AS (
       SELECT d.doc_id,

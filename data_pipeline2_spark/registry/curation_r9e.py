@@ -116,13 +116,21 @@ _AUTOCORR_SQL = """
       FROM q GROUP BY k
     )
     SELECT k AS user_id, n_pairs,
-           (n_pairs * sxy - sx * sy)::BIGINT AS num_scaled,
+           (n_pairs::DECIMAL(38,0) * sxy::DECIMAL(38,0)
+            - sx::DECIMAL(38,0) * sy::DECIMAL(38,0))::BIGINT
+             AS num_scaled,
            CASE WHEN n_pairs >= 3
-                     AND (n_pairs * sxx - sx * sx) > 0
-                     AND (n_pairs * syy - sy * sy) > 0
-                THEN round((n_pairs * sxy - sx * sy)::DOUBLE
-                     / sqrt((n_pairs * sxx - sx * sx)::DOUBLE
-                            * (n_pairs * syy - sy * sy)::DOUBLE), 6)
+                     AND (n_pairs::DECIMAL(38,0) * sxx::DECIMAL(38,0)
+                          - sx::DECIMAL(38,0) * sx::DECIMAL(38,0)) > 0
+                     AND (n_pairs::DECIMAL(38,0) * syy::DECIMAL(38,0)
+                          - sy::DECIMAL(38,0) * sy::DECIMAL(38,0)) > 0
+                THEN round((n_pairs::DECIMAL(38,0) * sxy::DECIMAL(38,0)
+                        - sx::DECIMAL(38,0) * sy::DECIMAL(38,0))::DOUBLE
+                     / sqrt((n_pairs::DECIMAL(38,0) * sxx::DECIMAL(38,0)
+                        - sx::DECIMAL(38,0) * sx::DECIMAL(38,0))::DOUBLE
+                          * (n_pairs::DECIMAL(38,0) * syy::DECIMAL(38,0)
+                        - sy::DECIMAL(38,0) * sy::DECIMAL(38,0))::DOUBLE),
+                     6)
            END AS autocorr
     FROM a
     """

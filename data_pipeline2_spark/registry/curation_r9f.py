@@ -162,7 +162,7 @@ def _ulm_sql(
              CASE WHEN fin.w IS NULL THEN 1 ELSE fin.np END AS n_pieces,
              (fin.w IS NULL) AS unk,
              CASE WHEN fin.w IS NULL THEN {_h32("'[UNK]'")}
-                  ELSE fin.ck END AS wcksum,
+                  ELSE fin.ck % 4294967296 END AS wcksum,
              CASE WHEN fin.w IS NULL THEN 0 ELSE fin.sc END AS wlog
       FROM dws d LEFT JOIN fin ON fin.w = d.w
       UNION ALL
@@ -219,13 +219,13 @@ def _benford_sql() -> str:
       FROM grid g LEFT JOIN obs o ON o.digit = g.digit CROSS JOIN tot
     )
     SELECT digit, observed, n_total,
-           CAST(floor(observed * 1000000 / greatest(n_total, 1))
-                AS BIGINT) AS observed_ppm,
+           ((observed * 1000000) // greatest(n_total, 1))::BIGINT
+             AS observed_ppm,
            benford_ppm,
-           abs(CAST(floor(observed * 1000000 / greatest(n_total, 1))
-                    AS BIGINT) - benford_ppm) AS dev_ppm,
-           abs(CAST(floor(observed * 1000000 / greatest(n_total, 1))
-                    AS BIGINT) - benford_ppm) > 30000 AS suspicious
+           abs((observed * 1000000) // greatest(n_total, 1)
+               - benford_ppm)::BIGINT AS dev_ppm,
+           abs((observed * 1000000) // greatest(n_total, 1)
+               - benford_ppm) > 30000 AS suspicious
     FROM j
     """
 
