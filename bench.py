@@ -139,7 +139,55 @@ def main():
     out["pass_totals"] = [
         round(sum(pt.values()), 3) for pt in per_pass
     ]
+    prev = _common_vs_prev(timings, out["sf"])
+    if prev is not None:
+        out["common_vs_prev"] = prev
     print(json.dumps(out))
+
+
+def _common_vs_prev(timings: dict[str, float], sf) -> dict | None:
+    """Like-for-like comparison against the newest BENCH_r*.json
+    (VERDICT r9 item 3): headline sets grow round over round, so the
+    raw totals stop being comparable the moment a query joins the set.
+    This restricts both rounds to the INTERSECTION of query names and
+    publishes subtotal/ratio/worst_regression so regressions
+    adjudicate themselves instead of living in BENCH_NOTES prose.
+    Returns None when no prior same-SF warm timings exist."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    cands = []
+    for f in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m:
+            cands.append((int(m.group(1)), f))
+    for _, f in sorted(cands, reverse=True):
+        try:
+            with open(f) as fh:
+                data = json.load(fh)
+        except Exception:
+            continue
+        parsed = data.get("parsed", data) if isinstance(data, dict) else {}
+        prev_q = parsed.get("queries")
+        if not isinstance(prev_q, dict) or parsed.get("sf") != sf:
+            continue
+        common = sorted(set(prev_q) & set(timings))
+        if not common:
+            continue
+        cur_sub = round(sum(timings[q] for q in common), 3)
+        prev_sub = round(sum(prev_q[q] for q in common), 3)
+        deltas = {q: round(timings[q] - prev_q[q], 3) for q in common}
+        worst = max(common, key=lambda q: deltas[q])
+        return {
+            "prev_file": os.path.basename(f),
+            "queries": common,
+            "subtotal": cur_sub,
+            "prev_subtotal": prev_sub,
+            "ratio": round(cur_sub / prev_sub, 3) if prev_sub else None,
+            "worst_regression": {"query": worst, "delta_sec": deltas[worst]},
+        }
+    return None
 
 
 if __name__ == "__main__":

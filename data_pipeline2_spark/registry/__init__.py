@@ -157,6 +157,11 @@ _RECHECK_FIRST = (
                              # ~2^24-word docs); commutes with pmod
     "events_benford",        # observed_ppm now TRUE integer division
                              # (div / //) — no double enters
+    "simhash",               # r10: packed lanes + majority unpack now
+    "simhash_pairs",         # SQL-string-built (ONE selectExpr parse
+    "simhash_pairs_capped",  # instead of ~500 py4j Column calls);
+    "simhash_dedup_drop",    # fingerprints bit-identical (pinned), but
+                             # the engine construction changed
 )
 _RECHECK = frozenset(
     {
