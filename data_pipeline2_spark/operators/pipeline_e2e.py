@@ -1,0 +1,238 @@
+"""The composed training-data pipeline as ONE oracled operator.
+
+`examples/training_data_pipeline.py` is the engine's flagship story —
+quality filter → benchmark decontamination → exact dedup → near dedup →
+chunk → pack → split → expectation gate — but an example that prints
+row counts proves nothing to the correctness driver. This module runs
+the SAME composition (the example now calls this function) and emits a
+compact per-stage census the DuckDB oracle replays stage-by-stage as
+MATERIALIZED CTEs: a green row proves the operators COMPOSE, not just
+pass solo (VERDICT r9 item 2).
+
+Reference parity: the stage sequence is the reference's document
+lifecycle (ingest → quality gate → dedup → chunk → embed/pack → serve;
+see SURVEY.md §2.3/§2.10 and the reference's pipeline service,
+doc_pipeline/pipeline.py) re-expressed as native Spark plans.
+
+Scale shape: each stage's surviving-id manifest is materialized with an
+eager localCheckpoint (8 bytes/doc — the manifest a production pipeline
+persists between stages anyway) and downstream stages re-derive their
+row set by semi-joining the lake against the manifest, so the census
+aggregation never re-executes an upstream stage's full operator tree.
+Every join is id-keyed (semi/anti); the only corpus-wide shuffles are
+the ones the member operators already budget (quality is map-only, the
+gram join in decontamination ships only bloom survivors, minhash bands
+ship 8-byte fingerprints). The final census is eight one-row aggregates
+cross-joined and unpivoted — nothing corpus-sized survives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline2_spark.operators import chunking, dedup
+from data_pipeline2_spark.operators.expectations import (
+    check_expectations,
+    in_range,
+    in_set,
+    not_null,
+    row_count_between,
+    unique,
+)
+from data_pipeline2_spark.operators.sampling import train_test_split
+from data_pipeline2_spark.operators.textanalysis import (
+    decontaminate_bloom,
+    quality_score,
+)
+
+#: expectation-suite size, exported so the oracle and the census agree
+#: on the gate stage's rows_in by construction
+N_GATE_CHECKS = 5
+
+
+def training_pipeline_frames(
+    documents: DataFrame,
+    quality_min: float = 0.5,
+    eval_n: int = 20,
+    near_threshold: float = 0.6,
+    chunk_chars: int = 400,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    seq_tokens: int = 512,
+    split_salt: str = "e2e",
+) -> dict[str, DataFrame]:
+    """Run the full pipeline composition and return every stage frame:
+    {docs, s2, s3, s4, s5, chunks, final, checks} — the single source
+    of truth both `training_pipeline_census` (the oracled census) and
+    examples/training_data_pipeline.py (the narrated walkthrough +
+    write path) consume.
+
+    Stages (rows_in of stage N = rows_out of stage N-1 on the doc
+    axis; chunk/pack report their own output grain):
+
+    1. ingest          — the raw lake (rows_out = rows_in).
+    2. quality_filter  — quality_score >= `quality_min` (NULL-text
+       docs score NULL and drop here).
+    3. decontaminate   — eval suite = the `eval_n` lowest doc_ids of
+       the kept set; corpus docs with >= 10% distinct-5-gram overlap
+       drop, and the eval rows themselves leave the corpus.
+    4. dedup_exact     — normalized-sha keeper = min doc_id.
+    5. dedup_near      — MinHash-LSH pairs at `near_threshold` →
+       connected components → keep the min-id doc per cluster.
+    6. chunk           — sentence chunks at `chunk_chars` budget
+       (rows_out = chunk count).
+    7. pack_split      — stable hash split train/val/test
+       (`train_pct`/`val_pct`, salt=`split_salt`), docs packed into
+       ~`seq_tokens`-token sequences by cumulative est_tokens =
+       ceil(n_chars/4); rows_out = distinct (split, seq_id)
+       sequences. Packing keys on the UNIQUE doc grain (max n_chars
+       per id) so the running sum is deterministic under any row
+       order — duplicate-id lakes would otherwise make the cumsum
+       partition-order-dependent.
+    8. expect_gate     — the 5-check expectation suite over the
+       sequence table; rows_in = checks run, rows_out = checks
+       passed.
+    """
+    docs = documents
+
+    # stage 2: quality gate — manifest of surviving ids
+    ids2 = (
+        quality_score(docs)
+        .filter(F.col("quality") >= quality_min)
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s2 = docs.join(ids2, "doc_id", "left_semi")
+
+    # stage 3: decontamination — eval set leaves the corpus, overlapped
+    # docs drop; bloom path == exact path by construction
+    eval_rows = s2.orderBy("doc_id").limit(eval_n).localCheckpoint(eager=True)
+    corpus = s2.join(eval_rows.select("doc_id"), "doc_id", "left_anti")
+    contaminated = (
+        decontaminate_bloom(corpus, eval_rows)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    ids3 = (
+        corpus.select("doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s3 = docs.join(ids3, "doc_id", "left_semi")
+
+    # stage 4: exact dedup (keeper = min id per normalized sha; s3
+    # carries no NULL texts — quality dropped them)
+    ids4 = (
+        dedup.dedup_exact(s3)
+        .select(F.col("keep_id").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s4 = s3.join(ids4, "doc_id", "left_semi")
+
+    # stage 5: near dedup — pairs → connected components → cluster reps
+    pairs = dedup.dedup_near_minhash(s4, threshold=near_threshold)
+    doomed = (
+        dedup.dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    ids5 = (
+        s4.select("doc_id")
+        .join(doomed, "doc_id", "left_anti")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s5 = docs.join(ids5, "doc_id", "left_semi")
+
+    # stage 6: chunk the surviving corpus
+    chunks = chunking.chunk_sentence(s5, chunk_chars)
+
+    # stage 7: pack + split on the unique-doc grain
+    sized = s5.groupBy("doc_id").agg(
+        F.ceil(F.max("n_chars") / 4.0).cast("long").alias("est_tokens")
+    )
+    split = train_test_split(sized, "doc_id", train_pct, val_pct, salt=split_salt)
+    w = (
+        Window.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    final = split.select(
+        "split",
+        F.floor(
+            (F.sum("est_tokens").over(w) - 1) / float(seq_tokens)
+        )
+        .cast("int")
+        .alias("seq_id"),
+        "doc_id",
+        "est_tokens",
+    )
+
+    # stage 8: expectation gate over the sequence table
+    checks = check_expectations(
+        final,
+        [
+            not_null("doc_id"),
+            unique("doc_id"),
+            in_set("split", ["train", "val", "test"]),
+            in_range("est_tokens", 0, 10_000_000),
+            row_count_between(1, 10**12),
+        ],
+    )
+    return {
+        "docs": docs,
+        "s2": s2,
+        "s3": s3,
+        "s4": s4,
+        "s5": s5,
+        "chunks": chunks,
+        "final": final,
+        "checks": checks,
+    }
+
+
+def training_pipeline_census(documents: DataFrame, **kw) -> DataFrame:
+    """The composition as an 8-row per-stage census (stage_idx, stage,
+    rows_in, rows_out) — the driver-oracled export. See
+    `training_pipeline_frames` for stage semantics and parameters."""
+    fr = training_pipeline_frames(documents, **kw)
+
+    # census: eight one-row aggregates, cross-joined, unpivoted
+    def _cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    row = (
+        _cnt(fr["docs"], "c1")
+        .crossJoin(_cnt(fr["s2"], "c2"))
+        .crossJoin(_cnt(fr["s3"], "c3"))
+        .crossJoin(_cnt(fr["s4"], "c4"))
+        .crossJoin(_cnt(fr["s5"], "c5"))
+        .crossJoin(_cnt(fr["chunks"], "c6"))
+        .crossJoin(
+            fr["final"].agg(
+                F.count_distinct("split", "seq_id").cast("long").alias("c7")
+            )
+        )
+        .crossJoin(
+            fr["checks"].agg(
+                F.sum(F.col("passed").cast("long")).cast("long").alias("c8")
+            )
+        )
+    )
+    return row.selectExpr(
+        f"""stack(8,
+          1, 'ingest',         c1, c1,
+          2, 'quality_filter', c1, c2,
+          3, 'decontaminate',  c2, c3,
+          4, 'dedup_exact',    c3, c4,
+          5, 'dedup_near',     c4, c5,
+          6, 'chunk',          c5, c6,
+          7, 'pack_split',     c5, c7,
+          8, 'expect_gate',    CAST({N_GATE_CHECKS} AS BIGINT), c8
+        ) AS (stage_idx, stage, rows_in, rows_out)"""
+    )

@@ -52,6 +52,7 @@ from data_pipeline2_spark.registry import curation_r9c  # noqa: E402,F401  isort
 from data_pipeline2_spark.registry import curation_r9d  # noqa: E402,F401  isort:skip
 from data_pipeline2_spark.registry import curation_r9e  # noqa: E402,F401  isort:skip
 from data_pipeline2_spark.registry import curation_r9f  # noqa: E402,F401  isort:skip
+from data_pipeline2_spark.registry import curation_r10  # noqa: E402,F401  isort:skip
 
 # Repo root (CORRECTNESS_r*.json location): registry/ is one package
 # level below the data_pipeline2_spark package, which sits in the root.

@@ -151,6 +151,10 @@ OPS = [
     "corpus_datasheet",       # four independent single-row census aggs
     "unigram_lm_tokenize",    # bounded driver fit; distinct-word
                               # Viterbi mapInPandas + per-doc rollup
+    # round-10 additions
+    "training_pipeline_e2e",  # the composed flagship: stage-survivor id
+                              # manifests localCheckpoint (8B/doc); the
+                              # member operators' budgets apply stagewise
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 

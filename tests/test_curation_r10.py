@@ -1,0 +1,132 @@
+"""training_pipeline_e2e semantic tests on a constructed micro-corpus:
+every stage of the composition must act at least once and the census
+accounting (rows_in chaining, per-stage drop reasons) must match the
+hand-derived expectation. Value parity vs the stage-replaying DuckDB
+oracle is covered by test_oracle_parity + the lake gates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline2_spark.operators import pipeline_e2e
+
+# 20 clearly-distinct good docs: ids 0..19 become the eval suite (the
+# 20 lowest surviving ids). Distinct leading words keep their 5-gram
+# sets disjoint so none of them contaminates another.
+_EVAL_WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango",
+]
+
+
+def _good(w: str) -> str:
+    return (
+        f"The {w} expedition crossed the northern ridge before dawn. "
+        f"Every {w} journal entry recorded clear weather and steady "
+        f"progress toward the {w} summit camp."
+    )
+
+
+_NEAR_A = (
+    "Measured rainfall totals across the coastal basin exceeded the "
+    "seasonal average for a third consecutive year according to the "
+    "survey published on Friday morning."
+)
+# one word changed ("Friday" -> "Monday"): trigram Jaccard ~0.9, far
+# above the 0.6 gate; LSH candidacy verified empirically below (the
+# hash family is fixed literals, so candidacy is deterministic forever)
+_NEAR_B = _NEAR_A.replace("Friday", "Monday")
+
+_ROWS = (
+    [(i, _good(_EVAL_WORDS[i]), "en", "micro", None) for i in range(20)]
+    # id 20: verbatim copy of eval doc 0 -> 100% 5-gram overlap ->
+    # dropped at decontamination
+    + [(20, _good(_EVAL_WORDS[0]), "en", "micro", None)]
+    # ids 21/22: byte-identical text -> exact dedup keeps 21
+    + [
+        (21, "Identical archival record retained for provenance checks.",
+         "en", "micro", None),
+        (22, "Identical archival record retained for provenance checks.",
+         "en", "micro", None),
+    ]
+    # ids 23/24: near-duplicates -> MinHash pair -> CC keeps 23
+    + [(23, _NEAR_A, "en", "micro", None), (24, _NEAR_B, "en", "micro", None)]
+    # id 25: digits-only -> quality < 0.5 -> dropped at the gate
+    + [(25, "1 2 3 4 5 6 7 8 9 0", "en", "micro", None)]
+    # id 26: NULL text -> quality NULL -> dropped at the gate
+    + [(26, None, "en", "micro", None)]
+    # id 27: ordinary unique survivor
+    + [(27, "A single uneventful bulletin about harbor maintenance "
+            "schedules closed the week.", "en", "micro", None)]
+)
+
+
+@pytest.fixture(scope="module")
+def micro(spark):
+    df = spark.createDataFrame(
+        [(i, t, l, s, None) for i, t, l, s, _ in _ROWS],
+        "doc_id long, text string, lang string, source string, pad string",
+    ).select(
+        "doc_id", "text", "lang", "source",
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("n_chars"),
+    )
+    return df
+
+
+def _split_of(doc_id: int, salt: str = "e2e") -> str:
+    p = hashlib.md5(f"{salt}|{doc_id}".encode()).hexdigest()[:2]
+    if p < "e6":
+        return "train"
+    if p < "f3":
+        return "val"
+    return "test"
+
+
+def test_census_accounting(micro):
+    rows = {
+        r["stage"]: r
+        for r in pipeline_e2e.training_pipeline_census(micro).collect()
+    }
+    assert len(rows) == 8
+    # stage chaining: rows_in of each doc-grain stage = prior rows_out
+    assert rows["ingest"]["rows_in"] == rows["ingest"]["rows_out"] == 28
+    assert rows["quality_filter"]["rows_in"] == 28
+    # 25 (digits) and 26 (NULL) drop at the quality gate
+    assert rows["quality_filter"]["rows_out"] == 26
+    assert rows["decontaminate"]["rows_in"] == 26
+    # 20 eval docs leave the corpus + id 20 is contaminated
+    assert rows["decontaminate"]["rows_out"] == 5
+    assert rows["dedup_exact"]["rows_in"] == 5
+    # id 22 is an exact duplicate of 21
+    assert rows["dedup_exact"]["rows_out"] == 4
+    assert rows["dedup_near"]["rows_in"] == 4
+    # id 24 is a near-duplicate of 23 (verifies LSH candidacy too)
+    assert rows["dedup_near"]["rows_out"] == 3
+    # survivors 21/23/27 are all single-chunk at the 400-char budget
+    assert rows["chunk"]["rows_in"] == 3
+    assert rows["chunk"]["rows_out"] == 3
+    # per-split packing: every survivor's est_tokens ~ tens, so each
+    # populated split holds exactly one sequence
+    expected_seqs = len({_split_of(i) for i in (21, 23, 27)})
+    assert rows["pack_split"]["rows_in"] == 3
+    assert rows["pack_split"]["rows_out"] == expected_seqs
+    # all five expectation checks pass on the packed table
+    assert rows["expect_gate"]["rows_in"] == pipeline_e2e.N_GATE_CHECKS
+    assert rows["expect_gate"]["rows_out"] == pipeline_e2e.N_GATE_CHECKS
+
+
+def test_census_schema_stable_on_empty(spark):
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    rows = pipeline_e2e.training_pipeline_census(empty).collect()
+    assert len(rows) == 8
+    by = {r["stage"]: r for r in rows}
+    assert by["ingest"]["rows_out"] == 0
+    # row_count_between(1, ...) must FAIL on an empty sequence table
+    assert by["expect_gate"]["rows_out"] == pipeline_e2e.N_GATE_CHECKS - 1
