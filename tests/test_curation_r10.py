@@ -130,3 +130,69 @@ def test_census_schema_stable_on_empty(spark):
     assert by["ingest"]["rows_out"] == 0
     # row_count_between(1, ...) must FAIL on an empty sequence table
     assert by["expect_gate"]["rows_out"] == pipeline_e2e.N_GATE_CHECKS - 1
+
+
+# --------------------------------------------------- ivf_index_stream
+
+
+def test_ivf_stream_layout_partitioned_and_retry_safe(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators import similarity
+    from data_pipeline2_spark.sources.parquet import load_table
+    from data_pipeline2_spark.streaming import stateful
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents, _ = similarity._kmeans_trajectory(emb, 8, 2, "vec_id", "embedding")
+    feed = str(tmp_path / "feed")
+    layout = str(tmp_path / "layout")
+    for p in range(3):
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == p).coalesce(
+            1
+        ).write.mode("append").parquet(feed)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = stateful.index_vectors_stream(
+        stream, layout, str(tmp_path / "ckpt"), cents
+    )
+    q.awaitTermination()
+
+    # physically partitioned by cell: probes prune at the file level
+    cells = [d for d in os.listdir(layout) if d.startswith("cell=")]
+    assert len(cells) >= 2
+    # three real micro-batches reached the sink
+    raw = spark.read.parquet(layout)
+    assert raw.select("batch_id").distinct().count() == 3
+
+    out = stateful.load_ivf_layout(spark, layout)
+    assert out.count() == emb.count()
+
+    # frozen-codebook incremental assignment == batch assignment
+    batch = similarity.ivf_cell_assign(emb, cents)
+    assert (
+        out.join(batch.withColumnRenamed("cell", "bcell"), "vec_id")
+        .filter(F.col("cell") != F.col("bcell"))
+        .count()
+        == 0
+    )
+
+    # a replayed batch (task retry) collapses by key on read-back
+    sink = stateful.ivf_layout_sink(layout, cents)
+    sink(emb.limit(20), batch_id=99)
+    again = stateful.load_ivf_layout(spark, layout)
+    assert again.count() == emb.count()
+
+
+def test_ivf_stream_empty_layout_contract(spark, tmp_path):
+    from data_pipeline2_spark.streaming import stateful
+
+    out = stateful.load_ivf_layout(spark, str(tmp_path / "nowhere"))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "cell"]

@@ -35,9 +35,11 @@ def test_wp_match_longest_first_and_checksum():
     init = frozenset({"un", "unbeliev", "u", "n", "b"})
     cont = frozenset({"able", "a", "b", "l", "e"})
     n, unk, ck = tokenizer._wp_match("unbelievable", init, cont, 8, 16)
-    # greedy prefers 'unbeliev' (8 chars) over 'un', then '##able'
+    # greedy prefers 'unbeliev' (8 chars) over 'un', then '##able';
+    # the word checksum reduces mod 2^32 (ADVICE r9: keeps the
+    # downstream position multiply inside int64)
     assert (n, unk) == (2, False)
-    assert ck == _h32("unbeliev") * 1 + _h32("##able") * 2
+    assert ck == (_h32("unbeliev") * 1 + _h32("##able") * 2) % 2**32
 
 
 def test_wp_match_unk_contract():
