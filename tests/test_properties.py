@@ -1193,7 +1193,9 @@ def test_wp_match_pieces_account_for_every_char(word):
                 ref += h32(body if pos == 0 else "##" + body) * k
                 pos += ln
                 break
-    assert (n, ck) == (k, ref)
+    # _wp_match reduces the word checksum mod 2^32 (ADVICE r9: keeps
+    # the downstream position multiply inside int64)
+    assert (n, ck) == (k, ref % 2**32)
     assert _wp_match(word, chars, chars, 8, 30) == (n, unk, ck)
 
 
