@@ -39,6 +39,10 @@ HEADLINE = [
     "events_tumbling",
     "events_sliding",
     "events_session",
+    # round-10 addition: the composed flagship — measured per-round so
+    # the composition's cost curve is tracked, not just its members';
+    # common_vs_prev keeps the growing set comparable round-over-round
+    "training_pipeline_e2e",
 ]
 
 
