@@ -156,16 +156,26 @@ def _common_vs_prev(timings: dict[str, float], sf) -> dict | None:
     This restricts both rounds to the INTERSECTION of query names and
     publishes subtotal/ratio/worst_regression so regressions
     adjudicate themselves instead of living in BENCH_NOTES prose.
-    Returns None when no prior same-SF warm timings exist."""
+    Returns None when no prior same-SF warm timings exist.
+
+    Baseline = the newest recorded round. Caveat: a LOCAL re-run after
+    the current round's BENCH file lands would compare the round
+    against itself (ratio ~1.0) — `prev_file` in the output makes that
+    visible, and SPARK_GRAFT_BENCH_BASELINE=<file> pins an explicit
+    baseline for mid-round iteration."""
     import glob
     import re
 
     root = os.path.dirname(os.path.abspath(__file__))
-    cands = []
-    for f in glob.glob(os.path.join(root, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", f)
-        if m:
-            cands.append((int(m.group(1)), f))
+    pinned = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
+    if pinned:
+        cands = [(0, os.path.join(root, os.path.basename(pinned)))]
+    else:
+        cands = []
+        for f in glob.glob(os.path.join(root, "BENCH_r*.json")):
+            m = re.search(r"BENCH_r(\d+)\.json$", f)
+            if m:
+                cands.append((int(m.group(1)), f))
     for _, f in sorted(cands, reverse=True):
         try:
             with open(f) as fh:

@@ -1508,8 +1508,10 @@ def lag_autocorr(
     zipf_fit/heaps_fit discipline — plain int64 products silently wrap
     in Spark but raise in DuckDB once hourly counts grow large);
     num = n·Σxy − Σx·Σy is exported as `num_scaled` so the driver
-    value-checks an exact integer, and r itself is ONE closing
-    float expression — num / sqrt(varx · vary) with the variance
+    value-checks an exact integer, guarded to NULL past int64 range on
+    BOTH engines (an unguarded decimal→BIGINT cast NULLs in Spark but
+    raises in DuckDB — the same divergence one layer up), and r itself
+    is ONE closing float expression — num / sqrt(varx · vary) with the variance
     factors multiplied in pinned double order, rounded at 6. Keys with
     fewer than `min_pairs` pairs or a degenerate variance (constant
     series) emit NULL autocorr but keep their row.
@@ -1566,10 +1568,13 @@ def lag_autocorr(
         / F.sqrt(varx.cast("double") * vary.cast("double")),
         6,
     )
+    max_i64 = F.lit("9223372036854775807").cast(dec)
     return agg.select(
         F.col("k").alias(key_col),
         "n_pairs",
-        num.cast("long").alias("num_scaled"),
+        F.when(F.abs(num) <= max_i64, num.cast("long")).alias(
+            "num_scaled"
+        ),
         F.when(
             (F.col("n_pairs") >= min_pairs) & (varx > zero) & (vary > zero),
             r,

@@ -200,8 +200,14 @@ def training_pipeline_census(documents: DataFrame, **kw) -> DataFrame:
     """The composition as an 8-row per-stage census (stage_idx, stage,
     rows_in, rows_out) — the driver-oracled export. See
     `training_pipeline_frames` for stage semantics and parameters."""
-    fr = training_pipeline_frames(documents, **kw)
+    return census_from_frames(training_pipeline_frames(documents, **kw))
 
+
+def census_from_frames(fr: dict[str, DataFrame]) -> DataFrame:
+    """Census over ALREADY-BUILT stage frames — callers that need the
+    frames themselves (the example's write path) build them once and
+    pass them here instead of paying the eager stage checkpoints a
+    second time through training_pipeline_census."""
     # census: eight one-row aggregates, cross-joined, unpivoted
     def _cnt(df: DataFrame, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).cast("long").alias(name))

@@ -733,48 +733,12 @@ def _kmeans_trajectory(
     )
     cents = [(i, list(r["cvec"])) for i, r in enumerate(init)]
 
-    spark = embeddings.sparkSession
-
     def assign(cent_rows):
-        # Centroids ride in as ONE broadcast row holding an
-        # array<struct<cid,cvec>> column, and the argmin is an
-        # array_min over (dist, cid) structs — lexicographic struct
-        # ordering IS the rounded-dist-then-lowest-cid tie rule.
-        # Assignment is therefore MAP-ONLY (1xN broadcast cross join,
-        # no k-x row blowup, no per-row window, zero exchanges).
-        #
-        # Centroid values flow as DATA through a broadcast 1-row
-        # array<struct> column, never as plan literals: two measured
-        # dead ends are recorded here so they are not retried —
-        # (a) inlining the k x dim doubles as literals (plain or
-        # CreateArray-folded) makes every Lloyd round a novel codegen
-        # unit, and the per-round whole-stage recompile dwarfs the
-        # compute; (b) unrolling the distance fold as explicit getItem
-        # chains sent Catalyst's recursive transforms quadratic
-        # (~30 s/fit on the ~4k-node left-deep tree). The
-        # zip_with/aggregate fold is interpreted per element but
-        # linear and plan-stable.
-        cents_df = spark.createDataFrame(
-            [([(int(cid), [float(x) for x in cvec])
-               for cid, cvec in cent_rows],)],
-            "cents array<struct<cid:int,cvec:array<double>>>",
-        )
-        best = F.array_min(
-            F.transform(
-                F.col("cents"),
-                lambda c: F.struct(
-                    F.round(_sq_dist(F.col("_v"), c["cvec"]), 6).alias(
-                        "dist"
-                    ),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )
-        return proj.crossJoin(F.broadcast(cents_df)).select(
+        return _frozen_argmin_assign(proj, cent_rows, "_v").select(
             "_id",
             "_v",
-            best["cid"].alias("cluster"),
-            best["dist"].alias("dist"),
+            F.col("__cell").alias("cluster"),
+            F.col("__dist").alias("dist"),
         )
 
     # Mean recompute stays the posexplode → (cluster,pos) partial agg
@@ -809,44 +773,73 @@ def _kmeans_trajectory(
     return cents, assign
 
 
-def ivf_cell_assign(
-    df: DataFrame,
-    cents,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Assign rows to FROZEN IVF cells → (id_col, cell): the rounded
-    squared-L2 argmin with the lowest-cid tie rule — the identical
-    rule `_kmeans_trajectory.assign` uses during the fit, restated for
-    an ARBITRARY input frame so micro-batches can enter the persisted
-    cell layout without refitting the codebook (FAISS's
-    add-after-train contract; streaming/stateful.ivf_layout_sink is
-    the consumer). Map-only: the codebook rides as one broadcast
-    array<struct> row, no per-row window, zero exchanges.
+def _frozen_argmin_assign(df: DataFrame, cent_rows, vec_col: str) -> DataFrame:
+    """THE cell-assignment rule, existing exactly once: rounded
+    squared-L2 argmin with the lowest-cid tie — appends (__cell,
+    __dist) to `df` whose `vec_col` holds array<double>. Shared by the
+    k-means fit loop and the frozen-codebook incremental add
+    (ivf_cell_assign), so a retune of the precision or tie rule can
+    never desynchronize the two — the contract ivf_index_stream's
+    oracle checks.
+
+    Centroids ride in as ONE broadcast row holding an
+    array<struct<cid,cvec>> column, and the argmin is an array_min
+    over (dist, cid) structs — lexicographic struct ordering IS the
+    rounded-dist-then-lowest-cid tie rule. Assignment is therefore
+    MAP-ONLY (1xN broadcast cross join, no k-x row blowup, no per-row
+    window, zero exchanges).
+
+    Centroid values flow as DATA through a broadcast 1-row
+    array<struct> column, never as plan literals: two measured dead
+    ends are recorded here so they are not retried — (a) inlining the
+    k x dim doubles as literals (plain or CreateArray-folded) makes
+    every Lloyd round a novel codegen unit, and the per-round
+    whole-stage recompile dwarfs the compute; (b) unrolling the
+    distance fold as explicit getItem chains sent Catalyst's recursive
+    transforms quadratic (~30 s/fit on the ~4k-node left-deep tree).
+    The zip_with/aggregate fold is interpreted per element but linear
+    and plan-stable.
     """
-    spark = df.sparkSession
-    cents_df = spark.createDataFrame(
-        [([(int(cid), [float(x) for x in cvec]) for cid, cvec in cents],)],
+    cents_df = df.sparkSession.createDataFrame(
+        [([(int(cid), [float(x) for x in cvec]) for cid, cvec in cent_rows],)],
         "cents array<struct<cid:int,cvec:array<double>>>",
     )
     best = F.array_min(
         F.transform(
             F.col("cents"),
             lambda c: F.struct(
-                F.round(_sq_dist(F.col("__v"), c["cvec"]), 6).alias("dist"),
+                F.round(_sq_dist(F.col(vec_col), c["cvec"]), 6).alias(
+                    "dist"
+                ),
                 c["cid"].alias("cid"),
             ),
         )
     )
-    return (
-        df.select(
-            F.col(id_col),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                "__v"
-            ),
-        )
-        .crossJoin(F.broadcast(cents_df))
-        .select(F.col(id_col), best["cid"].alias("cell"))
+    return df.crossJoin(F.broadcast(cents_df)).select(
+        *df.columns,
+        best["cid"].alias("__cell"),
+        best["dist"].alias("__dist"),
+    )
+
+
+def ivf_cell_assign(
+    df: DataFrame,
+    cents,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign rows to FROZEN IVF cells → (id_col, cell): the identical
+    `_frozen_argmin_assign` rule the k-means fit uses, applied to an
+    ARBITRARY input frame so micro-batches can enter the persisted
+    cell layout without refitting the codebook (FAISS's
+    add-after-train contract; streaming/stateful.ivf_layout_sink is
+    the consumer)."""
+    proj = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    return _frozen_argmin_assign(proj, cents, "__v").select(
+        F.col(id_col), F.col("__cell").alias("cell")
     )
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
+import os
+
 import pandas as pd  # noqa: F401  (resolves pandas_udf type annotations)
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,6 +51,23 @@ class QuerySpec:
 
 def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
+
+
+def _run_dir(slug: str) -> str:
+    """Deterministic scratch dir for streaming replay keys, WIPED at
+    the start of every run: mkdtemp-per-invocation leaked a feed +
+    layout + checkpoint copy per driver/bench call (ADVICE-class
+    finding, r10 review), and a reused streaming CHECKPOINT against a
+    rewritten feed would silently skip every batch — so the whole root
+    (checkpoint included) resets before each run, bounding disk to ONE
+    copy per key."""
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"dp2s_run_{slug}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
 
 
 # ---------------------------------------------------------------- helpers

@@ -227,18 +227,18 @@ def q_ivf_index_stream(spark, sf_dir):
     frozen-codebook path lands every vector in exactly the cell the
     batch fit would — the add-after-train contract, value-checked."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from data_pipeline2_spark.operators import similarity
+    from data_pipeline2_spark.registry._core import _run_dir
     from data_pipeline2_spark.streaming import stateful
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents, _assign = similarity._kmeans_trajectory(
         emb, 8, 2, "vec_id", "embedding"
     )
-    tmp = tempfile.mkdtemp(prefix="dp2s_ivfstream_")
+    tmp = _run_dir("ivfstream")
     feed = os.path.join(tmp, "feed")
     layout = os.path.join(tmp, "layout")
     ckpt = os.path.join(tmp, "ckpt")

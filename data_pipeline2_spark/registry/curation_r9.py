@@ -40,12 +40,11 @@ being re-derived.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 
 from data_pipeline2_spark.operators import dedup, textanalysis
-from data_pipeline2_spark.registry._core import _cos_sql, _register, _t
+from data_pipeline2_spark.registry._core import _cos_sql, _register, _run_dir, _t
 from data_pipeline2_spark.registry.search_multimodal import _simhash_sql
 from data_pipeline2_spark.registry.vector_partsupp import _kmeans_cte_parts
 
@@ -141,7 +140,7 @@ def q_cdc_upsert_stream(spark, sf_dir):
         F.col("value").alias("val"),
         F.col("event_type").alias("etype"),
     )
-    tmp = tempfile.mkdtemp(prefix="dp2s_cdc_")
+    tmp = _run_dir("cdc")
     feed = os.path.join(tmp, "feed")
     table = os.path.join(tmp, "table")
     ckpt = os.path.join(tmp, "ckpt")

@@ -32,7 +32,7 @@ oracle.
 from __future__ import annotations
 
 from data_pipeline2_spark.operators import aggregates, governance, textanalysis
-from data_pipeline2_spark.registry._core import _register, _t
+from data_pipeline2_spark.registry._core import _register, _run_dir, _t
 
 _TCLOSE_SQL = """
     WITH base AS (
@@ -116,9 +116,12 @@ _AUTOCORR_SQL = """
       FROM q GROUP BY k
     )
     SELECT k AS user_id, n_pairs,
-           (n_pairs::DECIMAL(38,0) * sxy::DECIMAL(38,0)
-            - sx::DECIMAL(38,0) * sy::DECIMAL(38,0))::BIGINT
-             AS num_scaled,
+           CASE WHEN abs(n_pairs::DECIMAL(38,0) * sxy::DECIMAL(38,0)
+                        - sx::DECIMAL(38,0) * sy::DECIMAL(38,0))
+                     <= 9223372036854775807
+                THEN (n_pairs::DECIMAL(38,0) * sxy::DECIMAL(38,0)
+                      - sx::DECIMAL(38,0) * sy::DECIMAL(38,0))::BIGINT
+           END AS num_scaled,
            CASE WHEN n_pairs >= 3
                      AND (n_pairs::DECIMAL(38,0) * sxx::DECIMAL(38,0)
                           - sx::DECIMAL(38,0) * sx::DECIMAL(38,0)) > 0
@@ -217,12 +220,11 @@ def q_stream_tumbling_upsert(spark, sf_dir):
     (wstart, event_type, n_events) and the oracle recomputes it in one
     GROUP BY."""
     import os
-    import tempfile
 
     from data_pipeline2_spark.streaming import events as sev
 
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
-    tmp = tempfile.mkdtemp(prefix="dp2s_stumb_")
+    tmp = _run_dir("stumb")
     feed = os.path.join(tmp, "feed")
     table = os.path.join(tmp, "table")
     ckpt = os.path.join(tmp, "ckpt")

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 def main(sf_dir: str, out_dir: str):
     from data_pipeline2_spark.operators import chunking, embedding
     from data_pipeline2_spark.operators.pipeline_e2e import (
-        training_pipeline_census,
+        census_from_frames,
         training_pipeline_frames,
     )
     from data_pipeline2_spark.session import get_spark
@@ -65,7 +65,7 @@ def main(sf_dir: str, out_dir: str):
     #      exactly what the `training_pipeline_e2e` registry key runs
     frames = training_pipeline_frames(docs)
     print("per-stage census (the driver-oracled view of this run):")
-    training_pipeline_census(docs).orderBy("stage_idx").show(truncate=False)
+    census_from_frames(frames).orderBy("stage_idx").show(truncate=False)
 
     # 6b. embed the chunk table with cache-aside (a second run embeds
     #     only chunks the cache has not seen)
@@ -84,8 +84,12 @@ def main(sf_dir: str, out_dir: str):
         f"(cache at {cache_path})"
     )
 
-    # 7b. persist the packed sequence table, partitioned by split
-    final = frames["final"]
+    # 7b. persist the packed sequence table, partitioned by split —
+    # re-join the surviving docs so each sequence row carries its TEXT
+    # (the census frame is metadata-only by design)
+    final = frames["final"].join(
+        frames["s5"].select("doc_id", "text"), "doc_id"
+    ).select("split", "seq_id", "doc_id", "est_tokens", "text")
     final.write.mode("overwrite").partitionBy("split").parquet(
         os.path.join(out_dir, "sequences")
     )
