@@ -155,6 +155,11 @@ OPS = [
     "training_pipeline_e2e",  # the composed flagship: stage-survivor id
                               # manifests localCheckpoint (8B/doc); the
                               # member operators' budgets apply stagewise
+    "ivf_index_stream",       # frozen-codebook streaming cell layout:
+                              # fit is the bounded kmeans trajectory,
+                              # per-batch assignment map-only vs the
+                              # broadcast codebook — shuffle should be
+                              # the fit's k x dim partials only
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 
