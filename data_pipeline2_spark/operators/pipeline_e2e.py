@@ -43,6 +43,7 @@ from data_pipeline2_spark.operators.expectations import (
 )
 from data_pipeline2_spark.operators.sampling import train_test_split
 from data_pipeline2_spark.operators.textanalysis import (
+    decontaminate,
     decontaminate_bloom,
     quality_score,
 )
@@ -77,7 +78,14 @@ def training_pipeline_frames(
        docs score NULL and drop here).
     3. decontaminate   — eval suite = the `eval_n` lowest doc_ids of
        the kept set; corpus docs with >= 10% distinct-5-gram overlap
-       drop, and the eval rows themselves leave the corpus.
+       drop, and the eval rows themselves leave the corpus. The path
+       is ADAPTIVE: suites whose gram index broadcasts comfortably
+       (eval_n <= 1000) take the exact broadcast join, larger suites
+       take the bloom-bits prefilter — the two are output-identical
+       by construction (decontaminate_bloom's contract; they share one
+       oracle), so this is purely the physical-strategy choice a
+       production pipeline makes, and at sf0.1 the exact path saves
+       the bloom's ~1.5 s fixed build/probe fee (measured r10).
     4. dedup_exact     — normalized-sha keeper = min doc_id.
     5. dedup_near      — MinHash-LSH pairs at `near_threshold` →
        connected components → keep the min-id doc per cluster.
@@ -111,8 +119,9 @@ def training_pipeline_frames(
     # docs drop; bloom path == exact path by construction
     eval_rows = s2.orderBy("doc_id").limit(eval_n).localCheckpoint(eager=True)
     corpus = s2.join(eval_rows.select("doc_id"), "doc_id", "left_anti")
+    decontam = decontaminate if eval_n <= 1000 else decontaminate_bloom
     contaminated = (
-        decontaminate_bloom(corpus, eval_rows)
+        decontam(corpus, eval_rows)
         .filter(F.col("contaminated"))
         .select("doc_id")
     )

@@ -2,11 +2,13 @@
 """End-to-end training-data pipeline on the engine — the composition a
 user of the reference system would run after switching:
 
-  raw corpus → quality filter → benchmark decontamination (bloom
-  prefilter + exact verify) → exact dedup → near dedup (MinHash
-  clusters) → chunk to token budget → embed (cache-aside) → pack into
-  training sequences → stable train/val/test split → partitioned
-  parquet layout → data-quality expectation gate
+  raw corpus → quality filter → benchmark decontamination (adaptive:
+  broadcast-exact for small suites, bloom prefilter + exact verify
+  past the broadcast threshold — output-identical either way) → exact
+  dedup → near dedup (MinHash clusters) → chunk to token budget →
+  embed (cache-aside) → pack into training sequences → stable
+  train/val/test split → partitioned parquet layout → data-quality
+  expectation gate
 
 The composition itself lives in
 `data_pipeline2_spark.operators.pipeline_e2e` and is exported as the
