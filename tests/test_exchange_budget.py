@@ -181,3 +181,26 @@ def test_packing_exports_shard(spark):
             key,
             win_lines,
         )
+
+
+# round-10 keys: budgets measured at introduction. The composed
+# pipeline's census plan is post-checkpoint lineage (stage-survivor
+# manifests truncate upstream operator trees), so its budget covers the
+# semi-join counts + chunk/pack aggregates, not the member operators —
+# those carry their own budgets above. ivf_index_stream's returned plan
+# is the layout read-back dedup; the stream side is foreachBatch
+# (measured in SCALE.md: sub-MB shuffle at x1 and x10).
+BUDGET_R10 = {
+    "training_pipeline_e2e": 4,
+    "ivf_index_stream": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET_R10))
+def test_exchange_budget_r10(name, spark):
+    df = registry.queries()[name](spark, SF)
+    n = _exchanges(df)
+    assert n <= BUDGET_R10[name], (
+        f"{name}: plan has {n} hash/range exchanges, budget is "
+        f"{BUDGET_R10[name]} — a new shuffle entered this query's plan"
+    )
