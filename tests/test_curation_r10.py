@@ -196,3 +196,30 @@ def test_ivf_stream_empty_layout_contract(spark, tmp_path):
     out = stateful.load_ivf_layout(spark, str(tmp_path / "nowhere"))
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vec_id", "cell"]
+
+
+def test_ivf_layout_probe_prunes_partitions(spark, tmp_path):
+    """The point of partitionBy(cell): a probe that touches n_probe
+    cells must read ONLY those cells' files. Pin the partition filter
+    in the scan plan so a layout regression (losing the partitioning)
+    fails here, not at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators import similarity
+    from data_pipeline2_spark.sources.parquet import load_table
+    from data_pipeline2_spark.streaming import stateful
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents, _ = similarity._kmeans_trajectory(emb, 8, 2, "vec_id", "embedding")
+    layout = str(tmp_path / "layout")
+    sink = stateful.ivf_layout_sink(layout, cents)
+    sink(emb, batch_id=0)
+
+    probe = spark.read.parquet(layout).filter(F.col("cell").isin([0, 1]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l or "PartitionFilters" in l]
+    assert any("PartitionFilters" in l and "cell" in l for l in plan.splitlines()), scan
+    # and the probed rows really are only the two cells
+    assert probe.select("cell").distinct().count() <= 2
