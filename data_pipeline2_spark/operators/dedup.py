@@ -376,6 +376,106 @@ def dedup_near_minhash(
     return jaccard_pairs(cands, sh_cand, threshold)
 
 
+def bbit_minhash_pairs(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    n_perm: int = N_PERM,
+    band_size: int = BAND_SIZE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """b-bit minwise hashing (Li & König 2010, "b-Bit Minwise
+    Hashing", WWW — b=1) with an exact-verify audit → one row per LSH
+    candidate pair: (doc_a, doc_b, n_match_bits, j_bbit, jaccard,
+    est_err).
+
+    The storage-scale path of the minhash family: keeping only the
+    LOWEST BIT of each of the n_perm minima shrinks the signature
+    store 64× (16 perms × 8 B = 128 B/doc → 2 B/doc — at a 10⁹-doc
+    corpus that is a 128 GB store collapsing to 2 GB, the difference
+    between "ships with every probe" and "lives on one node"). The
+    published estimator for b=1 and a large hash universe:
+    E[match fraction P] = J + (1−J)/2, so Ĵ = 2·P̂ − 1 (clamped at
+    0) — with n_perm=16 the match count m is an exact integer, Ĵ is
+    an exact multiple of 1/8, and ONE closing float enters per pair.
+
+    This is the cms_frequency_eval/lsh_eval pattern: the sketch
+    estimate and the exact answer ship side by side (est_err =
+    |jaccard − Ĵ|), so the key is self-measuring — the oracle replays
+    sketch AND truth, and a green row value-checks the estimator's
+    error surface, not just its happy path. Candidates come from the
+    SAME full-signature LSH banding dedup_near_minhash uses (b-bit
+    signatures estimate; banding keeps its full-width keys — the
+    paper's deployment split).
+
+    Scale shape: identical to dedup_near_minhash through signatures
+    and banding (one groupBy, 8-byte fingerprints); the b-bit match
+    join ships n_perm BITS per doc; the exact verify is
+    candidate-bounded (array-pack Jaccard).
+    """
+    sh_all = doc_shingles(
+        documents, shingle_n, id_col, text_col, distinct=False
+    ).select("doc_id", shingle_hash64(F.col("shingle")).alias("sh64"))
+    sigs = minhash_signature_cols(sh_all, n_perm).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(
+        lsh_band_keys_wide(sigs, n_perm, band_size)
+    ).localCheckpoint(eager=True)
+    bits = sigs.select(
+        "doc_id",
+        *[
+            (F.col(f"mh_{p}") % 2).cast("int").alias(f"bit_{p}")
+            for p in range(n_perm)
+        ],
+    )
+    a = bits.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"bit_{p}").alias(f"ba_{p}") for p in range(n_perm)],
+    )
+    b = bits.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"bit_{p}").alias(f"bb_{p}") for p in range(n_perm)],
+    )
+    m = None
+    for p in range(n_perm):
+        t = (F.col(f"ba_{p}") == F.col(f"bb_{p}")).cast("long")
+        m = t if m is None else m + t
+    est = cands.join(a, "doc_a").join(b, "doc_b").select(
+        "doc_a", "doc_b", m.alias("n_match_bits")
+    )
+    j_bbit = F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.lit(2) * F.col("n_match_bits") / F.lit(float(n_perm)) - 1,
+        ),
+        6,
+    )
+    # exact verify over the candidate docs only (the dedup_near_minhash
+    # candidate-reduction pattern: broadcast the id set, re-shingle the
+    # sliver, never the corpus)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = documents.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh_cand = (
+        doc_shingles(cand_docs, shingle_n, id_col, text_col, distinct=False)
+        .select("doc_id", shingle_hash64(F.col("shingle")).alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    exact = jaccard_pairs(cands, sh_cand, threshold=0.0)
+    out = est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "n_match_bits",
+        j_bbit.alias("j_bbit"),
+        "jaccard",
+        F.round(F.abs(F.col("jaccard") - j_bbit), 6).alias("est_err"),
+    )
+    return out
+
+
 def dedup_ngram_jaccard(
     documents: DataFrame,
     shingle_n: int = 3,

@@ -19,7 +19,7 @@
 
 from __future__ import annotations
 
-from data_pipeline2_spark.operators import pipeline_e2e
+from data_pipeline2_spark.operators import dedup, pipeline_e2e
 from data_pipeline2_spark.operators.sampling import _threshold
 from data_pipeline2_spark.registry._core import _register, _t
 from data_pipeline2_spark.registry.ingest_chunk import (
@@ -196,6 +196,59 @@ def _e2e_sql(
     UNION ALL SELECT 8, 'expect_gate', CAST({n_checks} AS BIGINT),
                      gate.passed FROM gate
     """
+
+
+def _bbit_minhash_sql(n_perm: int = 16) -> str:
+    from data_pipeline2_spark.registry.ingest_chunk import (
+        _jaccard_verify_ctes as _jv,
+    )
+    from data_pipeline2_spark.registry.ingest_chunk import (
+        _lsh_bands_cand_ctes as _lb,
+    )
+    from data_pipeline2_spark.registry.ingest_chunk import (
+        _minhash_mh_ctes as _mh,
+    )
+
+    jx = "round(coalesce(n_inter, 0) / (ca.n_sh + cb.n_sh - coalesce(n_inter, 0)), 6)"
+    jb = f"round(greatest(0, 2 * m / {n_perm}.0 - 1), 6)"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS ws
+      FROM documents WHERE len(trim(text, ' ')) > 0
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+            FROM toks WHERE len(ws) >= 3)
+    ), {_mh(n_perm)}, {_lb()}, {_jv(0.0)},
+    bm AS (
+      SELECT c.doc_a, c.doc_b,
+             sum(CASE WHEN x.mh % 2 = y.mh % 2 THEN 1 ELSE 0 END)::BIGINT
+               AS m
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.doc_a
+      JOIN mh y ON y.doc_id = c.doc_b AND y.p = x.p
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           bm.m AS n_match_bits,
+           {jb} AS j_bbit,
+           {jx} AS jaccard,
+           round(abs({jx} - {jb}), 6) AS est_err
+    FROM cand c
+    JOIN bm ON bm.doc_a = c.doc_a AND bm.doc_b = c.doc_b
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN counts ca ON ca.doc_id = c.doc_a
+    JOIN counts cb ON cb.doc_id = c.doc_b
+    """
+
+
+@_register("dedup_bbit_minhash", _bbit_minhash_sql())
+def q_dedup_bbit_minhash(spark, sf_dir):
+    """b-bit minwise hashing (Li & König 2010, b=1) with the exact
+    Jaccard shipped alongside: the 64x-smaller signature store's
+    estimator is value-checked pair by pair (n_match_bits is an exact
+    integer; the estimate and its error are one closing float each)."""
+    return dedup.bbit_minhash_pairs(_t(spark, sf_dir, "documents"))
 
 
 def _ivf_stream_sql(n_clusters: int = 8, n_iter: int = 2, dim: int = 64) -> str:

@@ -155,6 +155,9 @@ OPS = [
     "training_pipeline_e2e",  # the composed flagship: stage-survivor id
                               # manifests localCheckpoint (8B/doc); the
                               # member operators' budgets apply stagewise
+    "dedup_bbit_minhash",     # signatures+banding as dedup_near_minhash;
+                              # b-bit match join ships 16 BITS per doc;
+                              # exact verify candidate-bounded
     "ivf_index_stream",       # frozen-codebook streaming cell layout:
                               # fit is the bounded kmeans trajectory,
                               # per-batch assignment map-only vs the

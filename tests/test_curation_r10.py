@@ -223,3 +223,41 @@ def test_ivf_layout_probe_prunes_partitions(spark, tmp_path):
     assert any("PartitionFilters" in l and "cell" in l for l in plan.splitlines()), scan
     # and the probed rows really are only the two cells
     assert probe.select("cell").distinct().count() <= 2
+
+
+# -------------------------------------------------- dedup_bbit_minhash
+
+
+def test_bbit_estimator_semantics(spark):
+    """Li & König b=1 estimator on constructed docs: identical texts
+    match all 16 low bits (J_hat = 1.0, exact J = 1.0, err 0); the
+    estimate is always a multiple of 1/8 after clamping; est_err =
+    |jaccard - j_bbit| recomputes from the row's own columns."""
+    from data_pipeline2_spark.operators import dedup
+
+    base = (
+        "measured rainfall totals across the coastal basin exceeded "
+        "the seasonal average for a third consecutive year according "
+        "to the survey published on friday morning"
+    )
+    rows = [
+        (1, base), (2, base),                    # identical pair
+        (3, base.replace("friday", "monday")),   # near-dup of 1/2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup.bbit_minhash_pairs(docs).collect()
+    }
+    assert (1, 2) in out
+    r12 = out[(1, 2)]
+    assert r12["n_match_bits"] == 16
+    assert r12["j_bbit"] == 1.0
+    assert r12["jaccard"] == 1.0
+    assert r12["est_err"] == 0.0
+    for r in out.values():
+        assert 0 <= r["n_match_bits"] <= 16
+        # clamped estimate on the 1/8 grid
+        assert abs(r["j_bbit"] * 8 - round(r["j_bbit"] * 8)) < 1e-9
+        assert r["j_bbit"] >= 0.0
+        assert abs(r["est_err"] - round(abs(r["jaccard"] - r["j_bbit"]), 6)) < 1e-9

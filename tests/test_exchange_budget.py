@@ -193,6 +193,8 @@ def test_packing_exports_shard(spark):
 BUDGET_R10 = {
     "training_pipeline_e2e": 4,
     "ivf_index_stream": 1,
+    "dedup_bbit_minhash": 4,  # bit-match join (post-checkpoint sigs,
+    # 2) + exact-verify array pack + pair join against it
 }
 
 
