@@ -15,6 +15,10 @@
   cell-partitioned persisted layout, value-oracled against the
   unrolled k-means trajectory (_kmeans_cte_parts). Completes the
   continuous-indexing story the BM25 postings sink started.
+- `dedup_bbit_minhash`: b-bit minwise hashing (Li & König 2010, b=1)
+  with the exact Jaccard shipped per candidate pair — the 64x-smaller
+  signature store's estimator, value-checked against truth (the
+  sketch-plus-verify pattern cms_frequency_eval/lsh_eval established).
 """
 
 from __future__ import annotations
