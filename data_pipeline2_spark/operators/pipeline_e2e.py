@@ -10,9 +10,14 @@ MATERIALIZED CTEs: a green row proves the operators COMPOSE, not just
 pass solo (VERDICT r9 item 2).
 
 Reference parity: the stage sequence is the reference's document
-lifecycle (ingest → quality gate → dedup → chunk → embed/pack → serve;
-see SURVEY.md §2.3/§2.10 and the reference's pipeline service,
-doc_pipeline/pipeline.py) re-expressed as native Spark plans.
+lifecycle (submit → process → chunk → embed → index/serve; see
+SURVEY.md §2.3/§2.10 and the reference's queue-driven processor,
+doc_pipeline/services/document_processor.py:76-144 —
+`_process_queue` → `_process_document` → `_chunk_document`) extended
+with the curation stages a TRAINING-DATA deployment of the same
+pipeline runs (quality gate, benchmark decontamination, exact + near
+dedup, pack/split, expectation gate — the BASELINE.json
+LLM-data-pipeline mandate), all re-expressed as native Spark plans.
 
 Scale shape: each stage's surviving-id manifest is materialized with an
 eager localCheckpoint (8 bytes/doc — the manifest a production pipeline
