@@ -109,6 +109,13 @@ def training_pipeline_frames(
        passed.
     """
     docs = documents
+    if "n_chars" not in docs.columns:
+        # the packing stage sizes documents by n_chars; corpora without
+        # the column (the lake schema carries it, arbitrary user frames
+        # may not) derive it — NULL text stays NULL, matching the lake
+        docs = docs.withColumn(
+            "n_chars", F.length(F.col("text")).cast("long")
+        )
 
     # stage 2: quality gate — manifest of surviving ids
     ids2 = (

@@ -261,3 +261,61 @@ def test_bbit_estimator_semantics(spark):
         assert abs(r["j_bbit"] * 8 - round(r["j_bbit"] * 8)) < 1e-9
         assert r["j_bbit"] >= 0.0
         assert abs(r["est_err"] - round(abs(r["jaccard"] - r["j_bbit"]), 6)) < 1e-9
+
+
+# --------------------------------------------- census property testing
+
+
+def test_census_invariants_random_corpora(spark):
+    """Structural invariants of the per-stage census over randomized
+    small corpora (the lake gates cover specific corpora; this covers
+    the space): doc-grain stages only ever shrink, rows_in chains
+    stage to stage, chunk/pack grains are consistent, and the gate
+    reports within [0, N_GATE_CHECKS]. Seeded RNG — deterministic."""
+    import random
+
+    rng = random.Random(20260816)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "river", "summit", "harbor", "ledger", "meadow", "quarry"]
+    for trial in range(3):
+        n = rng.randint(3, 28)
+        rows = []
+        for i in range(n):
+            r = rng.random()
+            if r < 0.1:
+                text = None
+            elif r < 0.2:
+                text = " ".join(str(rng.randint(0, 9)) for _ in range(8))
+            else:
+                text = " ".join(
+                    rng.choice(words) for _ in range(rng.randint(6, 40))
+                ) + "."
+            rows.append((i, text))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        # no n_chars column: exercises the derive path
+        by = {
+            r["stage"]: r
+            for r in pipeline_e2e.training_pipeline_census(docs).collect()
+        }
+        assert len(by) == 8
+        c = {k: by[k]["rows_out"] for k in by}
+        assert by["ingest"]["rows_in"] == by["ingest"]["rows_out"] == n
+        # doc-grain monotone shrink through the drop stages
+        assert n >= c["quality_filter"] >= c["decontaminate"]
+        assert c["decontaminate"] >= c["dedup_exact"] >= c["dedup_near"]
+        # rows_in chains
+        assert by["quality_filter"]["rows_in"] == n
+        assert by["decontaminate"]["rows_in"] == c["quality_filter"]
+        assert by["dedup_exact"]["rows_in"] == c["decontaminate"]
+        assert by["dedup_near"]["rows_in"] == c["dedup_exact"]
+        assert by["chunk"]["rows_in"] == c["dedup_near"]
+        assert by["pack_split"]["rows_in"] == c["dedup_near"]
+        # chunk/pack grains: every surviving doc yields >= 1 chunk, and
+        # sequences cannot exceed surviving docs (packing groups them)
+        if c["dedup_near"] > 0:
+            assert c["chunk"] >= c["dedup_near"]
+            assert 1 <= c["pack_split"] <= c["dedup_near"]
+        else:
+            assert c["chunk"] == 0 and c["pack_split"] == 0
+        assert by["expect_gate"]["rows_in"] == pipeline_e2e.N_GATE_CHECKS
+        assert 0 <= c["expect_gate"] <= pipeline_e2e.N_GATE_CHECKS
