@@ -80,7 +80,7 @@ def main():
     # per-query min across passes decorrelates the reps; the recorded
     # value samples the band floor, not a single draw. Every run is a
     # full re-execution — only the table cache persists between runs.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     per_pass: list[dict[str, float]] = []
     rows: dict[str, int] = {}
     for p in range(reps):
@@ -96,12 +96,38 @@ def main():
             f"{round(sum(pass_t.values()), 3)}s total",
             file=sys.stderr,
         )
-    timings = {
-        name: round(min(pt[name] for pt in per_pass), 3)
-        for name in HEADLINE
-    }
+    # Published per-query value = MEDIAN across interleaved passes
+    # (VERDICT r10 item 1): the r10 driver/builder runs of identical
+    # code disagreed 1.077x vs 0.805x because a min-of-3 still samples
+    # one machine-noise draw per query. The median of 5 interleaved
+    # passes is the robust center; `noise` publishes the spread so a
+    # reader can tell a real regression from a wide band without a
+    # BENCH_NOTES exegesis. `queries_min` keeps the old floor metric
+    # for continuity with r1-r10 files.
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    samples = {name: [pt[name] for pt in per_pass] for name in HEADLINE}
+    timings = {name: round(_median(v), 3) for name, v in samples.items()}
+    timings_min = {name: round(min(v), 3) for name, v in samples.items()}
+    iqr_pct: dict[str, float] = {}
+    for name, v in samples.items():
+        s = sorted(v)
+        n = len(s)
+        if n < 3:
+            iqr_pct[name] = 0.0
+            continue
+        q1, q3 = s[max(0, (n - 1) // 4)], s[min(n - 1, (3 * (n - 1)) // 4)]
+        med = _median(v)
+        iqr_pct[name] = round(100.0 * (q3 - q1) / med, 1) if med else 0.0
     for name in HEADLINE:
-        print(f"# {name}: {timings[name]}s rows={rows[name]}", file=sys.stderr)
+        print(
+            f"# {name}: median={timings[name]}s min={timings_min[name]}s "
+            f"iqr={iqr_pct[name]}% rows={rows[name]}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
 
@@ -134,6 +160,13 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "noise": {
+            "passes": reps,
+            "stat": "median",
+            "iqr_pct": iqr_pct,
+            "max_iqr_pct": max(iqr_pct.values()) if iqr_pct else 0.0,
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "table_cache_warm": True,
     }
@@ -143,13 +176,15 @@ def main():
     out["pass_totals"] = [
         round(sum(pt.values()), 3) for pt in per_pass
     ]
-    prev = _common_vs_prev(timings, out["sf"])
+    prev = _common_vs_prev(timings, timings_min, out["sf"])
     if prev is not None:
         out["common_vs_prev"] = prev
     print(json.dumps(out))
 
 
-def _common_vs_prev(timings: dict[str, float], sf) -> dict | None:
+def _common_vs_prev(
+    timings: dict[str, float], timings_min: dict[str, float], sf
+) -> dict | None:
     """Like-for-like comparison against the newest BENCH_r*.json
     (VERDICT r9 item 3): headline sets grow round over round, so the
     raw totals stop being comparable the moment a query joins the set.
@@ -157,6 +192,12 @@ def _common_vs_prev(timings: dict[str, float], sf) -> dict | None:
     publishes subtotal/ratio/worst_regression so regressions
     adjudicate themselves instead of living in BENCH_NOTES prose.
     Returns None when no prior same-SF warm timings exist.
+
+    Basis (VERDICT r10 item 1): r1-r10 files published min-of-3 as
+    `queries`; from r11 `queries` is the median and `queries_min` the
+    floor. To stay like-for-like, the ratio compares medians when the
+    baseline carries them (new format) and min-vs-min against an old
+    file — the `basis` field says which.
 
     Baseline = the newest recorded round. Caveat: a LOCAL re-run after
     the current round's BENCH file lands would compare the round
@@ -169,7 +210,14 @@ def _common_vs_prev(timings: dict[str, float], sf) -> dict | None:
     root = os.path.dirname(os.path.abspath(__file__))
     pinned = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
     if pinned:
-        cands = [(0, os.path.join(root, os.path.basename(pinned)))]
+        # ADVICE r10: use the pinned path verbatim — basename-joining
+        # silently swapped in a same-named file under the repo root.
+        pinned_abs = os.path.abspath(pinned)
+        if not os.path.exists(pinned_abs):
+            raise FileNotFoundError(
+                f"SPARK_GRAFT_BENCH_BASELINE={pinned} does not exist"
+            )
+        cands = [(0, pinned_abs)]
     else:
         cands = []
         for f in glob.glob(os.path.join(root, "BENCH_r*.json")):
@@ -186,15 +234,22 @@ def _common_vs_prev(timings: dict[str, float], sf) -> dict | None:
         prev_q = parsed.get("queries")
         if not isinstance(prev_q, dict) or parsed.get("sf") != sf:
             continue
-        common = sorted(set(prev_q) & set(timings))
+        # New-format baseline publishes medians in `queries` (flagged
+        # by the presence of `queries_min`); old files hold min-of-N.
+        if isinstance(parsed.get("queries_min"), dict):
+            cur_q, basis = timings, "median"
+        else:
+            cur_q, basis = timings_min, "min"
+        common = sorted(set(prev_q) & set(cur_q))
         if not common:
             continue
-        cur_sub = round(sum(timings[q] for q in common), 3)
+        cur_sub = round(sum(cur_q[q] for q in common), 3)
         prev_sub = round(sum(prev_q[q] for q in common), 3)
-        deltas = {q: round(timings[q] - prev_q[q], 3) for q in common}
+        deltas = {q: round(cur_q[q] - prev_q[q], 3) for q in common}
         worst = max(common, key=lambda q: deltas[q])
         return {
             "prev_file": os.path.basename(f),
+            "basis": basis,
             "queries": common,
             "subtotal": cur_sub,
             "prev_subtotal": prev_sub,

@@ -1544,15 +1544,20 @@ def lag_autocorr(
         .filter(F.col("h2") == F.col("h") + 1)
         .select("k", "x", "y")
     )
+    # Inner sums accumulate in DECIMAL(38,0), not int64 (ADVICE r10):
+    # long*long wraps silently in Spark while DuckDB multiplies exactly
+    # and sum(BIGINT) auto-widens to HUGEINT — casting the factors to
+    # decimal BEFORE the product makes both engines exact to 38 digits
+    # (the oracle mirrors by dropping its ::BIGINT narrowing on these).
+    dec = "decimal(38,0)"
     agg = pairs.groupBy("k").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
     )
-    dec = "decimal(38,0)"
     num = F.col("n_pairs").cast(dec) * F.col("sxy").cast(dec) - F.col(
         "sx"
     ).cast(dec) * F.col("sy").cast(dec)

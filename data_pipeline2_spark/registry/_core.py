@@ -54,17 +54,40 @@ def _t(spark, sf_dir, name):
 
 
 def _run_dir(slug: str) -> str:
-    """Deterministic scratch dir for streaming replay keys, WIPED at
-    the start of every run: mkdtemp-per-invocation leaked a feed +
-    layout + checkpoint copy per driver/bench call (ADVICE-class
-    finding, r10 review), and a reused streaming CHECKPOINT against a
-    rewritten feed would silently skip every batch — so the whole root
-    (checkpoint included) resets before each run, bounding disk to ONE
-    copy per key."""
+    """Scratch dir for streaming replay keys, WIPED at the start of
+    every run: mkdtemp-per-invocation leaked a feed + layout +
+    checkpoint copy per driver/bench call (r10 review), and a reused
+    streaming CHECKPOINT against a rewritten feed would silently skip
+    every batch — so the per-key dir (checkpoint included) resets
+    before each run.
+
+    Namespaced by uid AND pid (ADVICE r10): a single shared path meant
+    two concurrent processes running the same key clobbered each
+    other's live feed/checkpoint mid-run, and a root owned by another
+    user on a multi-user host made the rmtree fail silently and the
+    mkdir raise. Per-pid dirs cannot collide; dead-pid siblings of the
+    same slug are pruned at run start so disk stays bounded at one
+    copy per (key, live process)."""
     import shutil
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), f"dp2s_run_{slug}")
+    parent = os.path.join(tempfile.gettempdir(), f"dp2s_run_u{os.getuid()}")
+    os.makedirs(parent, exist_ok=True)
+    prefix = f"{slug}_p"
+    for entry in os.listdir(parent):
+        if not entry.startswith(prefix):
+            continue
+        try:
+            pid = int(entry[len(prefix):])
+        except ValueError:
+            continue
+        try:
+            os.kill(pid, 0)  # raises if the owning process is gone
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # live pid owned by someone else — leave it
+    path = os.path.join(parent, f"{prefix}{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path)
     return path

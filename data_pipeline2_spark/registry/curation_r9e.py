@@ -109,10 +109,14 @@ _AUTOCORR_SQL = """
       FROM c WINDOW wd AS (PARTITION BY k ORDER BY h)
     ), q AS (SELECT k, x, y FROM p WHERE h2 = h + 1),
     a AS (
+      -- inner sums kept exact (no ::BIGINT narrowing), factors
+      -- decimal-cast before the product — mirrors the Spark side's
+      -- DECIMAL(38,0) accumulation (ADVICE r10: wrap-vs-raise class)
       SELECT k, count(*)::BIGINT AS n_pairs,
-             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
-             sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
-             sum(y * y)::BIGINT AS syy
+             sum(x::DECIMAL(38,0)) AS sx, sum(y::DECIMAL(38,0)) AS sy,
+             sum(x::DECIMAL(38,0) * y::DECIMAL(38,0)) AS sxy,
+             sum(x::DECIMAL(38,0) * x::DECIMAL(38,0)) AS sxx,
+             sum(y::DECIMAL(38,0) * y::DECIMAL(38,0)) AS syy
       FROM q GROUP BY k
     )
     SELECT k AS user_id, n_pairs,

@@ -224,10 +224,19 @@ def load_ivf_layout(spark, layout_dir: str, id_col: str = "vec_id"):
     all-empty stream leaves no readable parquet footer behind
     (partitionBy + zero rows writes only _SUCCESS) — that reads back as
     the empty layout, not an error."""
-    try:
-        df = spark.read.parquet(layout_dir)
-    except Exception:
+    # Probe for data files instead of catching bare Exception (ADVICE
+    # r10): a corrupt footer or permission error must propagate — only
+    # the legitimately-empty layout (partitionBy + zero rows leaves
+    # just _SUCCESS, which spark.read cannot infer a schema from) maps
+    # to the empty DataFrame.
+    has_data = os.path.isdir(layout_dir) and any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(layout_dir)
+        for f in files
+    )
+    if not has_data:
         return spark.createDataFrame([], f"{id_col} long, cell int")
+    df = spark.read.parquet(layout_dir)
     return df.dropDuplicates([id_col]).select(
         id_col, F.col("cell").cast("int").alias("cell")
     )
