@@ -43,6 +43,9 @@ HEADLINE = [
     # the composition's cost curve is tracked, not just its members';
     # common_vs_prev keeps the growing set comparable round-over-round
     "training_pipeline_e2e",
+    # round-11 addition: the composed serving lifecycle (chunk store →
+    # cache-aside embed → index → ranked kNN serve)
+    "semantic_search_e2e",
 ]
 
 

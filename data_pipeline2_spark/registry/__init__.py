@@ -53,6 +53,7 @@ from data_pipeline2_spark.registry import curation_r9d  # noqa: E402,F401  isort
 from data_pipeline2_spark.registry import curation_r9e  # noqa: E402,F401  isort:skip
 from data_pipeline2_spark.registry import curation_r9f  # noqa: E402,F401  isort:skip
 from data_pipeline2_spark.registry import curation_r10  # noqa: E402,F401  isort:skip
+from data_pipeline2_spark.registry import curation_r11  # noqa: E402,F401  isort:skip
 
 # Repo root (CORRECTNESS_r*.json location): registry/ is one package
 # level below the data_pipeline2_spark package, which sits in the root.
@@ -137,61 +138,57 @@ def _driver_verified_keys() -> set:
 # Keys whose EXPORTED semantics changed this round: their historical
 # green rows verified the old plan, so they re-queue immediately behind
 # the never-verified keys for a fresh driver check. Emptied once the
-# round's CORRECTNESS file shows them green again. (All 25 r8 entries
-# re-greened in CORRECTNESS_r08 and left the set.)
+# round's CORRECTNESS file shows them green again.
 #
-# r10: the r9 window re-greened 19/21 of its _RECHECK_FIRST; the two
-# leftovers (fulltext_bm25_indexed, hybrid_search_linear — r9b
-# doc-length-CTE plan pins, values pytest-pinned unchanged) stay at the
-# HEAD per VERDICT r9 item 1 until the driver re-greens their CURRENT
-# plans. Behind them, the keys whose arithmetic changed this round
-# (ADVICE r9, all four fixes commute with the old values at test scale
-# but the engine expressions AND oracle text changed, so the driver is
-# the arbiter).
+# r11: the r10 window re-greened ALL TEN r10 _RECHECK_FIRST entries —
+# the queue drained to zero for the first time. One key re-enters this
+# round: events_lag_autocorr's inner sums moved from int64 to
+# DECIMAL(38,0) accumulation on BOTH engines (ADVICE r10 — the
+# wrap-vs-raise class one layer below the r9 fix; values commute at
+# test scale, but engine expressions AND oracle text changed, so the
+# driver is the arbiter).
 _RECHECK_FIRST = (
-    "fulltext_bm25_indexed",  # r9b shared doc-length CTE + plan pin —
-    "hybrid_search_linear",   # queue latency from r9, values unchanged
-    "events_lag_autocorr",   # n·Σ−Σ·Σ combos now DECIMAL(38,0) both
-                             # sides (int64-wrap vs DuckDB-raise hazard)
-    "wordpiece_tokenize",    # word checksum reduced mod 2^32 BEFORE the
-    "unigram_lm_tokenize",   # position multiply (int64 overflow past
-                             # ~2^24-word docs); commutes with pmod
-    "events_benford",        # observed_ppm now TRUE integer division
-                             # (div / //) — no double enters
-    "simhash",               # r10: packed lanes + majority unpack now
-    "simhash_pairs",         # SQL-string-built (ONE selectExpr parse
-    "simhash_pairs_capped",  # instead of ~500 py4j Column calls);
-    "simhash_dedup_drop",    # fingerprints bit-identical (pinned), but
-                             # the engine construction changed
+    "events_lag_autocorr",  # sx/sy/sxy/sxx/syy now DECIMAL(38,0) both
+                            # sides (factors decimal-cast pre-product)
 )
+# Rotation (VERDICT r10 item 7): with every key green under its current
+# plan, the window's remaining ~48 slots re-green the STALEST keys —
+# everything whose latest driver green predates round 4 (the 20 r1 +
+# 23 r2 + 36 r3 keys, 79 total; the driver covers ~48 per round in
+# registration order, the remainder carries to r12's rotation).
 _RECHECK = frozenset(
     {
-        "bigram_logprob", "bm25_batch", "c4_quality",
-        "chunk_count_by_strategy", "chunk_dedup", "chunk_markdown",
-        "chunk_sentence", "chunk_token_budget", "corpus_curation",
-        "curation_report", "decontaminate", "decontaminate_bloom",
-        "dedup_containment", "dedup_exact", "dedup_exact_drop",
-        "dedup_graph_pagerank", "dedup_incremental", "dedup_kcore",
-        "dedup_lsh_eval", "dedup_near_incremental", "dedup_near_minhash",
-        "dedup_ngram_jaccard", "dedup_token_savings", "doc_fingerprint",
-        "dup_graph_triangles", "dup_line_stats", "duplicate_ngram_spans",
-        "exact_substring_dedup_stats", "exact_substring_spans",
-        "exact_substring_spans_incremental",
-        "exact_substring_spans_winnowed", "fulltext_match",
-        "gopher_quality", "heavy_hitters", "heavy_hitters_sketch",
-        "hybrid_search_batch", "hybrid_search_rrf", "lang_id",
-        "langid_confusion", "leakage_safe_split", "minhash_signatures",
-        "mix_token_allocation", "near_dup_rate", "near_match",
-        "ngram_novelty", "ngram_novelty_incremental", "phrase_match",
-        "phrase_match_indexed", "pretrain_pack", "quality_score",
-        "readability", "repetition_ratio", "rm3_expansion",
-        "sample_weighted", "simhash", "simhash_dedup_drop",
-        "simhash_pairs", "source_overlap", "sparse_cosine_topk",
-        "strip_boilerplate", "term_cooccurrence", "text_normalize",
-        "text_stats", "textrank_terms", "tfidf_top_terms",
-        "token_count_bpe", "token_histogram", "token_rarity",
-        "topic_cluster_terms", "unigram_logprob", "vocab_stats",
-        "winnow_fingerprints", "winnow_span_recall_eval",
+        # latest green: round 1
+        "array_functions", "base64_roundtrip", "chunk_fallback",
+        "chunk_fixed", "chunk_metadata_enrich", "chunk_overlap",
+        "chunk_size_histogram", "cube_counts", "hypertable_rollup",
+        "ingest_documents", "join_outer_zero_orders", "join_range",
+        "mime_detect", "pack_sequences", "q10_returned_revenue",
+        "q14_promo_revenue", "q18_large_orders", "q6_forecast_revenue",
+        "scalar_functions", "window_running_sum",
+        # latest green: round 2
+        "cache_ttl_filter", "dedup_clusters", "docling_convert",
+        "embed_metrics", "embedding_cache_lookup", "events_session",
+        "events_sliding", "events_tumbling", "job_stats",
+        "join_chunk_embedding", "knn_batch", "knn_batch_lsh",
+        "knn_cosine", "knn_cosine_filtered", "multimodal_decode",
+        "multimodal_meta", "multimodal_resize_real", "pii_redact",
+        "processing_time_stats", "scan_parquet_tables",
+        "search_cache_key", "search_cache_rw", "status_lifecycle",
+        # latest green: round 3
+        "agg_corr", "approx_count_distinct", "centroid_assign",
+        "count_distinct_users", "csv_roundtrip", "data_profile",
+        "dataset_mix", "dataset_mix_temperature", "dataset_shuffle",
+        "decontaminate_semantic", "dedup_representative", "embed_batch",
+        "embedding_quantize", "equi_depth_histogram", "events_funnel",
+        "events_gap_fill", "events_mad_outliers", "events_retention",
+        "events_transitions", "events_trending_topk",
+        "events_zscore_outliers", "grouping_sets", "hard_negatives",
+        "jsonl_roundtrip", "kmeans_embeddings", "knn_batch_ivf_exact",
+        "label_centroids", "multimodal_features", "orc_roundtrip",
+        "pivot_counts", "sample_deterministic", "scd2_history",
+        "snapshot_diff", "stratified_sample", "train_test_split",
+        "window_range_frame",
         *_RECHECK_FIRST,
     }
 )

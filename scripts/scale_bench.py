@@ -163,6 +163,14 @@ OPS = [
                               # per-batch assignment map-only vs the
                               # broadcast codebook — shuffle should be
                               # the fit's k x dim partials only
+    # round-11 addition
+    "semantic_search_e2e",    # the composed serving lifecycle: chunk
+                              # store + cache + index materialize once
+                              # (localCheckpoint), cache probe/miss are
+                              # id-keyed semi/anti joins, serve is the
+                              # broadcast-query map-side kNN — the only
+                              # corpus shuffles are chunking's doc
+                              # grouping and the id joins
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 

@@ -206,3 +206,23 @@ def test_exchange_budget_r10(name, spark):
         f"{name}: plan has {n} hash/range exchanges, budget is "
         f"{BUDGET_R10[name]} — a new shuffle entered this query's plan"
     )
+
+
+# round-11 keys: the serving composition's census is post-checkpoint
+# lineage (chunk store / embedding cache / vector index materialize
+# once); what remains is the cache probe/miss id joins (broadcast at
+# this scale), the one-row census aggregates, and the <= k ranking
+# window — one hash exchange measured at introduction.
+BUDGET_R11 = {
+    "semantic_search_e2e": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET_R11))
+def test_exchange_budget_r11(name, spark):
+    df = registry.queries()[name](spark, SF)
+    n = _exchanges(df)
+    assert n <= BUDGET_R11[name], (
+        f"{name}: plan has {n} hash/range exchanges, budget is "
+        f"{BUDGET_R11[name]} — a new shuffle entered this query's plan"
+    )
