@@ -153,12 +153,10 @@ def minhash_signatures(
     inspection / storage as a tall table.
     """
     wide = minhash_signature_cols(shingles, n_perm)
-    pairs = []
-    for p in range(n_perm):
-        pairs.append(F.struct(F.lit(p).alias("perm"), F.col(f"mh_{p}").alias("mh")))
-    return wide.select(
-        "doc_id", F.explode(F.array(*pairs)).alias("pm")
-    ).select("doc_id", F.col("pm.perm").alias("perm"), F.col("pm.mh").alias("mh"))
+    structs = ", ".join(
+        f"named_struct('perm', {p}, 'mh', mh_{p})" for p in range(n_perm)
+    )
+    return wide.selectExpr("doc_id", f"inline(array({structs}))")
 
 
 def lsh_band_keys(signatures: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
@@ -271,6 +269,15 @@ def minhash_signature_cols(shingles: DataFrame, n_perm: int = N_PERM) -> DataFra
 
     Integer min over (a_j*x+b_j) mod P is engine-exact: the DuckDB
     oracle embeds the same coefficient literals and replays it.
+
+    py4j note (r11, the r10 simhash rule applied): the former
+    Column-built agg list cost ~6 JVM calls x n_perm during DataFrame
+    BUILD (~0.4 s at n_perm=16, ~1.3 s at 128, measured sf0.01) —
+    now the n_perm min-aggregates assemble as ONE SQL string parsed
+    once (array of aggregates), plus one selectExpr unpack; values
+    bit-identical (equality re-pinned in test_dedup_similarity.py::
+    test_minhash_string_build_matches_column_build). The expression
+    text is engine-generated integer literals only.
     """
     a, b = minhash_coeffs(n_perm)
     x = (
@@ -279,13 +286,15 @@ def minhash_signature_cols(shingles: DataFrame, n_perm: int = N_PERM) -> DataFra
         else shingle_hash64(F.col("shingle"))
     )
     hashed = shingles.select("doc_id", (x % F.lit(MINHASH_P)).alias("__xm"))
-    aggs = [
-        F.min(
-            (F.lit(a[p]) * F.col("__xm") + F.lit(b[p])) % F.lit(MINHASH_P)
-        ).alias(f"mh_{p}")
-        for p in range(n_perm)
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    mins = ", ".join(
+        f"min(({a[p]} * __xm + {b[p]}) % {MINHASH_P})" for p in range(n_perm)
+    )
+    packed = hashed.groupBy("doc_id").agg(
+        F.expr(f"array({mins})").alias("__mhs")
+    )
+    return packed.selectExpr(
+        "doc_id", *[f"__mhs[{p}] AS mh_{p}" for p in range(n_perm)]
+    )
 
 
 def lsh_band_keys_wide(
@@ -294,25 +303,22 @@ def lsh_band_keys_wide(
     """Band bucket keys from wide signatures → (doc_id, band, band_key).
 
     band_key = md5 of the band's signature values joined in perm order —
-    byte-identical to lsh_band_keys on the long format.
+    byte-identical to lsh_band_keys on the long format. Built as one
+    SQL string (r11 py4j rule — the nested Column loop cost
+    ~n_bands x band_size JVM calls per build).
     """
     n_bands = n_perm // band_size
-    band_cols = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh_{b * band_size + r}").cast("string")
-                        for r in range(band_size)
-                    ],
-                )
-            )
-            for b in range(n_bands)
-        ]
+    bands = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(
+            f"cast(mh_{b * band_size + r} AS string)"
+            for r in range(band_size)
+        )
+        + "))"
+        for b in range(n_bands)
     )
-    return wide.select(
-        "doc_id", F.posexplode(band_cols).alias("band", "band_key")
+    return wide.selectExpr(
+        "doc_id", f"posexplode(array({bands})) AS (band, band_key)"
     )
 
 
@@ -420,27 +426,21 @@ def bbit_minhash_pairs(
     cands = lsh_candidate_pairs(
         lsh_band_keys_wide(sigs, n_perm, band_size)
     ).localCheckpoint(eager=True)
-    bits = sigs.select(
-        "doc_id",
-        *[
-            (F.col(f"mh_{p}") % 2).cast("int").alias(f"bit_{p}")
-            for p in range(n_perm)
-        ],
+    # b-bit projections and the match-bit fold as SQL strings (r11
+    # py4j rule): one parse each instead of ~5 JVM calls per perm
+    a = sigs.selectExpr(
+        "doc_id AS doc_a",
+        *[f"cast((mh_{p} % 2) AS int) AS ba_{p}" for p in range(n_perm)],
     )
-    a = bits.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"bit_{p}").alias(f"ba_{p}") for p in range(n_perm)],
+    b = sigs.selectExpr(
+        "doc_id AS doc_b",
+        *[f"cast((mh_{p} % 2) AS int) AS bb_{p}" for p in range(n_perm)],
     )
-    b = bits.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"bit_{p}").alias(f"bb_{p}") for p in range(n_perm)],
+    mexpr = " + ".join(
+        f"cast((ba_{p} = bb_{p}) AS long)" for p in range(n_perm)
     )
-    m = None
-    for p in range(n_perm):
-        t = (F.col(f"ba_{p}") == F.col(f"bb_{p}")).cast("long")
-        m = t if m is None else m + t
-    est = cands.join(a, "doc_a").join(b, "doc_b").select(
-        "doc_a", "doc_b", m.alias("n_match_bits")
+    est = cands.join(a, "doc_a").join(b, "doc_b").selectExpr(
+        "doc_a", "doc_b", f"({mexpr}) AS n_match_bits"
     )
     j_bbit = F.round(
         F.greatest(
@@ -1071,24 +1071,27 @@ def signature_estimate_pairs(
         .distinct()
     )
     sigs_c = signatures.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-    sa = sigs_c.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh_{p}").alias(f"__a{p}") for p in range(n_perm)],
+    # projections + component-match fold as SQL strings (r11 py4j rule)
+    sa = sigs_c.selectExpr(
+        "doc_id AS doc_a",
+        *[f"mh_{p} AS __a{p}" for p in range(n_perm)],
     )
-    sb = sigs_c.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh_{p}").alias(f"__b{p}") for p in range(n_perm)],
+    sb = sigs_c.selectExpr(
+        "doc_id AS doc_b",
+        *[f"mh_{p} AS __b{p}" for p in range(n_perm)],
     )
-    eq = sum(
-        (F.col(f"__a{p}") == F.col(f"__b{p}")).cast("int") for p in range(n_perm)
+    eq = " + ".join(
+        f"cast((__a{p} = __b{p}) AS int)" for p in range(n_perm)
     )
     return (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            F.round(eq / F.lit(float(n_perm)), 6).alias("est_jaccard"),
+            # N.B. a bare `16.0` literal parses as DECIMAL in Spark
+            # SQL — the explicit double cast keeps est_jaccard float64
+            f"round(({eq}) / cast({n_perm} AS double), 6) AS est_jaccard",
         )
     )
 

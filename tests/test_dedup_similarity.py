@@ -306,6 +306,63 @@ def test_bm25_indexed_matches_scan(spark):
     assert [tuple(r) for r in scan] == [tuple(r) for r in probed]
 
 
+def test_minhash_string_build_matches_column_build(spark):
+    """The r11 SQL-string construction of the signature aggregate (one
+    parse) must be value-identical to the former per-perm Column build
+    — the same re-pin the r10 simhash conversion carried. Compared
+    row-for-row at sf0.001 over both the signature table and the band
+    keys."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline2_spark.operators import dedup
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = dedup.doc_shingles(docs, 3, distinct=False).select(
+        "doc_id", dedup.shingle_hash64(F.col("shingle")).alias("sh64")
+    )
+    new_sigs = dedup.minhash_signature_cols(sh, 16)
+    # the pre-r11 Column-built aggregate, reconstructed verbatim
+    a, b = dedup.minhash_coeffs(16)
+    hashed = sh.select(
+        "doc_id", (F.col("sh64") % F.lit(dedup.MINHASH_P)).alias("__xm")
+    )
+    old_sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a[p]) * F.col("__xm") + F.lit(b[p]))
+                % F.lit(dedup.MINHASH_P)
+            ).alias(f"mh_{p}")
+            for p in range(16)
+        ]
+    )
+    assert old_sigs.exceptAll(new_sigs).count() == 0
+    assert new_sigs.exceptAll(old_sigs).count() == 0
+    # band keys: string-built posexplode vs Column-built array explode
+    new_bands = dedup.lsh_band_keys_wide(new_sigs, 16, 4)
+    old_bands = old_sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh_{bb * 4 + r}").cast("string")
+                                for r in range(4)
+                            ],
+                        )
+                    )
+                    for bb in range(4)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    assert old_bands.exceptAll(new_bands).count() == 0
+    assert new_bands.exceptAll(old_bands).count() == 0
+
+
 def test_incremental_near_dedup_matches_new_against_store(spark):
     from data_pipeline2_spark.operators.dedup import (
         dedup_near_incremental_minhash,
