@@ -585,18 +585,21 @@ def simhash64(
         + f") AS p{g}"
         for g in range(n_packed)
     ]
+    # the n_packed lane sums as ONE array-of-aggregates parse (r11: the
+    # per-lane F.sum loop was the last ~0.2 s of py4j build fee here)
+    lane_sums = ", ".join(f"sum(p{g})" for g in range(n_packed))
     sums = (
         hashed.selectExpr("doc_id", *packed_s)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("__n"),
-            *[F.sum(f"p{g}").alias(f"q{g}") for g in range(n_packed)],
+            F.expr(f"array({lane_sums})").alias("__qs"),
         )
     )
     fp_terms = []
     for b in range(64):
         g, j = divmod(b, lanes_per_long)
-        cnt = f"(shiftrightunsigned(q{g}, {lane_bits * j}) & {lane_mask})"
+        cnt = f"(shiftrightunsigned(__qs[{g}], {lane_bits * j}) & {lane_mask})"
         # bit 63 as a positive power would overflow signed long; the
         # fingerprint is an arbitrary 64-bit pattern, so fold bit 63 in
         # via the sign (two's complement)

@@ -170,6 +170,13 @@ _RECHECK_FIRST = (
     "dedup_containment",
     "leakage_safe_split",
     "training_pipeline_e2e",
+    # r11: simhash64's last Column loop (the n_packed lane F.sum aggs)
+    # became one array-of-aggregates parse — fingerprints bit-identical
+    # (pinned), but the four simhash keys' plans changed again
+    "simhash",
+    "simhash_pairs",
+    "simhash_pairs_capped",
+    "simhash_dedup_drop",
 )
 # Rotation (VERDICT r10 item 7): with every key green under its current
 # plan, the window's remaining ~48 slots re-green the STALEST keys —
