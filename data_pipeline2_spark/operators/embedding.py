@@ -134,9 +134,20 @@ def embed_incremental(
     hits = cached_kv.join(
         requested.select("chunk_id"), "chunk_id", "left_semi"
     )
-    pending = requested.join(
+    # Content must never shuffle (r11, caught by the x100 gate): a
+    # direct anti join of the content-bearing `requested` against the
+    # cache ids sort-merges at scale and ships the TEXT both ways
+    # (measured 260x shuffle at x100 on the serving composition). The
+    # scale shape is: resolve miss IDS with an id-only anti join (8-byte
+    # rows, linear at any scale), then fetch the miss content map-side
+    # via a PINNED broadcast semi join — misses are the incremental
+    # delta, small by construction at steady state (a cold-start
+    # full-miss backfill should feed the full corpus to embed_chunks
+    # directly instead of probing an empty cache).
+    miss_ids = requested.select("chunk_id").join(
         cached_kv.select("chunk_id"), "chunk_id", "left_anti"
     )
+    pending = requested.join(F.broadcast(miss_ids), "chunk_id", "left_semi")
     fresh = embed_chunks(
         pending, text_col="__text", id_col="chunk_id", provider=provider, dim=dim
     )

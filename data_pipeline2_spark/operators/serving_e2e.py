@@ -109,7 +109,13 @@ def semantic_search_frames(
         dim=dim,
     ).localCheckpoint(eager=True)
     hits = cache.join(chunks.select("chunk_id"), "chunk_id", "left_semi")
-    pending = chunks.join(cache.select("chunk_id"), "chunk_id", "left_anti")
+    # id-only anti join + pinned broadcast semi fetch, so chunk CONTENT
+    # never shuffles (the embed_incremental r11 contract — see the
+    # operator's comment; caught by this key's x100 scale gate)
+    miss_ids = chunks.select("chunk_id").join(
+        cache.select("chunk_id"), "chunk_id", "left_anti"
+    )
+    pending = chunks.join(F.broadcast(miss_ids), "chunk_id", "left_semi")
     # stages 4+5: cache-aside through the member operator — probe,
     # embed only misses, union — then materialize the vector index
     index = embedding.embed_incremental(

@@ -177,6 +177,10 @@ _RECHECK_FIRST = (
     "simhash_pairs",
     "simhash_pairs_capped",
     "simhash_dedup_drop",
+    # r11: embed_incremental's miss path is now an id-only anti join +
+    # pinned broadcast semi fetch (content never shuffles — caught by
+    # semantic_search_e2e's x100 gate, 260x -> linear)
+    "embed_incremental",
 )
 # Rotation (VERDICT r10 item 7): with every key green under its current
 # plan, the window's remaining ~48 slots re-green the STALEST keys —
