@@ -50,5 +50,14 @@ def cache_aside(
     no driver-side loop. Callers compute misses and union with hits.
     """
     hits = requests.join(cache, keys, "left_semi")
-    misses = requests.join(cache, keys, "left_anti")
+    # misses resolve as an id-only anti join + pinned broadcast semi
+    # fetch (r11 content-shuffle rule): misses are the cache-aside
+    # DELTA — small by construction at steady state — so full-width
+    # request rows never enter an exchange
+    miss_keys = requests.select(*keys).join(
+        cache.select(*keys), keys, "left_anti"
+    )
+    misses = requests.join(
+        F.broadcast(miss_keys.distinct()), keys, "left_semi"
+    )
     return hits, misses

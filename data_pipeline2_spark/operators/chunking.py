@@ -259,9 +259,19 @@ def chunk_fallback(documents: DataFrame, chunks: DataFrame,
     corpus against produced chunks, union the leftovers back.
     """
     chunked_ids = chunks.select(F.col("doc_id")).distinct()
-    missing = documents.join(chunked_ids,
-                             documents[id_col] == chunked_ids["doc_id"],
-                             "left_anti")
+    # id-only anti join first, then a pinned broadcast semi fetch: the
+    # chunkless leftovers are strategy FAILURES — small by construction
+    # — so document text never enters an exchange (r11 content-shuffle
+    # rule; a direct text-bearing anti join sort-merges once the id set
+    # outgrows the broadcast threshold)
+    missing_ids = documents.select(F.col(id_col)).join(
+        chunked_ids, documents[id_col] == chunked_ids["doc_id"], "left_anti"
+    )
+    missing = documents.join(
+        F.broadcast(missing_ids.select(id_col).distinct()),
+        id_col,
+        "left_semi",
+    )
     fallback = missing.select(
         F.col(id_col).alias("doc_id"),
         F.lit(0).alias("pos"),

@@ -195,7 +195,12 @@ def delete_keys(
     _recover_swaps(root, ".delete")
     part_cols = _partition_columns(root)
     df = spark.read.parquet(root)
-    kept = df.join(keys_df.select(key_col), key_col, "left_anti")
+    # the doomed-key set is a deletion REQUEST batch — small by
+    # construction; pin the broadcast so the full-width lake rows never
+    # enter an exchange during the rewrite (r11 content-shuffle rule)
+    kept = df.join(
+        F.broadcast(keys_df.select(key_col)), key_col, "left_anti"
+    )
     tmp = root + ".delete_tmp"
     writer = kept.write.mode("overwrite")
     if part_cols:

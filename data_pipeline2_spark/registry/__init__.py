@@ -181,6 +181,9 @@ _RECHECK_FIRST = (
     # pinned broadcast semi fetch (content never shuffles — caught by
     # semantic_search_e2e's x100 gate, 260x -> linear)
     "embed_incremental",
+    # r11: chunk_fallback's leftover fetch follows the same rule (the
+    # chunkless set is small by construction — strategy failures)
+    "chunk_fallback",
 )
 # Rotation (VERDICT r10 item 7): with every key green under its current
 # plan, the window's remaining ~48 slots re-green the STALEST keys —
