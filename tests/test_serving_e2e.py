@@ -167,3 +167,22 @@ def test_census_schema_stable_on_empty(spark):
     assert by["serve"]["rows_out"] == 0
     # empty ranking still fingerprints deterministically (md5 of "")
     assert by["serve"]["detail"] is not None
+
+
+def test_pending_content_fetch_is_broadcast(spark):
+    """The r11 content-shuffle contract, pinned in CI: the join that
+    fetches miss CONTENT must be a broadcast semi join (BuildRight on
+    the pinned miss-id set) — a refactor that lets the content-bearing
+    chunk frame back into a sort-merge anti/semi join re-ships text
+    through the exchange at scale (measured 260x shuffle at x100
+    before the fix)."""
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fr = serving_e2e.semantic_search_frames(docs)
+    plan = fr["pending"]._jdf.queryExecution().executedPlan().toString()
+    semi_lines = [
+        l for l in plan.splitlines() if "LeftSemi" in l and "Join" in l
+    ]
+    assert semi_lines, plan
+    assert all("BroadcastHashJoin" in l for l in semi_lines), semi_lines
