@@ -44,7 +44,11 @@ HEADLINE = [
     # common_vs_prev keeps the growing set comparable round-over-round
     "training_pipeline_e2e",
     # round-11 addition: the composed serving lifecycle (chunk store →
-    # cache-aside embed → index → ranked kNN serve)
+    # cache-aside embed → index → ranked kNN serve). The streaming
+    # composition (streaming_search_e2e) follows the ivf_index_stream
+    # precedent and stays OUT of the headline: its ~20 s wall is
+    # micro-batch/checkpoint fixed cost, not query latency — its scale
+    # evidence lives in SCALE.md.
     "semantic_search_e2e",
 ]
 

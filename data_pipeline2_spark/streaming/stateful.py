@@ -242,6 +242,87 @@ def load_ivf_layout(spark, layout_dir: str, id_col: str = "vec_id"):
     )
 
 
+def document_index_sink(
+    layout_dir: str,
+    cents,
+    chunk_chars: int = 500,
+    dim: int = 64,
+):
+    """foreachBatch sink running the reference's QUEUE LOOP per
+    micro-batch (document_processor.py:76-144 `_process_queue` →
+    `_process_document` → `_chunk_document` → embed → index): each
+    arriving batch of DOCUMENTS is sentence-chunked, hash-embedded,
+    assigned to its FROZEN IVF cell, and appended — WITH its vector —
+    into the cell-partitioned inverted file that serves queries. The
+    codebook is frozen (FAISS add-after-train; ivf_layout_sink's
+    contract), chunking/embedding are row-local so batch boundaries
+    cannot change values, and rows are batch_id-stamped / keyed by the
+    chunk's 60-bit id so retries collapse at load (`load_ivf_vectors`).
+    """
+    from data_pipeline2_spark.operators import chunking, embedding
+    from data_pipeline2_spark.operators.similarity import ivf_cell_assign
+
+    def sink(batch_df, batch_id: int):
+        chunks = chunking.chunk_sentence(batch_df, chunk_chars)
+        vecs = embedding.embed_chunks(
+            chunks, text_col="content", id_col="chunk_id", dim=dim
+        ).select(
+            F.conv(F.substring(F.md5("chunk_id"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("vec_id"),
+            "embedding",
+        )
+        (
+            ivf_cell_assign(vecs, cents)
+            .join(vecs, "vec_id")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(layout_dir)
+        )
+
+    return sink
+
+
+def index_documents_stream(
+    doc_stream, layout_dir: str, checkpoint_dir: str, cents, **kw
+):
+    """Run the document-processing sink over a document stream with an
+    availableNow trigger (batch parity; a live deployment drops the
+    trigger). Returns the StreamingQuery."""
+    return (
+        doc_stream.writeStream.foreachBatch(
+            document_index_sink(layout_dir, cents, **kw)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def load_ivf_vectors(spark, layout_dir: str, cells=None):
+    """Read the streamed vector-bearing IVF layout back →
+    (vec_id, embedding, cell), collapsing batch-retry duplicates by
+    key. `cells` restricts the scan to the probed cell partitions —
+    the file-level pruning the cell-partitioned layout exists for.
+    Same empty-layout contract as load_ivf_layout."""
+    has_data = os.path.isdir(layout_dir) and any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(layout_dir)
+        for f in files
+    )
+    if not has_data:
+        return spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, cell int"
+        )
+    df = spark.read.parquet(layout_dir)
+    if cells is not None:
+        df = df.filter(F.col("cell").isin([int(c) for c in cells]))
+    return df.dropDuplicates(["vec_id"]).select(
+        "vec_id", "embedding", F.col("cell").cast("int").alias("cell")
+    )
+
+
 def load_text_index(spark, index_dir: str) -> dict:
     """Load the streamed index back into the bm25_search_indexed
     contract: collapse retry duplicates by key, then derive terms/stats.

@@ -163,7 +163,7 @@ OPS = [
                               # per-batch assignment map-only vs the
                               # broadcast codebook — shuffle should be
                               # the fit's k x dim partials only
-    # round-11 addition
+    # round-11 additions
     "semantic_search_e2e",    # the composed serving lifecycle: chunk
                               # store + cache + index materialize once
                               # (localCheckpoint), cache probe/miss are
@@ -171,6 +171,11 @@ OPS = [
                               # broadcast-query map-side kNN — the only
                               # corpus shuffles are chunking's doc
                               # grouping and the id joins
+    "streaming_search_e2e",   # continuous ingest: per-batch
+                              # chunk/embed/assign is row-local map
+                              # work; fit is the bounded k x dim
+                              # trajectory; serve scans only the
+                              # probed cell partitions
 ]
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 

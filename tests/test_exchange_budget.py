@@ -215,6 +215,11 @@ def test_exchange_budget_r10(name, spark):
 # window — one hash exchange measured at introduction.
 BUDGET_R11 = {
     "semantic_search_e2e": 1,
+    # the continuous-ingest composition: stream side is foreachBatch
+    # (map-only chunk/embed/assign + partitioned append, measured in
+    # SCALE.md); the returned serve plan is the pruned cell scan +
+    # dedup + the <= k ranking window — one hash exchange
+    "streaming_search_e2e": 1,
 }
 
 

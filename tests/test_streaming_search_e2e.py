@@ -1,0 +1,125 @@
+"""streaming_search_e2e semantic tests: the continuous-ingest
+composition must run the queue loop through REAL micro-batches
+(chunk → embed → frozen-cell assign → vector-bearing append per
+batch), the streamed inverted file must equal the batch pipeline
+vector-for-vector, retries must collapse, probe pruning must touch
+only the probed cell partitions, and the serve must rank off the
+streamed state. Value parity vs the full DuckDB batch replay is
+covered by test_oracle_parity + the lake gates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_pipeline2_spark.operators import chunking, embedding, similarity
+from data_pipeline2_spark.sources.parquet import load_table
+from data_pipeline2_spark.streaming import stateful
+
+SF = "/root/testdata/sf0.001"
+
+
+def _chunk_vecs(docs):
+    chunks = chunking.chunk_sentence(docs, 500)
+    return embedding.embed_chunks(
+        chunks, text_col="content", id_col="chunk_id"
+    ).select(
+        F.conv(F.substring(F.md5("chunk_id"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("vec_id"),
+        "embedding",
+    )
+
+
+def _run_stream(spark, tmp_path, docs, cents):
+    feed = str(tmp_path / "feed")
+    layout = str(tmp_path / "layout")
+    for p in range(3):
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == p).coalesce(
+            1
+        ).write.mode("append").parquet(feed)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = stateful.index_documents_stream(
+        stream, layout, str(tmp_path / "ckpt"), cents
+    )
+    q.awaitTermination()
+    return layout
+
+
+def test_streamed_index_equals_batch_pipeline(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    vecs = _chunk_vecs(docs)
+    cents, _ = similarity._kmeans_trajectory(
+        vecs, 8, 2, "vec_id", "embedding"
+    )
+    layout = _run_stream(spark, tmp_path, docs, cents)
+
+    # physically partitioned by cell; three real micro-batches landed
+    assert len([d for d in os.listdir(layout) if d.startswith("cell=")]) >= 2
+    raw = spark.read.parquet(layout)
+    assert raw.select("batch_id").distinct().count() == 3
+
+    # the streamed inverted file == the batch pipeline, cell AND vector
+    out = stateful.load_ivf_vectors(spark, layout)
+    assert out.count() == vecs.count()
+    batch = similarity.ivf_cell_assign(vecs, cents).join(vecs, "vec_id")
+    joined = out.join(
+        batch.withColumnRenamed("cell", "bcell").withColumnRenamed(
+            "embedding", "bemb"
+        ),
+        "vec_id",
+    )
+    assert joined.filter(F.col("cell") != F.col("bcell")).count() == 0
+    assert joined.filter(F.col("embedding") != F.col("bemb")).count() == 0
+
+    # a replayed batch (task retry) collapses by key on read-back
+    sink = stateful.document_index_sink(layout, cents)
+    sink(docs.limit(5), batch_id=99)
+    assert stateful.load_ivf_vectors(spark, layout).count() == vecs.count()
+
+    # probe pruning restricts the scan to the probed cells only
+    some = sorted(
+        r["cell"] for r in out.select("cell").distinct().collect()
+    )[:2]
+    pruned = stateful.load_ivf_vectors(spark, layout, cells=some)
+    assert set(
+        r["cell"] for r in pruned.select("cell").distinct().collect()
+    ) <= set(some)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan  # partition filter reached the scan
+
+
+def test_serve_ranks_off_streamed_state(spark, tmp_path):
+    from data_pipeline2_spark import registry
+
+    out = registry.queries()["streaming_search_e2e"](spark, SF)
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # ranked by score desc with vec_id tiebreak
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # every hit comes from a probed cell (nprobe=2 -> at most 2 cells)
+    assert len({r["cell"] for r in rows}) <= 2
+
+
+def test_probe_cells_empty_codebook(spark):
+    from data_pipeline2_spark.registry.curation_r11 import _probe_cells
+
+    assert _probe_cells(spark, [], [0.0] * 64, 2) == []
+
+
+def test_empty_lake_contract(spark, tmp_path):
+    out = stateful.load_ivf_vectors(spark, str(tmp_path / "nowhere"))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id",
+        "embedding",
+        "cell",
+    ]
