@@ -321,7 +321,7 @@ def q_streaming_search_e2e(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
     )
-    sq = stateful.index_documents_stream(stream, layout, ckpt, cents)
+    sq = stateful.ingest_documents_stream(stream, layout, ckpt, cents)
     sq.awaitTermination()
     # serve off the streamed inverted file: probe, prune, rank
     qv = serving_e2e._f32(

@@ -284,7 +284,7 @@ def document_index_sink(
     return sink
 
 
-def index_documents_stream(
+def ingest_documents_stream(
     doc_stream, layout_dir: str, checkpoint_dir: str, cents, **kw
 ):
     """Run the document-processing sink over a document stream with an

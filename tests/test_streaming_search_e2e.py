@@ -45,7 +45,7 @@ def _run_stream(spark, tmp_path, docs, cents):
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
     )
-    q = stateful.index_documents_stream(
+    q = stateful.ingest_documents_stream(
         stream, layout, str(tmp_path / "ckpt"), cents
     )
     q.awaitTermination()
