@@ -162,7 +162,13 @@ def main():
             )
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    out = {
+    # Full record: everything, written to a side file + stderr. The
+    # driver captures only the last ~2000 chars of stdout (VERDICT r11
+    # finding 1: the single-line JSON outgrew that window in r11 and
+    # the official artifact lost its headline value + 13 medians), so
+    # stdout carries a COMPACT summary line and the bulky per-pass /
+    # per-query-iqr / cold detail lives in BENCH_FULL_LATEST.json.
+    full = {
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
@@ -178,15 +184,63 @@ def main():
         "table_cache_warm": True,
     }
     if cold_timings:
-        out["cold_value"] = round(sum(cold_timings.values()), 3)
-        out["queries_cold"] = cold_timings
-    out["pass_totals"] = [
+        full["cold_value"] = round(sum(cold_timings.values()), 3)
+        full["queries_cold"] = cold_timings
+    full["pass_totals"] = [
         round(sum(pt.values()), 3) for pt in per_pass
     ]
-    prev = _common_vs_prev(timings, timings_min, out["sf"])
+    prev = _common_vs_prev(timings, timings_min, full["sf"])
     if prev is not None:
-        out["common_vs_prev"] = prev
-    print(json.dumps(out))
+        full["common_vs_prev"] = prev
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(root, "BENCH_FULL_LATEST.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError as exc:  # read-only checkout: stderr still has it
+        print(f"# could not write {full_path}: {exc}", file=sys.stderr)
+    print("# full record: " + json.dumps(full), file=sys.stderr)
+
+    print(_compact_line(full))
+
+
+def _compact_line(full: dict) -> str:
+    """Compact stdout summary: headline value, per-query medians, noise
+    ceiling, and the like-for-like prev comparison WITHOUT its query
+    name list (the list is reconstructable as the intersection and was
+    ~450 chars of the r11 overflow). Budget-guarded: if future headline
+    growth pushes past the capture window, drop fields in documented
+    order rather than truncate mid-JSON. Hard budget 1800 chars — the
+    driver's tail capture is 2000 and the line must survive even with
+    a stray warning prefix in the same window."""
+    out = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": full["queries"],
+        "noise": {
+            "passes": full["noise"]["passes"],
+            "stat": full["noise"]["stat"],
+            "max_iqr_pct": full["noise"]["max_iqr_pct"],
+        },
+        "sf": full["sf"],
+        "table_cache_warm": full.get("table_cache_warm", True),
+        "full_record": "BENCH_FULL_LATEST.json",
+    }
+    if "cold_value" in full:
+        out["cold_value"] = full["cold_value"]
+    if "common_vs_prev" in full:
+        cvp = dict(full["common_vs_prev"])
+        cvp["n_common"] = len(cvp.pop("queries", []))
+        out["common_vs_prev"] = cvp
+    line = json.dumps(out)
+    for drop in ("queries", "common_vs_prev", "noise"):
+        if len(line) <= 1800:
+            break
+        out.pop(drop, None)
+        line = json.dumps(out)
+    return line
 
 
 def _common_vs_prev(
@@ -224,20 +278,38 @@ def _common_vs_prev(
             raise FileNotFoundError(
                 f"SPARK_GRAFT_BENCH_BASELINE={pinned} does not exist"
             )
-        cands = [(0, pinned_abs)]
+        cands = [(0, 0, pinned_abs)]
     else:
+        # Driver artifacts (BENCH_r<N>.json) and builder-recorded
+        # baselines (BENCH_LOCAL_r<N>.json — e.g. the judge's complete
+        # r11 medians after the driver's r11 tail truncated). Within a
+        # round the driver file wins; an unparseable one (r11's
+        # `parsed: null`) falls through to the local file, then to the
+        # previous round.
         cands = []
         for f in glob.glob(os.path.join(root, "BENCH_r*.json")):
             m = re.search(r"BENCH_r(\d+)\.json$", f)
             if m:
-                cands.append((int(m.group(1)), f))
-    for _, f in sorted(cands, reverse=True):
+                cands.append((int(m.group(1)), 1, f))
+        for f in glob.glob(os.path.join(root, "BENCH_LOCAL_r*.json")):
+            m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", f)
+            if m:
+                cands.append((int(m.group(1)), 0, f))
+    for _, _, f in sorted(cands, reverse=True):
         try:
             with open(f) as fh:
                 data = json.load(fh)
         except Exception:
             continue
-        parsed = data.get("parsed", data) if isinstance(data, dict) else {}
+        if not isinstance(data, dict):
+            continue
+        # VERDICT r11 finding 1b: `parsed` may EXIST and be null (the
+        # driver records the truncated-tail failure that way) — treat
+        # any non-dict as "no usable record here" and keep walking,
+        # never AttributeError on the newest file.
+        parsed = data.get("parsed", data)
+        if not isinstance(parsed, dict):
+            continue
         prev_q = parsed.get("queries")
         if not isinstance(prev_q, dict) or parsed.get("sf") != sf:
             continue
