@@ -1547,8 +1547,15 @@ def lag_autocorr(
     # Inner sums accumulate in DECIMAL(38,0), not int64 (ADVICE r10):
     # long*long wraps silently in Spark while DuckDB multiplies exactly
     # and sum(BIGINT) auto-widens to HUGEINT — casting the factors to
-    # decimal BEFORE the product makes both engines exact to 38 digits
-    # (the oracle mirrors by dropping its ::BIGINT narrowing on these).
+    # decimal BEFORE the product keeps both engines exact WITHIN 38
+    # digits (the oracle mirrors by dropping its ::BIGINT narrowing).
+    # Bounded-input assumption, not unconditional exactness (ADVICE
+    # r11): past 38 digits Spark's non-ANSI sum(decimal) returns NULL
+    # while DuckDB raises — wrap-vs-raise becomes null-vs-raise one
+    # layer up. The inputs here are integerized log1p values (|x| <
+    # 2^17 per row), so the 38-digit headroom covers ~1e28 rows per
+    # key — the engines only diverge on inputs neither could sum
+    # exactly anyway.
     dec = "decimal(38,0)"
     agg = pairs.groupBy("k").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),

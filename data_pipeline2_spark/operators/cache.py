@@ -19,6 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline2_spark.plans.partitioning import (
+    adaptive_key_join,
+    null_key_rows,
+)
+
 TTL_DOCS_S = 3600  # document_storage.py:81
 TTL_JOBS_S = 3600  # job_storage.py:73
 TTL_SEARCH_S = 3600  # search_cache.py:16
@@ -50,14 +55,18 @@ def cache_aside(
     no driver-side loop. Callers compute misses and union with hits.
     """
     hits = requests.join(cache, keys, "left_semi")
-    # misses resolve as an id-only anti join + pinned broadcast semi
-    # fetch (r11 content-shuffle rule): misses are the cache-aside
-    # DELTA — small by construction at steady state — so full-width
-    # request rows never enter an exchange
+    # misses resolve as an id-only anti join + adaptive broadcast semi
+    # fetch (r11 content-shuffle rule + r12 size guard): misses are the
+    # cache-aside DELTA — small by construction at steady state — so
+    # full-width request rows never enter an exchange; a pathological
+    # full-miss set degrades to a shuffle join instead of OOMing the
+    # driver. Null-key requests can never hit (equality joins
+    # null-reject) and the semi fetch would silently drop them, so they
+    # route straight into misses — hits ∪ misses partitions the input.
     miss_keys = requests.select(*keys).join(
         cache.select(*keys), keys, "left_anti"
     )
-    misses = requests.join(
-        F.broadcast(miss_keys.distinct()), keys, "left_semi"
+    misses = adaptive_key_join(requests, miss_keys, keys).unionByName(
+        null_key_rows(requests, keys)
     )
     return hits, misses

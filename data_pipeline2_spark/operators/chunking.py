@@ -52,7 +52,11 @@ def _ascii_split(text: str) -> list[str]:
     import re
 
     return re.split(r"\s+", text, flags=re.ASCII)
-from data_pipeline2_spark.plans.partitioning import ensure_parallelism
+from data_pipeline2_spark.plans.partitioning import (
+    adaptive_key_join,
+    ensure_parallelism,
+    null_key_rows,
+)
 
 DEFAULT_CHUNK_SIZE = 500  # docling_service.py:27
 DEFAULT_CHUNK_OVERLAP = 50  # docling_service.py:28
@@ -259,18 +263,20 @@ def chunk_fallback(documents: DataFrame, chunks: DataFrame,
     corpus against produced chunks, union the leftovers back.
     """
     chunked_ids = chunks.select(F.col("doc_id")).distinct()
-    # id-only anti join first, then a pinned broadcast semi fetch: the
-    # chunkless leftovers are strategy FAILURES — small by construction
-    # — so document text never enters an exchange (r11 content-shuffle
-    # rule; a direct text-bearing anti join sort-merges once the id set
-    # outgrows the broadcast threshold)
+    # id-only anti join first, then an adaptively-broadcast semi fetch:
+    # the chunkless leftovers are strategy FAILURES — small by
+    # construction — so document text never enters an exchange (r11
+    # content-shuffle rule; a direct text-bearing anti join sort-merges
+    # once the id set outgrows the broadcast threshold). The size guard
+    # (r12) degrades a pathological everything-failed set to a shuffle
+    # join; null-id documents can never match the produced chunks, so
+    # they route straight into the fallback set (the pre-r11 anti-join
+    # behavior the broadcast rewrite silently dropped).
     missing_ids = documents.select(F.col(id_col)).join(
         chunked_ids, documents[id_col] == chunked_ids["doc_id"], "left_anti"
     )
-    missing = documents.join(
-        F.broadcast(missing_ids.select(id_col).distinct()),
-        id_col,
-        "left_semi",
+    missing = adaptive_key_join(documents, missing_ids, id_col).unionByName(
+        null_key_rows(documents, id_col)
     )
     fallback = missing.select(
         F.col(id_col).alias("doc_id"),

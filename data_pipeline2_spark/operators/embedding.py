@@ -39,6 +39,10 @@ EMBED_BATCH_SIZE = 32  # reference settings.py:43 — maps to Arrow batch size
 # engine-wide rationale — ADVICE r8): Python-side blank tests strip
 # exactly this set, matching the JVM/RE2 \s the oracles use.
 from data_pipeline2_spark.functions.text import ASCII_WS  # noqa: E402
+from data_pipeline2_spark.plans.partitioning import (  # noqa: E402
+    adaptive_key_join,
+    null_key_rows,
+)
 
 
 def hash_embed_one(text: str, dim: int = DEFAULT_DIM) -> list[float]:
@@ -140,14 +144,20 @@ def embed_incremental(
     # (measured 260x shuffle at x100 on the serving composition). The
     # scale shape is: resolve miss IDS with an id-only anti join (8-byte
     # rows, linear at any scale), then fetch the miss content map-side
-    # via a PINNED broadcast semi join — misses are the incremental
-    # delta, small by construction at steady state (a cold-start
-    # full-miss backfill should feed the full corpus to embed_chunks
-    # directly instead of probing an empty cache).
+    # via a broadcast semi join — misses are the incremental delta,
+    # small by construction at steady state. The broadcast is sized,
+    # not pinned (ADVICE r11): a cold-start full-miss probe degrades to
+    # the shuffle join Spark would pick at that size instead of OOMing
+    # the driver (a planned backfill should still feed the corpus to
+    # embed_chunks directly — one pass, no probe at all). Null-id
+    # chunks can never be cache hits, so they go straight to the
+    # embedder, preserving the operator's requested == output keying.
     miss_ids = requested.select("chunk_id").join(
         cached_kv.select("chunk_id"), "chunk_id", "left_anti"
     )
-    pending = requested.join(F.broadcast(miss_ids), "chunk_id", "left_semi")
+    pending = adaptive_key_join(requested, miss_ids, "chunk_id").unionByName(
+        null_key_rows(requested, "chunk_id")
+    )
     fresh = embed_chunks(
         pending, text_col="__text", id_col="chunk_id", provider=provider, dim=dim
     )

@@ -41,19 +41,29 @@ def delete_cascade_audit(
     delete_embedding(chunk_id, provider) (embedding_cache.py:36) to a
     lake-wide set operation.
     """
+    from data_pipeline2_spark.plans.partitioning import BROADCAST_KEY_LIMIT
+
     req_col = requests.columns[0]
-    req = requests.select(
-        F.col(req_col).cast("long").alias("__del_id")
-    ).distinct()
+    # materialized once (it feeds two anti joins), broadcast only while
+    # request-sized: a bulk purge beyond the key limit degrades to the
+    # shuffle anti join instead of OOMing the driver (ADVICE r11) —
+    # output-identical either way
+    req = (
+        requests.select(F.col(req_col).cast("long").alias("__del_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if req.count() <= BROADCAST_KEY_LIMIT:
+        req = F.broadcast(req)
 
     docs = documents.select(F.col(doc_id_col).cast("long").alias("__id"))
     embs = embeddings.select(F.col(vec_id_col).cast("long").alias("__id"))
 
     docs_after = docs.join(
-        F.broadcast(req), docs["__id"] == req["__del_id"], "left_anti"
+        req, docs["__id"] == req["__del_id"], "left_anti"
     )
     embs_after = embs.join(
-        F.broadcast(req), embs["__id"] == req["__del_id"], "left_anti"
+        req, embs["__id"] == req["__del_id"], "left_anti"
     )
     # orphan check runs on the SURVIVING embeddings against SURVIVING
     # documents — the post-state, which is what compliance cares about

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_pipeline2_spark.operators import chunking, embedding, similarity
+from data_pipeline2_spark.plans.partitioning import adaptive_key_join
 
 #: the fixed serving request the composed key replays on both engines
 QUERY_TEXT = "similarity search over document chunks."
@@ -109,13 +110,15 @@ def semantic_search_frames(
         dim=dim,
     ).localCheckpoint(eager=True)
     hits = cache.join(chunks.select("chunk_id"), "chunk_id", "left_semi")
-    # id-only anti join + pinned broadcast semi fetch, so chunk CONTENT
-    # never shuffles (the embed_incremental r11 contract — see the
-    # operator's comment; caught by this key's x100 scale gate)
+    # id-only anti join + adaptively-broadcast semi fetch, so chunk
+    # CONTENT never shuffles (the embed_incremental r11 contract — see
+    # the operator's comment; caught by this key's x100 scale gate).
+    # Sized like the operator itself (r12): past the key limit the
+    # fetch degrades to a shuffle join instead of OOMing the driver.
     miss_ids = chunks.select("chunk_id").join(
         cache.select("chunk_id"), "chunk_id", "left_anti"
     )
-    pending = chunks.join(F.broadcast(miss_ids), "chunk_id", "left_semi")
+    pending = adaptive_key_join(chunks, miss_ids, "chunk_id")
     # stages 4+5: cache-aside through the member operator — probe,
     # embed only misses, union — then materialize the vector index
     index = embedding.embed_incremental(

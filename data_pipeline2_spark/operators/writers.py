@@ -196,11 +196,14 @@ def delete_keys(
     part_cols = _partition_columns(root)
     df = spark.read.parquet(root)
     # the doomed-key set is a deletion REQUEST batch — small by
-    # construction; pin the broadcast so the full-width lake rows never
-    # enter an exchange during the rewrite (r11 content-shuffle rule)
-    kept = df.join(
-        F.broadcast(keys_df.select(key_col)), key_col, "left_anti"
-    )
+    # construction, so it broadcasts and the full-width lake rows never
+    # enter an exchange during the rewrite (r11 content-shuffle rule).
+    # Sized, not pinned (ADVICE r11): a bulk purge beyond the key limit
+    # degrades to the shuffle anti join rather than OOMing the driver —
+    # output-identical either way.
+    from data_pipeline2_spark.plans.partitioning import adaptive_key_join
+
+    kept = adaptive_key_join(df, keys_df.select(key_col), key_col, "left_anti")
     tmp = root + ".delete_tmp"
     writer = kept.write.mode("overwrite")
     if part_cols:

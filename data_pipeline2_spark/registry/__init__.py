@@ -140,77 +140,48 @@ def _driver_verified_keys() -> set:
 # the never-verified keys for a fresh driver check. Emptied once the
 # round's CORRECTNESS file shows them green again.
 #
-# r11: the r10 window re-greened ALL TEN r10 _RECHECK_FIRST entries —
-# the queue drained to zero for the first time. One key re-enters this
-# round: events_lag_autocorr's inner sums moved from int64 to
-# DECIMAL(38,0) accumulation on BOTH engines (ADVICE r10 — the
-# wrap-vs-raise class one layer below the r9 fix; values commute at
-# test scale, but engine expressions AND oracle text changed, so the
-# driver is the arbiter).
+# r12: the r11 window re-greened the ENTIRE r11 queue (all 20 entries,
+# CORRECTNESS_r11 50/50). Six keys re-enter for the r12 engine changes:
 _RECHECK_FIRST = (
-    "events_lag_autocorr",  # sx/sy/sxy/sxx/syy now DECIMAL(38,0) both
-                            # sides (factors decimal-cast pre-product)
-    # r11 py4j conversion (VERDICT r10 item 5): the minhash signature
-    # aggregate, band-key builder, long-format unpivot, and the
-    # b-bit / estimate folds now assemble as SQL strings parsed once
-    # (signature build fee 0.41 s -> 0.11 s at n_perm=16, 1.30 -> 0.20
-    # at 128). Values bit-identical (pinned:
-    # test_dedup_similarity.py::test_minhash_string_build_matches_
-    # column_build), but every key whose plan flows through the
-    # helpers re-queues — the driver is the arbiter.
-    "dedup_near_minhash",
-    "minhash_signatures",
-    "dedup_near_incremental",
-    "dedup_bbit_minhash",
-    "dedup_kcore",
-    "dedup_graph_pagerank",
-    "dup_graph_triangles",
-    "near_dup_rate",
-    "dedup_lsh_eval",
-    "dedup_containment",
-    "leakage_safe_split",
-    "training_pipeline_e2e",
-    # r11: simhash64's last Column loop (the n_packed lane F.sum aggs)
-    # became one array-of-aggregates parse — fingerprints bit-identical
-    # (pinned), but the four simhash keys' plans changed again
-    "simhash",
-    "simhash_pairs",
-    "simhash_pairs_capped",
-    "simhash_dedup_drop",
-    # r11: embed_incremental's miss path is now an id-only anti join +
-    # pinned broadcast semi fetch (content never shuffles — caught by
-    # semantic_search_e2e's x100 gate, 260x -> linear)
+    # document_index_sink (VERDICT r11 item 2): the per-micro-batch
+    # `ivf_cell_assign(vecs).join(vecs)` back-join — which re-executed
+    # the chunk→embed lineage twice and shuffled vectors — became a
+    # single map-only pass (embedding rides THROUGH the assignment via
+    # keep_cols). Streamed == batch pinned bit-identical in pytest, and
+    # the layout loaders' data probe is now scheme-aware (ADVICE r11),
+    # but the streamed composition's write path changed — the driver
+    # is the arbiter.
+    "streaming_search_e2e",
+    "ivf_index_stream",     # shares load_ivf_layout's probe
+    # ADVICE r11: the r11 pinned-broadcast miss fetch gained a size
+    # guard (adaptive_key_join: materialize the key set once, count,
+    # broadcast only within BROADCAST_KEY_LIMIT) and null-key requests
+    # now route into misses instead of silently vanishing (the
+    # pre-r11 left_anti behavior). Values identical on non-null
+    # steady-state inputs — plans changed, so every consumer re-queues.
     "embed_incremental",
-    # r11: chunk_fallback's leftover fetch follows the same rule (the
-    # chunkless set is small by construction — strategy failures)
     "chunk_fallback",
+    "semantic_search_e2e",
+    # governance.delete_cascade_audit: the deletion request set is now
+    # materialized once and broadcast only while request-sized
+    "gdpr_delete_cascade",
 )
-# Rotation (VERDICT r10 item 7): with every key green under its current
-# plan, the window's remaining ~48 slots re-green the STALEST keys —
-# everything whose latest driver green predates round 4 (the 20 r1 +
-# 23 r2 + 36 r3 keys, 79 total; the driver covers ~48 per round in
-# registration order, the remainder carries to r12's rotation).
+# Rotation (VERDICT r11 item 6): the r11 window re-greened 50 keys;
+# what remains stale is everything whose latest driver green predates
+# round 4 — 16 r2 keys + 33 r3 keys, computed from CORRECTNESS_r1-r11
+# (the r1-green cohort fully re-greened in r11). 49 + the 6 engine-
+# changed keys ≈ one driver window; any overflow carries to r13.
 _RECHECK = frozenset(
     {
-        # latest green: round 1
-        "array_functions", "base64_roundtrip", "chunk_fallback",
-        "chunk_fixed", "chunk_metadata_enrich", "chunk_overlap",
-        "chunk_size_histogram", "cube_counts", "hypertable_rollup",
-        "ingest_documents", "join_outer_zero_orders", "join_range",
-        "mime_detect", "pack_sequences", "q10_returned_revenue",
-        "q14_promo_revenue", "q18_large_orders", "q6_forecast_revenue",
-        "scalar_functions", "window_running_sum",
         # latest green: round 2
-        "cache_ttl_filter", "dedup_clusters", "docling_convert",
-        "embed_metrics", "embedding_cache_lookup", "events_session",
-        "events_sliding", "events_tumbling", "job_stats",
-        "join_chunk_embedding", "knn_batch", "knn_batch_lsh",
-        "knn_cosine", "knn_cosine_filtered", "multimodal_decode",
-        "multimodal_meta", "multimodal_resize_real", "pii_redact",
+        "cache_ttl_filter", "docling_convert", "embed_metrics",
+        "events_session", "events_sliding", "events_tumbling",
+        "job_stats", "join_chunk_embedding", "knn_batch_lsh",
+        "multimodal_decode", "multimodal_meta", "multimodal_resize_real",
         "processing_time_stats", "scan_parquet_tables",
-        "search_cache_key", "search_cache_rw", "status_lifecycle",
+        "search_cache_rw", "status_lifecycle",
         # latest green: round 3
-        "agg_corr", "approx_count_distinct", "centroid_assign",
+        "approx_count_distinct", "centroid_assign",
         "count_distinct_users", "csv_roundtrip", "data_profile",
         "dataset_mix", "dataset_mix_temperature", "dataset_shuffle",
         "decontaminate_semantic", "dedup_representative", "embed_batch",
@@ -220,9 +191,8 @@ _RECHECK = frozenset(
         "events_zscore_outliers", "grouping_sets", "hard_negatives",
         "jsonl_roundtrip", "kmeans_embeddings", "knn_batch_ivf_exact",
         "label_centroids", "multimodal_features", "orc_roundtrip",
-        "pivot_counts", "sample_deterministic", "scd2_history",
-        "snapshot_diff", "stratified_sample", "train_test_split",
-        "window_range_frame",
+        "sample_deterministic", "scd2_history", "snapshot_diff",
+        "stratified_sample", "train_test_split",
         *_RECHECK_FIRST,
     }
 )

@@ -217,6 +217,51 @@ def index_vectors_stream(
     )
 
 
+def _layout_has_data(spark, layout_dir: str) -> bool:
+    """True iff the layout directory holds at least one parquet data
+    file. Probe, don't catch (ADVICE r10): a corrupt footer or
+    permission error must propagate — only the legitimately-empty
+    layout (partitionBy + zero rows leaves just _SUCCESS, which
+    spark.read cannot infer a schema from) maps to empty.
+
+    Scheme-aware (ADVICE r11): the original os.walk probe only sees
+    the local filesystem, so an hdfs:// or s3a:// layout silently read
+    back as EMPTY — a served index quietly missing all its vectors.
+    Local paths (no scheme, or file:) keep the cheap os.walk; every
+    other scheme probes through the Hadoop FileSystem API bound to the
+    session, so exactly the paths spark.read could read are the paths
+    the probe can see, and an unknown scheme raises inside Hadoop
+    instead of mapping to empty."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(layout_dir).scheme
+    if scheme == "":
+        return os.path.isdir(layout_dir) and any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(layout_dir)
+            for f in files
+        )
+    return _hadoop_has_parquet(spark, layout_dir)
+
+
+def _hadoop_has_parquet(spark, uri: str) -> bool:
+    """Probe any Hadoop-readable URI for parquet data files through
+    the FileSystem bound to the session's hadoopConfiguration — the
+    same resolution spark.read uses, so the probe can see exactly what
+    the read could. An unregistered scheme raises inside Hadoop ("No
+    FileSystem for scheme") instead of mapping to the empty index."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    it = fs.listFiles(path, True)  # recursive
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
 def load_ivf_layout(spark, layout_dir: str, id_col: str = "vec_id"):
     """Read the streamed cell layout back → (id_col, cell), collapsing
     batch-retry duplicates by key (latest-wins is irrelevant here: the
@@ -224,17 +269,7 @@ def load_ivf_layout(spark, layout_dir: str, id_col: str = "vec_id"):
     all-empty stream leaves no readable parquet footer behind
     (partitionBy + zero rows writes only _SUCCESS) — that reads back as
     the empty layout, not an error."""
-    # Probe for data files instead of catching bare Exception (ADVICE
-    # r10): a corrupt footer or permission error must propagate — only
-    # the legitimately-empty layout (partitionBy + zero rows leaves
-    # just _SUCCESS, which spark.read cannot infer a schema from) maps
-    # to the empty DataFrame.
-    has_data = os.path.isdir(layout_dir) and any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(layout_dir)
-        for f in files
-    )
-    if not has_data:
+    if not _layout_has_data(spark, layout_dir):
         return spark.createDataFrame([], f"{id_col} long, cell int")
     df = spark.read.parquet(layout_dir)
     return df.dropDuplicates([id_col]).select(
@@ -259,22 +294,9 @@ def document_index_sink(
     cannot change values, and rows are batch_id-stamped / keyed by the
     chunk's 60-bit id so retries collapse at load (`load_ivf_vectors`).
     """
-    from data_pipeline2_spark.operators import chunking, embedding
-    from data_pipeline2_spark.operators.similarity import ivf_cell_assign
-
     def sink(batch_df, batch_id: int):
-        chunks = chunking.chunk_sentence(batch_df, chunk_chars)
-        vecs = embedding.embed_chunks(
-            chunks, text_col="content", id_col="chunk_id", dim=dim
-        ).select(
-            F.conv(F.substring(F.md5("chunk_id"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("vec_id"),
-            "embedding",
-        )
         (
-            ivf_cell_assign(vecs, cents)
-            .join(vecs, "vec_id")
+            document_index_frame(batch_df, cents, chunk_chars, dim)
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .partitionBy("cell")
@@ -282,6 +304,33 @@ def document_index_sink(
         )
 
     return sink
+
+
+def document_index_frame(
+    batch_df, cents, chunk_chars: int = 500, dim: int = 64
+):
+    """One micro-batch's chunk → embed → frozen-cell-assign frame →
+    (vec_id, embedding, cell), as a PURE plan so its exchange count is
+    testable the same way batch queries are (the foreachBatch boundary
+    otherwise hides sink plans from test_exchange_budget — VERDICT r11
+    finding 2). Every step is row-local: the embedding rides THROUGH
+    the map-only assignment via keep_cols instead of the former
+    `.join(vecs, "vec_id")` back-join, which re-executed the
+    chunk→embed lineage a second time per micro-batch and added a
+    vec_id shuffle the budget gates never saw."""
+    from data_pipeline2_spark.operators import chunking, embedding
+    from data_pipeline2_spark.operators.similarity import ivf_cell_assign
+
+    chunks = chunking.chunk_sentence(batch_df, chunk_chars)
+    vecs = embedding.embed_chunks(
+        chunks, text_col="content", id_col="chunk_id", dim=dim
+    ).select(
+        F.conv(F.substring(F.md5("chunk_id"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("vec_id"),
+        "embedding",
+    )
+    return ivf_cell_assign(vecs, cents, keep_cols=("embedding",))
 
 
 def ingest_documents_stream(
@@ -306,12 +355,7 @@ def load_ivf_vectors(spark, layout_dir: str, cells=None):
     key. `cells` restricts the scan to the probed cell partitions —
     the file-level pruning the cell-partitioned layout exists for.
     Same empty-layout contract as load_ivf_layout."""
-    has_data = os.path.isdir(layout_dir) and any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(layout_dir)
-        for f in files
-    )
-    if not has_data:
+    if not _layout_has_data(spark, layout_dir):
         return spark.createDataFrame(
             [], "vec_id long, embedding array<float>, cell int"
         )

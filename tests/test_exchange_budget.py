@@ -231,3 +231,27 @@ def test_exchange_budget_r11(name, spark):
         f"{name}: plan has {n} hash/range exchanges, budget is "
         f"{BUDGET_R11[name]} — a new shuffle entered this query's plan"
     )
+
+
+def test_document_index_sink_frame_budget(spark):
+    """foreachBatch sink plans escape the registry-keyed budgets above
+    (VERDICT r11 finding 2: the hot ingest loop's join-back shipped
+    unseen), so the document-index sink's per-micro-batch frame is
+    budgeted directly. Budget 1 = chunk_sentence's local-mode
+    ensure_parallelism bootstrap ONLY (a no-op on cluster masters,
+    plans/partitioning.py:34); chunk → embed → frozen-cell assign →
+    embedding pass-through are all map-only. The former
+    `ivf_cell_assign(vecs).join(vecs, "vec_id")` shape measured 2
+    hash exchanges AND re-executed the chunk→embed lineage twice."""
+    from data_pipeline2_spark.sources.parquet import load_table
+    from data_pipeline2_spark.streaming import stateful
+
+    docs = load_table(spark, SF, "documents")
+    cents = [(0, [0.0] * 64), (1, [1.0] * 64)]
+    frame = stateful.document_index_frame(docs, cents)
+    n = _exchanges(frame)
+    assert n <= 1, (
+        f"document_index_frame: {n} hash/range exchanges, budget is 1 "
+        "(the local ensure_parallelism bootstrap) — a shuffle entered "
+        "the streaming ingest hot loop"
+    )

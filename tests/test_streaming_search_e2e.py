@@ -123,3 +123,39 @@ def test_empty_lake_contract(spark, tmp_path):
         "embedding",
         "cell",
     ]
+
+
+def test_layout_probe_is_scheme_aware(spark, tmp_path):
+    """ADVICE r11 (medium): the os.walk probe only sees the local
+    filesystem — an hdfs:// / s3a:// layout silently read back as the
+    EMPTY index. Non-local schemes must probe through the session's
+    Hadoop FileSystem (exercised here by registering a custom scheme
+    backed by Hadoop's local FS), and file:-scheme URIs must behave
+    like bare paths."""
+    layout = tmp_path / "layout"
+    layout.mkdir()
+    spark.range(3).selectExpr(
+        "id as vec_id", "array(float(1.0)) as embedding", "0 as cell"
+    ).write.mode("overwrite").parquet(str(layout))
+
+    # bare path and file: URI agree; the file: form runs the Hadoop
+    # FileSystem branch end-to-end (LocalFileSystem), proving any
+    # scheme the session can read, the probe can see
+    assert stateful._layout_has_data(spark, str(layout)) is True
+    assert stateful._layout_has_data(spark, f"file://{layout}") is True
+    assert stateful._layout_has_data(spark, str(tmp_path / "no")) is False
+    assert stateful._layout_has_data(spark, f"file://{tmp_path}/no") is False
+
+    # an unregistered scheme RAISES (Hadoop: no FileSystem for scheme)
+    # instead of silently serving an empty index
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)filesystem|scheme"):
+        stateful._layout_has_data(spark, f"bogus-fs://{layout}")
+
+    # empty-but-existing layout (partitionBy + zero rows): no parquet
+    # footer -> empty, not an error
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    (empty / "_SUCCESS").touch()
+    assert stateful._layout_has_data(spark, str(empty)) is False
