@@ -119,11 +119,22 @@ def semantic_search_frames(
         cache.select("chunk_id"), "chunk_id", "left_anti"
     )
     pending = adaptive_key_join(chunks, miss_ids, "chunk_id")
-    # stages 4+5: cache-aside through the member operator — probe,
-    # embed only misses, union — then materialize the vector index
-    index = embedding.embed_incremental(
-        chunks, cache, text_col="content", id_col="chunk_id", dim=dim
-    ).localCheckpoint(eager=True)
+    # stages 4+5: cache-aside split computed ONCE (r12) — the census
+    # frames above ARE the probe, so the index is built directly as
+    # hits ∪ embed(pending) instead of calling embed_incremental,
+    # which would redo the same anti join, guard count, and content
+    # fetch a second time per request (value-identical: the operator's
+    # own pin test_cache_aside_identical_to_fresh covers the
+    # equivalence; embed_incremental remains the standalone operator
+    # surface and its own registry key)
+    fresh = embedding.embed_chunks(
+        pending, text_col="content", id_col="chunk_id", dim=dim
+    )
+    index = (
+        hits.select("chunk_id", "provider", "embedding")
+        .unionByName(fresh)
+        .localCheckpoint(eager=True)
+    )
     # stage 6: the query embeds through the same provider (float32),
     # then broadcast cosine top-k over the index
     qvec = _f32(embedding.hash_embed_one(query_text, dim))

@@ -137,6 +137,12 @@ def index_maintenance_sink(index_dir: str):
     from data_pipeline2_spark.operators.textanalysis import build_text_index
 
     def sink(batch_df, batch_id: int):
+        # two outputs (postings, doclen) consume the same batch text;
+        # without a persist each write re-reads and re-tokenizes the
+        # micro-batch — at ingest rates the text scan IS the batch
+        # cost, so pay it once (same class as the r12 document-index
+        # sink fix: foreachBatch lineages re-execute per action)
+        batch_df.persist()
         idx = build_text_index(batch_df)
         (
             idx["postings"]
@@ -150,6 +156,7 @@ def index_maintenance_sink(index_dir: str):
             .write.mode("append")
             .parquet(os.path.join(index_dir, "doclen"))
         )
+        batch_df.unpersist()
 
     return sink
 
