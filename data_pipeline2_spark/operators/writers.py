@@ -33,6 +33,23 @@ def write_parquet_roundtrip(
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
 ) -> DataFrame:
+    if mode == "overwrite":
+        # refuse to overwrite the plan's own input: mode("overwrite")
+        # deletes the target BEFORE the write job executes the plan, so
+        # a df that scans `path` fails mid-write with FAILED_READ_FILE
+        # — or worse, silently computes from partially-deleted input.
+        # Best-effort detection (scan locations can truncate in big
+        # plans): the caller should localCheckpoint first, or
+        # stage-and-swap like delete_keys.
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        ap = os.path.abspath(path).rstrip("/")
+        if ap in plan or f"file:{ap}" in plan:
+            raise ValueError(
+                f"write_parquet_roundtrip: refusing to overwrite {path!r}"
+                " — the DataFrame's plan reads from that very path."
+                " Materialize first (df.localCheckpoint(eager=True)) or"
+                " write to a staging dir and swap (see delete_keys)."
+            )
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

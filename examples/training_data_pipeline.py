@@ -79,7 +79,16 @@ def main(sf_dir: str, out_dir: str):
         cached = spark.createDataFrame(
             [], "chunk_id string, provider string, embedding array<float>"
         )
-    embedded = embedding.embed_incremental(chunks, cached)
+    # materialize BEFORE overwriting the plan's own input: `embedded`
+    # reads `cache_path` (the hits + the miss fetch), and
+    # mode("overwrite") deletes those files before the write job runs
+    # the plan — on a second run (warm cache, the whole point of
+    # cache-aside) that's FAILED_READ_FILE mid-write. The eager
+    # localCheckpoint pins the result first; a production lake would
+    # stage-and-swap instead (writers.delete_keys shows the protocol).
+    embedded = embedding.embed_incremental(chunks, cached).localCheckpoint(
+        eager=True
+    )
     embedded.write.mode("overwrite").parquet(cache_path)
     print(
         f"embedded:          {embedded.count():>8} vectors "

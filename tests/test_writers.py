@@ -179,3 +179,31 @@ def test_compact_small_files_reduces_count_preserves_rows(spark, tmp_path):
     assert out2.count() == len(before)
     # no stray staging dirs
     assert not glob.glob(path + ".__compact*")
+
+
+def test_roundtrip_refuses_self_overwrite(spark, tmp_path):
+    """mode('overwrite') deletes the target before the write job runs
+    the plan — a df that reads `path` would fail mid-write with
+    FAILED_READ_FILE on any warm-cache rerun (hit live in
+    examples/training_data_pipeline.py's embedding cache, r12). The
+    writer detects the self-read and raises up front; the materialized
+    (localCheckpoint) form of the same plan writes fine."""
+    import pytest
+
+    from data_pipeline2_spark.operators.writers import (
+        write_parquet_roundtrip,
+    )
+
+    path = str(tmp_path / "cache")
+    spark.range(10).write.parquet(path)
+    again = spark.read.parquet(path).withColumn("x", F.lit(1))
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        write_parquet_roundtrip(again, path)
+    # writing somewhere else never triggers the guard
+    assert write_parquet_roundtrip(again, str(tmp_path / "b")).count() == 10
+    # the documented escape hatch round-trips (last: the overwrite
+    # replaces the files `again`'s listing points at)
+    out = write_parquet_roundtrip(
+        again.localCheckpoint(eager=True), path
+    )
+    assert out.count() == 10
