@@ -255,3 +255,22 @@ def test_document_index_sink_frame_budget(spark):
         "(the local ensure_parallelism bootstrap) — a shuffle entered "
         "the streaming ingest hot loop"
     )
+
+
+def test_ivf_layout_sink_assign_budget(spark):
+    """The vector-stream sink's per-batch work is exactly
+    ivf_cell_assign — _frozen_argmin_assign's map-only contract
+    (broadcast 1-row centroid frame, array_min argmin, zero hash/range
+    exchanges) pinned on a vector-shaped input, embeddings carried
+    through."""
+    from data_pipeline2_spark.operators.similarity import ivf_cell_assign
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    vecs = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    cents = [(0, [0.0] * 64), (1, [1.0] * 64)]
+    frame = ivf_cell_assign(vecs, cents, keep_cols=("embedding",))
+    n = _exchanges(frame)
+    assert n == 0, (
+        f"ivf_cell_assign: {n} hash/range exchanges — the frozen-cell "
+        "assignment must stay map-only"
+    )
