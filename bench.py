@@ -313,9 +313,16 @@ def _common_vs_prev(
         prev_q = parsed.get("queries")
         if not isinstance(prev_q, dict) or parsed.get("sf") != sf:
             continue
-        # New-format baseline publishes medians in `queries` (flagged
-        # by the presence of `queries_min`); old files hold min-of-N.
-        if isinstance(parsed.get("queries_min"), dict):
+        # New-format baseline publishes medians in `queries` — flagged
+        # by `noise.stat == "median"` (present in the compact stdout
+        # line, so a DRIVER-captured r12+ file self-identifies) or by
+        # a `queries_min` dict (the full/side-file form). Old r1-r10
+        # files carry neither and hold min-of-N.
+        noise = parsed.get("noise")
+        is_median = (
+            isinstance(noise, dict) and noise.get("stat") == "median"
+        ) or isinstance(parsed.get("queries_min"), dict)
+        if is_median:
             cur_q, basis = timings, "median"
         else:
             cur_q, basis = timings_min, "min"

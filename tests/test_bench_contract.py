@@ -75,6 +75,26 @@ def test_local_baseline_beats_unparseable_driver_file_same_round(bench_root):
     assert prev["ratio"] == pytest.approx(1.2, abs=0.01)
 
 
+def test_compact_driver_capture_compares_median_basis(bench_root):
+    """A DRIVER-captured r12+ file holds the COMPACT line: no
+    queries_min, but noise.stat == 'median'. The next round must
+    compare median-vs-median against it — falling back to min-vs-
+    median would report a spurious improvement every round."""
+    _write(
+        bench_root / "BENCH_r12.json",
+        {
+            "parsed": {
+                "queries": {"q1": 1.0},
+                "noise": {"passes": 5, "stat": "median", "max_iqr_pct": 10.0},
+                "sf": 0.1,
+            }
+        },
+    )
+    prev = bench._common_vs_prev({"q1": 1.1}, {"q1": 0.5}, 0.1)
+    assert prev["basis"] == "median"
+    assert prev["ratio"] == pytest.approx(1.1, abs=0.01)
+
+
 def test_driver_file_wins_over_local_when_both_parse(bench_root):
     _write(
         bench_root / "BENCH_r11.json",
