@@ -106,6 +106,25 @@ def write_jobs_partitioned(jobs: DataFrame, path: str) -> DataFrame:
     return write_parquet_roundtrip(jobs, path, partition_by=["job_type"])
 
 
+def _require_local(fn_name: str, path: str) -> None:
+    """The rename-swap crash-recovery protocol (os.rename + os.walk) is
+    local-filesystem-only. On a remote URI (s3a://, hdfs://) the
+    os.path probes would read 'absent', compute a full rewrite, then
+    die at the first rename — or silently mistake state. Fail before
+    any work, the same contract streaming/events.upsert_sink pins
+    (ADVICE r11's silent-local-probe lesson, applied to every swap
+    writer)."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    if len(scheme) > 1 and scheme != "file":
+        raise ValueError(
+            f"{fn_name}: path {path!r} has URI scheme {scheme!r}; the "
+            "rename-swap recovery protocol is local-filesystem-only "
+            "(for object stores, use a table format with atomic MERGE)"
+        )
+
+
 def _recover_swaps(root: str, suffix: str) -> None:
     """Repair `<dir>{suffix}_old` / `<dir>{suffix}_tmp` leftovers from a
     crashed swap, at the root AND at every partition leaf.
@@ -147,6 +166,7 @@ def compact(spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 102
     import glob
     import shutil
 
+    _require_local("compact", path)
     root = path.rstrip("/")
     _recover_swaps(root, ".compact")
 
@@ -208,6 +228,7 @@ def delete_keys(
     """
     import shutil
 
+    _require_local("delete_keys", path)
     root = path.rstrip("/")
     _recover_swaps(root, ".delete")
     part_cols = _partition_columns(root)

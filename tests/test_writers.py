@@ -207,3 +207,25 @@ def test_roundtrip_refuses_self_overwrite(spark, tmp_path):
         again.localCheckpoint(eager=True), path
     )
     assert out.count() == 10
+
+
+def test_swap_writers_refuse_remote_schemes(spark):
+    """The rename-swap recovery protocol is local-only; a remote URI
+    must fail BEFORE any work (the upsert_sink contract, extended to
+    every swap writer after ADVICE r11's silent-local-probe finding)."""
+    import pytest
+
+    from data_pipeline2_spark.operators.writers import (
+        compact,
+        compact_small_files,
+        delete_keys,
+    )
+
+    keys = spark.range(1).selectExpr("id AS doc_id")
+    for call in (
+        lambda: delete_keys(spark, "s3a://bucket/table", keys, "doc_id"),
+        lambda: compact(spark, "hdfs://nn/table"),
+        lambda: compact_small_files(spark, "s3a://bucket/t"),
+    ):
+        with pytest.raises(ValueError, match="local-filesystem-only"):
+            call()
