@@ -783,6 +783,7 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
             neighbor_min, labels["node"] == neighbor_min["src"], "left"
         ).select(
             "node",
+            F.col("label").alias("label0"),  # pre-round label, carried
             F.least(
                 F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
             ).alias("label"),
@@ -793,7 +794,11 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
         )
         # localCheckpoint truncates lineage: the self-join doubles the
         # logical plan every round, and 20+ rounds of nested plans OOM
-        # the driver during analysis long before any data is large
+        # the driver during analysis long before any data is large.
+        # The convergence flag rides IN the same plan (label vs the
+        # carried label0) instead of a separate new-vs-old shuffle join
+        # per round (r12: that join was one of four per-round jobs on a
+        # fixed-cost loop — pure overhead at every graph size).
         new_labels = (
             hopped.join(lab2, hopped["label"] == lab2["node2"], "left")
             .select(
@@ -801,17 +806,13 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
                 F.least(
                     F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
                 ).alias("label"),
+                F.col("label0"),
             )
+            .withColumn("changed", F.col("label") != F.col("label0"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             converged = True
             break

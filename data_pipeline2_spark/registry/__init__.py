@@ -165,6 +165,18 @@ _RECHECK_FIRST = (
     # governance.delete_cascade_audit: the deletion request set is now
     # materialized once and broadcast only while request-sized
     "gdpr_delete_cascade",
+    # r12: dedup_clusters' convergence flag rides in the per-round
+    # checkpoint plan instead of a separate new-vs-old join per round
+    # (measured 2.15 -> 1.60 s same-session A/B at sf0.1; labels
+    # bit-identical, pinned against a union-find oracle in
+    # test_dedup_similarity + re-passed sf0.01 parity locally) —
+    # every consumer of the CC loop re-queues
+    "dedup_clusters",
+    "semantic_dedup_clusters",
+    "simhash_dedup_drop",
+    "dedup_representative",
+    "leakage_safe_split",
+    "training_pipeline_e2e",
 )
 # Rotation (VERDICT r11 item 6): the r11 window re-greened 50 keys;
 # what remains stale is everything whose latest driver green predates

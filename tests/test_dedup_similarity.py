@@ -144,6 +144,40 @@ def test_dedup_clusters_long_chain(spark):
     assert len(out) == 41
 
 
+def test_dedup_clusters_matches_union_find(spark):
+    """Pin the distributed CC against a driver-side union-find oracle
+    on the REAL near-dup pair graph (r12: the convergence flag moved
+    into the per-round checkpoint plan — labels must stay identical to
+    min-reachable-id under any such plan change)."""
+    from data_pipeline2_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_near_minhash,
+    )
+    from data_pipeline2_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = dedup_near_minhash(docs, threshold=0.5).localCheckpoint(
+        eager=True
+    )
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == want
+    assert len(got) > 0  # the fixture graph is non-trivial
+
+
 def test_cosine_zero_vector_is_null_not_nan(spark):
     from data_pipeline2_spark.operators.dedup import dedup_near_embedding
 
