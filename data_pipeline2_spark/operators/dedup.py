@@ -115,31 +115,36 @@ def doc_shingles(
     by default (pass distinct=False for duplicate-invariant consumers
     like min-aggregation, skipping the dedup shuffle).
 
-    Built as posexplode(tokens) + lead() windows rather than the
-    word_ngrams higher-order function: HOFs are interpreted (no codegen)
-    and ~2x slower here, while the window is codegen'd and — because the
-    input is hash-partitioned by doc_id (ensure_parallelism, or the lake
-    layout at scale) — requires no additional shuffle, only a local sort
-    over already-clustered rows.
+    Built MAP-ONLY over the in-row token array (r12, guide §2.4): a
+    transform over window-start indices concatenates element_at slots,
+    then one explode. The former posexplode + lead() windows needed a
+    local SORT of every exploded token row before the n-gram assembly —
+    a per-partition sort of corpus-token volume that pure in-row
+    expressions never pay. Re-measured on Spark 4.1 the HOF path is
+    ~2x FASTER at sf0.1 (0.108 vs 0.204 s median noop) — the r3-era
+    "HOFs are 2x slower" measurement inverted — and the shingle stream
+    is bit-identical (bit_xor(xxhash64(doc_id, shingle)) equality over
+    the full corpus, re-pinned in test_dedup_similarity). Short docs
+    (< shingle_n tokens) emit nothing, exactly as the lead-null filter
+    did; the index sequence is gated on that bound because Spark's
+    sequence(1, k) runs DESCENDING for k < 1.
     """
-    from pyspark.sql.window import Window
-
     documents = ensure_parallelism(documents, id_col)
     toks = documents.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("p", "w0"),
+        tokens(F.lower(F.col(text_col))).alias("__ws"),
     )
-    w = Window.partitionBy("doc_id").orderBy("p")
-    lead_cols = [F.col("w0")] + [
-        F.lead("w0", i).over(w).alias(f"w{i}") for i in range(1, shingle_n)
-    ]
-    shingled = toks.select("doc_id", *lead_cols).filter(
-        F.col(f"w{shingle_n - 1}").isNotNull()
+    idx = F.when(
+        F.size("__ws") >= shingle_n,
+        F.sequence(F.lit(1), F.size("__ws") - F.lit(shingle_n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("__ws"), i + j) for j in range(shingle_n)]
+        ),
     )
-    out = shingled.select(
-        "doc_id",
-        F.concat_ws(" ", *[f"w{i}" for i in range(shingle_n)]).alias("shingle"),
-    )
+    out = toks.select("doc_id", F.explode(grams).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -1214,10 +1219,20 @@ def exact_substring_spans(
     semantics and the oracle applies the same rule.
 
     Fingerprint equality stands in for token equality (the same
-    stance as the suffix-array standard's hashed variants): md5 over
-    the joined window makes a cross-doc false positive ~2^-128 —
-    accepted and documented rather than paying a verify join that
-    re-reads both token arrays per candidate.
+    stance as the suffix-array standard's hashed variants): the
+    64-bit window fingerprint makes a cross-doc false positive
+    ~2^-64 per pair — accepted and documented rather than paying a
+    verify join that re-reads both token arrays per candidate. r12:
+    the fingerprint is xxhash64 over the token-array SLICE itself
+    (guide §2.3 "narrower types" + §1.2 per-task work) — the former
+    md5(array_join(...)) assembled a ~n_tokens-word string and ran a
+    cryptographic digest per window (O(corpus_tokens x n_tokens)
+    bytes built AND md5'd), where xxhash64 consumes the array
+    directly with no string materialization, and every downstream
+    shuffle/join carries an 8-byte long instead of a 32-char hex
+    string. The OUTPUT is fingerprint-invariant (spans depend only on
+    hash equality); the oracle keeps its own md5 bucketing and the
+    driver compares final spans.
 
     Scale shape: window emission is linear in corpus tokens and
     map-only; the h-groupBy df filter and the self-join shuffle
@@ -1267,9 +1282,7 @@ def exact_substring_spans(
     ).select(
         "doc_id",
         "p",
-        F.md5(
-            F.array_join(F.slice(F.col("ws"), F.col("p"), n_tokens), " ")
-        ).alias("h"),
+        F.xxhash64(F.slice(F.col("ws"), F.col("p"), n_tokens)).alias("h"),
     )
     # windows worth pairing: shared by >= 2 docs (cross-doc by
     # definition) and <= df_cap_abs docs (boilerplate exclusion)

@@ -229,27 +229,41 @@ def census_from_frames(fr: dict[str, DataFrame]) -> DataFrame:
     frames themselves (the example's write path) build them once and
     pass them here instead of paying the eager stage checkpoints a
     second time through training_pipeline_census."""
-    # census: eight one-row aggregates, cross-joined, unpivoted
-    def _cnt(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+    # census: eight one-row aggregates assembled through ONE union +
+    # flat aggregation (r12, guide §2.4): the former 7-deep crossJoin
+    # chain planned as seven serialized BroadcastNestedLoopJoin
+    # broadcast rounds — each a driver round-trip + broadcast build for
+    # a single row — measured ~1.7-2.0 s of the composition's wall.
+    # As union legs the eight subtrees are siblings in one job and the
+    # assembly is a single tiny aggregation. Values are byte-identical
+    # (each leg computes the same aggregate it did as a crossJoin arm).
+    def _leg(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("v")).select(
+            F.lit(name).alias("k"), "v"
+        )
 
-    row = (
-        _cnt(fr["docs"], "c1")
-        .crossJoin(_cnt(fr["s2"], "c2"))
-        .crossJoin(_cnt(fr["s3"], "c3"))
-        .crossJoin(_cnt(fr["s4"], "c4"))
-        .crossJoin(_cnt(fr["s5"], "c5"))
-        .crossJoin(_cnt(fr["chunks"], "c6"))
-        .crossJoin(
-            fr["final"].agg(
-                F.count_distinct("split", "seq_id").cast("long").alias("c7")
-            )
-        )
-        .crossJoin(
-            fr["checks"].agg(
-                F.sum(F.col("passed").cast("long")).cast("long").alias("c8")
-            )
-        )
+    legs = [
+        _leg(fr["docs"], "c1"),
+        _leg(fr["s2"], "c2"),
+        _leg(fr["s3"], "c3"),
+        _leg(fr["s4"], "c4"),
+        _leg(fr["s5"], "c5"),
+        _leg(fr["chunks"], "c6"),
+        fr["final"]
+        .agg(F.count_distinct("split", "seq_id").cast("long").alias("v"))
+        .select(F.lit("c7").alias("k"), "v"),
+        fr["checks"]
+        .agg(F.sum(F.col("passed").cast("long")).cast("long").alias("v"))
+        .select(F.lit("c8").alias("k"), "v"),
+    ]
+    unioned = legs[0]
+    for leg in legs[1:]:
+        unioned = unioned.unionByName(leg)
+    row = unioned.groupBy().agg(
+        *[
+            F.max(F.when(F.col("k") == name, F.col("v"))).alias(name)
+            for name in ["c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8"]
+        ]
     )
     return row.selectExpr(
         f"""stack(8,

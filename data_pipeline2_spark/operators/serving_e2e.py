@@ -195,35 +195,48 @@ def census_from_frames(
     pipeline_e2e.census_from_frames — the example builds frames once
     and reuses them for both narration and census)."""
 
-    def _cnt(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+    # one union + flat aggregation instead of a 6-deep crossJoin chain
+    # of one-row aggregates (r12, guide §2.4) — same rationale and
+    # equivalence as pipeline_e2e.census_from_frames: every leg is the
+    # identical aggregate the crossJoin arm computed; only the assembly
+    # plan changes (7 serialized BroadcastNestedLoopJoin broadcast
+    # rounds -> sibling union legs in one job).
+    def _leg(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("v")).select(
+            F.lit(name).alias("k"), "v"
+        )
 
     cache_key = similarity.search_cache_key(
         F.lit("hash64"), F.lit(query_text), F.lit(k), F.lit(CACHE_TAG)
     )
-    row = (
-        _cnt(fr["docs"], "c1")
-        .crossJoin(_cnt(fr["chunks"], "c2"))
-        .crossJoin(_cnt(fr["hits"], "c3"))
-        .crossJoin(_cnt(fr["pending"], "c4p"))
-        .crossJoin(_cnt(fr["index"], "c5i"))
-        .crossJoin(
-            fr["index"].agg(
-                F.count_distinct("chunk_id").cast("long").alias("c5d")
-            )
+    legs = [
+        _leg(fr["docs"], "c1"),
+        _leg(fr["chunks"], "c2"),
+        _leg(fr["hits"], "c3"),
+        _leg(fr["pending"], "c4p"),
+        _leg(fr["index"], "c5i"),
+        fr["index"]
+        .agg(F.count_distinct("chunk_id").cast("long").alias("v"))
+        .select(F.lit("c5d").alias("k"), "v"),
+        fr["ranked"]
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c6"),
+            ranking_checksum(fr["ranked"]).alias("d6"),
         )
-        .crossJoin(
-            fr["ranked"].agg(
-                F.count(F.lit(1)).cast("long").alias("c6"),
-                ranking_checksum(fr["ranked"]).alias("d6"),
-            )
-        )
-        .withColumn(
-            "d7",
-            F.conv(F.substring(F.md5(cache_key), 1, 15), 16, 10).cast(
-                "long"
-            ),
-        )
+        .selectExpr("stack(2, 'c6', c6, 'd6', d6) AS (k, v)"),
+    ]
+    unioned = legs[0]
+    for leg in legs[1:]:
+        unioned = unioned.unionByName(leg)
+    names = ["c1", "c2", "c3", "c4p", "c5i", "c5d", "c6", "d6"]
+    row = unioned.groupBy().agg(
+        *[
+            F.max(F.when(F.col("k") == name, F.col("v"))).alias(name)
+            for name in names
+        ]
+    ).withColumn(
+        "d7",
+        F.conv(F.substring(F.md5(cache_key), 1, 15), 16, 10).cast("long"),
     )
     return row.selectExpr(
         f"""stack(7,
