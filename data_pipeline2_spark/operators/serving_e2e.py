@@ -195,46 +195,57 @@ def census_from_frames(
     pipeline_e2e.census_from_frames — the example builds frames once
     and reuses them for both narration and census)."""
 
-    # one union + flat aggregation instead of a 6-deep crossJoin chain
-    # of one-row aggregates (r12, guide §2.4) — same rationale and
-    # equivalence as pipeline_e2e.census_from_frames: every leg is the
-    # identical aggregate the crossJoin arm computed; only the assembly
-    # plan changes (7 serialized BroadcastNestedLoopJoin broadcast
-    # rounds -> sibling union legs in one job).
-    def _leg(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).cast("long").alias("v")).select(
-            F.lit(name).alias("k"), "v"
-        )
+    # census counts as ONE union of TAG ROWS + a single global
+    # conditional-count aggregate (r12, guide §2.4 — see
+    # pipeline_e2e.census_from_frames for the full rationale): the
+    # 6-deep crossJoin chain planned as serialized
+    # BroadcastNestedLoopJoin broadcast rounds; per-leg aggregates
+    # still paid 6 single-partition exchanges = 6 AQE stage rounds.
+    # Tag rows make the single-partition merge the assembly's only
+    # exchange (no hash shuffle — exchange budget unchanged); measured
+    # census action 1.73 s -> ~1.2 s on this operator. The ranked leg
+    # keeps its aggregate form (its d6 checksum is not a count) and
+    # joins the count row through ONE one-row crossJoin; c5d's
+    # distinct applies BEFORE tagging (count_distinct of a non-null
+    # key == count of the distinct set); a frame with zero rows
+    # contributes zero tags and counts to 0, exactly as its
+    # empty-frame aggregate did.
+    def _tag(df: DataFrame, name: str) -> DataFrame:
+        return df.select(F.lit(name).alias("k"))
 
     cache_key = similarity.search_cache_key(
         F.lit("hash64"), F.lit(query_text), F.lit(k), F.lit(CACHE_TAG)
     )
-    legs = [
-        _leg(fr["docs"], "c1"),
-        _leg(fr["chunks"], "c2"),
-        _leg(fr["hits"], "c3"),
-        _leg(fr["pending"], "c4p"),
-        _leg(fr["index"], "c5i"),
-        fr["index"]
-        .agg(F.count_distinct("chunk_id").cast("long").alias("v"))
-        .select(F.lit("c5d").alias("k"), "v"),
-        fr["ranked"]
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("c6"),
-            ranking_checksum(fr["ranked"]).alias("d6"),
+    rows = (
+        _tag(fr["docs"], "c1")
+        .unionByName(_tag(fr["chunks"], "c2"))
+        .unionByName(_tag(fr["hits"], "c3"))
+        .unionByName(_tag(fr["pending"], "c4p"))
+        .unionByName(_tag(fr["index"], "c5i"))
+        .unionByName(
+            # null-excluding filter replicates count(DISTINCT chunk_id)
+            _tag(
+                fr["index"]
+                .where(F.col("chunk_id").isNotNull())
+                .select("chunk_id")
+                .distinct(),
+                "c5d",
+            )
         )
-        .selectExpr("stack(2, 'c6', c6, 'd6', d6) AS (k, v)"),
-    ]
-    unioned = legs[0]
-    for leg in legs[1:]:
-        unioned = unioned.unionByName(leg)
-    names = ["c1", "c2", "c3", "c4p", "c5i", "c5d", "c6", "d6"]
-    row = unioned.groupBy().agg(
+    )
+    counts_row = rows.groupBy().agg(
         *[
-            F.max(F.when(F.col("k") == name, F.col("v"))).alias(name)
-            for name in names
+            F.count(F.when(F.col("k") == name, F.lit(1)))
+            .cast("long")
+            .alias(name)
+            for name in ["c1", "c2", "c3", "c4p", "c5i", "c5d"]
         ]
-    ).withColumn(
+    )
+    ranked_row = fr["ranked"].agg(
+        F.count(F.lit(1)).cast("long").alias("c6"),
+        ranking_checksum(fr["ranked"]).alias("d6"),
+    )
+    row = counts_row.crossJoin(ranked_row).withColumn(
         "d7",
         F.conv(F.substring(F.md5(cache_key), 1, 15), 16, 10).cast("long"),
     )

@@ -39,7 +39,16 @@ ENGINE_DEFAULTS: dict[str, str] = {
     # Target split size at scan (128 MB default is right for 100 TB:
     # ~800k splits over 1000 executors).
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-    "spark.sql.shuffle.partitions": "32",
+    # Shuffle parallelism is SCALE-DEPENDENT, so it is parameterised
+    # (env) rather than constant: locally it defaults to the session's
+    # core count (local[$SPARK_GRAFT_CPUS] — keeps the driver's bench
+    # comparable at any core count it chooses); on a cluster set it to
+    # ~2-3x total executor cores and let AQE coalesce down. A constant
+    # tuned for either regime is wrong in the other (guide §2.2).
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    ),
     # Deterministic string collation / legacy-free behavior.
     "spark.sql.legacy.timeParserPolicy": "CORRECTED",
     # The testdata writes TIMESTAMP(NANOS) parquet, which Spark's reader
