@@ -763,18 +763,40 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
     Each round is a couple of shuffles on node id; the same scheme
     GraphX/GraphFrames use.
     """
+    # localCheckpoint, not persist (r12): persist caches the DATA but
+    # keeps the LINEAGE, so every round's job re-ran Catalyst over the
+    # whole upstream pair-producing plan (for simhash_dedup_drop that
+    # is the 64-term fingerprint expression tree — measured ~12 s of
+    # which ~7 s was per-job replanning; with the lineage truncated the
+    # same loop runs in ~5 s). The checkpoint also is what a production
+    # run persists anyway: the edge list IS the dedup graph artifact.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    # Seed labels with the FIRST HOP folded into the node-set build
+    # (r12): with identity labels, round 1's neighbor-min is just
+    # min(neighbor id), so least(src, min(dst)) in the SAME aggregation
+    # that derives the node set starts every node one hop ahead for
+    # free (the groupBy replaces the former distinct — same single
+    # exchange). Star/clique clusters — the typical near-dup graph —
+    # now converge in ONE verify round instead of hop+verify; deeper
+    # graphs are one hop further along. The fixpoint (min reachable id)
+    # is unchanged: seeding with any subset of reachable mins preserves
+    # both the invariant (label ∈ reachable ids, label <= node) and the
+    # termination proof (labels pinned bit-identical against the
+    # union-find oracle in test_dedup_similarity).
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__m"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__m")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
     converged = False
@@ -821,7 +843,8 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
+    # (checkpoint blocks are released by the ContextCleaner when the
+    # edge frame goes out of scope — no explicit unpersist needed)
     if not converged:
         raise RuntimeError(
             "dedup_clusters did not converge within the round cap; "
