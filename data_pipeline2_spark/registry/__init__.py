@@ -177,6 +177,30 @@ _RECHECK_FIRST = (
     "dedup_representative",
     "leakage_safe_split",
     "training_pipeline_e2e",
+    # r12 OPTIMIZATION phase (OPTIMIZATION_r12.md): four engine-plan
+    # changes, all output-identical by construction and re-passed at
+    # sf0.01 locally, queued for the driver's own arbitration:
+    # (1) doc_shingles window -> map-only HOF (shingle stream pinned
+    #     bit-identical) — every shingle consumer;
+    # (2) exact_substring window fingerprint md5(string) ->
+    #     xxhash64(slice) (spans are hash-equality-invariant);
+    # (3) census assembly crossJoin chain -> one conditional-count
+    #     pass (both compositions — already queued above);
+    # (4) dedup_clusters edge lineage truncated + first-hop label
+    #     seeding (fixpoint unchanged — consumers already queued).
+    "dedup_near_minhash",
+    "minhash_signatures",
+    "dedup_near_incremental",
+    "dedup_bbit_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "exact_substring_spans",
+    "exact_substring_dedup_stats",
+    "exact_substring_spans_winnowed",
+    "exact_substring_spans_incremental",
+    "decontaminate",
+    "decontaminate_bloom",
+    "repetition_ratio",
 )
 # Rotation (VERDICT r11 item 6): the r11 window re-greened 50 keys;
 # what remains stale is everything whose latest driver green predates
