@@ -714,6 +714,18 @@ def simhash_pairs(
         ).alias("band_idx", "band_val"),
     )
     if bucket_cap is not None:
+        # Materialize the banded rows once (r12, the dedup_clusters
+        # lineage lesson): the capped path consumes `banded` THREE ways
+        # (the bucket-count aggregate + both self-join sides), and
+        # without the cut each consumer re-executed AND re-planned the
+        # upstream fingerprint tree (for simhash64 input, a 64-term
+        # expression — measured simhash_pairs_capped ~2.9-3.2 s warm at
+        # sf0.01 with most of it replanning/re-execution). The banding
+        # artifact is bands x ~24-byte rows per doc — exactly what a
+        # production index persists. Uncapped path unchanged: its two
+        # join sides share one exchange (ReusedExchange), so the
+        # checkpoint would only add a pass.
+        banded = banded.localCheckpoint(eager=True)
         # one row per (doc, band): count(*) IS the bucket's doc count.
         ok = (
             banded.groupBy("band_idx", "band_val")

@@ -201,6 +201,9 @@ _RECHECK_FIRST = (
     "decontaminate",
     "decontaminate_bloom",
     "repetition_ratio",
+    # (5) simhash_pairs_capped: banded rows materialized once (three
+    #     consumers shared the fingerprint subtree) — output identical
+    "simhash_pairs_capped",
 )
 # Rotation (VERDICT r11 item 6): the r11 window re-greened 50 keys;
 # what remains stale is everything whose latest driver green predates
