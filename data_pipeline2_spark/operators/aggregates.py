@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from data_pipeline2_spark.plans.materialize import materialize
 
 
 def exact_sum(col: Column, scale: int = 2, precision: int = 25) -> Column:
@@ -940,7 +941,7 @@ def kmv_distinct(
         # feeds the rank window AND both exact-count aggregations —
         # materialize the distinct set once; it is the same O(distinct)
         # volume the counting shuffle carries anyway
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     w = Window.partitionBy("scope").orderBy("h")
     # per-group k-min sketches: G·k rows total — THIS is the sketch a
@@ -1047,7 +1048,7 @@ def theil_sen_trend(
     daily = events.groupBy(
         F.col(key_col).alias("key"),
         F.date_trunc(bucket, F.col(ts_col)).alias("d"),
-    ).agg(F.count(F.lit(1)).alias("x")).localCheckpoint(eager=True)
+    ).agg(F.count(F.lit(1)).alias("x")).transform(materialize)
     a = daily.select(
         "key", F.col("d").alias("da"), F.col("x").alias("xa")
     )
@@ -1140,7 +1141,7 @@ def ab_chi2(
         .filter(F.col("v").isNotNull())
         .groupBy("v", "c")
         .agg(F.count(F.lit(1)).alias("o"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     rt = cells.groupBy("v").agg(F.sum("o").alias("rt"))
     # NULL category is a REAL category (a variant shifting traffic into
@@ -1331,7 +1332,7 @@ def pareto_concentration(
         F.sum(
             F.col(amount_col).cast("decimal(25,2)")
         ).alias("rev")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     ranked = distributed_rank(per_key, [F.desc("rev"), F.col("key")])
     n_total = per_key.agg(F.count(F.lit(1)).alias("__n"))
     size = F.floor(F.col("__n") / n_tiles)

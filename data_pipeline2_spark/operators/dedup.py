@@ -11,10 +11,15 @@ design choice is shuffle-minimal:
   partitioned by doc), candidate generation is an equi-join on band
   buckets (shuffles signatures, ~100 bytes/doc — NOT documents), and
   only candidate pairs (tiny) are verified exactly;
-- hash functions are md5/sha2 of explicit strings plus exact signed-64
-  integer arithmetic — engine-portable and deterministic, so the DuckDB
-  oracle reproduces signatures exactly (integer min over universal
-  hashes of md5-derived fingerprints; no engine-specific murmur).
+- OUTPUT-SEMANTIC hashes (anything that appears in a result or drives
+  a selection the oracle replays — minhash signatures, winnow
+  fingerprints, simhash terms) are md5/sha2 of explicit strings plus
+  exact signed-64 integer arithmetic, engine-portable and
+  deterministic, so the DuckDB oracle reproduces them exactly.
+  INTERNAL fingerprints whose only role is equality bucketing (the
+  exact-substring window hash) may use engine-native functions
+  (xxhash64) — the oracle keeps its own bucketing and compares the
+  final output instead.
 """
 
 from __future__ import annotations
@@ -22,8 +27,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_pipeline2_spark.functions.text import content_hash, tokens, word_ngrams
+from data_pipeline2_spark.functions.text import content_hash, tokens
 from data_pipeline2_spark.plans.partitioning import ensure_parallelism
+from data_pipeline2_spark.plans.materialize import materialize
 
 N_PERM = 16
 # 8 bands x 2 rows: the LSH S-curve midpoint is ~(1/b)^(1/r) = 0.35,
@@ -359,14 +365,14 @@ def dedup_near_minhash(
     # corpus-scale run persists anyway): the band-bucket self-join
     # consumes them twice, and without this the whole shingle+hash
     # pipeline re-executes for each join side (~2x the map work)
-    sigs = minhash_signature_cols(sh_all, n_perm).localCheckpoint(eager=True)
+    sigs = minhash_signature_cols(sh_all, n_perm).transform(materialize)
     # cands feeds three consumers; eager localCheckpoint materializes it
     # once and truncates lineage (O(candidate pairs) storage — unlike
     # caching the full shingle set, tiny at any corpus size; cleaned by
     # the ContextCleaner when the result DataFrame is released)
     cands = lsh_candidate_pairs(
         lsh_band_keys_wide(sigs, n_perm, band_size)
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     cand_ids = (
         cands.select(F.col("doc_a").alias(id_col))
         .unionByName(cands.select(F.col("doc_b").alias(id_col)))
@@ -382,7 +388,7 @@ def dedup_near_minhash(
         doc_shingles(cand_docs, shingle_n, id_col, text_col, distinct=False)
         .select("doc_id", shingle_hash64(F.col("shingle")).alias("shingle"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     return jaccard_pairs(cands, sh_cand, threshold)
 
@@ -427,10 +433,10 @@ def bbit_minhash_pairs(
     sh_all = doc_shingles(
         documents, shingle_n, id_col, text_col, distinct=False
     ).select("doc_id", shingle_hash64(F.col("shingle")).alias("sh64"))
-    sigs = minhash_signature_cols(sh_all, n_perm).localCheckpoint(eager=True)
+    sigs = minhash_signature_cols(sh_all, n_perm).transform(materialize)
     cands = lsh_candidate_pairs(
         lsh_band_keys_wide(sigs, n_perm, band_size)
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # b-bit projections and the match-bit fold as SQL strings (r11
     # py4j rule): one parse each instead of ~5 JVM calls per perm
     a = sigs.selectExpr(
@@ -467,7 +473,7 @@ def bbit_minhash_pairs(
         doc_shingles(cand_docs, shingle_n, id_col, text_col, distinct=False)
         .select("doc_id", shingle_hash64(F.col("shingle")).alias("shingle"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     exact = jaccard_pairs(cands, sh_cand, threshold=0.0)
     out = est.join(exact, ["doc_a", "doc_b"]).select(
@@ -504,8 +510,8 @@ def dedup_ngram_jaccard(
     """
     # one consumer for candidates (x2 join sides) + three inside
     # jaccard_pairs: materialize the distinct shingle set once
-    sh = doc_shingles(documents, shingle_n, id_col, text_col).localCheckpoint(
-        eager=True
+    sh = doc_shingles(documents, shingle_n, id_col, text_col).transform(
+        materialize
     )
     cand_src = sh
     if max_df is not None:
@@ -725,7 +731,7 @@ def simhash_pairs(
         # production index persists. Uncapped path unchanged: its two
         # join sides share one exchange (ReusedExchange), so the
         # checkpoint would only add a pass.
-        banded = banded.localCheckpoint(eager=True)
+        banded = banded.transform(materialize)
         # one row per (doc, band): count(*) IS the bucket's doc count.
         ok = (
             banded.groupBy("band_idx", "band_val")
@@ -788,7 +794,7 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # Seed labels with the FIRST HOP folded into the node-set build
     # (r12): with identity labels, round 1's neighbor-min is just
@@ -809,7 +815,7 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("__m")).alias("label"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     converged = False
     for _ in range(24):  # doubling: covers diameter up to 2^24
@@ -848,7 +854,7 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
                 F.col("label0"),
             )
             .withColumn("changed", F.col("label") != F.col("label0"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.select("node", "label")
@@ -1021,7 +1027,7 @@ def _near_embedding_lsh(
     # semi-reduce the (fat, corpus-sized) vector table to candidate ids
     # through a pinned broadcast before the verify joins — the round-9b
     # x100 rule; candidates checkpoint so the LSH self-join runs once
-    cand = cand.localCheckpoint(eager=True)
+    cand = cand.transform(materialize)
     cid = (
         cand.select(F.col("id_a").alias("__cid"))
         .unionByName(cand.select(F.col("id_b").alias("__cid")))
@@ -1108,7 +1114,7 @@ def signature_estimate_pairs(
     corpus-sized table against a ~1 MB id set). Every shuffle here is
     candidate-bounded; the store itself never moves.
     """
-    cands = candidates.localCheckpoint(eager=True)
+    cands = candidates.transform(materialize)
     cand_ids = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
@@ -1170,7 +1176,7 @@ def dedup_near_incremental_minhash(
             )
     new_sigs = minhash_signature_cols(
         doc_shingles(new_docs, 3, id_col, text_col, distinct=False), n_perm
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     all_sigs = old_signatures.unionByName(new_sigs)
     cands = lsh_candidate_pairs(lsh_band_keys_wide(all_sigs, n_perm, band_size))
     new_ids = new_sigs.select(F.col("doc_id"))
@@ -1235,8 +1241,8 @@ def exact_substring_spans(
     Models Better" — their suffix-array criterion re-expressed as a
     fingerprint-bucketed join, the shape a Spark cluster can run).
 
-    How: every doc emits one md5 fingerprint per `n_tokens`-token
-    window (a SLICE of the in-row token array over an exploded
+    How: every doc emits one 64-bit xxhash64 fingerprint per
+    `n_tokens`-token window (a SLICE of the in-row token array over an exploded
     position sequence — map-side only, no window sort, no shuffle
     carries token arrays); fingerprints shared by 2..`df_cap_abs`
     docs bucket the candidate pairs (never all-pairs); matched window
@@ -1254,10 +1260,20 @@ def exact_substring_spans(
     semantics and the oracle applies the same rule.
 
     Fingerprint equality stands in for token equality (the same
-    stance as the suffix-array standard's hashed variants): the
-    64-bit window fingerprint makes a cross-doc false positive
-    ~2^-64 per pair — accepted and documented rather than paying a
-    verify join that re-reads both token arrays per candidate. r12:
+    stance as the suffix-array standard's hashed variants). Honest
+    collision accounting at 64 bits: a single aligned-window pair
+    collides with p ~ 2^-64, but AGGREGATE birthday collisions across
+    W distinct windows reach 50% at W ~ 5e9 — at bench SFs (<< 1e9
+    windows) spurious spans are vanishingly rare and the oracle
+    agrees bit-for-bit, while a full 100 TB corpus (~1e12+ windows)
+    SHOULD expect some colliding buckets. At that scale either (a)
+    verify merged runs once per emitted span against the token slices
+    (cheap: spans are tiny vs windows — the df-capped bucket already
+    bounds the verify fan-out), or (b) widen to 128 bits via two
+    xxhash64 seeds (xxhash64(ws_slice), xxhash64(ws_slice, seed=1)) as
+    the bucket key. Both keep the plan shape; neither is wired in
+    because the bench-scale contract is the oracle-checked output.
+    r12:
     the fingerprint is xxhash64 over the token-array SLICE itself
     (guide §2.3 "narrower types" + §1.2 per-task work) — the former
     md5(array_join(...)) assembled a ~n_tokens-word string and ran a
@@ -1335,7 +1351,7 @@ def exact_substring_spans(
     # The two pre-checkpoint passes over `wins` (df aggregation +
     # probe) are map-only scans — the honest cost at lake scale,
     # cheaper than materializing corpus-sized fingerprints.
-    cand = wins.join(eligible, "h").localCheckpoint(eager=True)
+    cand = wins.join(eligible, "h").transform(materialize)
     a = cand.select(
         F.col("h").alias("ha"), F.col("doc_id").alias("doc_a"),
         F.col("p").alias("pa"),
@@ -1569,7 +1585,7 @@ def semdedup(
     from data_pipeline2_spark.operators.similarity import _kmeans_trajectory
 
     cents, assign = _kmeans_trajectory(embeddings, k, n_iter, id_col, vec_col)
-    final = assign(cents).localCheckpoint(eager=True)
+    final = assign(cents).transform(materialize)
     a = final.select(
         F.col("_id").alias("xa"), F.col("_v").alias("va"),
         "cluster", F.col("dist").alias("da"),
@@ -1666,7 +1682,7 @@ def near_dup_stats(
     pairs = dedup_near_minhash(
         documents, shingle_n, threshold=threshold,
         id_col=id_col, text_col=text_col,
-    ).localCheckpoint(eager=True)  # two aggregate consumers below
+    ).transform(materialize)  # two aggregate consumers below
     dup_docs = (
         pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .distinct()
@@ -1808,7 +1824,7 @@ def dup_graph_triangles(
     edges = dedup_near_minhash(
         documents, shingle_n, threshold=threshold,
         id_col=id_col, text_col=text_col,
-    ).select("doc_a", "doc_b").localCheckpoint(eager=True)  # reused 3x
+    ).select("doc_a", "doc_b").transform(materialize)  # reused 3x
     ab = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     bc = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     ac = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
@@ -1993,10 +2009,10 @@ def dedup_containment(
     sh_all = doc_shingles(
         documents, shingle_n, id_col, text_col, distinct=False
     ).select("doc_id", shingle_hash64(F.col("shingle")).alias("sh64"))
-    sigs = minhash_signature_cols(sh_all, n_perm).localCheckpoint(eager=True)
+    sigs = minhash_signature_cols(sh_all, n_perm).transform(materialize)
     cands = lsh_candidate_pairs(
         lsh_band_keys_wide(sigs, n_perm, band_size)
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     cand_ids = (
         cands.select(F.col("doc_a").alias(id_col))
         .unionByName(cands.select(F.col("doc_b").alias(id_col)))
@@ -2010,7 +2026,7 @@ def dedup_containment(
         doc_shingles(cand_docs, shingle_n, id_col, text_col, distinct=False)
         .select("doc_id", shingle_hash64(F.col("shingle")).alias("shingle"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     return containment_pairs(cands, sh_cand, threshold)
 
@@ -2159,7 +2175,7 @@ def kcore_nodes(
         raise ValueError(f"need k >= 1 and rounds >= 1; got ({k}, {rounds})")
     edges = pairs.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     def degrees(e: DataFrame) -> DataFrame:
         ends = e.select(F.col("a").alias("n")).unionByName(
@@ -2172,7 +2188,7 @@ def kcore_nodes(
         edges = (
             edges.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
 
     return degrees(edges).select(

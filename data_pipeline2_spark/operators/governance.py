@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from data_pipeline2_spark.plans.materialize import materialize
 
 
 def delete_cascade_audit(
@@ -51,7 +52,7 @@ def delete_cascade_audit(
     req = (
         requests.select(F.col(req_col).cast("long").alias("__del_id"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     if req.count() <= BROADCAST_KEY_LIMIT:
         req = F.broadcast(req)
@@ -216,7 +217,7 @@ def t_closeness_audit(
     gv = (
         base.groupBy(F.col(sensitive_col).alias("__v"))
         .agg(F.count(F.lit(1)).alias("__g"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     cls_val = base.groupBy(*quasi_cols, F.col(sensitive_col).alias("__v")).agg(
         F.count(F.lit(1)).alias("__c")

@@ -33,6 +33,8 @@ cross-joined and unpivoted — nothing corpus-sized survives.
 
 from __future__ import annotations
 
+from data_pipeline2_spark.plans.materialize import materialize
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -123,13 +125,13 @@ def training_pipeline_frames(
         .filter(F.col("quality") >= quality_min)
         .select("doc_id")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     s2 = docs.join(ids2, "doc_id", "left_semi")
 
     # stage 3: decontamination — eval set leaves the corpus, overlapped
     # docs drop; bloom path == exact path by construction
-    eval_rows = s2.orderBy("doc_id").limit(eval_n).localCheckpoint(eager=True)
+    eval_rows = s2.orderBy("doc_id").limit(eval_n).transform(materialize)
     corpus = s2.join(eval_rows.select("doc_id"), "doc_id", "left_anti")
     decontam = decontaminate if eval_n <= 1000 else decontaminate_bloom
     contaminated = (
@@ -141,7 +143,7 @@ def training_pipeline_frames(
         corpus.select("doc_id")
         .join(contaminated, "doc_id", "left_anti")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     s3 = docs.join(ids3, "doc_id", "left_semi")
 
@@ -151,7 +153,7 @@ def training_pipeline_frames(
         dedup.dedup_exact(s3)
         .select(F.col("keep_id").alias("doc_id"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     s4 = s3.join(ids4, "doc_id", "left_semi")
 
@@ -166,7 +168,7 @@ def training_pipeline_frames(
         s4.select("doc_id")
         .join(doomed, "doc_id", "left_anti")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     s5 = docs.join(ids5, "doc_id", "left_semi")
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_pipeline2_spark.functions.text import tokens
+from data_pipeline2_spark.plans.materialize import materialize
 
 
 def filter_term(df: DataFrame, column: str, value) -> DataFrame:
@@ -165,7 +166,7 @@ def distributed_rank(
     part = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
     w_off = Window.orderBy("__pid").rowsBetween(

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from data_pipeline2_spark.plans.materialize import materialize
 
 
 def _hash_key(key: Column, salt: str = "") -> Column:
@@ -518,14 +519,14 @@ def curriculum_order(
             .cast("long")
             .alias("difficulty_scaled"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # score-cardinality table, consumed by BOTH the cumulative window
     # and the total — checkpoint so the aggregation runs once
     counts = (
         scored.groupBy("difficulty_scaled")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     cw = Window.orderBy("difficulty_scaled").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -48,6 +48,7 @@ from pyspark.sql.window import Window
 
 from data_pipeline2_spark.operators import chunking, embedding, similarity
 from data_pipeline2_spark.plans.partitioning import adaptive_key_join
+from data_pipeline2_spark.plans.materialize import materialize
 
 #: the fixed serving request the composed key replays on both engines
 QUERY_TEXT = "similarity search over document chunks."
@@ -97,8 +98,8 @@ def semantic_search_frames(
     docs = documents
     # stage 2: the chunk store — materialized once (8-byte ids plus
     # content; the reference persists exactly this table in ES)
-    chunks = chunking.chunk_sentence(docs, chunk_chars).localCheckpoint(
-        eager=True
+    chunks = chunking.chunk_sentence(docs, chunk_chars).transform(
+        materialize
     )
     # stage 3: the pre-existing embedding cache (deterministic fixture:
     # prior requests covered the pmod-class docs), materialized — this
@@ -108,7 +109,7 @@ def semantic_search_frames(
         text_col="content",
         id_col="chunk_id",
         dim=dim,
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     hits = cache.join(chunks.select("chunk_id"), "chunk_id", "left_semi")
     # id-only anti join + adaptively-broadcast semi fetch, so chunk
     # CONTENT never shuffles (the embed_incremental r11 contract — see
@@ -133,7 +134,7 @@ def semantic_search_frames(
     index = (
         hits.select("chunk_id", "provider", "embedding")
         .unionByName(fresh)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # stage 6: the query embeds through the same provider (float32),
     # then broadcast cosine top-k over the index

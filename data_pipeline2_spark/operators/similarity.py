@@ -16,6 +16,8 @@ index for brute force).
 
 from __future__ import annotations
 
+from data_pipeline2_spark.plans.materialize import materialize, materialize_lazy
+
 from collections.abc import Iterator
 
 import numpy as np
@@ -721,7 +723,7 @@ def _kmeans_trajectory(
     proj = embeddings.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_lazy)
 
     init = (
         proj.orderBy("_id")
@@ -1519,7 +1521,7 @@ def mmr_invariants(
     cand_ranked = knn_batch(
         embeddings, queries, k=pool,
         id_col=id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
-    ).localCheckpoint(eager=True)  # pool x queries rows, three consumers
+    ).transform(materialize)  # pool x queries rows, three consumers
     # ONE corpus scoring pass serves the MMR picks (threaded through as
     # the candidate set), the exact-top-1 invariant, and the pool check
     mmr = mmr_rerank(
@@ -2114,7 +2116,7 @@ def sparse_cosine_topk(
     # Spark replicates the tokenize→agg(→prune) subtree into each —
     # eager localCheckpoint materializes it once (dedup.py precedent
     # for multi-consumer subplans)
-    tf = tf.localCheckpoint(eager=True)
+    tf = tf.transform(materialize)
     norms = tf.groupBy("doc").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("sq")
     )
@@ -2323,7 +2325,7 @@ def retrieval_ndcg(
     label_counts = (
         embeddings.groupBy(F.col(label_col).alias("__l"))
         .agg(F.count(F.lit(1)).alias("__lc"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     lc = lambda name: label_counts.select(  # noqa: E731
         F.col("__l").alias(f"__l_{name}"), F.col("__lc").alias(name)

@@ -9,6 +9,8 @@ linearly with the corpus and never shuffle document text.
 
 from __future__ import annotations
 
+from data_pipeline2_spark.plans.materialize import materialize
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -182,7 +184,7 @@ def _fit_quality_logreg(
     feats = (
         _classifier_features(documents, id_col, text_col)
         .filter(F.col("x1").isNotNull())
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n = feats.count()
     if n == 0:
@@ -1273,7 +1275,7 @@ def heavy_hitters_sketch(
     # total both read the checkpoint, not a re-run of the corpus pass
     summary = toks.mapInPandas(
         summarize, "term string, part_n long"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     cands = summary.filter(F.col("term").isNotNull()).select("term").distinct()
     total = summary.agg(F.sum("part_n").alias("__n"))
     return (
@@ -1519,7 +1521,7 @@ def rm3_expansion(
             "doc_id",
             F.col("score").cast("decimal(18,6)").alias("__sc"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     fb_docs = fb.select("doc_id").distinct()
@@ -1591,7 +1593,7 @@ def textrank_terms(
     edges = term_cooccurrence(
         documents, window=window, top=top_edges,
         id_col=id_col, text_col=text_col,
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     ranks = pagerank_pairs(edges, n_iter=n_iter, id_a="w1", id_b="w2")
     w = Window.orderBy(F.desc("pagerank"), F.col("node"))
     return (
@@ -1711,7 +1713,7 @@ def cms_frequency_eval(
     """
     if depth < 1 or width < 1:
         raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
-    counts = _word_counts(documents, text_col).localCheckpoint(eager=True)
+    counts = _word_counts(documents, text_col).transform(materialize)
     sketch = _cms_from_counts(
         counts.withColumnRenamed("exact_c", "c"), depth, width
     )
@@ -1788,7 +1790,7 @@ def pmi_collocations(
     uni = (
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).alias("cw"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     per_doc_len = documents.filter(F.col(text_col).isNotNull()).select(
         F.size(tokens(F.col(text_col))).cast("long").alias("L")

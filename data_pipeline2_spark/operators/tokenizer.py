@@ -33,6 +33,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from data_pipeline2_spark.plans.materialize import materialize
 
 # ASCII whitespace ONLY — matching Spark's Java \s (bpe_train's split)
 # and the DuckDB oracle's RE2 \s exactly; Python's Unicode-aware \S
@@ -250,7 +251,7 @@ def wordpiece_vocab(
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     ln = F.length("w")
     whole = wc.filter(

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from data_pipeline2_spark.plans.materialize import materialize
 
 
 # Broadcast guard for KEY-ONLY sets (8-byte ids / short strings): rows,
@@ -53,7 +54,7 @@ def adaptive_key_join(
     semantics (including null-key behavior) don't depend on the hint.
     """
     cols = [on] if isinstance(on, str) else list(on)
-    kdf = keys_df.select(*cols).distinct().localCheckpoint(eager=True)
+    kdf = keys_df.select(*cols).distinct().transform(materialize)
     side = F.broadcast(kdf) if kdf.count() <= limit else kdf
     return content.join(side, cols, how)
 

@@ -89,8 +89,26 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     Used when the driver hands us a session we didn't build (the
     `__spark_entry__.entry` contract). Only runtime-mutable confs are
     set; statics (already-started JVM) are skipped silently.
+
+    Shuffle width is special-cased (ADVICE r12): a handed session may
+    carry a DELIBERATELY tuned `spark.sql.shuffle.partitions` (cluster
+    submit sized to executor cores). A SPARK_GRAFT_CPUS value meant for
+    local[N] sizing must not clobber it, so the env-derived default
+    only applies when the session still runs Spark's stock 200; an
+    explicit SPARK_GRAFT_SHUFFLE_PARTITIONS always wins (it exists
+    precisely to override).
     """
     for k, v in ENGINE_DEFAULTS.items():
+        if (
+            k == "spark.sql.shuffle.partitions"
+            and "SPARK_GRAFT_SHUFFLE_PARTITIONS" not in os.environ
+        ):
+            try:
+                cur = spark.conf.get("spark.sql.shuffle.partitions")
+            except Exception:
+                cur = None
+            if cur not in (None, "200"):
+                continue
         try:
             spark.conf.set(k, v)
         except Exception:
