@@ -25,10 +25,10 @@ from data_pipeline2_spark.registry.ingest_chunk import (
 )
 from data_pipeline2_spark.streaming import events as ev
 
-_TOKS_SH_CTES = """toks AS (
+_TOKS_SH_CTES = """toks AS MATERIALIZED (
       SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS ws
       FROM documents WHERE len(trim(text, ' ')) > 0
-    ), sh AS (
+    ), sh AS MATERIALIZED (
       SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
             FROM toks WHERE len(ws) >= 3)
@@ -641,23 +641,23 @@ def _pagerank_sql(
     walk the same trajectory (the k-means oracle trick).
     parts_only=True returns (cte_chain, final_rank_relation) so other
     keys (textrank_terms) can wrap the ranks in further CTEs."""
-    parts = [f"""edges AS (
+    parts = [f"""edges AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL SELECT doc_b, doc_a FROM pairs
-    ), nodes AS (SELECT DISTINCT src AS node FROM edges),
-    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
-    nn AS (SELECT count(*) AS n FROM nodes),
-    r0 AS (SELECT node, round(1.0 / n, 8) AS rank FROM nodes, nn)"""]
+    ), nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+    deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (SELECT node, round(1.0 / n, 8) AS rank FROM nodes, nn)"""]
     prev = "r0"
     for i in range(1, n_iter + 1):
-        parts.append(f"""c{i} AS (
+        parts.append(f"""c{i} AS MATERIALIZED (
       SELECT e.dst,
              CAST(sum(CAST(round(r.rank / d.deg, 12) AS DECIMAL(28,12)))
                   AS DOUBLE) AS c
       FROM edges e JOIN {prev} r ON e.src = r.node
                    JOIN deg d ON e.src = d.node
       GROUP BY e.dst
-    ), r{i} AS (
+    ), r{i} AS MATERIALIZED (
       SELECT nodes.node,
              round({1.0 - damping} / nn.n
                    + {damping} * coalesce(c{i}.c, 0.0), 8) AS rank

@@ -424,17 +424,28 @@ _KCORE_K, _KCORE_ROUNDS = 2, 3
 
 def _kcore_rounds_sql(k: int, rounds: int) -> tuple[str, str]:
     """Unrolled fixed-round peel CTEs (the kmeans fixed-iteration
-    convention applied to graph peeling)."""
-    parts = ["e0 AS (SELECT doc_a AS a, doc_b AS b FROM p)"]
+    convention applied to graph peeling).
+
+    Every CTE is MATERIALIZED (r13): each round references the
+    previous edge set three times (degree count twice via the UNION
+    ALL, the peel join once), so DuckDB's default inlining re-evaluated
+    the whole upstream chain — including the embedded minhash pipeline
+    in `p` — once per reference, ~3^rounds times in total (measured
+    280+ s at sf0.001; materialized: 0.2 s). AS MATERIALIZED is an
+    optimization fence only — row values are untouched (the oracle
+    parity test re-verifies Spark against the materialized form)."""
+    parts = ["e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p)"]
     for r in range(1, rounds + 1):
         parts.append(
-            f"d{r} AS (SELECT n, count(*) AS deg FROM "
+            f"d{r} AS MATERIALIZED (SELECT n, count(*) AS deg FROM "
             f"(SELECT a AS n FROM e{r-1} UNION ALL SELECT b AS n "
             f"FROM e{r-1}) GROUP BY n)"
         )
-        parts.append(f"k{r} AS (SELECT n FROM d{r} WHERE deg >= {k})")
         parts.append(
-            f"e{r} AS (SELECT e.a, e.b FROM e{r-1} e "
+            f"k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE deg >= {k})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{r-1} e "
             f"JOIN k{r} x ON e.a = x.n JOIN k{r} y ON e.b = y.n)"
         )
     final = (
@@ -451,7 +462,7 @@ _KC_PARTS, _KC_FINAL = _kcore_rounds_sql(_KCORE_K, _KCORE_ROUNDS)
 @_register(
     "dedup_kcore",
     f"""
-    WITH p AS ({_MINHASH_SQL}),
+    WITH p AS MATERIALIZED ({_MINHASH_SQL}),
     {_KC_PARTS}
     {_KC_FINAL}
     """,

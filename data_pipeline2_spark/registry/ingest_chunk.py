@@ -562,11 +562,11 @@ def _minhash_mh_ctes(n_perm: int = 16) -> str:
     minima `mh`. Expects a `sh(doc_id, shingle)` CTE upstream."""
     a, b = dedup.minhash_coeffs(n_perm)
     rows = ", ".join(f"({p}, {a[p]}, {b[p]})" for p in range(n_perm))
-    return f"""shd AS (
+    return f"""shd AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS sh64
       FROM sh
-    ), mh AS (
+    ), mh AS MATERIALIZED (
       SELECT doc_id, c.p AS p,
              min((c.a * (sh64 % 2147483647) + c.b) % 2147483647) AS mh
       FROM shd CROSS JOIN (VALUES {rows}) AS c(p, a, b)
@@ -580,11 +580,11 @@ def _lsh_bands_cand_ctes(cand_where: str = "") -> str:
     everywhere at once). Expects the `mh` CTE upstream; `cand_where`
     appends an extra predicate to the candidate join (incremental
     variants restrict to pairs touching the new batch)."""
-    return f"""bands AS (
+    return f"""bands AS MATERIALIZED (
       SELECT doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT) AS band,
              md5(string_agg(mh::VARCHAR, ',' ORDER BY p)) AS band_key
       FROM mh GROUP BY doc_id, CAST(floor(p/{dedup.BAND_SIZE}.0) AS INT)
-    ), cand AS (
+    ), cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -596,14 +596,14 @@ def _jaccard_verify_ctes(threshold: float = 0.5) -> str:
     """Shared oracle CTE chain for the exact-Jaccard verify over hashed
     shingles: per-doc counts, candidate intersections, and the `pairs`
     CTE of verified (doc_a, doc_b). Expects `shd` and `cand` upstream."""
-    return f"""counts AS (
+    return f"""counts AS MATERIALIZED (
       SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id
-    ), inter AS (
+    ), inter AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b, count(*) AS n_inter
       FROM cand c JOIN shd sa ON sa.doc_id = c.doc_a
                   JOIN shd sb ON sb.doc_id = c.doc_b AND sb.sh64 = sa.sh64
       GROUP BY c.doc_a, c.doc_b
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
       SELECT i.doc_a, i.doc_b
       FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a
                    JOIN counts cb ON cb.doc_id = i.doc_b
@@ -612,10 +612,10 @@ def _jaccard_verify_ctes(threshold: float = 0.5) -> str:
 
 
 _MINHASH_SQL = f"""
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
       SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\\s+') AS ws
       FROM documents WHERE len(trim(text, ' ')) > 0
-    ), sh AS (
+    ), sh AS MATERIALIZED (
       SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
             FROM toks WHERE len(ws) >= 3)

@@ -40,7 +40,7 @@ def _hybrid_oracle_sql(budget: int = 60, overlap: int = 12) -> str:
     overlap budget), dropped when carrying would overflow the next
     chunk — step-for-step the _greedy_pack_tokens loop."""
     return rf"""
-    WITH RECURSIVE units AS (
+    WITH RECURSIVE units AS MATERIALIZED (
       SELECT doc_id, u.idx, u.unit,
              len(regexp_extract_all(lower(u.unit),
                  '[a-z]{{1,4}}|[0-9]+|[^a-z0-9\s]')) AS t
@@ -70,11 +70,11 @@ def _hybrid_oracle_sql(budget: int = 60, overlap: int = 12) -> str:
         )
       ), LATERAL (SELECT unnest(us) AS unit,
                          generate_subscripts(us, 1) AS idx) u
-    ), pref AS (
+    ), pref AS MATERIALIZED (
       SELECT doc_id, idx, unit, t,
              sum(t) OVER (PARTITION BY doc_id ORDER BY idx) AS P
       FROM units
-    ), plist AS (
+    ), plist AS MATERIALIZED (
       SELECT doc_id, list(P ORDER BY idx) AS PL, max(idx) AS n_units
       FROM pref GROUP BY doc_id
     ), step AS (
