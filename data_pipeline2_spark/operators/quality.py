@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline2_spark.functions.text import tokens
 from data_pipeline2_spark.operators.dedup import shingle_hash64
+from data_pipeline2_spark.plans.materialize import materialize
 
 # Gopher's "at least two of these English words" existence check
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
@@ -372,7 +373,7 @@ def source_overlap(
         )
         .groupBy(shingle_hash64(F.col("shingle")).alias("sh64"))
         .agg(F.sort_array(F.collect_set("src")).alias("srcs"))
-        .localCheckpoint(eager=True)  # sizes + pairs both consume it
+        .transform(materialize)  # sizes + pairs both consume it
     )
     sizes = by_shingle.select(F.explode("srcs").alias("src")).groupBy(
         "src"
@@ -691,31 +692,49 @@ def bigram_logprob(
 
     Scale shape: bigram table keyed by (w1, w2) — Zipf-headed like the
     unigram table, AQE skew-join absorbs it; the per-doc bigram stream
-    is a posexplode + lead window clustered by doc_id (no extra
-    shuffle beyond the doc hash). Docs with < 2 tokens drop out (no
-    bigrams), exactly as in the oracle.
+    is built IN-ROW (r13, guide §2.4 — the doc_shingles lesson): a
+    transform over window-start indices of the token array replaces
+    the former posexplode + lead() window, removing a per-partition
+    SORT of the full corpus token stream (and its doc_id clustering
+    exchange) from every execution of the bg subtree — which runs
+    twice (the bigram-count aggregate and the score join). Docs with
+    < 2 tokens drop out (no bigrams), exactly as in the oracle — the
+    size gate also keeps `sequence` ascending (sequence(1, k<1) runs
+    descending). Unigram counts keep counting EVERY token (including
+    each doc's last token, which heads no bigram) — the oracle's
+    `flat` CTE semantics.
     """
-    from pyspark.sql.window import Window
-
     from data_pipeline2_spark.plans.partitioning import ensure_parallelism
 
     t = F.col(text_col)
     docs = ensure_parallelism(
         documents.filter(t.isNotNull()), id_col
     )
-    toks = docs.select(
+    arr = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.transform(tokens(t), lambda w: F.lower(w))).alias(
-            "p", "w1"
-        ),
+        F.transform(tokens(t), lambda w: F.lower(w)).alias("ws"),
     )
-    w = Window.partitionBy("doc_id").orderBy("p")
     bg = (
-        toks.withColumn("w2", F.lead("w1").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "w1", "w2")
+        arr.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ws"), i).alias("w1"),
+                        F.element_at(F.col("ws"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    uni = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni = (
+        arr.select(F.explode("ws").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
     big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     term = F.floor(
         F.log(F.col("c2").cast("double") / F.col("c1").cast("double"))
@@ -1011,7 +1030,7 @@ def stupid_backoff_logprob(
     uni = (
         train.groupBy(F.col("w").alias("u_w"))
         .agg(F.count(F.lit(1)).alias("c_u"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     win = Window.partitionBy("doc_id").orderBy("p")
     tr_seq = train.select(
@@ -1025,7 +1044,7 @@ def stupid_backoff_logprob(
         tr_seq.filter(F.col("w2").isNotNull())
         .groupBy(F.col("w2").alias("b_w1"), F.col("w3").alias("b_w2"))
         .agg(F.count(F.lit(1)).alias("c_b"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     tri = (
         tr_seq.filter(F.col("w1").isNotNull())
@@ -1188,7 +1207,7 @@ def perplexity_buckets(
         )
         .cast("long")
         .alias("score_scaled"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     counts = scored.groupBy("score_scaled").agg(
         F.count(F.lit(1)).alias("__c")
     )
@@ -1383,7 +1402,7 @@ def kneser_ney_logprob(
     bi = (
         tr_bi.groupBy(F.col("w1").alias("b_w1"), F.col("w2").alias("b_w2"))
         .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     ctx = bi.groupBy(F.col("b_w1").alias("x_w1")).agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("nfw")

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F  # noqa: F401
 
 from data_pipeline2_spark.operators import dedup
+from data_pipeline2_spark.plans.materialize import materialize
 from data_pipeline2_spark.registry._core import _register, _t
 
 _ESS_N = 50
@@ -358,7 +359,17 @@ def q_exact_substring_spans_winnowed(spark, sf_dir):
     difference is inert (pytest-asserted on the fixture; the cap counts
     docs within the restricted set, documented in the operator)."""
     docs = _t(spark, sf_dir, "documents")
-    wfp = dedup.winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
+    # r13 (VERDICT r12 item 5): materialize the winnow index ONCE — it
+    # feeds the df-cap aggregate AND the pair join (via wfpc, both
+    # self-join sides), so without the cut the full winnow subtree
+    # (corpus gram hashing + per-doc window min + distinct) re-executed
+    # per consumer. The index is exactly the table a lake deployment
+    # PERSISTS (the operator's own contract), its md5-based fp VALUES
+    # are untouched (output-semantic — the oracle replays them), and
+    # its size is ~2/(w+1) of corpus positions.
+    wfp = dedup.winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W).transform(
+        materialize
+    )
     # fp df cap BEFORE the pair join — the sparse_cosine/exact-key
     # lesson applied to the index itself: a boilerplate fingerprint
     # shared by thousands of docs would otherwise build a quadratic
@@ -450,7 +461,13 @@ def q_exact_substring_spans_incremental(spark, sf_dir):
     fingerprint table rather than recomputed; the plan from the pair
     filter onward is identical either way)."""
     docs = _t(spark, sf_dir, "documents")
-    wfp = dedup.winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
+    # r13: winnow index materialized once — same rationale (and same
+    # persisted-index justification) as the winnowed key above; in
+    # production this frame is READ BACK from the fingerprint table,
+    # so the checkpoint is the faithful stand-in for that read.
+    wfp = dedup.winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W).transform(
+        materialize
+    )
     eligible = (
         wfp.groupBy("fp")
         .agg(F.count_distinct("doc_id").alias("df"))

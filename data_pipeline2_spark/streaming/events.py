@@ -43,13 +43,63 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+def _interval_seconds(spec: str) -> int | None:
+    """Parse the simple '<n> <unit>' interval strings this module uses
+    into seconds; None when unrecognized (caller falls back)."""
+    units = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+    }
+    parts = spec.strip().split()
+    if len(parts) != 2 or not parts[0].isdigit() or parts[1] not in units:
+        return None
+    return int(parts[0]) * units[parts[1]]
+
+
 def sliding_counts(
     events: DataFrame, width: str = "1 hour", slide: str = "15 minutes"
 ) -> DataFrame:
-    """Sliding windows (each event lands in width/slide windows)."""
+    """Sliding windows (each event lands in width/slide windows).
+
+    Batch path (r13, guide §2.3 "aggregate before you shuffle"): when
+    `slide` divides `width`, counts pre-aggregate per SLIDE SLOT before
+    the width/slide-fold window expansion — the Expand operator then
+    multiplies slot-aggregate rows (slot cardinality), not raw events,
+    and the corpus-side exchange carries per-(slot, type) partials
+    (1/(width/slide) the rows of the per-(window, type) partials it
+    replaced). Equivalence: window membership is decided at slide
+    granularity — for any event ts, w_start <= ts < w_start + width
+    with w_start on the slide grid holds iff it holds for
+    slot_start(ts) (both bounds are grid points), so
+    windows(ts) == windows(slot_start) and summing slot counts per
+    window reproduces the per-event counts exactly. Streaming inputs
+    keep the single-level shape (chained streaming aggregations are
+    unsupported); both shapes compute identical results.
+    """
+    ws, ss = _interval_seconds(width), _interval_seconds(slide)
+    if events.isStreaming or ws is None or ss is None or ws % ss != 0:
+        return (
+            events.groupBy(
+                F.window("ts", width, slide).alias("w"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("events"))
+            .select(
+                F.col("w.start").alias("w_start"),
+                "event_type",
+                "events",
+            )
+        )
+    slots = events.groupBy(
+        F.window("ts", slide).alias("s"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
     return (
-        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("events"))
+        slots.groupBy(
+            F.window(F.col("s.start"), width, slide).alias("w"),
+            "event_type",
+        )
+        .agg(F.sum("c").alias("events"))
         .select(
             F.col("w.start").alias("w_start"),
             "event_type",
