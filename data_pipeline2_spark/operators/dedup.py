@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline2_spark.functions.text import content_hash, tokens
 from data_pipeline2_spark.plans.partitioning import ensure_parallelism
-from data_pipeline2_spark.plans.materialize import materialize
+from data_pipeline2_spark.plans.materialize import materialize, materialize_lazy
 
 N_PERM = 16
 # 8 bands x 2 rows: the LSH S-curve midpoint is ~(1/b)^(1/r) = 0.35,
@@ -788,12 +788,21 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
     # which ~7 s was per-job replanning; with the lineage truncated the
     # same loop runs in ~5 s). The checkpoint also is what a production
     # run persists anyway: the edge list IS the dedup graph artifact.
+    # Pre-partition + sort the stored edges by the per-round join key
+    # (r13, guide §2.4 "two operations keyed the same way share one
+    # exchange"): the checkpointed LogicalRDD carries its output
+    # partitioning and ordering, so EVERY round's neighbor join reads
+    # edges already exchanged-and-sorted on dst — one extra shuffle of
+    # the manifest-scale edge list at build time buys one exchange +
+    # one sort out of every round at every graph size.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        .repartition(F.col("dst"))
+        .sortWithinPartitions("dst")
         .transform(materialize)
     )
     # Seed labels with the FIRST HOP folded into the node-set build
@@ -808,6 +817,10 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
     # both the invariant (label ∈ reachable ids, label <= node) and the
     # termination proof (labels pinned bit-identical against the
     # union-find oracle in test_dedup_similarity).
+    # Lazy (r13): round 1's job reads every label partition anyway
+    # (the neighbor-min join), so the seed materializes as a side
+    # effect of that job instead of paying its own eager job — one
+    # fewer serialized job on a loop whose cost IS its job count.
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("__m"))
@@ -815,35 +828,55 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("__m")).alias("label"),
         )
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     converged = False
     for _ in range(24):  # doubling: covers diameter up to 2^24
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
+        # Hop as ONE union-aggregate (r13): min over (own label ∪
+        # neighbor labels) per node — algebraically identical to the
+        # former [neighbor-min agg, then left-join back onto labels,
+        # then least(own, nmin)], but one join and one exchange
+        # cheaper per round. label0 (the pre-round label, carried for
+        # the convergence flag) rides the same aggregation: only the
+        # self row carries it non-null, so max() recovers it exactly.
+        # Every node has >= 1 neighbor row (edges are symmetric and
+        # the node set IS the src set), and the self row guarantees
+        # min() never exceeds the own label — same values as the old
+        # coalesce-guarded shape on every input.
+        label_type = labels.schema["label"].dataType
+        contrib = edges.join(labels, edges["dst"] == labels["node"]).select(
+            "src", "label", F.lit(None).cast(label_type).alias("label0")
         )
-        hopped = labels.join(
-            neighbor_min, labels["node"] == neighbor_min["src"], "left"
-        ).select(
-            "node",
-            F.col("label").alias("label0"),  # pre-round label, carried
-            F.least(
-                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-            ).alias("label"),
+        selfr = labels.select(
+            F.col("node").alias("src"),
+            "label",
+            F.col("label").alias("label0"),
+        )
+        hopped = (
+            contrib.unionByName(selfr)
+            .groupBy("src")
+            .agg(
+                F.min("label").alias("label"),
+                F.max("label0").alias("label0"),
+            )
+            .select(F.col("src").alias("node"), "label", "label0")
         )
         # pointer doubling: label := min(label, label(label))
         lab2 = hopped.select(
             F.col("node").alias("node2"), F.col("label").alias("label2")
         )
-        # localCheckpoint truncates lineage: the self-join doubles the
+        # Checkpoint truncates lineage: the self-join doubles the
         # logical plan every round, and 20+ rounds of nested plans OOM
         # the driver during analysis long before any data is large.
         # The convergence flag rides IN the same plan (label vs the
         # carried label0) instead of a separate new-vs-old shuffle join
         # per round (r12: that join was one of four per-round jobs on a
-        # fixed-cost loop — pure overhead at every graph size).
+        # fixed-cost loop — pure overhead at every graph size). r13:
+        # the checkpoint is LAZY and the convergence COUNT is the
+        # materializing action — one full-scan count job per round does
+        # both (the former eager-checkpoint job + limit(1) probe jobs
+        # collapsed into it; the full scan is not extra work, the next
+        # round needed every partition materialized regardless).
         new_labels = (
             hopped.join(lab2, hopped["label"] == lab2["node2"], "left")
             .select(
@@ -854,9 +887,9 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
                 F.col("label0"),
             )
             .withColumn("changed", F.col("label") != F.col("label0"))
-            .transform(materialize)
+            .transform(materialize_lazy)
         )
-        changed = new_labels.filter(F.col("changed")).limit(1).count()
+        changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.select("node", "label")
         if changed == 0:
             converged = True

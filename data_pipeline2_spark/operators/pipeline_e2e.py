@@ -19,11 +19,13 @@ pipeline runs (quality gate, benchmark decontamination, exact + near
 dedup, pack/split, expectation gate — the BASELINE.json
 LLM-data-pipeline mandate), all re-expressed as native Spark plans.
 
-Scale shape: each stage's surviving-id manifest is materialized with an
-eager localCheckpoint (8 bytes/doc — the manifest a production pipeline
-persists between stages anyway) and downstream stages re-derive their
-row set by semi-joining the lake against the manifest, so the census
-aggregation never re-executes an upstream stage's full operator tree.
+Scale shape: each stage's surviving-id manifest is materialized with a
+lineage-truncating checkpoint (8 bytes/doc — the manifest a production
+pipeline persists between stages anyway; lazy since r13, so the first
+downstream job materializes it instead of a dedicated eager job) and
+downstream stages re-derive their row set by semi-joining the lake
+against the manifest, so the census aggregation never re-executes an
+upstream stage's full operator tree.
 Every join is id-keyed (semi/anti); the only corpus-wide shuffles are
 the ones the member operators already budget (quality is map-only, the
 gram join in decontamination ships only bloom survivors, minhash bands
@@ -33,7 +35,7 @@ cross-joined and unpivoted — nothing corpus-sized survives.
 
 from __future__ import annotations
 
-from data_pipeline2_spark.plans.materialize import materialize
+from data_pipeline2_spark.plans.materialize import materialize, materialize_lazy
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -119,18 +121,38 @@ def training_pipeline_frames(
             "n_chars", F.length(F.col("text")).cast("long")
         )
 
+    # Manifest materialization discipline (r13, guide §1.2/§2.4): the
+    # build chain is SEQUENTIALLY dependent (stage N's manifest derives
+    # from stage N-1's), so its cost at bench SF is the serialized
+    # job count, not data volume — measured 53 jobs / ~9-11 s warm at
+    # sf0.1, ~0.15-0.3 s/job fixed cost. Two cuts, neither changing
+    # any frame's rows:
+    # - manifests checkpoint LAZILY: the first downstream job reads
+    #   every partition (eval_rows' TakeOrdered, dedup_exact's scan,
+    #   the signature pass, the census), so the manifest materializes
+    #   as a side effect of the job that needed it instead of paying a
+    #   dedicated eager job + its AQE stage rounds per stage;
+    # - the .distinct() each manifest carried was semantically inert:
+    #   every consumer is a left_semi/left_anti probe (duplicate-
+    #   invariant by join semantics), and the id streams are already
+    #   unique by construction (one row per doc / per sha group). At
+    #   scale the distinct bought nothing either — it only bounded the
+    #   stored manifest under duplicate-id lakes, where the semi joins
+    #   are equally correct without it.
+
     # stage 2: quality gate — manifest of surviving ids
     ids2 = (
         quality_score(docs)
         .filter(F.col("quality") >= quality_min)
         .select("doc_id")
-        .distinct()
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     s2 = docs.join(ids2, "doc_id", "left_semi")
 
     # stage 3: decontamination — eval set leaves the corpus, overlapped
-    # docs drop; bloom path == exact path by construction
+    # docs drop; bloom path == exact path by construction. eval_rows
+    # stays EAGER: it is read twice inside one downstream job (gram
+    # index build + anti join), and its 20 rows make the job free.
     eval_rows = s2.orderBy("doc_id").limit(eval_n).transform(materialize)
     corpus = s2.join(eval_rows.select("doc_id"), "doc_id", "left_anti")
     decontam = decontaminate if eval_n <= 1000 else decontaminate_bloom
@@ -142,8 +164,7 @@ def training_pipeline_frames(
     ids3 = (
         corpus.select("doc_id")
         .join(contaminated, "doc_id", "left_anti")
-        .distinct()
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     s3 = docs.join(ids3, "doc_id", "left_semi")
 
@@ -152,8 +173,7 @@ def training_pipeline_frames(
     ids4 = (
         dedup.dedup_exact(s3)
         .select(F.col("keep_id").alias("doc_id"))
-        .distinct()
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     s4 = s3.join(ids4, "doc_id", "left_semi")
 
@@ -167,8 +187,7 @@ def training_pipeline_frames(
     ids5 = (
         s4.select("doc_id")
         .join(doomed, "doc_id", "left_anti")
-        .distinct()
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     s5 = docs.join(ids5, "doc_id", "left_semi")
 

@@ -48,7 +48,7 @@ from pyspark.sql.window import Window
 
 from data_pipeline2_spark.operators import chunking, embedding, similarity
 from data_pipeline2_spark.plans.partitioning import adaptive_key_join
-from data_pipeline2_spark.plans.materialize import materialize
+from data_pipeline2_spark.plans.materialize import materialize, materialize_lazy
 
 #: the fixed serving request the composed key replays on both engines
 QUERY_TEXT = "similarity search over document chunks."
@@ -103,13 +103,19 @@ def semantic_search_frames(
     )
     # stage 3: the pre-existing embedding cache (deterministic fixture:
     # prior requests covered the pmod-class docs), materialized — this
-    # is the Redis tier, persisted by definition
+    # is the Redis tier, persisted by definition. Lazy (r13): its first
+    # full read is the miss-set guard job inside adaptive_key_join
+    # (sequential, single consumer at that point), so the cache embeds
+    # as a side effect of that job instead of a dedicated eager one;
+    # chunks and index stay EAGER because they are read by concurrent
+    # stages of one downstream job, where lazy first-touch would race
+    # into transient duplicate compute of the chunk/embed passes.
     cache = embedding.embed_chunks(
         chunks.filter(F.pmod(F.col("doc_id"), F.lit(cache_mod)) == 0),
         text_col="content",
         id_col="chunk_id",
         dim=dim,
-    ).transform(materialize)
+    ).transform(materialize_lazy)
     hits = cache.join(chunks.select("chunk_id"), "chunk_id", "left_semi")
     # id-only anti join + adaptively-broadcast semi fetch, so chunk
     # CONTENT never shuffles (the embed_incremental r11 contract — see
