@@ -1896,33 +1896,52 @@ def lsh_eval(
     samples, not the corpus (the operator exists to VALIDATE the
     sub-quadratic arm you actually run at scale).
     """
-    exact = dedup_ngram_jaccard(
-        documents, shingle_n, threshold=threshold,
-        id_col=id_col, text_col=text_col,
-    ).select("doc_a", "doc_b")
-    lsh = dedup_near_minhash(
-        documents, shingle_n, threshold=threshold,
-        id_col=id_col, text_col=text_col,
-    ).select("doc_a", "doc_b")
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
-    n_common = exact.join(lsh, ["doc_a", "doc_b"]).agg(
-        F.count(F.lit(1)).alias("n_common")
-    )
-    return (
-        n_exact.crossJoin(n_lsh)
-        .crossJoin(n_common)
-        .select(
-            "n_exact_pairs",
-            "n_lsh_pairs",
-            "n_common",
-            F.round(
-                F.col("n_common") / F.greatest(F.col("n_exact_pairs"), F.lit(1)), 6
-            ).alias("recall"),
-            F.round(
-                F.col("n_common") / F.greatest(F.col("n_lsh_pairs"), F.lit(1)), 6
-            ).alias("precision"),
+    # One conditional-count pass over the tagged union of both pair
+    # sets (r13 — the r12 census pattern): the former three separate
+    # one-row aggregates consumed `exact` and `lsh` twice each
+    # (re-executing both pipeline tails) and assembled through two
+    # one-row BroadcastNestedLoopJoin crossJoins. Each pair set is
+    # unique per (doc_a, doc_b) by construction, so the intersection
+    # count == the inner-join count the old shape computed.
+    exact = (
+        dedup_ngram_jaccard(
+            documents, shingle_n, threshold=threshold,
+            id_col=id_col, text_col=text_col,
         )
+        .select("doc_a", "doc_b")
+        .withColumn("__e", F.lit(1))
+        .withColumn("__l", F.lit(0))
+    )
+    lsh = (
+        dedup_near_minhash(
+            documents, shingle_n, threshold=threshold,
+            id_col=id_col, text_col=text_col,
+        )
+        .select("doc_a", "doc_b")
+        .withColumn("__e", F.lit(0))
+        .withColumn("__l", F.lit(1))
+    )
+    per_pair = (
+        exact.unionByName(lsh)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("__e").alias("__e"), F.max("__l").alias("__l"))
+    )
+    return per_pair.agg(
+        F.count(F.when(F.col("__e") == 1, F.lit(1))).alias("n_exact_pairs"),
+        F.count(F.when(F.col("__l") == 1, F.lit(1))).alias("n_lsh_pairs"),
+        F.count(
+            F.when((F.col("__e") == 1) & (F.col("__l") == 1), F.lit(1))
+        ).alias("n_common"),
+    ).select(
+        "n_exact_pairs",
+        "n_lsh_pairs",
+        "n_common",
+        F.round(
+            F.col("n_common") / F.greatest(F.col("n_exact_pairs"), F.lit(1)), 6
+        ).alias("recall"),
+        F.round(
+            F.col("n_common") / F.greatest(F.col("n_lsh_pairs"), F.lit(1)), 6
+        ).alias("precision"),
     )
 
 

@@ -2013,15 +2013,21 @@ def topic_cluster_terms(
         )
     )
     # ALL totals derive from the (cluster, w) count table rather than
-    # re-aggregating the raw token stream: the rollup branches still
-    # re-run the join+explode subtree (independent stages of one job —
-    # they execute concurrently), but their SHUFFLES now carry
-    # (cluster, w, cnt) rows instead of the full exploded token stream
-    # — vocabulary-sized exchanges, not corpus-sized
-    # (Σ per-(cluster,w) counts == direct counts, so values are
-    # unchanged). An eager localCheckpoint of cw was measured slower
-    # here: it serializes stages that otherwise overlap.
-    cw = toks.groupBy("cluster", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    # re-aggregating the raw token stream (Σ per-(cluster,w) counts ==
+    # direct counts, so values are unchanged). r13: cw MATERIALIZES
+    # once — plan-audited, the three rollup branches shared no
+    # exchange (reused=0), so each total re-ran the full join+explode
+    # corpus pass; with the vocabulary-sized checkpoint the corpus
+    # tokenizes ONCE and ctot/wtot/gtot are trivial aggregates over
+    # it. (r12 measured an eager checkpoint slower; re-measured r13
+    # same-window: 3.7 -> 3.4-3.6 s and 27 -> 22 jobs at sf0.01 —
+    # bench-neutral, but 4 corpus explode passes -> 1 is the
+    # scale-dominant term and the reason the checkpoint stays.)
+    cw = (
+        toks.groupBy("cluster", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .transform(materialize)
+    )
     ctot = cw.groupBy("cluster").agg(F.sum("cnt").alias("ct"))
     wtot = cw.groupBy("w").agg(F.sum("cnt").alias("wt"))
     gtot = cw.agg(F.sum("cnt").alias("gt"))

@@ -1320,9 +1320,16 @@ def bm25_search_batch(
     shared-formula output.
 
     Scale shape: queries are a dimension table (broadcast twice — term
-    list and final attach); the corpus-side shuffles are the same
-    postings aggregations bm25_search does, shared across all queries;
-    per-query top-k is one window over candidate docs.
+    list and final attach); the corpus tokenizes exactly TWICE (r13,
+    guide §1.2/§2.4): one map-only pass for the corpus stats row and
+    one explode pass producing the query-restricted postings WITH the
+    doc length attached in-row (dl rides the pre-explode projection,
+    so the former per-doc dl join and its third corpus pass are gone).
+    The postings materialize once — they feed both the df aggregate
+    and the contribution join, and they are exactly the posting table
+    an offline relevance-evaluation run persists; without the cut the
+    corpus explode re-executed per consumer (a fourth pass). Per-query
+    top-k is one window over candidate docs.
     """
     from pyspark.sql.window import Window
 
@@ -1336,23 +1343,27 @@ def bm25_search_batch(
     docs = documents.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
     )
-    dl = docs.select(
-        "doc_id", token_count(F.col("_text")).cast("double").alias("dl")
-    )
-    stats = dl.agg(
+    stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        F.avg(token_count(F.col("_text")).cast("double")).alias("avgdl"),
     )
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("_text")))).alias("term")
-    ).join(F.broadcast(all_terms), "term", "left_semi")
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    tf = (
+        docs.select(
+            "doc_id",
+            token_count(F.col("_text")).cast("double").alias("dl"),
+            F.explode(tokens(F.lower(F.col("_text")))).alias("term"),
+        )
+        .join(F.broadcast(all_terms), "term", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+        .transform(materialize)
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     contrib = (
         tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "c",

@@ -35,10 +35,17 @@ def _reliable_dir() -> str | None:
     return os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or None
 
 
+#: last ckdir handed to setCheckpointDir — getCheckpointDir returns the
+#: scheme-qualified resolved path, so remember what we set instead of
+#: string-comparing against it
+_LAST_SET_DIR: list = [None]
+
+
 def _ensure_checkpoint_dir(df: DataFrame, ckdir: str) -> None:
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is None:
+    if sc.getCheckpointDir() is None or _LAST_SET_DIR[0] != ckdir:
         sc.setCheckpointDir(ckdir)
+        _LAST_SET_DIR[0] = ckdir
 
 
 def materialize(df: DataFrame) -> DataFrame:

@@ -140,70 +140,63 @@ def _driver_verified_keys() -> set:
 # the never-verified keys for a fresh driver check. Emptied once the
 # round's CORRECTNESS file shows them green again.
 #
-# r12: the r11 window re-greened the ENTIRE r11 queue (all 20 entries,
-# CORRECTNESS_r11 50/50). Six keys re-enter for the r12 engine changes:
+# r13: the r12 window re-greened the entire r12 queue (CORRECTNESS_r12
+# 50/50). This round's queue covers (a) every key whose ENGINE plan
+# changed in the r13 optimization pass and (b) every key whose DuckDB
+# oracle text gained AS MATERIALIZED CTE fences (values identical by
+# construction — an optimization fence only — and re-verified by exact
+# value comparison locally; the driver is still the arbiter). Details
+# per change in OPTIMIZATION_r13.md.
 _RECHECK_FIRST = (
-    # document_index_sink (VERDICT r11 item 2): the per-micro-batch
-    # `ivf_cell_assign(vecs).join(vecs)` back-join — which re-executed
-    # the chunk→embed lineage twice and shuffled vectors — became a
-    # single map-only pass (embedding rides THROUGH the assignment via
-    # keep_cols). Streamed == batch pinned bit-identical in pytest, and
-    # the layout loaders' data probe is now scheme-aware (ADVICE r11),
-    # but the streamed composition's write path changed — the driver
-    # is the arbiter.
-    "streaming_search_e2e",
-    "ivf_index_stream",     # shares load_ivf_layout's probe
-    # ADVICE r11: the r11 pinned-broadcast miss fetch gained a size
-    # guard (adaptive_key_join: materialize the key set once, count,
-    # broadcast only within BROADCAST_KEY_LIMIT) and null-key requests
-    # now route into misses instead of silently vanishing (the
-    # pre-r11 left_anti behavior). Values identical on non-null
-    # steady-state inputs — plans changed, so every consumer re-queues.
-    "embed_incremental",
-    "chunk_fallback",
-    "semantic_search_e2e",
-    # governance.delete_cascade_audit: the deletion request set is now
-    # materialized once and broadcast only while request-sized
-    "gdpr_delete_cascade",
-    # r12: dedup_clusters' convergence flag rides in the per-round
-    # checkpoint plan instead of a separate new-vs-old join per round
-    # (measured 2.15 -> 1.60 s same-session A/B at sf0.1; labels
-    # bit-identical, pinned against a union-find oracle in
-    # test_dedup_similarity + re-passed sf0.01 parity locally) —
-    # every consumer of the CC loop re-queues
+    # (1) winnow index materialized once (the persisted-index read
+    #     the production path does anyway) — both scale-path keys
+    "exact_substring_spans_winnowed",
+    "exact_substring_spans_incremental",
+    # (2) bm25_search_batch: 4 corpus tokenize passes -> 2, postings
+    #     materialized, per-doc dl join folded in-row — every batch
+    #     BM25 consumer
+    "bm25_batch",
+    "hybrid_search_batch",
+    "rm3_expansion",
+    # (3) events_sliding: slot pre-aggregation before the window
+    #     expansion (slot-grid window membership proof in the operator)
+    "events_sliding",
+    # (4) topic_cluster_terms: (cluster, w) count table materialized
+    #     once — 4 corpus explode passes -> 1
+    "topic_cluster_terms",
+    # (5) dedup_lsh_eval: census-pattern single-pass report
+    "dedup_lsh_eval",
+    # (6) dedup_clusters loop: union-aggregate hop, dst-partitioned
+    #     edge checkpoint, lazy round materialization (labels pinned
+    #     bit-identical vs the union-find oracle) — every CC consumer
     "dedup_clusters",
     "semantic_dedup_clusters",
     "simhash_dedup_drop",
     "dedup_representative",
     "leakage_safe_split",
+    # (7) composition builds: lazy manifests + inert distincts dropped
+    #     (frame rows unchanged; stage censuses value-identical)
     "training_pipeline_e2e",
-    # r12 OPTIMIZATION phase (OPTIMIZATION_r12.md): four engine-plan
-    # changes, all output-identical by construction and re-passed at
-    # sf0.01 locally, queued for the driver's own arbitration:
-    # (1) doc_shingles window -> map-only HOF (shingle stream pinned
-    #     bit-identical) — every shingle consumer;
-    # (2) exact_substring window fingerprint md5(string) ->
-    #     xxhash64(slice) (spans are hash-equality-invariant);
-    # (3) census assembly crossJoin chain -> one conditional-count
-    #     pass (both compositions — already queued above);
-    # (4) dedup_clusters edge lineage truncated + first-hop label
-    #     seeding (fixpoint unchanged — consumers already queued).
-    "dedup_near_minhash",
-    "minhash_signatures",
-    "dedup_near_incremental",
+    "semantic_search_e2e",
+    # (8) oracle-text-only changes (AS MATERIALIZED fences) not already
+    #     queued above — Spark plans untouched, values locally verified
+    "chunk_hybrid",
     "dedup_bbit_minhash",
-    "dedup_ngram_jaccard",
     "dedup_containment",
-    "exact_substring_spans",
-    "exact_substring_dedup_stats",
-    "exact_substring_spans_winnowed",
-    "exact_substring_spans_incremental",
-    "decontaminate",
-    "decontaminate_bloom",
-    "repetition_ratio",
-    # (5) simhash_pairs_capped: banded rows materialized once (three
-    #     consumers shared the fingerprint subtree) — output identical
-    "simhash_pairs_capped",
+    "dedup_graph_pagerank",
+    "dedup_kcore",
+    "dedup_near_incremental",
+    "dedup_near_minhash",
+    "dup_graph_triangles",
+    "kneser_ney_logprob",
+    "minhash_signatures",
+    "near_dup_rate",
+    "ngram_novelty",
+    "ngram_novelty_incremental",
+    "streaming_search_e2e",
+    "textrank_terms",
+    "unigram_lm_tokenize",
+    "wordpiece_tokenize",
 )
 # Rotation (VERDICT r11 item 6): the r11 window re-greened 50 keys;
 # what remains stale is everything whose latest driver green predates

@@ -39,16 +39,6 @@ ENGINE_DEFAULTS: dict[str, str] = {
     # Target split size at scan (128 MB default is right for 100 TB:
     # ~800k splits over 1000 executors).
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-    # Shuffle parallelism is SCALE-DEPENDENT, so it is parameterised
-    # (env) rather than constant: locally it defaults to the session's
-    # core count (local[$SPARK_GRAFT_CPUS] — keeps the driver's bench
-    # comparable at any core count it chooses); on a cluster set it to
-    # ~2-3x total executor cores and let AQE coalesce down. A constant
-    # tuned for either regime is wrong in the other (guide §2.2).
-    "spark.sql.shuffle.partitions": os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
-        os.environ.get("SPARK_GRAFT_CPUS", "32"),
-    ),
     # Deterministic string collation / legacy-free behavior.
     "spark.sql.legacy.timeParserPolicy": "CORRECTED",
     # The testdata writes TIMESTAMP(NANOS) parquet, which Spark's reader
@@ -56,6 +46,21 @@ ENGINE_DEFAULTS: dict[str, str] = {
     # (sources/parquet.py — values are µs-aligned so truncation is exact).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+
+
+def _shuffle_partitions() -> str:
+    """Shuffle parallelism is SCALE-DEPENDENT, so it is parameterised
+    (env) rather than constant — and resolved at CALL time, not import
+    time (ADVICE r12): locally it defaults to the session's core count
+    (local[$SPARK_GRAFT_CPUS] — keeps the driver's bench comparable at
+    any core count it chooses); on a cluster set it to ~2-3x total
+    executor cores via SPARK_GRAFT_SHUFFLE_PARTITIONS and let AQE
+    coalesce down. A constant tuned for either regime is wrong in the
+    other (guide §2.2)."""
+    return os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    )
 
 
 def get_spark(
@@ -75,6 +80,7 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = builder.master(master)
     conf = dict(ENGINE_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = _shuffle_partitions()
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
@@ -98,7 +104,9 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     explicit SPARK_GRAFT_SHUFFLE_PARTITIONS always wins (it exists
     precisely to override).
     """
-    for k, v in ENGINE_DEFAULTS.items():
+    conf = dict(ENGINE_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = _shuffle_partitions()
+    for k, v in conf.items():
         if (
             k == "spark.sql.shuffle.partitions"
             and "SPARK_GRAFT_SHUFFLE_PARTITIONS" not in os.environ

@@ -27,6 +27,10 @@ sys.path.insert(
 )
 import bench  # noqa: E402
 
+# driver-certification tier (see pytest.ini): -m driver selects the
+# fast oracle/contract subset the verify harness runs each round
+pytestmark = pytest.mark.driver
+
 TIMINGS = {f"q{i}": 0.5 + i / 100 for i in range(20)}
 TMINS = {k: v * 0.9 for k, v in TIMINGS.items()}
 

@@ -17,6 +17,10 @@ import pytest
 
 from data_pipeline2_spark import registry
 
+# driver-certification tier (see pytest.ini): -m driver selects the
+# fast oracle/contract subset the verify harness runs each round
+pytestmark = pytest.mark.driver
+
 SF = "/root/testdata/sf0.001"
 
 # query -> max (hash + range) exchanges in the executed plan

@@ -17,6 +17,10 @@ from data_pipeline2_spark import registry
 
 from .conftest import SF_ORACLE
 
+# driver-certification tier (see pytest.ini): -m driver selects the
+# fast oracle/contract subset the verify harness runs each round
+pytestmark = pytest.mark.driver
+
 SPECS = [q for q in registry._QUERIES if q.sql is not None]
 ROWS_ONLY = [q for q in registry._QUERIES if q.sql is None]
 

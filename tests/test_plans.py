@@ -13,6 +13,10 @@ from pyspark.sql import functions as F
 
 from data_pipeline2_spark import registry
 
+# driver-certification tier (see pytest.ini): -m driver selects the
+# fast oracle/contract subset the verify harness runs each round
+pytestmark = pytest.mark.driver
+
 SF = "/root/testdata/sf0.001"
 QUERIES = registry.queries()
 
